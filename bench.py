@@ -1,0 +1,55 @@
+"""Benchmark harness: time every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly one JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1...": sec, ...}, "sf": <sf>}
+
+Each query is materialized via a count-collapsing action (``.count``
+on the result, not ``collect`` — results can be wide). A warm-up of
+the flagship query is run first so JVM/codegen startup isn't billed
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded
+from my_mapreduce_spark.session import get_spark
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    _ensure_loaded()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up (JVM, codegen, parquet footer caches)
+    REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        t0 = time.time()
+        try:
+            spec.fn(spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # record failures as negative sentinel
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,20 @@
+"""Query library. Importing this package registers every query.
+
+Modules:
+- ``relational``        — TPC-H-style relational breadth (SURVEY §2C gap).
+- ``reference_parity``  — wc / indexer / early_exit / concat-agg (SURVEY §2B).
+- ``text_analysis``     — lang-ID, quality scores, token counts, fingerprints.
+- ``dedup``             — exact / MinHash-LSH / SimHash / n-gram Jaccard.
+- ``similarity``        — embedding cosine top-k (brute force + LSH-bucketed).
+- ``events_windows``    — tumbling/sliding/session windows over events (batch).
+"""
+
+from my_mapreduce_spark.queries import relational  # noqa: F401
+
+for _mod in ("reference_parity", "text_analysis", "dedup", "similarity",
+             "events_windows"):
+    try:  # modules come online phase by phase
+        __import__(f"my_mapreduce_spark.queries.{_mod}")
+    except ImportError:
+        pass
+del _mod
