@@ -26,5 +26,15 @@ Layering:
 
 __version__ = "0.1.0"
 
+# Pickle everything from this package BY VALUE when shipping closures
+# to executors: callers (the driver harness, notebooks) may hold
+# Python workers that cannot import this repo's path, and the compat
+# mapreduce() API ships our functions inside mapInPandas closures.
+from pyspark import cloudpickle as _cloudpickle
+
+import my_mapreduce_spark as _self  # noqa: PLW0406
+
+_cloudpickle.register_pickle_by_value(_self)
+
 from my_mapreduce_spark.session import get_spark  # noqa: F401
 from my_mapreduce_spark.io import TABLES, load_table, load_tables, register_views  # noqa: F401
