@@ -53,9 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer DIV, not `/`: epoch-nanos exceed double's 53-bit
+        # exact integer range, so float division drifts by ±1µs.
         df = (
             df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
         )
     return df
 

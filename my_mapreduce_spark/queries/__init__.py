@@ -11,7 +11,8 @@ Modules:
 
 from my_mapreduce_spark.queries import relational  # noqa: F401
 
-for _mod in ("reference_parity", "text_analysis", "dedup", "similarity",
+for _mod in ("reference_parity", "relational_ext", "windows", "scalar_funcs",
+             "setops", "text_analysis", "dedup", "similarity",
              "events_windows"):
     try:  # modules come online phase by phase
         __import__(f"my_mapreduce_spark.queries.{_mod}")

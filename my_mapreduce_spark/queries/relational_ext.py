@@ -1,0 +1,276 @@
+"""Relational breadth: join varieties, subqueries, grouping sets.
+
+All new capability vs the reference (SURVEY.md §2C: it has no joins
+of any kind — its ceiling is group-by-key at ``mr/worker.go:194-204``).
+Every query is written so Catalyst can do the heavy lifting:
+broadcast hints on dimension sides, semi/anti joins expressed as
+joins (not row filters over collects), subqueries in decorrelated
+join form. Scale note per query in its docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+@register(
+    "q6_revenue_change",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "aggregate", "pushdown"),
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global aggregate — the
+    pushdown showcase. All four predicates reach the parquet scan
+    (min/max row-group pruning on shipdate at scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+    """,
+    tags=("relational", "join"),
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: suppliers with at least one max-quantity
+    shipment. Semi join short-circuits per key — no fact-side
+    duplication, and the supplier side stays broadcast-able."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 49)
+    return (sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+    SELECT p_partkey, p_brand
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)
+    """,
+    tags=("relational", "join"),
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: parts never shipped at max quantity."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 49)
+    return (part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+            .select("p_partkey", "p_brand"))
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+    tags=("relational", "join", "aggregate"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: left outer join + double aggregation (order count
+    per customer, then histogram of counts). The outer join keeps
+    zero-order customers; COUNT(o_orderkey) counts non-nulls only."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice > 1.05 * (SELECT AVG(p2.p_retailprice)
+                                  FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+    tags=("relational", "subquery"),
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery (parts priced >5% above their brand
+    average), written in its decorrelated join form — the rewrite
+    Catalyst itself would produce: one agg over the correlation key,
+    broadcast back. No per-row subquery execution at any scale."""
+    part = load_table(spark, sf_dir, "part")
+    brand_avg = part.groupBy("p_brand").agg(F.avg("p_retailprice").alias("_avg"))
+    return (
+        part.join(F.broadcast(brand_avg), "p_brand")
+        .where(F.col("p_retailprice") > 1.05 * F.col("_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    WHERE l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "subquery"),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (above-average quantity), as a cross-join of a
+    1-row aggregate — Spark broadcasts the scalar automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.agg(F.avg("l_quantity").alias("_avg"))
+    return (
+        li.join(F.broadcast(avg_qty))
+        .where(F.col("l_quantity") > F.col("_avg"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             _r4(F.sum("l_extendedprice")).alias("sum_price"))
+    )
+
+
+@register(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "aggregate", "grouping-sets"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping sets — (flag,status), (flag), ()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 _r4(F.sum("l_quantity")).alias("sum_qty")))
+
+
+@register(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "aggregate", "grouping-sets"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two low-cardinality dimensions."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 _r4(F.sum("o_totalprice")).alias("sum_price")))
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "aggregate", "distinct"),
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates — Spark plans an expand +
+    two-phase aggregate; at scale prefer approx_count_distinct
+    (see q_approx_distinct) when exactness isn't required."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count_distinct("l_partkey").alias("n_parts"),
+                 F.count_distinct("l_suppkey").alias("n_supps"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # HLL estimates are engine-specific; rows-only check
+    tags=("relational", "aggregate", "approx"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB answer to
+    q_distinct_agg: mergeable sketches, no expand, bounded memory.
+    Estimates are engine-specific so the oracle is rows-only; the
+    unit test asserts <5% relative error vs the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+                 F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps")))
+
+
+@register(
+    "q_theta_join_price_band",
+    oracle="""
+    SELECT b.band_name, COUNT(*) AS n_parts,
+           ROUND(AVG(p.p_retailprice), 4) AS avg_price
+    FROM part p
+    JOIN (VALUES ('budget',   900.0, 930.0),
+                 ('standard', 930.0, 960.0),
+                 ('premium',  960.0, 1000.0)) AS b(band_name, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band_name
+    """,
+    tags=("relational", "join", "non-equi"),
+)
+def q_theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny in-memory band table —
+    planned as BroadcastNestedLoopJoin, which is exactly right when
+    one side is a handful of rows."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 900.0, 930.0), ("standard", 930.0, 960.0),
+         ("premium", 960.0, 1000.0)],
+        "band_name string, lo double, hi double")
+    return (
+        part.join(F.broadcast(bands),
+                  (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi))
+        .groupBy("band_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             _r4(F.avg("p_retailprice")).alias("avg_price"))
+    )

@@ -1,0 +1,167 @@
+"""Scalar function surface: string, math, date/time, JSON.
+
+New capability vs the reference (SURVEY.md §2C: "no date/math/json
+functions" — its only scalar ops are strconv.Itoa and len). Each
+query is a pure projection/aggregation exercising a function family
+with oracle-matched semantics; everything stays inside whole-stage
+codegen (no Python UDFs anywhere in this module).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                               AS name_upper,
+           length(p_name)                              AS name_len,
+           substr(p_name, 1, 8)                        AS name_prefix,
+           replace(p_type, 'ECONOMY', 'ECO')           AS type_short,
+           concat(p_brand, ':', p_type)                AS brand_type,
+           CASE WHEN p_name LIKE '%steel%' THEN 1 ELSE 0 END AS has_steel,
+           ltrim(rtrim(concat(' ', p_name, ' ')))      AS name_trimmed,
+           reverse(p_brand)                            AS brand_rev
+    FROM part
+    """,
+    tags=("scalar", "string"),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/length/substr/replace/concat/like/trim/reverse."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("type_short"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.when(F.col("p_name").like("%steel%"), 1).otherwise(0).alias("has_steel"),
+        F.ltrim(F.rtrim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" ")))).alias("name_trimmed"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(l_extendedprice - 1000.0), 4)  AS abs_diff,
+           CAST(floor(l_quantity / 7) AS BIGINT)     AS qty_bucket,
+           CAST(ceil(l_discount * 100) AS BIGINT)    AS disc_pct,
+           ROUND(sqrt(l_extendedprice), 6)           AS price_sqrt,
+           ROUND(ln(l_extendedprice + 1), 6)         AS price_ln,
+           ROUND(power(l_tax + 1, 2), 6)             AS tax_sq,
+           CAST(l_partkey % 16 AS BIGINT)            AS pk_mod
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+    tags=("scalar", "math"),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/floor/ceil/sqrt/ln/power/modulo (sampled by key so the
+    result set stays compact at any SF)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 4).alias("abs_diff"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        (F.col("l_partkey") % 16).alias("pk_mod"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year  FROM o_orderdate)            AS o_year,
+           EXTRACT(month FROM o_orderdate)            AS o_month,
+           EXTRACT(day   FROM o_orderdate)            AS o_day,
+           CAST(isodow(o_orderdate) AS BIGINT)        AS o_isodow,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS o_quarter,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')
+                                                       AS due_date,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+    tags=("scalar", "date"),
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract year/month/day/quarter, ISO weekday, date arithmetic,
+    truncation — emitted as numbers/strings for engine-neutral
+    comparison (Spark weekday() is 0=Monday; ISO dow = weekday+1)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("o_year"),
+        F.month("o_orderdate").cast("bigint").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("o_day"),
+        (F.weekday("o_orderdate") + 1).cast("bigint").alias("o_isodow"),
+        F.quarter("o_orderdate").cast("bigint").alias("o_quarter"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+            .alias("due_date"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+            .alias("month_start"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json", "events"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props payload column,
+    aggregated per type — get_json_object stays JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.avg(k), 4).alias("avg_k"),
+                 F.max(k).alias("max_k")))
+
+
+@register(
+    "q_events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("scalar", "date", "events", "window-agg"),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling rollup of the event stream in batch form —
+    the batch twin of the Structured Streaming job in
+    streaming/jobs.py (same grouping, same aggregates)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )

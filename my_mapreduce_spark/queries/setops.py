@@ -1,0 +1,95 @@
+"""Set operations, global top-k, and union-based pipelines.
+
+New capability vs the reference (SURVEY.md §2C: no set operations,
+no limit/top-k — its only sort is per-reduce-partition at
+``mr/worker.go:188``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    WITH cust_nations AS (SELECT DISTINCT c_nationkey AS nationkey
+                          FROM customer WHERE c_mktsegment = 'BUILDING'),
+         supp_nations AS (SELECT DISTINCT s_nationkey AS nationkey
+                          FROM supplier WHERE s_acctbal < 0)
+    SELECT 'union' AS op, nationkey FROM (SELECT * FROM cust_nations UNION SELECT * FROM supp_nations)
+    UNION ALL
+    SELECT 'intersect', nationkey FROM (SELECT * FROM cust_nations INTERSECT SELECT * FROM supp_nations)
+    UNION ALL
+    SELECT 'except', nationkey FROM (SELECT * FROM cust_nations EXCEPT SELECT * FROM supp_nations)
+    """,
+    tags=("setop",),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (set semantics) between the nation
+    sets of BUILDING customers and negative-balance suppliers, tagged
+    by operator in one result."""
+    cust = (load_table(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_nationkey").alias("nationkey")).distinct())
+    supp = (load_table(spark, sf_dir, "supplier")
+            .where(F.col("s_acctbal") < 0)
+            .select(F.col("s_nationkey").alias("nationkey")).distinct())
+    return (
+        cust.union(supp).distinct().select(F.lit("union").alias("op"), "nationkey")
+        .unionAll(cust.intersect(supp).select(F.lit("intersect").alias("op"), "nationkey"))
+        .unionAll(cust.exceptAll(supp).distinct()
+                  .select(F.lit("except").alias("op"), "nationkey"))
+    )
+
+
+@register(
+    "q_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("topk", "sort"),
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject
+    — each partition contributes its local top 20 and the driver
+    merges k*partitions rows, never a full global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .limit(20))
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    SELECT party, party_key, ROUND(acctbal, 4) AS acctbal
+    FROM (
+        SELECT 'customer' AS party, c_custkey AS party_key, c_acctbal AS acctbal
+        FROM customer WHERE c_acctbal > 9900
+        UNION ALL
+        SELECT 'supplier', s_suppkey, s_acctbal
+        FROM supplier WHERE s_acctbal > 9900
+    )
+    """,
+    tags=("setop", "union"),
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-schema UNION ALL (unionByName after projection
+    to a common shape): all high-balance parties in one stream."""
+    cust = (load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9900)
+            .select(F.lit("customer").alias("party"),
+                    F.col("c_custkey").alias("party_key"),
+                    F.round("c_acctbal", 4).alias("acctbal")))
+    supp = (load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9900)
+            .select(F.lit("supplier").alias("party"),
+                    F.col("s_suppkey").alias("party_key"),
+                    F.round("s_acctbal", 4).alias("acctbal")))
+    return cust.unionByName(supp)
