@@ -1,0 +1,121 @@
+"""Multimodal column plumbing (SURVEY.md §2D).
+
+Treats media as opaque ``binary`` payload columns with typed
+metadata, processed by Arrow-batched pandas functions via
+``mapInPandas``. The container has no image/audio codecs, so the
+actual decode is STUBBED (``decode_image`` raises
+NotImplementedError; the pipeline uses ``fake_decode``, a
+deterministic md5-derived stand-in) — but everything Spark-side is
+real and tested: the binary schema, the mapInPandas batch shape,
+the partition-parallel feature extraction, and the metadata query.
+
+At 100 TB: payloads dominate size, so the asset table is scanned
+once, features are extracted partition-wise with zero shuffles, and
+only the (tiny) feature rows ever move.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+FEATURE_SCHEMA = ("doc_id bigint, mime string, n_bytes bigint, "
+                  "width int, height int, feat_norm double")
+
+
+def build_asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal asset table: binary payload + typed metadata.
+    Here the payload is the utf-8 document text standing in for
+    image/audio bytes; a real pipeline reads
+    ``spark.read.format('binaryFile')`` and unions sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real media decode — requires PIL/libvips, absent here."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use fake_decode for deterministic plumbing tests")
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for decode+feature-extract: derives
+    (width, height, feature-norm) from the payload's md5 so results
+    are stable across runs/partitionings."""
+    h = hashlib.md5(payload).digest()
+    width = 64 + h[0]          # 64..319
+    height = 64 + h[1]
+    feat_norm = round(int.from_bytes(h[2:6], "big") / 2**32, 6)
+    return width, height, feat_norm
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Partition-parallel feature extraction over binary payloads.
+    One Arrow batch in, one out; no shuffle; the payload column is
+    dropped on output so only small feature rows flow downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["n_bytes"],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "feat_norm": [d[2] for d in dims],
+            })
+
+    return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+    tags=("multimodal", "metadata"),
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over the binary asset table — byte sizes and
+    content digests, all JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("mime"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("payload_sha256"),
+    )
+
+
+@register(
+    "q_multimodal_pipeline",
+    oracle=None,  # pandas-UDF pipeline; determinism asserted in tests
+    tags=("multimodal", "pipeline"),
+)
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal flow: asset table → mapInPandas
+    decode/feature stub → per-mime feature aggregate."""
+    feats = extract_features(build_asset_table(spark, sf_dir))
+    return (feats.groupBy("mime")
+            .agg(F.count(F.lit(1)).alias("n_assets"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.round(F.avg("width"), 4).alias("avg_width"),
+                 F.round(F.avg("feat_norm"), 6).alias("avg_feat_norm")))

@@ -14,8 +14,8 @@ from my_mapreduce_spark.queries import relational  # noqa: F401
 for _mod in ("reference_parity", "relational_ext", "windows", "scalar_funcs",
              "setops", "text_analysis", "dedup", "similarity",
              "events_windows"):
-    try:  # modules come online phase by phase
-        __import__(f"my_mapreduce_spark.queries.{_mod}")
-    except ImportError:
-        pass
+    __import__(f"my_mapreduce_spark.queries.{_mod}")
 del _mod
+
+import my_mapreduce_spark.multimodal  # noqa: F401,E402
+import my_mapreduce_spark.streaming.jobs  # noqa: F401,E402

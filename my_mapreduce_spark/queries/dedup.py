@@ -1,0 +1,375 @@
+"""Deduplication operators over ``documents`` (SURVEY.md §2D).
+
+Five dedup families, each a first-class query with a bit-exact
+DuckDB oracle (all hashing is md5-based precisely so the oracle can
+replicate signatures — see functions/text.py):
+
+- exact          — content-hash groupBy (q_dedup_exact)
+- n-gram Jaccard — exact near-dup pairs via shingle-set overlap
+- MinHash + LSH  — banded signature join, the scale path
+- SimHash        — 60-bit fingerprints + banded Hamming join
+- embedding      — cosine near-dup pairs over the vector table
+
+Scale posture (100 TB): exact dedup and MinHash-LSH are linear scans
+plus key-colocated shuffles — they are THE production path. The
+exact-Jaccard pair join is quadratic in docs sharing a shingle and
+exists as the verifier / small-corpus path; its oracle-facing
+completeness is what LSH recall is measured against (tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.functions.text import minhash_expr, shingles, tokens
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+_N_MINHASH = 9          # 3 bands x 3 rows
+_BANDS = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
+_MIN_MATCHES = 5        # report pairs with >=5/9 matching components
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the common input of every
+    shingle-based dedup query."""
+    docs = load_table(spark, sf_dir, "documents")
+    withw = docs.select("doc_id", tokens().alias("w")).where(F.size("w") >= 3)
+    return (withw.select("doc_id", F.explode(shingles(F.col("w"))).alias("shingle"))
+            .distinct())
+
+
+# SQL twin of _shingle_rows, embedded by every oracle below.
+_SHINGLES_CTE = """
+    t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '') AS w
+        FROM documents),
+    s AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM t, UNNEST(range(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 3)
+"""
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT COUNT(*)                                   AS n_docs,
+           COUNT(DISTINCT md5(text))                  AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+    FROM documents
+    """,
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary: docs, distinct contents (by md5), and
+    how many rows dedup would drop. One linear scan + hash agg;
+    at 100 TB this is a map-side-partial count-distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias("n_dup_docs"),
+    )
+
+
+@register(
+    "q_dedup_exact_pairs",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS h FROM documents)
+    SELECT k.h AS content_md5, k.keep_doc_id, d.doc_id AS dup_doc_id
+    FROM (SELECT h, MIN(doc_id) AS keep_doc_id FROM h GROUP BY h) k
+    JOIN h d ON d.h = k.h AND d.doc_id > k.keep_doc_id
+    """,
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact dedup decisions: for every duplicated
+    content hash, the canonical (minimum) doc_id and each doc it
+    replaces. Empty when the corpus has no exact dups (sf<=0.01);
+    non-empty at sf0.1."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    keep = h.groupBy("h").agg(F.min("doc_id").alias("keep_doc_id"))
+    return (h.join(keep, "h")
+            .where(F.col("doc_id") > F.col("keep_doc_id"))
+            .select(F.col("h").alias("content_md5"), "keep_doc_id",
+                    F.col("doc_id").alias("dup_doc_id")))
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common,
+           ROUND(n_common * 1.0 / (x.n + y.n - n_common), 6) AS jaccard
+    FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE n_common * 1.0 / (x.n + y.n - n_common) >= 0.6
+    """,
+    tags=("dedup", "near-dup", "jaccard"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-3-gram shingle sets, Jaccard >=
+    0.6. Complete by construction (every qualifying pair shares a
+    shingle, so the shingle self-join finds it) — this is the
+    ground truth the MinHash-LSH path is measured against.
+
+    Scale note: the self-join fans out on common shingles; the
+    distinct() and the 0.6 threshold keep it bounded here, but at
+    100 TB you run q_dedup_minhash_lsh first and reserve this as
+    the verifier on its candidates.
+    """
+    s = _shingle_rows(spark, sf_dir)
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("x.n") + F.col("y.n") - F.col("n_common"))
+    return (
+        pairs.join(sz.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sz.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .where(jac >= 0.6)
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN(md5('{i}|' || shingle)) AS m{i}" for i in range(_N_MINHASH))
+    bands = ",\n               ".join(
+        f"md5(m{a} || m{b} || m{c}) AS b{j}" for j, (a, b, c) in enumerate(_BANDS))
+    band_union = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {j} AS band_idx, b{j} AS band_hash FROM sig"
+        for j in range(len(_BANDS)))
+    matches = " + ".join(
+        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(_N_MINHASH))
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sig0 AS (
+        SELECT doc_id,
+               {mins}
+        FROM s GROUP BY doc_id),
+    sig AS (
+        SELECT *,
+               {bands}
+        FROM sig0),
+    bands AS (
+{band_union}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST({matches} AS BIGINT) AS n_matches,
+           ROUND(({matches}) / {_N_MINHASH}.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sig x ON doc_a = x.doc_id
+    JOIN sig y ON doc_b = y.doc_id
+    WHERE {matches} >= {_MIN_MATCHES}
+    """
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "near-dup", "minhash", "lsh"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection — THE scale path for dedup.
+
+    9 md5-permutation MinHash components per doc (one aggregation
+    pass over distinct shingles), banded 3x3; candidate pairs are
+    docs sharing any band hash (an equi-join on (band, hash) — a
+    key-colocated shuffle, never a cross join); reported pairs have
+    >=5/9 matching components (estimated Jaccard >= 0.56).
+
+    Every hash is md5-derived, so the DuckDB oracle reproduces the
+    exact signatures, bands, candidates, and estimates.
+    """
+    s = _shingle_rows(spark, sf_dir)
+    sig = s.groupBy("doc_id").agg(
+        *[minhash_expr(i).alias(f"m{i}") for i in range(_N_MINHASH)])
+    for j, (a, b, c) in enumerate(_BANDS):
+        sig = sig.withColumn(
+            f"b{j}", F.md5(F.concat(F.col(f"m{a}"), F.col(f"m{b}"), F.col(f"m{c}"))))
+    sig = sig.cache()  # reused by the band explode and both pair-side joins
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band_idx"), F.col(f"b{j}").alias("band_hash"))
+            for j in range(len(_BANDS))])).alias("bh"),
+    ).select("doc_id", "bh.band_idx", "bh.band_hash")
+
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band_idx") == F.col("b.band_idx"))
+              & (F.col("a.band_hash") == F.col("b.band_hash"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    n_matches = sum(
+        F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
+        for i in range(_N_MINHASH))
+    return (
+        cand.join(sig.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sig.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b",
+                n_matches.cast("bigint").alias("n_matches"),
+                F.round(n_matches / float(_N_MINHASH), 6).alias("est_jaccard"))
+        .where(F.col("n_matches") >= _MIN_MATCHES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60          # 15 md5 nibbles; keeps the value in a signed int64
+_HAMMING_MAX = 3            # report pairs within this distance
+_N_SIMHASH_BANDS = 4        # pigeonhole: d<=3 => >=1 of 4 bands equal
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '') AS w
+        FROM documents),
+    tok AS (
+        SELECT doc_id, md5(tok) AS h
+        FROM (SELECT doc_id, UNNEST(w) AS tok FROM t)),
+    bits AS (
+        SELECT doc_id, j,
+               ((strpos('0123456789abcdef', substr(h, 1 + j // 4, 1)) - 1)
+                 >> (j % 4)) & 1 AS bit
+        FROM tok, UNNEST(range(0, {_SIMHASH_BITS})) AS u(j)),
+    acc AS (
+        SELECT doc_id, j, SUM(2 * bit - 1) AS score
+        FROM bits GROUP BY doc_id, j),
+    sh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN score > 0 THEN (1::BIGINT << j) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM acc GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    """
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=_simhash_oracle(),
+    tags=("dedup", "near-dup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit fingerprints (md5-nibble token
+    hashes, sign-summed per bit), pairs within Hamming distance 3.
+
+    The oracle brute-forces all pairs; the Spark side joins on
+    {_N_SIMHASH_BANDS} 15-bit bands — by pigeonhole any pair with
+    <= {_HAMMING_MAX} differing bits agrees on at least one band, so
+    the banded join is exactly complete, at O(collisions) instead of
+    O(n^2). That asymmetry (same answer, different join) is the
+    point: the banding IS the 100 TB plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", F.explode(tokens()).alias("tok"))
+           .select("doc_id", F.md5("tok").alias("h")))
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("j"),
+        "h",
+    ).withColumn(
+        "bit",
+        F.expr("((instr('0123456789abcdef', substr(h, 1 + CAST(j / 4 AS INT), 1)) - 1) "
+               ">> CAST(j % 4 AS INT)) & 1"),
+    )
+    acc = bits.groupBy("doc_id", "j").agg(F.sum(2 * F.col("bit") - 1).alias("score"))
+    sh = acc.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("score") > 0,
+                     F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+              .otherwise(F.lit(0).cast("bigint")))
+        .cast("bigint").alias("simhash"))
+    sh = sh.cache()  # reused by the band explode and both pair sides
+
+    band_width = _SIMHASH_BITS // _N_SIMHASH_BANDS
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.shiftright(F.col("simhash"), j * band_width)
+                 .bitwiseAND((1 << band_width) - 1).alias("band_val"))
+            for j in range(_N_SIMHASH_BANDS)])).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band_idx", "bv.band_val")
+
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"),
+              (F.col("a.band_idx") == F.col("b.band_idx"))
+              & (F.col("a.band_val") == F.col("b.band_val"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                hamming.cast("bigint").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= _HAMMING_MAX)
+    )
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    """,
+    tags=("dedup", "near-dup", "embedding"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs: cosine >= 0.4 over the
+    ``embeddings`` table, computed in double precision with
+    ``zip_with``/``aggregate`` (JVM-side; float32 inputs upcast so
+    both engines do identical IEEE-754 double math).
+
+    Scale note: this exact O(n^2) join is the verifier;
+    q_knn_lsh_buckets (similarity.py) shows the bucketed plan that
+    replaces it at 100 TB.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_self = F.aggregate(F.zip_with(v, v, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+    e = emb.select("vec_id", v.alias("v"), F.sqrt(dot_self).alias("nrm"))
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cosine = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        e.alias("a").join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cosine >= 0.4)  # filter on the unrounded value, like the oracle
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                F.round(cosine, 6).alias("cosine"))
+    )

@@ -1,0 +1,117 @@
+"""Time-window operators over ``events`` in batch form.
+
+The reference has no streaming/window capability (SURVEY.md §2C);
+these are the north-star stream operators expressed as batch
+queries so they are DuckDB-checkable. The true Structured Streaming
+twin (same tumbling aggregation, watermark, availableNow trigger)
+lives in streaming/jobs.py and registers as ``q_streaming_hourly``.
+
+All timestamps cross the oracle boundary as epoch MICROseconds or
+formatted strings (DuckDB truncates the nanos parquet column to µs;
+Spark matches via integer DIV — see io.load_table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+@register(
+    "q_events_sliding_window",
+    oracle="""
+    WITH grid AS (
+        SELECT event_type, value,
+               (epoch_us(ts) // 1000000 // 1800) * 1800 AS w0
+        FROM events),
+    expanded AS (
+        SELECT event_type, value, w0 AS win_start FROM grid
+        UNION ALL
+        SELECT event_type, value, w0 - 1800 FROM grid)
+    SELECT strftime(to_timestamp(win_start), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window", "sliding"),
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in
+    exactly 2 windows). Spark's ``window()`` generator does the
+    expansion; the oracle replicates it as a union of two
+    grid-aligned tumbling assignments."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "q_events_session_window",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+    flagged AS (
+        SELECT *,
+               CASE WHEN ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+                     OR LAG(ts_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    numbered AS (
+        SELECT *,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged)
+    SELECT user_id, session_seq,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    tags=("events", "window", "session"),
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap, as the
+    classic gaps-and-islands computation (lag → new-session flag →
+    running sum → group). Partitioned by user_id — the shuffle key
+    is the session key, so this scales like any keyed aggregation.
+
+    Structured Streaming expresses the same thing with
+    ``session_window(ts, '30 minutes')``; the batch form is used
+    here so DuckDB can check it exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts_ns DIV 1000")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = (
+        ev.select("user_id", "event_id", "value", ts_us.alias("ts_us"))
+        .withColumn(
+            "new_session",
+            F.when(F.lag("ts_us").over(w).isNull()
+                   | (F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US), 1)
+            .otherwise(0))
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(F.min("ts_us").alias("session_start_us"),
+             F.max("ts_us").alias("session_end_us"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )

@@ -1,0 +1,149 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2D).
+
+Two paths:
+
+- ``q_knn_bruteforce`` — exact cosine top-k for a fixed query set;
+  the correctness baseline, fully oracle-checked (double-precision
+  math on both engines is bit-identical).
+- ``q_knn_lsh_buckets`` — random-hyperplane (SimHash-for-vectors)
+  sketches + Hamming-pruned rerank; the 100 TB plan. Deterministic
+  (hyperplanes derived from md5, no RNG) but oracle-free: its
+  guarantee is recall, not equality, and the unit test measures
+  recall against the brute-force path.
+
+  Sketch bits here: 24 (fits a BIGINT; see _sketch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+_K = 5
+_QUERY_FILTER = "vec_id % 100 = 0"   # deterministic query subset
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _normed(emb: DataFrame) -> DataFrame:
+    v = _as_double("embedding")
+    return emb.select("vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"))
+
+
+@register(
+    "q_knn_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE {_QUERY_FILTER}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw
+        FROM q JOIN n c ON q.vec_id <> c.vec_id),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id) AS rnk
+        FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= {_K}
+    """,
+    tags=("similarity", "knn"),
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{k}: broadcast the (small) query set against
+    the corpus — one scan of the corpus, no shuffle until the
+    per-query top-k window (which moves k*|queries| rows).
+
+    At 100 TB the corpus side stays partition-parallel; only the
+    query set must be small (it is broadcast). For corpus-x-corpus
+    all-pairs, see q_dedup_embedding_cosine / q_knn_lsh_buckets.
+    """
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    q = e.where(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"))
+    cos_raw = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "neighbor_id")
+    return (
+        e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos_raw.alias("cos_raw"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )
+
+
+_N_PLANES = 24
+_HAMMING_PRUNE = 10
+_DIM = 64
+
+
+def _sketch(vcol: str) -> Column:
+    """{_N_PLANES}-bit random-hyperplane sketch. Plane p's weight on dim d is
+    (md5-nibble(p,d) - 7.5) — deterministic, zero-mean, reproducible
+    anywhere (no RNG state)."""
+    bits = []
+    for p in range(_N_PLANES):
+        weights = F.array(*[
+            F.lit(int(__import__("hashlib").md5(f"{p}_{d}".encode()).hexdigest()[0], 16) - 7.5)
+            for d in range(_DIM)])
+        proj = F.aggregate(F.zip_with(F.col(vcol), weights, lambda x, w: x * w),
+                           F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj > 0, F.lit(1 << p).cast("bigint"))
+                    .otherwise(F.lit(0).cast("bigint")))
+    return sum(bits[1:], bits[0]).alias("sketch")
+
+
+@register(
+    "q_knn_lsh_buckets",
+    oracle=None,  # recall-bounded, not equality-bounded; see tests/test_similarity.py
+    tags=("similarity", "knn", "lsh"),
+)
+def q_knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: 24-bit hyperplane sketches; candidates are
+    corpus vectors within Hamming distance 10 of the query sketch,
+    reranked by exact cosine.
+
+    The sketch computation is one projection pass (JVM expressions,
+    no shuffle); the candidate filter is evaluated against broadcast
+    query sketches during the corpus scan. This is the shape that
+    survives 100 TB: sketch once, bucket-prune, rerank only
+    candidates.
+
+    Parameters (24 planes, prune 10) give recall ~0.72 at ~3x
+    candidate pruning on this fixture (asserted >= 0.6 in tests).
+    The fixture's vectors are near-uniform (top-5 cosine ~0.5), the
+    worst case for LSH; real embedding corpora cluster far more
+    strongly, and production would use 64-128 bits + multiprobe for
+    recall >= 0.95 at much higher pruning.
+    """
+    e = _normed(load_table(spark, sf_dir, "embeddings")).withColumn("sketch", _sketch("v"))
+    q = e.where(F.expr(_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"), F.col("sketch").alias("qsketch"))
+    hamming = F.bit_count(F.col("sketch").bitwiseXOR(F.col("qsketch")))
+    cos_raw = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "neighbor_id")
+    return (
+        e.join(F.broadcast(q),
+               (F.col("query_id") != F.col("vec_id")) & (hamming <= _HAMMING_PRUNE))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos_raw.alias("cos_raw"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )

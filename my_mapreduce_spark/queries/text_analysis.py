@@ -1,0 +1,263 @@
+"""Text-analysis operators over the ``documents`` table.
+
+North-star extensions (SURVEY.md §2D): the per-document statistics a
+training-data pipeline computes before filtering — token counts,
+quality scores, language ID, fingerprints. Everything is built from
+JVM-side expressions (split / explode / aggregate / md5); no Python
+UDFs, so the whole module stays inside whole-stage codegen and
+scales linearly with a parquet scan.
+
+Tokenizer note: the corpus is lowercase space-separated words, but
+all queries tokenize defensively with ``[^a-z0-9]+`` so they behave
+on real text too; the reference's Unicode-letter tokenizer lives in
+queries/reference_parity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+_TOKEN_SPLIT = r"[^a-z0-9]+"
+
+# Tiny stopword inventories per language for the lang-ID heuristic.
+# Deliberately small and fixed so the SQL oracle can embed the same
+# lists verbatim.
+_STOPWORDS = {
+    "en": ("the", "a", "of", "to", "and", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+}
+
+
+def _tokens(col: str = "text") -> Column:
+    """Non-empty lowercase tokens."""
+    return F.filter(F.split(F.col(col), _TOKEN_SPLIT), lambda x: x != "")
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '') AS w
+        FROM documents)
+    SELECT doc_id,
+           n_chars,
+           len(w)                                            AS n_words,
+           len(list_distinct(w))                             AS n_distinct_words,
+           ROUND(len(list_distinct(w)) * 1.0 / len(w), 6)    AS type_token_ratio,
+           ROUND(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 6)
+                                                             AS avg_word_len
+    FROM t
+    """,
+    tags=("text", "stats"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical statistics: word/type counts, type-token
+    ratio, mean word length."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+    return docs.select(
+        "doc_id", "n_chars",
+        F.size(w).alias("n_words"),
+        F.size(F.array_distinct(w)).alias("n_distinct_words"),
+        F.round(F.size(F.array_distinct(w)) / F.size(w), 6).alias("type_token_ratio"),
+        F.round(
+            F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x)) / F.size(w), 6
+        ).alias("avg_word_len"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '') AS w
+        FROM documents)
+    SELECT doc_id,
+           len(w)                                                   AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS regex_tokens,
+           CAST(list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)))
+                AS BIGINT)                                           AS subword_est
+    FROM t
+    """,
+    tags=("text", "tokens"),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace-ish tokens, a BPE-style
+    regex lexer count, and a subword estimate (≈1 token per 4 chars,
+    the usual LLM budgeting rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).alias(
+            "regex_tokens"),
+        F.aggregate(
+            w, F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.ceil(F.length(x) / 4.0)
+        ).alias("subword_est"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, n_chars,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '') AS w
+        FROM documents),
+    m AS (
+        SELECT doc_id, lang, n_chars,
+               len(w) AS n_words,
+               len(list_filter(w, x -> list_contains(
+                   ['the','a','of','to','and','in','is'], x))) AS n_stop,
+               len(list_distinct(w)) AS n_distinct
+        FROM t)
+    SELECT doc_id, lang,
+           ROUND(n_stop * 1.0 / n_words, 6)           AS stopword_ratio,
+           ROUND(1.0 - n_distinct * 1.0 / n_words, 6) AS repetition_ratio,
+           ROUND(LEAST(n_chars / 400.0, 1.0), 6)      AS length_score,
+           ROUND(0.4 * LEAST(n_chars / 400.0, 1.0)
+               + 0.3 * (n_stop * 1.0 / n_words)
+               + 0.3 * (n_distinct * 1.0 / n_words), 6) AS quality
+    FROM m
+    """,
+    tags=("text", "quality"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring: stopword ratio (natural-
+    language-ness), repetition, length saturation, and a weighted
+    composite — the classic pre-training filter features."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS["en"]])
+    n_words = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
+    n_distinct = F.size(F.array_distinct(w))
+    length_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    return docs.select(
+        "doc_id", "lang",
+        F.round(n_stop / n_words, 6).alias("stopword_ratio"),
+        F.round(1.0 - n_distinct / n_words, 6).alias("repetition_ratio"),
+        F.round(length_score, 6).alias("length_score"),
+        F.round(0.4 * length_score + 0.3 * (n_stop / n_words)
+                + 0.3 * (n_distinct / n_words), 6).alias("quality"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '') AS w
+        FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+               len(list_filter(w, x -> list_contains(['the','a','of','to','and','in','is'], x))) AS s_en,
+               len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+               len(list_filter(w, x -> list_contains(['le','la','les','et','est','un'], x)))     AS s_fr,
+               len(list_filter(w, x -> list_contains(['el','la','los','y','es','un'], x)))       AS s_es
+        FROM t),
+    p AS (
+        SELECT lang,
+               CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS predicted
+        FROM s)
+    SELECT lang, predicted, COUNT(*) AS n_docs
+    FROM p GROUP BY lang, predicted
+    """,
+    tags=("text", "lang-id"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (n-gram-free variant suited to
+    the fixture's space-separated corpus) with a fixed tie-break
+    order, reported as a label-vs-prediction confusion matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+
+    def score(lang: str) -> Column:
+        arr = F.array(*[F.lit(s) for s in _STOPWORDS[lang]])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    s_en, s_de, s_fr, s_es = score("en"), score("de"), score("fr"), score("es")
+    predicted = (
+        F.when((s_en == 0) & (s_de == 0) & (s_fr == 0) & (s_es == 0), "unknown")
+        .when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+    return (docs.select("lang", predicted.alias("predicted"))
+            .groupBy("lang", "predicted")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '') AS w
+        FROM documents),
+    s AS (
+        SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+        FROM t, UNNEST(range(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 3)
+    SELECT t.doc_id,
+           md5(t.text)        AS content_md5,
+           mins.min_shingle   AS min_shingle_hash
+    FROM t JOIN (SELECT doc_id, MIN(md5(sh)) AS min_shingle FROM s GROUP BY doc_id) mins
+      ON t.doc_id = mins.doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: full-text md5 plus the minimum 3-gram
+    shingle hash (a 1-permutation MinHash — the rolling-hash
+    'winnowing' building block). Docs with <3 tokens are dropped on
+    both sides (no shingle exists)."""
+    docs = load_table(spark, sf_dir, "documents")
+    withw = docs.select("doc_id", "text", _tokens().alias("w")).where(F.size("w") >= 3)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 3),
+        lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, 3)),
+    )
+    return withw.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_hash"),
+    )
+
+
+@register(
+    "q_lang_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text", "stats"),
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by language × source — the shape of
+    every dataset-card table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars")))
