@@ -1,0 +1,126 @@
+"""Analytics extensions: exact percentiles, pivot, histogram, and a
+salted (skew-resistant) aggregation.
+
+None of these exist in the reference (SURVEY.md §2C); the salted
+aggregation is the direct answer to the reference's own worst-case
+skew motif — ``mrapps/crash.go:40-43`` funnels the entire corpus
+into 4 fixed keys, so at most 4 reducers ever do work. Salting
+splits each hot key across ``_N_SALT`` sub-keys for the heavy
+partial aggregation and recombines in a second, tiny shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+_N_SALT = 32
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "percentile", "stats"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of extended price per return flag. Spark's
+    ``percentile`` uses the same linear interpolation as DuckDB's
+    ``quantile_cont``. At 100 TB the exact form needs a per-group
+    sort; swap to ``percentile_approx`` (t-digest, mergeable,
+    map-side partial) when error tolerance allows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_pivot_status",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS "F",
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS "O",
+           ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS "P"
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+    tags=("aggregate", "pivot"),
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order value per nation pivoted by order status. The pivot
+    value list is fixed ('F','O','P') so the schema is static — at
+    scale an unlisted pivot would force an extra distinct pass."""
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(na), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 4))
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+    tags=("aggregate", "histogram", "stats"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value (50k-wide buckets).
+    One scan, one tiny-key hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000)
+                  .cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+@register(
+    "q_skew_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregate", "skew", "salting"),
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event counts computed skew-proof: 5 hot keys (the
+    reference's fixed-keys-a..d motif at ``mrapps/crash.go:40-43``)
+    are salted into {_N_SALT} sub-keys for the wide partial
+    aggregation, then recombined in a second shuffle of only
+    |keys| x {_N_SALT} rows. Same result as the plain group-by, but
+    no reducer ever receives a whole hot key's raw rows."""
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.groupBy("event_type",
+                   (F.col("event_id") % _N_SALT).alias("_salt"))
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("s")))
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("c").alias("n_events"),
+             F.round(F.sum("s"), 4).alias("sum_value"))
+    )
