@@ -294,21 +294,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = (docs.select("doc_id", F.explode(tokens()).alias("tok"))
            .select("doc_id", F.md5("tok").alias("h")))
-    bits = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("j"),
-        "h",
-    ).withColumn(
-        "bit",
-        F.expr("((instr('0123456789abcdef', substr(h, 1 + CAST(j / 4 AS INT), 1)) - 1) "
-               ">> CAST(j % 4 AS INT)) & 1"),
-    )
-    acc = bits.groupBy("doc_id", "j").agg(F.sum(2 * F.col("bit") - 1).alias("score"))
-    sh = acc.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("score") > 0,
-                     F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
-              .otherwise(F.lit(0).cast("bigint")))
-        .cast("bigint").alias("simhash"))
+    # One agg column per bit instead of a x60 row explode. The 15
+    # leading md5 nibbles parse once per token into a 60-bit integer
+    # (conv is big-endian: string digit p carries bits 4*(15-p)..+3,
+    # so oracle bit j = digit 1+j//4, intra-nibble j%4 = integer bit
+    # 4*(14-j//4)+j%4). Fingerprint bit j is set iff score
+    # 2*sum(bit_j) - n_tokens > 0; all 60 sums run in one
+    # map-side-partial hash aggregation over the token rows.
+    v = tok.select(
+        "doc_id", F.conv(F.substring("h", 1, 15), 16, 10).cast("bigint").alias("v"))
+    bit_sums = [
+        F.expr(f"SUM((v >> {4 * (14 - j // 4) + j % 4}) & 1)").alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)]
+    acc = v.groupBy("doc_id").agg(*bit_sums, F.count(F.lit(1)).alias("n"))
+    simhash = " + ".join(
+        f"IF(2*s{j} - n > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+        for j in range(_SIMHASH_BITS))
+    sh = acc.select("doc_id", F.expr(simhash).cast("bigint").alias("simhash"))
     sh = sh.cache()  # reused by the band explode and both pair sides
 
     band_width = _SIMHASH_BITS // _N_SIMHASH_BANDS
