@@ -1,0 +1,214 @@
+"""Coverage extensions: distribution window functions, range frames,
+explicit GROUPING SETS, lateral/positional explode, array
+higher-order functions, embedding centroids, corpus n-gram stats.
+
+All absent from the reference (SURVEY.md §2C) — this is north-star
+relational/vector breadth, every query oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.functions.text import shingles, tokens
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution"),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist over account balance per nation.
+    The order key includes c_custkey so ntile's positional split is
+    deterministic across engines."""
+    cu = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cu.select(
+        "c_custkey", "c_nationkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS sum_30d
+    FROM orders
+    """,
+    tags=("window", "frame", "range"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True RANGE frame: per customer, rolling 30-day order value
+    (value-based frame over epoch days, not row counts). One shuffle
+    on the partition key; the frame scan is per-partition."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.datediff(F.col("o_orderdate").cast("date"),
+                             F.lit("1970-01-01").cast("date")))
+         .rangeBetween(-30, Window.currentRow))
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("sum_30d"))
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT n_name, c_mktsegment,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 4) AS sum_bal,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+           CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+    tags=("aggregate", "grouping-sets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-nation,
+    per-segment, and grand-total rows in one pass, with GROUPING()
+    flags disambiguating the generated nulls."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql("""
+        SELECT n_name, c_mktsegment,
+               COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 4) AS sum_bal,
+               CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+               CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_seg
+        FROM customer_v JOIN nation_v ON n_nationkey = c_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """)
+
+
+@register(
+    "q_posexplode_tokens",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents)
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i + 1] AS token
+    FROM t, UNNEST(range(0, least(5, len(w)))) AS u(i)
+    """,
+    tags=("relational", "explode", "lateral"),
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional lateral explode: first 5 tokens of every document
+    with their positions (posexplode = UNNEST WITH ORDINALITY)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select("doc_id",
+                        F.posexplode(F.slice(tokens(), 1, 5)).alias("pos", "token"))
+            .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token"))
+
+
+@register(
+    "q_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           ROUND(sqrt(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+               AS max_elem,
+           CAST(len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+    tags=("array", "hof", "embedding"),
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the vector column: length,
+    L2 norm (aggregate fold), max element, positive-element count
+    (filter) — all JVM-side, no explode, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, v, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.sqrt(dot), 6).alias("l2_norm"),
+        F.round(F.array_max(v), 6).alias("max_elem"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+    )
+
+
+@register(
+    "q_embedding_centroids",
+    oracle="""
+    WITH e AS (
+        SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings)
+    SELECT label, CAST(i AS BIGINT) AS pos,
+           ROUND(AVG(v[i + 1]), 6) AS centroid,
+           COUNT(*) AS n_vecs
+    FROM e, UNNEST(range(0, len(v))) AS u(i)
+    GROUP BY label, i
+    """,
+    tags=("embedding", "aggregate", "centroid"),
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in long form (label, dim position, mean):
+    posexplode + hash agg — the distributed way to average vectors
+    (the wide-form alternative assembles arrays after the agg; the
+    shuffle moves |labels| x dim partial sums either way)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        emb.select("label", F.posexplode(v).alias("pos", "x"))
+        .groupBy("label", F.col("pos").cast("bigint").alias("pos"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid"),
+             F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+@register(
+    "q_top_bigrams",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    b AS (
+        SELECT array_to_string(w[i:i+1], ' ') AS bigram
+        FROM t, UNNEST(range(1, len(w))) AS u(i)
+        WHERE len(w) >= 2)
+    SELECT bigram, COUNT(*) AS n
+    FROM b GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 10
+    """,
+    tags=("text", "ngram", "topk"),
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-10 bigrams: tokenize → 2-gram shingles →
+    count → deterministic top-k (count desc, bigram asc). The
+    explode fans out but the count is map-side partial; only
+    |distinct bigrams| rows shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    withw = docs.select(tokens().alias("w")).where(F.size("w") >= 2)
+    return (
+        withw.select(F.explode(shingles(F.col("w"), n=2)).alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram").limit(10)
+    )
