@@ -147,3 +147,95 @@ def q_knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path
+# ---------------------------------------------------------------------------
+
+_IVF_MOD = 25      # every 25th vector seeds a coarse centroid
+_NPROBE = 6        # query probes its 6 nearest centroid buckets
+
+
+@register(
+    "q_knn_ivf",
+    oracle=None,  # recall-bounded; measured in tests/test_similarity.py
+    tags=("similarity", "knn", "ivf"),
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-{k} via an inverted-file (IVF) index.
+
+    Build: a deterministic sample of the corpus (every {mod}-th
+    vector) serves as the coarse quantizer — the centroid set is
+    small BY DESIGN (that is the IVF contract), so it broadcasts to
+    every task via closure. Each corpus vector is assigned to its
+    nearest centroid with one vectorized numpy matmul per Arrow
+    batch (mapInPandas); the (bucket -> vectors) relation IS the
+    inverted file.
+
+    Search: each query probes its {nprobe} nearest buckets only,
+    reranking candidates by exact cosine (JVM fold) and keeping
+    top-{k}. Work per query is |corpus| * nprobe / n_centroids
+    instead of |corpus|.
+
+    At 100 TB: the assignment pass is a single linear scan (no
+    shuffle); the probe join is an equi-join on bucket id — the
+    partitioning ansatz every production IVF system (FAISS-style)
+    distributes on. A trained k-means quantizer drops in by
+    replacing the seed-selection step; sampling keeps this build
+    deterministic and oracle-reproducible.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    cents = (e.where(F.expr(f"vec_id % {_IVF_MOD} = 0"))
+             .select("vec_id", "v", "nrm").collect())
+    c_ids = np.array([r.vec_id for r in cents])
+    c_mat = np.stack([np.array(r.v) / r.nrm for r in cents])   # unit rows
+    nprobe = min(_NPROBE, len(c_ids))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["v"].to_numpy())
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = vm @ c_mat.T
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"], "v": pdf["v"], "nrm": pdf["nrm"],
+                "bucket": c_ids[np.argmax(sims, axis=1)]})
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["v"].to_numpy())
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = vm @ c_mat.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                "qv": np.repeat(pdf["v"].to_numpy(), nprobe),
+                "qnrm": np.repeat(pdf["nrm"].to_numpy(), nprobe),
+                "bucket": c_ids[top].reshape(n * nprobe)})
+
+    vec_t = "array<double>"
+    inv = e.mapInPandas(
+        assign, schema=f"vec_id long, v {vec_t}, nrm double, bucket long")
+    q = (e.where(F.expr(_QUERY_FILTER))
+         .mapInPandas(probe,
+                      schema=f"query_id long, qv {vec_t}, qnrm double, bucket long"))
+
+    cos_raw = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "neighbor_id")
+    return (
+        inv.join(q, "bucket")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos_raw.alias("cos_raw"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
+    )

@@ -38,3 +38,19 @@ def test_minhash_lsh_finds_true_near_dups(spark):
     assert truth, "fixture should contain planted near-dups"
     missed = truth - found
     assert not missed, f"MinHash-LSH missed true near-dups: {missed}"
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF probes nprobe/n_centroids of the corpus; on the fixture's
+    near-uniform vectors (LSH/IVF worst case) recall must still
+    clear a usefulness bound, and every query must be answered."""
+    from my_mapreduce_spark.queries.similarity import (q_knn_bruteforce,
+                                                       q_knn_ivf)
+
+    exact = _topk(q_knn_bruteforce(spark, SF_DIR))
+    approx = _topk(q_knn_ivf(spark, SF_DIR))
+    assert set(approx) == set(exact)
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below bound"
