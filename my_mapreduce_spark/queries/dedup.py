@@ -417,3 +417,92 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_TILES = 8
+
+
+# ---------------------------------------------------------------------------
+# Cluster collapse: connected components + survivor selection
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dedup_keep_first",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+    tags=("dedup", "exact", "survivor"),
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor selection: keep the
+    lowest doc_id per content hash (dropDuplicates picks an
+    arbitrary row; production dedup must be reproducible). One
+    hash-partitioned window, no second scan."""
+    from pyspark.sql import Window
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (docs.select("doc_id", F.md5("text").alias("content_hash"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn"))
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    near AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE n_common / (x.n + y.n - n_common) >= 0.6),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near
+        UNION SELECT doc_b, doc_a FROM near),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.doc_id)
+    SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+    tags=("dedup", "near-dup", "clusters", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse near-dup pairs (exact Jaccard >= 0.6) into clusters:
+    connected components by iterative min-label propagation, labels
+    converging to the component's smallest doc_id.
+
+    The loop is driver-CONTROLLED but data-distributed: each round
+    is one join + one min-agg (both key-colocated shuffles), and the
+    driver reads back only a single changed-row count. Rounds needed
+    = graph diameter (near-dup components are tiny cliques, so 2-3).
+    At 100 TB this is the standard large-star/small-star shape; the
+    DuckDB oracle states the same fixpoint as a recursive CTE.
+    """
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+             .toDF("src", "dst").cache())
+    labels = (edges.select(F.col("src").alias("doc_id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("doc_id")))
+    for _ in range(20):  # >= diameter; breaks as soon as converged
+        prop = (edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min")))
+        new = (labels.join(prop, "doc_id", "left")
+               .select("doc_id",
+                       F.least("cluster_id", F.coalesce("nbr_min", "cluster_id"))
+                       .alias("cluster_id"))
+               .cache())
+        changed = (new.alias("n").join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.cluster_id") != F.col("o.cluster_id")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
