@@ -124,3 +124,32 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("n_events"),
              F.round(F.sum("s"), 4).alias("sum_value"))
     )
+
+
+@register(
+    "q_stats_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6)                  AS sd_qty,
+           ROUND(var_samp(l_discount), 6)                     AS var_disc,
+           ROUND(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4)  AS cov_qty_price,
+           ROUND(skewness(l_extendedprice), 6)                AS skew_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "stats"),
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: stddev, variance,
+    correlation, covariance, skewness — all algebraic (one-pass,
+    map-side partial, mergeable moments), the cheap path at any
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4)
+         .alias("cov_qty_price"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("skew_price"),
+    )

@@ -270,3 +270,58 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(cond).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
         .alias("revenue"))
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH flat AS (
+        SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        JOIN region   ON r_regionkey = n1.n_regionkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+    tags=("relational", "join", "aggregate"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of PROMO-part volume sold into a
+    region, per year. Eight-way join; every dimension broadcasts and
+    the region/part filters prune before the fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .where(F.col("p_type") == "PROMO").select("p_partkey"))
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = load_table(spark, sf_dir, "nation")
+    re = (load_table(spark, sf_dir, "region")
+          .where(F.col("r_name") == "ASIA").select("r_regionkey"))
+    n1 = (na.join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+          .select(F.col("n_nationkey").alias("c_nk")))
+    n2 = na.select(F.col("n_nationkey").alias("s_nk"),
+                   F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(su), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cu), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nk") == F.col("c_nationkey"))
+        .join(F.broadcast(n2), F.col("s_nk") == F.col("s_nationkey"))
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+            / F.sum(vol), 6).alias("mkt_share"))
+    )
