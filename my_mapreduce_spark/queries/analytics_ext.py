@@ -134,7 +134,11 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(var_samp(l_discount), 6)                     AS var_disc,
            ROUND(corr(l_quantity, l_extendedprice), 6)        AS corr_qty_price,
            ROUND(covar_samp(l_quantity, l_extendedprice), 4)  AS cov_qty_price,
-           ROUND(skewness(l_extendedprice), 6)                AS skew_price
+           -- DuckDB skewness is the sample-adjusted G1; Spark's is the
+           -- population g1 — convert: g1 = G1 * (n-2)/sqrt(n(n-1))
+           ROUND(skewness(l_extendedprice)
+                 * (COUNT(*) - 2) / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 6)
+               AS skew_price
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("aggregate", "stats"),
