@@ -40,7 +40,12 @@ _ALLOW_NESTED_LOOP = {
     "q_knn_lsh_buckets",         # corpus scan x broadcast query sketches:
                                  # the hamming prune lives in the join cond
 }
-_SKIP = {"q_streaming_hourly", "q_streaming_sessionize"}  # streaming exec
+_SKIP = {
+    "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
+    "q_dedup_clusters",  # returns the converged cached relation; the
+                         # per-round join+agg plans (which do codegen)
+                         # already executed inside the driver loop
+}
 
 
 def audit(name: str, plan: str, codegen_subtrees: int) -> list[str]:
