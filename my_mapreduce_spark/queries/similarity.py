@@ -153,8 +153,90 @@ def q_knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF (inverted-file) ANN — the second scale path
 # ---------------------------------------------------------------------------
 
-_IVF_MOD = 25      # every 25th vector seeds a coarse centroid
-_NPROBE = 6        # query probes its 6 nearest centroid buckets
+import os as _os
+
+_IVF_ROUNDS = 2    # distributed spherical-k-means refinement passes
+_IVF_K_ENV = "SPARK_GRAFT_IVF_K"   # override the centroid count
+_IVF_ASSIGN = 2    # each corpus vector is indexed under its 2 nearest buckets
+
+
+def _ivf_nprobe(k: int) -> int:
+    """Probe ~a quarter of the buckets, at least 6. The fixture's
+    vectors are near-uniform (the IVF worst case — nearest neighbors
+    are barely above the random-cosine floor), so recall needs a
+    generous probe budget; clustered real-world embeddings reach the
+    same recall at nprobe/k an order of magnitude smaller."""
+    return min(k, max(6, k // 4))
+
+
+def _ivf_k(n_rows: int) -> int:
+    """Centroid count: fixed by env knob, else ~sqrt(n) clamped to
+    [16, 4096]. Crucially it does NOT grow linearly with the corpus
+    — at 100 TB (billions of vectors) this still caps at 4096, so
+    everything driver-side stays O(k*d), never O(n)."""
+    env = _os.environ.get(_IVF_K_ENV)
+    if env:
+        return max(2, int(env))
+    return max(16, min(4096, int(n_rows ** 0.5)))
+
+
+def _train_quantizer(e: DataFrame, k: int, dim: int):
+    """Train a k-centroid coarse quantizer with driver traffic O(k*d).
+
+    Seed: the k rows with the smallest md5(vec_id) — a deterministic
+    pseudo-random sample computed as a distributed top-k (TakeOrdered:
+    O(k) per partition, O(k) collected), NOT a scan-collect.
+
+    Refine: _IVF_ROUNDS rounds of Lloyd's on the unit sphere. Each
+    round is one linear mapInPandas pass emitting per-task partial
+    (centroid-sum, count) pairs — k rows of d doubles per task — which
+    are reduced map-side-combined by a groupBy to exactly k*d scalars
+    before they ever reach the driver. Empty clusters keep their old
+    centroid. Returns a (k, d) unit-row numpy matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    seed = (e.select("vec_id", "v", "nrm")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(k).collect())
+    c_mat = np.stack([np.asarray(r.v) / r.nrm for r in seed])
+
+    for _ in range(_IVF_ROUNDS):
+        cm = c_mat  # bind the current round's centroids into the closure
+
+        def partial_sums(batches, cm=cm):
+            sums = np.zeros_like(cm)
+            cnts = np.zeros(len(cm), dtype="int64")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vm = np.stack(pdf["v"].to_numpy())
+                vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+                a = np.argmax(vm @ cm.T, axis=1)
+                np.add.at(sums, a, vm)
+                np.add.at(cnts, a, 1)
+            yield pd.DataFrame({"cid": np.arange(len(cm)),
+                                "s": list(sums), "cnt": cnts})
+
+        rows = (
+            e.mapInPandas(partial_sums, schema="cid long, s array<double>, cnt long")
+            .select("cid", "cnt", F.posexplode("s").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("sv"), F.sum("cnt").alias("cnt_d"))
+            .collect())
+        sums = np.zeros_like(c_mat)
+        cnts = np.zeros(len(c_mat))
+        for r in rows:
+            sums[r.cid, r.pos] = r.sv
+            if r.pos == 0:
+                cnts[r.cid] = r.cnt_d
+        nonempty = cnts > 0
+        means = sums[nonempty] / cnts[nonempty, None]
+        norms = np.linalg.norm(means, axis=1, keepdims=True)
+        c_mat = c_mat.copy()
+        c_mat[nonempty] = means / np.where(norms == 0, 1.0, norms)
+    return c_mat
 
 
 @register(
@@ -163,37 +245,38 @@ _NPROBE = 6        # query probes its 6 nearest centroid buckets
     tags=("similarity", "knn", "ivf"),
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-{k} via an inverted-file (IVF) index.
+    """Approximate top-{k} via an inverted-file (IVF) index with a
+    TRAINED fixed-k coarse quantizer.
 
-    Build: a deterministic sample of the corpus (every {mod}-th
-    vector) serves as the coarse quantizer — the centroid set is
-    small BY DESIGN (that is the IVF contract), so it broadcasts to
-    every task via closure. Each corpus vector is assigned to its
-    nearest centroid with one vectorized numpy matmul per Arrow
-    batch (mapInPandas); the (bucket -> vectors) relation IS the
-    inverted file.
+    Build: k = min(4096, ~sqrt(n)) centroids (never O(n)) are seeded
+    from a deterministic distributed top-k sample and refined with
+    spherical k-means where only k*d partial sums cross to the driver
+    per round (see _train_quantizer). The k x d centroid matrix
+    (<=2 MB at the cap) broadcasts to every task via closure. Each
+    corpus vector is assigned to its nearest centroid with one
+    vectorized numpy matmul per Arrow batch (mapInPandas); the
+    (bucket -> vectors) relation IS the inverted file.
 
     Search: each query probes its {nprobe} nearest buckets only,
     reranking candidates by exact cosine (JVM fold) and keeping
-    top-{k}. Work per query is |corpus| * nprobe / n_centroids
-    instead of |corpus|.
+    top-{k}. Work per query is |corpus| * nprobe / k instead of
+    |corpus|.
 
-    At 100 TB: the assignment pass is a single linear scan (no
+    At 100 TB: training is _IVF_ROUNDS+1 linear scans with O(k*d)
+    driver traffic; the assignment pass is a single linear scan (no
     shuffle); the probe join is an equi-join on bucket id — the
     partitioning ansatz every production IVF system (FAISS-style)
-    distributes on. A trained k-means quantizer drops in by
-    replacing the seed-selection step; sampling keeps this build
-    deterministic and oracle-reproducible.
+    distributes on.
     """
     import numpy as np
     import pandas as pd
 
     e = _normed(load_table(spark, sf_dir, "embeddings"))
-    cents = (e.where(F.expr(f"vec_id % {_IVF_MOD} = 0"))
-             .select("vec_id", "v", "nrm").collect())
-    c_ids = np.array([r.vec_id for r in cents])
-    c_mat = np.stack([np.array(r.v) / r.nrm for r in cents])   # unit rows
-    nprobe = min(_NPROBE, len(c_ids))
+    n = e.count()
+    k = _ivf_k(n)
+    c_mat = _train_quantizer(e, k, _DIM)
+    nprobe = _ivf_nprobe(k)
+    nassign = min(_IVF_ASSIGN, k)
 
     def assign(batches):
         for pdf in batches:
@@ -202,9 +285,13 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             vm = np.stack(pdf["v"].to_numpy())
             vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
             sims = vm @ c_mat.T
+            top = np.argsort(-sims, axis=1)[:, :nassign]
+            n_c = len(pdf)
             yield pd.DataFrame({
-                "vec_id": pdf["vec_id"], "v": pdf["v"], "nrm": pdf["nrm"],
-                "bucket": c_ids[np.argmax(sims, axis=1)]})
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nassign),
+                "v": np.repeat(pdf["v"].to_numpy(), nassign),
+                "nrm": np.repeat(pdf["nrm"].to_numpy(), nassign),
+                "bucket": top.reshape(n_c * nassign)})
 
     def probe(batches):
         for pdf in batches:
@@ -214,12 +301,12 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
             sims = vm @ c_mat.T
             top = np.argsort(-sims, axis=1)[:, :nprobe]
-            n = len(pdf)
+            n_q = len(pdf)
             yield pd.DataFrame({
                 "query_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
                 "qv": np.repeat(pdf["v"].to_numpy(), nprobe),
                 "qnrm": np.repeat(pdf["nrm"].to_numpy(), nprobe),
-                "bucket": c_ids[top].reshape(n * nprobe)})
+                "bucket": top.reshape(n_q * nprobe)})
 
     vec_t = "array<double>"
     inv = e.mapInPandas(
@@ -235,6 +322,9 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 cos_raw.alias("cos_raw"))
+        # multi-assignment + multi-probe can surface the same candidate
+        # via several buckets; collapse before ranking
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rnk")

@@ -41,9 +41,12 @@ def test_minhash_lsh_finds_true_near_dups(spark):
 
 
 def test_ivf_recall_vs_bruteforce(spark):
-    """IVF probes nprobe/n_centroids of the corpus; on the fixture's
+    """IVF probes nassign*nprobe/k of the corpus; on the fixture's
     near-uniform vectors (LSH/IVF worst case) recall must still
-    clear a usefulness bound, and every query must be answered."""
+    clear a usefulness bound, and every query must be answered.
+    Measured ~0.80 at sf0.001 / ~0.85 at sf0.1 with the trained
+    fixed-k quantizer; asserted at 0.6 to absorb float-sum jitter
+    in the distributed k-means reduction."""
     from my_mapreduce_spark.queries.similarity import (q_knn_bruteforce,
                                                        q_knn_ivf)
 
@@ -53,4 +56,22 @@ def test_ivf_recall_vs_bruteforce(spark):
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     recall = hits / total
-    assert recall >= 0.5, f"IVF recall {recall:.2f} below bound"
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below bound"
+
+
+def test_ivf_quantizer_is_fixed_k(spark):
+    """The quantizer's centroid count must be bounded regardless of
+    corpus size (the 100 TB contract): ~sqrt(n) clamped to [16, 4096],
+    and overridable via SPARK_GRAFT_IVF_K."""
+    import os
+
+    from my_mapreduce_spark.queries.similarity import _ivf_k
+
+    assert _ivf_k(500) == 22
+    assert _ivf_k(10) == 16                    # floor
+    assert _ivf_k(10_000_000_000) == 4096      # cap: billions of vectors
+    os.environ["SPARK_GRAFT_IVF_K"] = "64"
+    try:
+        assert _ivf_k(10_000_000_000) == 64
+    finally:
+        del os.environ["SPARK_GRAFT_IVF_K"]
