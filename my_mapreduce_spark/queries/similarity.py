@@ -6,12 +6,14 @@ Two paths:
   the correctness baseline, fully oracle-checked (double-precision
   math on both engines is bit-identical).
 - ``q_knn_lsh_buckets`` — random-hyperplane (SimHash-for-vectors)
-  sketches + Hamming-pruned rerank; the 100 TB plan. Deterministic
-  (hyperplanes derived from md5, no RNG) but oracle-free: its
-  guarantee is recall, not equality, and the unit test measures
-  recall against the brute-force path.
+  sketches + Hamming-ball (closed-form multiprobe) pruned rerank;
+  the 100 TB plan. Deterministic (hyperplanes derived from md5, no
+  RNG) but oracle-free: its guarantee is recall, not equality, and
+  the unit test measures recall against the brute-force path.
 
-  Sketch bits here: 24 (fits a BIGINT; see _sketch).
+  Sketch bits here: 96, packed into 32-bit words (see _sketch_words).
+- ``q_knn_ivf`` — inverted-file ANN with a trained fixed-k coarse
+  quantizer (distributed spherical k-means, O(k*d) driver traffic).
 """
 
 from __future__ import annotations
@@ -87,25 +89,69 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_PLANES = 24
-_HAMMING_PRUNE = 10
+_N_PLANES = 96       # sketch width in bits (3 x 32-bit words)
+_HAMMING_PRUNE = 43  # candidate = within this Hamming radius of the query
 _DIM = 64
 
 
-def _sketch(vcol: str) -> Column:
-    """{_N_PLANES}-bit random-hyperplane sketch. Plane p's weight on dim d is
-    (md5-nibble(p,d) - 7.5) — deterministic, zero-mean, reproducible
-    anywhere (no RNG state)."""
-    bits = []
-    for p in range(_N_PLANES):
-        weights = F.array(*[
-            F.lit(int(__import__("hashlib").md5(f"{p}_{d}".encode()).hexdigest()[0], 16) - 7.5)
-            for d in range(_DIM)])
-        proj = F.aggregate(F.zip_with(F.col(vcol), weights, lambda x, w: x * w),
-                           F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(proj > 0, F.lit(1 << p).cast("bigint"))
-                    .otherwise(F.lit(0).cast("bigint")))
-    return sum(bits[1:], bits[0]).alias("sketch")
+_N_SKETCH_WORDS = (_N_PLANES + 31) // 32
+
+
+def _plane_weights():
+    """(planes x dim) hyperplane weight matrix. Plane p's weight on
+    dim d is (md5-nibble(p,d) - 7.5) — deterministic, zero-mean,
+    reproducible anywhere (no RNG state)."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array([
+        [int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) - 7.5
+         for d in range(_DIM)]
+        for p in range(_N_PLANES)], dtype="float64")
+
+
+def _with_sketch(df: DataFrame) -> DataFrame:
+    """Append sk0..sk{w-1} 32-bit sketch words to a (vec_id, v, nrm)
+    frame. One vectorized Arrow pass: the (n x dim) batch matrix is
+    multiplied against the (dim x planes) weight matrix and the sign
+    bits are packed into words. A 24-plane all-literal Catalyst
+    expression was JVM-side but at 96 planes the 6144-literal plan
+    took longer to analyze+codegen than the whole query; the numpy
+    projection is O(n*dim*planes) inside one whole-scan mapInPandas
+    with a ~50 KB closure — the same linear-pass shape, no shuffle.
+    (Projection sign is norm-invariant, so v need not be normalized.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    wt = _plane_weights().T   # (dim, planes)
+
+    def add_sketch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bits = (np.stack(pdf["v"].to_numpy()) @ wt) > 0
+            out = {"vec_id": pdf["vec_id"], "v": pdf["v"], "nrm": pdf["nrm"]}
+            for i in range(_N_SKETCH_WORDS):
+                word = np.zeros(len(pdf), dtype="int64")
+                for j in range(i * 32, min(i * 32 + 32, _N_PLANES)):
+                    word |= bits[:, j].astype("int64") << (j - i * 32)
+                out[f"sk{i}"] = word
+            yield pd.DataFrame(out)
+
+    schema = ("vec_id long, v array<double>, nrm double, "
+              + ", ".join(f"sk{i} long" for i in range(_N_SKETCH_WORDS)))
+    return df.mapInPandas(add_sketch, schema=schema)
+
+
+def _hamming(a_prefix: str, b_prefix: str) -> Column:
+    """Hamming distance between two word-packed sketches — one
+    XOR+popcount per word, all JVM expressions."""
+    return sum(
+        (F.bit_count(F.col(f"{a_prefix}{i}").bitwiseXOR(F.col(f"{b_prefix}{i}")))
+         for i in range(1, _N_SKETCH_WORDS)),
+        F.bit_count(F.col(f"{a_prefix}0").bitwiseXOR(F.col(f"{b_prefix}0"))))
 
 
 @register(
@@ -114,28 +160,40 @@ def _sketch(vcol: str) -> Column:
     tags=("similarity", "knn", "lsh"),
 )
 def q_knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: 24-bit hyperplane sketches; candidates are
-    corpus vectors within Hamming distance 10 of the query sketch,
-    reranked by exact cosine.
+    """Approximate top-k: 96-bit hyperplane sketches; candidates are
+    corpus vectors within Hamming distance {prune} of the query
+    sketch, reranked by exact cosine.
 
-    The sketch computation is one projection pass (JVM expressions,
-    no shuffle); the candidate filter is evaluated against broadcast
-    query sketches during the corpus scan. This is the shape that
-    survives 100 TB: sketch once, bucket-prune, rerank only
-    candidates.
+    The Hamming-radius test is multiprobe in closed form: instead of
+    enumerating the probe buckets around the query (the classical
+    formulation), the radius-{prune} Hamming ball is evaluated
+    directly against each corpus sketch — three XOR+popcount ops per
+    pair, all JVM, no probe-key blowup. Thresholding the FULL sketch
+    is also the likelihood-ratio-optimal candidate test for
+    hyperplane LSH (banded probing discards cross-band evidence),
+    which matters on this fixture: the vectors are near-uniform
+    (top-5 cosine ~0.5, neighbor bit-flip prob ~1/3 vs random 1/2 —
+    the LSH worst case), where banding cannot separate.
 
-    Parameters (24 planes, prune 10) give recall ~0.72 at ~3x
-    candidate pruning on this fixture (asserted >= 0.6 in tests).
-    The fixture's vectors are near-uniform (top-5 cosine ~0.5), the
-    worst case for LSH; real embedding corpora cluster far more
-    strongly, and production would use 64-128 bits + multiprobe for
-    recall >= 0.95 at much higher pruning.
+    The sketch computation is one vectorized Arrow projection pass
+    (no shuffle; see _with_sketch); the candidate filter is evaluated
+    against broadcast query sketches during the corpus scan. This is
+    the shape that survives 100 TB: sketch once, Hamming-prune,
+    rerank only candidates. (For all-pairs workloads where the query side is the
+    corpus itself, the banded equi-join in q_dedup_simhash is the
+    scale path instead.)
+
+    Parameters (96 planes, radius 43) measure recall 0.92 (sf0.001)
+    / 0.91 (sf0.1) at ~4x candidate pruning — vs 0.72 at ~3x for
+    the previous 24-bit single-probe sketch; asserted >= 0.85 in
+    tests/test_similarity.py.
     """
-    e = _normed(load_table(spark, sf_dir, "embeddings")).withColumn("sketch", _sketch("v"))
+    e = _with_sketch(_normed(load_table(spark, sf_dir, "embeddings")))
     q = e.where(F.expr(_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qnrm"), F.col("sketch").alias("qsketch"))
-    hamming = F.bit_count(F.col("sketch").bitwiseXOR(F.col("qsketch")))
+        F.col("nrm").alias("qnrm"),
+        *[F.col(f"sk{i}").alias(f"qsk{i}") for i in range(_N_SKETCH_WORDS)])
+    hamming = _hamming("sk", "qsk")
     cos_raw = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "neighbor_id")
     return (
