@@ -351,27 +351,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "near-dup", "embedding"),
 )
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
+                             n_tiles: int | None = None) -> DataFrame:
     """Embedding-space near-dup pairs: cosine >= 0.4 over the
     ``embeddings`` table.
 
     Implementation is the tiled all-pairs pattern: vectors are
-    assigned to {_N_TILES} tiles, each unordered tile pair becomes
-    one task, and inside the task a vectorized numpy matmul scores
-    the whole tile-x-tile block at once (Arrow batch in, Arrow batch
-    out). Versus the naive self-join with per-pair ``zip_with``
-    dots, this is ~15x faster at sf0.1 and is the plan that scales:
-    each tile pair is independent work of bounded size, data is
-    replicated O(tiles) not O(n), and only above-threshold pairs
-    leave the task. (The earlier HOF formulation is kept in git
-    history; this one IS the 100 TB design.)
+    assigned to tiles, each unordered tile pair becomes one task,
+    and inside the task a vectorized numpy matmul scores the whole
+    tile-x-tile block at once (Arrow batch in, Arrow batch out).
+    Versus the naive self-join with per-pair ``zip_with`` dots, this
+    is ~15x faster at sf0.1 and is the plan that scales: each tile
+    pair is independent work of bounded size, data is replicated
+    O(tiles) not O(n), and only above-threshold pairs leave the
+    task. (The earlier HOF formulation is kept in git history.)
+
+    The tile count derives from the corpus row count so per-task
+    memory stays bounded as the corpus grows (see _n_tiles);
+    ``n_tiles`` / the SPARK_GRAFT_COSINE_TILES env var override it.
+    Exact all-pairs is inherently O(n^2) work no matter the tiling —
+    this operator's role at 100 TB is the verifier for ANN
+    candidates (q_knn_lsh_buckets / q_knn_ivf are the scale path).
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    if n_tiles is None:
+        n_tiles = _n_tiles(emb.count())
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     tagged = emb.select("vec_id", v.alias("v"),
-                        (F.col("vec_id") % _N_TILES).cast("int").alias("blk"))
+                        (F.col("vec_id") % n_tiles).cast("int").alias("blk"))
     tile_pairs = spark.createDataFrame(
-        [(i, j) for i in range(_N_TILES) for j in range(_N_TILES) if i <= j],
+        [(i, j) for i in range(n_tiles) for j in range(n_tiles) if i <= j],
         "ba int, bb int")
     # replicate each row into every tile pair it participates in,
     # tagged with the side it plays there
@@ -416,7 +425,28 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(score_tile, "vec_a long, vec_b long, cosine double"))
 
 
-_N_TILES = 8
+_TILE_ENV = "SPARK_GRAFT_COSINE_TILES"
+_TILE_BLOCK_BYTES = 64 << 20   # target size of one tile-pair score block
+
+
+def _n_tiles(n_rows: int) -> int:
+    """Tile count for the tiled all-pairs cosine scorer.
+
+    The dominant per-task allocation is the (rows_per_tile)^2 float64
+    score block, so rows_per_tile = sqrt(_TILE_BLOCK_BYTES / 8)
+    (~2.9k rows -> a 64 MB block) bounds task memory; the tile count
+    is then ceil(n / rows_per_tile), floored at 8 so small corpora
+    still fan out across executors. Overridable via the
+    SPARK_GRAFT_COSINE_TILES env var or the n_tiles parameter.
+    """
+    import math
+    import os
+
+    env = os.environ.get(_TILE_ENV)
+    if env:
+        return max(1, int(env))
+    rows_per_tile = max(1, int((_TILE_BLOCK_BYTES / 8) ** 0.5))
+    return max(8, math.ceil(n_rows / rows_per_tile))
 
 
 # ---------------------------------------------------------------------------
@@ -489,6 +519,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (edges.select(F.col("src").alias("doc_id"))
               .distinct()
               .withColumn("cluster_id", F.col("doc_id")))
+    changed = -1
     for _ in range(20):  # >= diameter; breaks as soon as converged
         prop = (edges.join(labels, edges.src == labels.doc_id)
                 .groupBy(F.col("dst").alias("doc_id"))
@@ -505,4 +536,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a silent return here would emit WRONG cluster labels for any
+        # component whose diameter exceeds the round cap
+        raise RuntimeError(
+            "q_dedup_clusters: label propagation did not converge in 20 "
+            f"rounds ({changed} labels still changing); raise the round cap "
+            "for graphs with long chain components")
     return labels
