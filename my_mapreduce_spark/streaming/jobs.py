@@ -23,6 +23,45 @@ from my_mapreduce_spark.io import _ensure_runtime_confs
 from my_mapreduce_spark.registry import register
 
 
+def _run_to_memory(spark: SparkSession, out: DataFrame, prefix: str,
+                   mode: str) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) through a
+    memory sink, then materialize the result and DROP the sink table.
+
+    Memory-sink rows live on the driver regardless of who reads them,
+    so materializing adds no new driver cost — but dropping the
+    uuid-named temp view keeps repeated runs in one session from
+    accumulating sink tables (they used to leak, one per call)."""
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    query = (out.writeStream.format("memory").queryName(sink)
+             .outputMode(mode).trigger(availableNow=True).start())
+    query.awaitTermination()
+    tbl = spark.table(sink)
+    schema = tbl.schema
+    pdf = tbl.toPandas()
+    spark.catalog.dropTempView(sink)
+    return spark.createDataFrame(pdf, schema)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nanosecond ``ts``
+    surfaced both as ``ts_us`` (long) and as a proper ``ts``
+    timestamp (integer DIV, matching the batch path exactly)."""
+    _ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        # FileStreamSource requires a directory; glob-filter to the
+        # events file within the sf dir
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+
+
 def run_hourly_stream(spark: SparkSession, sf_dir: str,
                       watermark: str = "2 hours") -> DataFrame:
     """Run the hourly tumbling aggregation as a streaming query over
@@ -35,37 +74,16 @@ def run_hourly_stream(spark: SparkSession, sf_dir: str,
     output it does not drop anything, so the result equals the batch
     q_events_hourly exactly.
     """
-    _ensure_runtime_confs(spark)
-    path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        # FileStreamSource requires a directory; glob-filter to the
-        # events file within the sf dir
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
-        .withWatermark("ts", watermark)
-    )
+    stream = _event_stream(spark, sf_dir).withWatermark("ts", watermark)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 4).alias("sum_value"),
              F.round(F.avg("value"), 4).alias("avg_value"))
-    )
-    sink = f"hourly_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(availableNow=True).start()
-    )
-    query.awaitTermination()
-    return (
-        spark.table(sink)
         .select(F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour"),
                 "event_type", "n_events", "sum_value", "avg_value")
     )
+    return _run_to_memory(spark, agg, "hourly", "complete")
 
 
 @register(
@@ -140,11 +158,7 @@ def run_sessionize_stream(spark: SparkSession, sf_dir: str,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = f"sessions_{uuid.uuid4().hex[:8]}"
-    query = (out.writeStream.format("memory").queryName(sink)
-             .outputMode("append").trigger(availableNow=True).start())
-    query.awaitTermination()
-    return spark.table(sink)
+    return _run_to_memory(spark, out, "sessions", "append")
 
 
 @register(
@@ -170,3 +184,107 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers it streams out must equal the batch window computation
     (LAG + running sum of gap flags) row for row."""
     return run_sessionize_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming joins
+# ---------------------------------------------------------------------------
+
+def run_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined to the
+    static ``customer`` dimension, then aggregated per market
+    segment.
+
+    The static side is a plain batch DataFrame — Spark re-plans it
+    into every micro-batch, and because it is dimension-sized it is
+    broadcast (no shuffle of the stream side, no state). This is THE
+    pattern for enriching a 100 TB/day event stream with reference
+    data; only the post-join aggregation keeps state, bounded by
+    (segments x event types).
+    """
+    from my_mapreduce_spark.io import load_table
+
+    stream = _event_stream(spark, sf_dir)
+    customer = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    agg = (
+        stream.join(customer, stream.user_id == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    return _run_to_memory(spark, agg, "enrich", "complete")
+
+
+@register(
+    "q_streaming_enrich",
+    oracle="""
+    SELECT c_mktsegment AS segment, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "events"),
+)
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join, gated by the equivalent batch oracle."""
+    return run_enrich_stream(spark, sf_dir)
+
+
+_ATTRIB_WINDOW_MIN = 30   # purchase attributed to a click <= 30 min before
+
+
+def run_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: attribute each purchase to every click by
+    the same user in the preceding {window} minutes.
+
+    Both sides are the (watermarked) events stream; the inner join
+    carries an equality key (user_id) plus a two-sided event-time
+    range, which is exactly what lets Structured Streaming bound the
+    join state: each side's buffered rows are evicted once the other
+    side's watermark passes the range. Append mode — matches emit as
+    they form. With availableNow over a finite source the emitted
+    set equals the batch inner join, so a full oracle applies.
+    """
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("ts_us").alias("c_ts_us")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("ts_us").alias("p_ts_us")))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(
+            f"INTERVAL {_ATTRIB_WINDOW_MIN} MINUTES")))
+    out = joined.select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+        (F.col("p_ts_us") - F.col("c_ts_us")).alias("lag_us"))
+    return _run_to_memory(spark, out, "attrib", "append")
+
+
+@register(
+    "q_streaming_click_attribution",
+    oracle=f"""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {_ATTRIB_WINDOW_MIN} MINUTE
+    """,
+    tags=("streaming", "join", "stream-stream", "events"),
+)
+def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-bounded join, gated by the equivalent batch
+    inner join as oracle."""
+    return run_attribution_stream(spark, sf_dir)
