@@ -2,10 +2,12 @@
 query and flag scale smells.
 
 Checks, per query:
-- **pushed**  — parquet scans carry PushedFilters when the query
-  filters on scan columns (predicate reached the reader);
-- **pruned**  — no scan reads all columns of a wide table unless the
-  query needs them (ReadSchema column count vs table width);
+- **pushed**  — every query in the curated _REQUIRE_PUSHDOWN list
+  (those filtering on base scan columns) must keep >= 1 scan with
+  non-empty PushedFilters; for the rest the count is informational
+  (filters on derived columns cannot push by construction);
+- **pruned**  — no scan reads the full width of a wide (>= 8 col)
+  table (ReadSchema field count vs the parquet file's schema width);
 - **bcast**   — joins against small dimension tables use
   BroadcastHashJoin, not a shuffled join;
 - **codegen** — the plan contains WholeStageCodegen spans;
@@ -42,13 +44,70 @@ _ALLOW_NESTED_LOOP = {
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
+    "q_streaming_enrich", "q_streaming_click_attribution",
     "q_dedup_clusters",  # returns the converged cached relation; the
                          # per-round join+agg plans (which do codegen)
                          # already executed inside the driver loop
 }
 
+# Queries whose filters provably CAN reach a parquet reader (they
+# filter on base scan columns). Enforced: each must keep >= 1 scan
+# with non-empty PushedFilters — a regression here means a predicate
+# that used to reach the reader stopped doing so. Queries filtering
+# only on derived columns (exploded tokens, computed hashes, window
+# ranks, nanos-arithmetic timestamps) are informational-only: Spark
+# cannot push those by construction.
+_REQUIRE_PUSHDOWN = {
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_revenue_change", "q_semi_join", "q_anti_join",
+    "q13_customer_distribution", "q_correlated_subquery", "q_scalar_subquery",
+    "q_theta_join_price_band", "q_math_funcs", "q_date_funcs", "q_set_ops",
+    "q_union_by_name", "q_dedup_exact_pairs", "q_dedup_ngram_jaccard",
+    "q_knn_bruteforce", "q_knn_ivf", "q_events_sliding_window", "q_asof_join",
+    "q_range_join_follow", "q4_late_shipment", "q7_volume_shipping",
+    "q10_returned_items", "q12_priority_class", "q14_promo_revenue",
+    "q18_large_orders", "q19_disjunctive_filter", "q8_market_share",
+    "q_pivot_status", "q_grouping_sets", "q_bucketed_join_noshuffle",
+}
 
-def audit(name: str, plan: str, codegen_subtrees: int) -> list[str]:
+# Queries that genuinely consume (nearly) every column of a wide
+# table — e.g. faithful-copy / full-row surfaces.
+_ALLOW_FULL_WIDTH = {
+    "q_bucketed_join_noshuffle",  # writes faithful bucketed copies first
+}
+
+_WIDE = 8  # a scan reading >= this many columns must be pruning something
+
+
+def _table_widths(sf_dir: str) -> dict[str, int]:
+    import pyarrow.parquet as pq
+
+    widths = {}
+    for f in os.listdir(sf_dir):
+        if f.endswith(".parquet"):
+            widths[f[:-8]] = len(pq.read_schema(os.path.join(sf_dir, f)).names)
+    return widths
+
+
+def _scan_blocks(plan: str):
+    """Yield (table, n_read_cols, pushed_filters_nonempty) per parquet
+    scan node in a formatted plan (node detail sections start with
+    "(N) Scan parquet" and run until the next "(N) " header)."""
+    for block in re.finditer(
+            r"\(\d+\) Scan parquet[^\n]*\n(.*?)(?=\n\(\d+\) |\Z)", plan, re.S):
+        text = block.group(1)
+        loc = re.search(r"Location:[^\n]*/([^/\]\n]+)\]", text)
+        schema = re.search(r"ReadSchema: struct<([^\n]*)", text)
+        if not loc or not schema:
+            continue
+        table = loc.group(1).removesuffix(".parquet")
+        fields = [f for f in schema.group(1).split(",") if ":" in f]
+        pushed = bool(re.search(r"PushedFilters: \[[^\]]", text))
+        yield table, len(fields), pushed
+
+
+def audit(name: str, plan: str, codegen_subtrees: int,
+          widths: dict[str, int]) -> list[str]:
     smells = []
     if codegen_subtrees == 0:
         smells.append("no-codegen")
@@ -59,6 +118,16 @@ def audit(name: str, plan: str, codegen_subtrees: int) -> list[str]:
     if re.search(r"SortMergeJoin", plan) and re.search(
             r"Scan parquet[^\n]*(nation|region|supplier)", plan):
         smells.append("shuffled-dim-join")
+    scans = list(_scan_blocks(plan))
+    # pruned: no scan may read the full width of a wide table
+    if name not in _ALLOW_FULL_WIDTH:
+        for table, n_cols, _ in scans:
+            if n_cols >= _WIDE and n_cols >= widths.get(table, 99):
+                smells.append(f"unpruned-scan:{table}")
+    # pushed: queries known to filter on base scan columns must keep
+    # at least one scan with non-empty PushedFilters
+    if name in _REQUIRE_PUSHDOWN and not any(p for _, _, p in scans):
+        smells.append("no-pushdown")
     return smells
 
 
@@ -77,6 +146,7 @@ def main() -> int:
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     names = args.names or [n for n in REGISTRY if n not in _SKIP]
+    widths = _table_widths(args.sf)
     bad = 0
     for name in names:
         if name in _SKIP:
@@ -87,7 +157,7 @@ def main() -> int:
         plan = qe.explainString(mode.fromString("formatted"))
         m = re.search(r"Found (\d+) WholeStageCodegen subtrees",
                       qe.explainString(mode.fromString("codegen")))
-        smells = audit(name, plan, int(m.group(1)) if m else 0)
+        smells = audit(name, plan, int(m.group(1)) if m else 0, widths)
         pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
         bcast = plan.count("BroadcastHashJoin")
         tag = "SMELL " + ",".join(smells) if smells else "ok"
