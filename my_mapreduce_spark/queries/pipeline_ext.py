@@ -1,0 +1,458 @@
+"""Round-2 training-data-pipeline operators (SURVEY.md §2D depth).
+
+The shapes a 100 TB LLM-data pipeline runs between raw crawl and
+training shards, beyond the dedup/similarity/text modules:
+
+- CDC-style latest-state compaction over the event stream;
+- funnel/conversion analysis (time-bounded semi-join per segment);
+- TF-IDF vocabulary scoring (two-level aggregation + broadcast-able
+  doc-frequency join);
+- Gopher-style quality-rule filtering with per-rule flags;
+- per-group extreme-value detection (z-score ranks);
+- full-outer profile/activity reconciliation;
+- column profiling (null/distinct/min/max per column);
+- deterministic hash sampling per stratum;
+- a composed end-to-end pipeline (filter -> dedup -> sample).
+
+All are JVM-side expressions (no Python UDFs); every query carries a
+DuckDB oracle. Float thresholds are avoided in WHERE clauses wherever
+engines could disagree by an ulp — rank-based cuts (row_number) and
+integer/string predicates keep the result sets bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.queries.text_analysis import _STOPWORDS, _tokens
+from my_mapreduce_spark.registry import register
+
+_TOKEN_SPLIT_SQL = "list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-state compaction
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_events_latest_state",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_event_type,
+           ROUND(value, 4) AS last_value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tags=("pipeline", "cdc", "events"),
+)
+def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture compaction: collapse the event log to the
+    latest record per key — the materialize step of every incremental
+    pipeline. One hash-partitioned window (key-colocated shuffle),
+    no self-join; at 100 TB this is the standard log-to-snapshot
+    compaction and scales with the number of keys, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id",
+                    F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_event_type"),
+                    F.round("value", 4).alias("last_value")))
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion per segment
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_MIN = 30
+
+
+@register(
+    "q_funnel_conversion",
+    oracle=f"""
+    WITH ev AS (
+        SELECT e.*, c.c_mktsegment AS segment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+    clicks AS (
+        SELECT DISTINCT user_id, segment FROM ev WHERE event_type = 'click'),
+    conv AS (
+        SELECT DISTINCT c.user_id
+        FROM ev c JOIN ev p
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {_FUNNEL_WINDOW_MIN} MINUTE)
+    SELECT segment,
+           COUNT(*) AS n_click_users,
+           COUNT(conv.user_id) AS n_converted,
+           ROUND(CAST(COUNT(conv.user_id) AS DOUBLE) / COUNT(*), 4) AS conv_rate
+    FROM clicks LEFT JOIN conv USING (user_id)
+    GROUP BY segment
+    """,
+    tags=("pipeline", "funnel", "events", "join"),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase funnel per market segment: a user converts
+    if any purchase follows any of their clicks within {window} min.
+
+    Shape: enrich (broadcast dim join) -> distinct click users ->
+    time-bounded self-join reduced to a per-user conversion flag
+    (semi-join, so the pair blowup never leaves the join) -> one
+    small aggregation. The self-join keys on user_id, so it shuffles
+    each side once by the same key."""
+    ev = (load_table(spark, sf_dir, "events")
+          .join(F.broadcast(load_table(spark, sf_dir, "customer")
+                            .select("c_custkey", "c_mktsegment")),
+                F.col("user_id") == F.col("c_custkey"))
+          .select("user_id", "event_type", "ts",
+                  F.col("c_mktsegment").alias("segment")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "segment").distinct())
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_ts"))
+    conv = (c.join(p, (F.col("cu") == F.col("pu"))
+                   & (F.col("p_ts") >= F.col("c_ts"))
+                   & (F.col("p_ts") <= F.col("c_ts")
+                      + F.expr(f"INTERVAL {_FUNNEL_WINDOW_MIN} MINUTES")),
+                   "left_semi")
+            .select(F.col("cu").alias("user_id")).distinct()
+            .withColumn("converted", F.lit(1)))
+    return (clicks.join(conv, "user_id", "left")
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_click_users"),
+                 F.count("converted").alias("n_converted"),
+                 F.round(F.count("converted").cast("double")
+                         / F.count(F.lit(1)), 4).alias("conv_rate")))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP = 3
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKEN_SPLIT_SQL} AS w
+               FROM documents WHERE lang = 'en'),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM d),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df.df)
+                   AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE)
+                                       / df.df) DESC, tf.term) AS rnk
+        FROM tf JOIN df USING (term))
+    SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, rnk
+    FROM scored WHERE rnk <= {_TFIDF_TOP}
+    """,
+    tags=("pipeline", "text", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per English document.
+
+    Two aggregations over one tokenization pass (term frequency per
+    doc, document frequency per term), a join back on term, and a
+    per-doc top-k window. The df relation is vocabulary-sized —
+    small relative to the corpus, broadcast-able at scale — and the
+    doc count arrives via a scalar subquery (crossJoin of a 1-row
+    agg), not a driver collect."""
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.col("lang") == "en"))
+    tok = (docs.select("doc_id", F.explode(_tokens()).alias("term")))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = (F.col("tf")
+             * F.log(F.col("n_docs").cast("double") / F.col("df")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), "term")
+    return (tf.join(df, "term").crossJoin(F.broadcast(n))
+            .withColumn("tfidf_raw", tfidf)
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _TFIDF_TOP)
+            .select("doc_id", "term",
+                    F.round("tfidf_raw", 6).alias("tfidf"), "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_quality_filter_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_TOKEN_SPLIT_SQL} AS w FROM documents),
+    m AS (
+        SELECT doc_id, lang,
+               len(w) AS n_words,
+               CAST(len(list_filter(w, x -> len(x) >= 3 AND len(x) <= 10))
+                    AS DOUBLE) / len(w) AS ok_len_frac,
+               len(list_filter(w, x -> list_contains(
+                   ['the','a','of','to','and','in','is'], x))) AS n_stop
+        FROM t WHERE len(w) > 0)
+    SELECT doc_id, lang, n_words,
+           (n_words BETWEEN 30 AND 90) AS rule_length,
+           (ok_len_frac * 2 >= 1) AS rule_word_shape,
+           (lang <> 'en' OR n_stop >= 1) AS rule_stopwords,
+           ((n_words BETWEEN 30 AND 90) AND (ok_len_frac * 2 >= 1)
+            AND (lang <> 'en' OR n_stop >= 1)) AS passed
+    FROM m
+    """,
+    tags=("pipeline", "text", "quality-filter"),
+)
+def q_quality_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality rules with per-rule flags:
+    word-count bounds, a word-shape rule (at least half the words
+    3..10 chars), and an English stopword-presence rule. Emitting
+    booleans per rule (rather than a filtered subset) is the
+    production pattern — downstream consumers choose their cut, and
+    rejected-reason stats fall out of a groupBy. Thresholds are
+    integer-exact comparisons (frac*2 >= 1), so no float-ulp
+    boundary risk between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+    ok_len = F.filter(w, lambda x: (F.length(x) >= 3) & (F.length(x) <= 10))
+    stops = F.array(*[F.lit(s) for s in _STOPWORDS["en"]])
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
+    m = (docs.where(F.size(w) > 0)
+         .select("doc_id", "lang",
+                 F.size(w).alias("n_words"),
+                 (F.size(ok_len).cast("double") / F.size(w)).alias("ok_len_frac"),
+                 n_stop.alias("n_stop")))
+    rule_length = F.col("n_words").between(30, 90)
+    rule_shape = (F.col("ok_len_frac") * 2 >= 1)
+    rule_stop = (F.col("lang") != "en") | (F.col("n_stop") >= 1)
+    return m.select(
+        "doc_id", "lang", "n_words",
+        rule_length.alias("rule_length"),
+        rule_shape.alias("rule_word_shape"),
+        rule_stop.alias("rule_stopwords"),
+        (rule_length & rule_shape & rule_stop).alias("passed"))
+
+
+# ---------------------------------------------------------------------------
+# Per-group extremes (z-score rank)
+# ---------------------------------------------------------------------------
+
+_EXTREME_TOP = 5
+
+
+@register(
+    "q_event_extremes",
+    oracle=f"""
+    WITH s AS (
+        SELECT event_type,
+               AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+        FROM events GROUP BY 1)
+    SELECT e.event_type, e.event_id,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS z,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.event_type
+               ORDER BY ABS(e.value - s.mu) DESC, e.event_id) AS rnk
+    FROM events e JOIN s USING (event_type)
+    QUALIFY rnk <= {_EXTREME_TOP}
+    """,
+    tags=("pipeline", "anomaly", "events"),
+)
+def q_event_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most anomalous events per type by |z-score|.
+
+    Rank-based rather than threshold-based on purpose: a `z > 2`
+    WHERE clause can flip rows between engines when an observation
+    sits an ulp from the cut; a row_number cut with an event_id
+    tie-break is bit-stable. Ordering by |value - mu| (not z) keeps
+    ranking monotone even if sigma differs in the last ulp. The
+    stats are one tiny per-type aggregate, broadcast back across
+    the events scan — two passes, no window over the full table."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("value") - F.col("mu")).desc(), "event_id")
+    return (ev.join(F.broadcast(stats), "event_type")
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _EXTREME_TOP)
+            .select("event_type", "event_id",
+                    F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+                    .alias("z"), "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Full-outer reconciliation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_full_outer_activity",
+    oracle="""
+    WITH act AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1)
+    SELECT COALESCE(c.c_custkey, act.user_id) AS entity_id,
+           (c.c_custkey IS NOT NULL) AS has_profile,
+           (act.user_id IS NOT NULL) AS has_activity,
+           COALESCE(act.n_events, 0) AS n_events
+    FROM customer c FULL OUTER JOIN act ON c.c_custkey = act.user_id
+    """,
+    tags=("pipeline", "join", "full-outer"),
+)
+def q_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile/activity reconciliation via FULL OUTER join: every
+    customer and every active user, with presence flags — the
+    anti-join audit both directions at once (profiles without
+    activity, activity without profiles). Pre-aggregating the event
+    side to one row per user keeps the outer join key-unique, so
+    the shuffle moves |keys| rows, not |events|."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    act = (load_table(spark, sf_dir, "events")
+           .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")))
+    return (cust.join(act, cust.c_custkey == act.user_id, "full_outer")
+            .select(F.coalesce("c_custkey", "user_id").alias("entity_id"),
+                    F.col("c_custkey").isNotNull().alias("has_profile"),
+                    F.col("user_id").isNotNull().alias("has_activity"),
+                    F.coalesce("n_events", F.lit(0)).alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# Column profiling
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_profile_columns",
+    oracle="""
+    SELECT 'o_orderstatus' AS column_name,
+           COUNT(*) - COUNT(o_orderstatus) AS n_null,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           MIN(o_orderstatus) AS min_val, MAX(o_orderstatus) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("pipeline", "profiling"),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (null count, distinct count, min/max)
+    per column, stacked as rows — the schema-inference/data-quality
+    pass a pipeline runs before ingesting a new source. One scan per
+    profiled column here for oracle clarity; the production variant
+    computes all columns in one pass of struct-typed aggregates.
+    (Numeric min/max are cast to string through an integer type so
+    both engines format identically; doubles are profiled via their
+    own typed queries elsewhere.)"""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def prof(col: str, cast_str: bool) -> DataFrame:
+        mn, mx = F.min(col), F.max(col)
+        if cast_str:
+            mn, mx = mn.cast("string"), mx.cast("string")
+        return orders.agg(
+            F.lit(col).alias("column_name"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            mn.alias("min_val"), mx.alias("max_val"))
+
+    return (prof("o_orderstatus", False)
+            .unionAll(prof("o_orderpriority", False))
+            .unionAll(prof("o_custkey", True)))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified hash sample
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    WITH s AS (
+        SELECT lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3') AS sampled
+        FROM documents)
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled,
+           ROUND(CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS frac
+    FROM s GROUP BY lang
+    """,
+    tags=("pipeline", "sampling"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample per language stratum: a document is
+    sampled iff the first hex digit of md5(doc_id) is 0-3. Unlike
+    rand()-based sampling this is reproducible across engines, runs
+    and cluster sizes (the property that makes train/test splits
+    auditable), embarrassingly parallel, and join-free. Emits the
+    per-stratum sample accounting."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) \
+        .isin("0", "1", "2", "3")
+    return (docs.select("lang", sampled.alias("sampled"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+                 .cast("bigint").alias("n_sampled"),
+                 F.round(F.sum(F.when(F.col("sampled"), 1).otherwise(0))
+                         .cast("double") / F.count(F.lit(1)), 4).alias("frac")))
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end pipeline
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_pipeline_e2e",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, text, {_TOKEN_SPLIT_SQL} AS w FROM documents),
+    q AS (SELECT doc_id, lang, text, len(w) AS n_words
+          FROM t WHERE len(w) BETWEEN 30 AND 90),
+    d AS (SELECT doc_id, lang, n_words
+          FROM q
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) = 1)
+    SELECT doc_id, lang, n_words FROM d
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    """,
+    tags=("pipeline", "e2e", "dedup", "sampling"),
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-preparation pipeline in one plan: quality
+    filter (word-count bounds) -> exact dedup with keep-lowest-id
+    survivor -> deterministic 25% hash sample. Because it is a
+    single declarative plan, Catalyst fuses the stages: the filter
+    and both hash computations happen in the scan's codegen stage,
+    and the only shuffle is the dedup window's hash partition by
+    content hash. This is the skeleton every training-data refresh
+    runs at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+    q = (docs.withColumn("n_words", F.size(w))
+         .where(F.col("n_words").between(30, 90)))
+    win = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d = (q.withColumn("rn", F.row_number().over(win))
+         .where(F.col("rn") == 1))
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) \
+        .isin("0", "1", "2", "3")
+    return d.where(sampled).select("doc_id", "lang", "n_words")

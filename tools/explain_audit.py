@@ -41,6 +41,8 @@ _ALLOW_NESTED_LOOP = {
     "q_knn_bruteforce",          # declared O(n^2) verifier
     "q_knn_lsh_buckets",         # corpus scan x broadcast query sketches:
                                  # the hamming prune lives in the join cond
+    "q_tfidf_top_terms",         # crossJoin(broadcast(1-row doc count)) =
+                                 # scalar-subquery BNLJ, O(n) x 1
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
