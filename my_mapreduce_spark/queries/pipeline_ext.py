@@ -456,3 +456,94 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) \
         .isin("0", "1", "2", "3")
     return d.where(sampled).select("doc_id", "lang", "n_words")
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantile sketch
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_approx_quantiles",
+    oracle=None,  # sketch estimates are engine-specific; rows-only check —
+                  # tests/test_approx.py bounds the error vs DuckDB exact
+    tags=("pipeline", "approx", "quantiles"),
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles per order priority via percentile_approx
+    (Greenwald-Khanna sketch) — the 100 TB answer to exact
+    percentiles: mergeable per-partition sketches, one pass, bounded
+    memory, no global sort. The unit test bounds each estimate's
+    rank error against the exact DuckDB quantiles."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.groupBy("o_orderpriority")
+            .agg(*[F.percentile_approx("o_totalprice", q, 10000)
+                   .alias(f"p{int(q * 100)}")
+                   for q in (0.25, 0.5, 0.75, 0.95)]))
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary build
+# ---------------------------------------------------------------------------
+
+_VOCAB_MIN_COUNT = 5
+
+
+@register(
+    "q_vocab_min_count",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKEN_SPLIT_SQL}) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+          HAVING COUNT(*) >= {_VOCAB_MIN_COUNT})
+    SELECT token, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, token) AS vocab_id
+    FROM c
+    """,
+    tags=("pipeline", "text", "vocabulary"),
+)
+def q_vocab_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with a min-count cut and frequency-ranked
+    ids — the tokenizer-training precursor. Explode -> count is one
+    map-side-combined aggregation; the global rank over the
+    (vocabulary-sized, post-cut) counts is the only single-partition
+    step, matching how production tokenizers collect their final
+    vocab table."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(_tokens()).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+              .where(F.col("n") >= _VOCAB_MIN_COUNT))
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return counts.withColumn("vocab_id", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# Time-hierarchy rollup over events (hypertable-style)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_events_time_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CASE WHEN GROUPING(hour(ts)) = 0
+                THEN CAST(hour(ts) AS BIGINT) ELSE NULL END AS hr,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'), hour(ts))
+    HAVING GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d')) = 0
+    """,
+    tags=("pipeline", "rollup", "events", "time"),
+)
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: event counts and value
+    sums at (day, hour) plus per-day subtotals, in one pass via
+    GROUP BY ROLLUP (partial aggregation handles both grains in the
+    same shuffle — no second scan for the coarser level). The grand
+    -total row is dropped (HAVING on GROUPING) to keep day non-null."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    hr = F.hour("ts").cast("bigint")
+    return (ev.rollup(day.alias("day"), hr.alias("hr"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .where(F.col("day").isNotNull()))
