@@ -325,3 +325,177 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
             / F.sum(vol), 6).alias("mkt_share"))
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate < DATE '1995-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "join", "aggregate", "subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue over one
+    quarter. The revenue CTE is computed once and reused for both
+    the max (a 1-row aggregate, broadcast back) and the final
+    filter — no second lineitem scan. The shipdate predicate pushes
+    to the parquet reader. (No s_address/s_phone in the fixture;
+    output keys + name.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = (
+        li.where((F.col("l_shipdate") >= _ts("1995-01-01"))
+                 & (F.col("l_shipdate") < _ts("1995-04-01")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("total_revenue")))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        su.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name",
+                F.round("total_revenue", 2).alias("total_revenue")))
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT ROUND(CAST(SUM(l_extendedprice) AS DOUBLE) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'BRAND_1'
+      AND l_quantity < (
+          SELECT 0.2 * AVG(l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    tags=("tpch", "join", "correlated-subquery"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders of one brand.
+    The correlated per-part average decorrelates into a per-part
+    aggregate joined back on partkey — both sides shuffle once on
+    the same key (no per-row subquery execution). The brand filter
+    broadcasts through part before the fact join. (Fixture has no
+    p_container; the brand predicate alone selects the part set.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (load_table(spark, sf_dir, "part")
+         .where(F.col("p_brand") == "BRAND_1").select("p_partkey"))
+    brand_li = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    per_part_avg = (li.groupBy(F.col("l_partkey").alias("ap_partkey"))
+                    .agg((F.avg("l_quantity") * 0.2).alias("qty_cut")))
+    return (
+        brand_li.join(per_part_avg,
+                      F.col("l_partkey") == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice").cast("double") / 7.0, 2)
+             .alias("avg_yearly")))
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_suppkey, l.l_orderkey,
+               (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS is_late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F')
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN late l1 ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY s_name
+    """,
+    tags=("tpch", "join", "exists", "anti-join"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    finished multi-supplier orders. The fixture lacks commit/receipt
+    dates, so "late" is shipdate > orderdate + 90 days; the EXISTS /
+    NOT EXISTS pair becomes a semi-join plus an anti-join on the
+    same (orderkey, suppkey-inequality) condition — each a single
+    key-colocated shuffle of the late relation, never a per-row
+    subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select("l_suppkey", "l_orderkey",
+                    (F.col("l_shipdate")
+                     > F.date_add(F.col("o_orderdate"), 90)).alias("is_late")))
+    l1 = late.where(F.col("is_late")).select(
+        F.col("l_suppkey").alias("k1"), F.col("l_orderkey").alias("ok1"))
+    others = late.select(F.col("l_suppkey").alias("k2"),
+                         F.col("l_orderkey").alias("ok2"), "is_late")
+    cand = l1.join(
+        others,
+        (F.col("ok2") == F.col("ok1")) & (F.col("k2") != F.col("k1")),
+        "left_semi")
+    sole = cand.join(
+        others.where(F.col("is_late")),
+        (F.col("ok2") == F.col("ok1")) & (F.col("k2") != F.col("k1")),
+        "left_anti")
+    return (sole.join(F.broadcast(su), F.col("s_suppkey") == F.col("k1"))
+            .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait")))
+
+
+@register(
+    "q22_prospects",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+    frequent AS (
+        SELECT o_custkey FROM orders GROUP BY 1 HAVING COUNT(*) >= 5)
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM frequent WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    tags=("tpch", "anti-join", "subquery"),
+)
+def q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded, low-engagement customers (above
+    -average balance, NOT among the >= 5-order frequent buyers),
+    grouped by nation. Adapted to the fixture twice over: no phone
+    column (nation key replaces the country code) and every customer
+    has placed an order (the generator covers all custkeys), so the
+    classic never-ordered NOT EXISTS would be vacuously empty —
+    frequent-buyer exclusion keeps the anti-join shape AND a
+    non-trivial result at every SF. Scalar-subquery average
+    broadcasts; the NOT EXISTS is one anti-join against the
+    pre-aggregated frequent-buyer key set."""
+    cu = load_table(spark, sf_dir, "customer")
+    o_keys = (load_table(spark, sf_dir, "orders")
+              .groupBy("o_custkey")
+              .agg(F.count(F.lit(1)).alias("n_orders"))
+              .where(F.col("n_orders") >= 5)
+              .select("o_custkey"))
+    avg_bal = (cu.where(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    return (
+        cu.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o_keys, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))

@@ -43,6 +43,8 @@ _ALLOW_NESTED_LOOP = {
                                  # the hamming prune lives in the join cond
     "q_tfidf_top_terms",         # crossJoin(broadcast(1-row doc count)) =
                                  # scalar-subquery BNLJ, O(n) x 1
+    "q22_prospects",             # crossJoin(broadcast(1-row avg balance)),
+                                 # same scalar-subquery shape
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
