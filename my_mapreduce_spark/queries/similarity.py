@@ -329,7 +329,13 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    # The build makes several passes over the normalized corpus
+    # (count, seed, k-means rounds, assignment): cache it for the
+    # build, exactly as production IVF training materializes its
+    # training set. MEMORY_AND_DISK, so an over-RAM corpus spills
+    # rather than OOMs; at extreme scale train on a sampled subset
+    # instead (swap `e` for e.sample in _train_quantizer).
+    e = _normed(load_table(spark, sf_dir, "embeddings")).persist()
     n = e.count()
     k = _ivf_k(n)
     c_mat = _train_quantizer(e, k, _DIM)
