@@ -31,11 +31,28 @@ def _run_to_memory(spark: SparkSession, out: DataFrame, prefix: str,
     Memory-sink rows live on the driver regardless of who reads them,
     so materializing adds no new driver cost — but dropping the
     uuid-named temp view keeps repeated runs in one session from
-    accumulating sink tables (they used to leak, one per call)."""
-    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    query = (out.writeStream.format("memory").queryName(sink)
-             .outputMode(mode).trigger(availableNow=True).start())
-    query.awaitTermination()
+    accumulating sink tables (they used to leak, one per call).
+
+    Stateful shuffle partitions are scoped down for the run (default
+    8, SPARK_GRAFT_STREAM_SHUFFLE to override): an availableNow run
+    executes ONE micro-batch, so per-partition state-store setup
+    never amortizes — 32 partitions of near-empty state tripled the
+    wall-clock of the stream-stream join at sf0.1. A continuous
+    production stream sizes this to state volume instead (and a
+    checkpoint pins it); these memory-sink runs are checkpoint-free.
+    """
+    import os
+
+    n_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+    try:
+        sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+        query = (out.writeStream.format("memory").queryName(sink)
+                 .outputMode(mode).trigger(availableNow=True).start())
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     tbl = spark.table(sink)
     schema = tbl.schema
     pdf = tbl.toPandas()
