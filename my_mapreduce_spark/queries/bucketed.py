@@ -51,9 +51,15 @@ def write_bucketed(spark: SparkSession, df: DataFrame, name: str,
 def bucketed_fixture(spark: SparkSession, sf_dir: str, table: str,
                      key: str, n_buckets: int = _N_BUCKETS) -> DataFrame:
     """Bucketed copy of a fixture table; the table name encodes the
-    sf dir so different scale factors never alias."""
+    sf dir so different scale factors never alias. If this session
+    already wrote the table, reuse it — amortizing the one-time
+    shuffle across queries is the entire point of bucketing (the
+    fixtures are immutable, so staleness cannot arise)."""
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     name = f"mmr_{table}_{key}_b{n_buckets}_{tag}"
+    if spark.catalog.tableExists(name) \
+            and os.path.isdir(os.path.join(_BUCKET_ROOT, name)):
+        return spark.table(name)
     return write_bucketed(spark, load_table(spark, sf_dir, table),
                           name, n_buckets, key)
 
