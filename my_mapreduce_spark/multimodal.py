@@ -105,6 +105,59 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAME_BYTES = 256
+_FRAME_STRIDE = 4
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(length(text) / {_FRAME_BYTES}.0)
+                                    AS BIGINT))) AS frame_idx
+        FROM documents)
+    SELECT doc_id, frame_idx,
+           md5(substring(text, CAST(frame_idx * {_FRAME_BYTES} + 1 AS INT),
+               {_FRAME_BYTES})) AS frame_digest
+    FROM f WHERE frame_idx % {_FRAME_STRIDE} = 0
+    """,
+    tags=("multimodal", "frame-sample"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: each asset is
+    cut into fixed-size {bytes}-byte frames and every {stride}-th
+    frame is kept, emitting (doc_id, frame_idx, digest) rows.
+
+    The extraction runs in mapInPandas over the payload bytes — the
+    exact batch shape a real video pipeline uses (codec frame-seek
+    replaces the byte slice; the fan-out row shape, stride logic and
+    payload-dropping output are identical). One scan, no shuffle,
+    output is frames not payloads. The corpus is pure ASCII (octet_
+    length == length fixture-wide), so the DuckDB oracle expresses
+    the same slices with substring over text — making this the rare
+    pandas-UDF path with a FULL equality oracle rather than a
+    rows-only check."""
+    assets = build_asset_table(spark, sf_dir)
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_doc, out_idx, out_dig = [], [], []
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                n_frames = -(-len(p) // _FRAME_BYTES)
+                for i in range(0, n_frames, _FRAME_STRIDE):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_dig.append(hashlib.md5(
+                        p[i * _FRAME_BYTES:(i + 1) * _FRAME_BYTES]).hexdigest())
+        yield pd.DataFrame({"doc_id": out_doc, "frame_idx": out_idx,
+                            "frame_digest": out_dig})
+
+    return assets.mapInPandas(
+        sample_frames, schema="doc_id bigint, frame_idx bigint, frame_digest string")
+
+
 @register(
     "q_multimodal_pipeline",
     oracle=None,  # pandas-UDF pipeline; determinism asserted in tests
