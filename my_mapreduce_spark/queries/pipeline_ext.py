@@ -547,3 +547,46 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .where(F.col("day").isNotNull()))
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (partial-merge)
+# ---------------------------------------------------------------------------
+
+_INCR_SPLIT = "2024-01-10 00:00:00"
+
+
+@register(
+    "q_incremental_agg_merge",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "incremental", "events"),
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the daily aggregate is NOT
+    recomputed from scratch — a 'materialized' partial over the old
+    data (ts < split) is merged with a partial over the new arrivals
+    by re-aggregating (sum of counts, sum of sums). Counts and sums
+    are algebraic, so merge(partial(a), partial(b)) == full(a+b) and
+    the oracle is the plain full aggregate. This is the maintenance
+    loop of every incremental pipeline: at 100 TB the old partial is
+    a small materialized table and only the delta is scanned."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_INCR_SPLIT).cast("timestamp")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (df.groupBy(day, "event_type")
+                .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")))
+
+    merged = partial(ev.where(F.col("ts") < split)) \
+        .unionAll(partial(ev.where(F.col("ts") >= split)))
+    return (merged.groupBy("day", "event_type")
+            .agg(F.sum("pn").alias("n_events"),
+                 F.round(F.sum("pv"), 4).alias("sum_value")))

@@ -124,6 +124,35 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
 
+SESSIONIZE_OUT = "user_id long, event_id long, session_seq long"
+SESSIONIZE_STATE = "last_ts long, seq long"
+
+
+def make_sessionizer(gap_us: int = _GAP_US):
+    """The applyInPandasWithState sessionizer closure: state per user
+    is (last_ts_us, session_seq); each batch sorts its rows by
+    (ts_us, event_id), continues numbering from state, and writes the
+    advanced state back. Shared by the oracle-gated query and the
+    checkpointed-restart test (state restore must continue numbering,
+    not restart it)."""
+    import pandas as pd
+
+    def sessionize(key, pdfs, state):
+        (user_id,) = key
+        last_ts, seq = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+        seqs = []
+        for ts in rows["ts_us"]:
+            if last_ts is None or ts - last_ts > gap_us:
+                seq += 1
+            seqs.append(seq)
+            last_ts = ts
+        state.update((int(last_ts), int(seq)))
+        yield pd.DataFrame({"user_id": user_id, "event_id": rows["event_id"],
+                            "session_seq": seqs})
+
+    return sessionize
+
 
 def run_sessionize_stream(spark: SparkSession, sf_dir: str,
                           gap_us: int = _GAP_US) -> DataFrame:
@@ -139,25 +168,11 @@ def run_sessionize_stream(spark: SparkSession, sf_dir: str,
     lives in the state store keyed by user, and a watermark bounds
     it (availableNow over a finite source here, so no eviction).
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     _ensure_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
-    def sessionize(key, pdfs, state: GroupState):
-        (user_id,) = key
-        last_ts, seq = state.get if state.exists else (None, 0)
-        rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
-        seqs = []
-        for ts in rows["ts_us"]:
-            if last_ts is None or ts - last_ts > gap_us:
-                seq += 1
-            seqs.append(seq)
-            last_ts = ts
-        state.update((int(last_ts), int(seq)))
-        yield pd.DataFrame({"user_id": user_id, "event_id": rows["event_id"],
-                            "session_seq": seqs})
+    sessionize = make_sessionizer(gap_us)
 
     stream = (
         spark.readStream.schema(schema)
@@ -170,8 +185,8 @@ def run_sessionize_stream(spark: SparkSession, sf_dir: str,
     )
     out = stream.groupBy("user_id").applyInPandasWithState(
         sessionize,
-        outputStructType="user_id long, event_id long, session_seq long",
-        stateStructType="last_ts long, seq long",
+        outputStructType=SESSIONIZE_OUT,
+        stateStructType=SESSIONIZE_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
