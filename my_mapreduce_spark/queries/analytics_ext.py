@@ -157,3 +157,45 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("cov_qty_price"),
         F.round(F.skewness("l_extendedprice"), 6).alias("skew_price"),
     )
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+    tags=("join", "skew", "salting"),
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof fact-to-dimension JOIN by salting — the manual
+    complement to AQE's runtime skew splitting (which is itself
+    exercised in tests/test_aqe_skew_join.py).
+
+    The fact side gets a deterministic salt (event_id % {n}); the
+    dimension side is replicated once per salt value via a
+    posexplode, so the join key becomes (key, salt) and a hot key's
+    rows spread over {n} reducers instead of one. The oracle is the
+    plain unsalted join — salting is a physical rewrite with
+    identical semantics. Use when the skewed key set isn't known in
+    advance and the dimension is small enough to replicate; at
+    100 TB this caps any single task at 1/{n} of the hottest key.
+    """
+    n_salt = 8
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "value",
+                  (F.col("event_id") % n_salt).alias("_salt")))
+    cust = (load_table(spark, sf_dir, "customer")
+            .select("c_custkey", "c_mktsegment",
+                    F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+                    .alias("_salt")))
+    return (
+        ev.join(cust, (ev.user_id == cust.c_custkey)
+                & (ev._salt == cust._salt))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
