@@ -544,3 +544,61 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"rounds ({changed} labels still changing); raise the round cap "
             "for graphs with long chain components")
     return labels
+
+
+@register(
+    "q_dedup_signal_agreement",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    p0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    jac AS (
+        SELECT doc_a, doc_b,
+               ROUND(n_common * 1.0 / (x.n + y.n - n_common), 6) AS jaccard
+        FROM p0 JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE n_common * 1.0 / (x.n + y.n - n_common) >= 0.6),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cos AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+    SELECT COALESCE(jac.doc_a, cos.doc_a) AS doc_a,
+           COALESCE(jac.doc_b, cos.doc_b) AS doc_b,
+           jac.jaccard, cos.cosine,
+           CASE WHEN jac.doc_a IS NOT NULL AND cos.doc_a IS NOT NULL THEN 'both'
+                WHEN jac.doc_a IS NOT NULL THEN 'text_only'
+                ELSE 'embedding_only' END AS signal
+    FROM jac FULL OUTER JOIN cos
+      ON jac.doc_a = cos.doc_a AND jac.doc_b = cos.doc_b
+    """,
+    tags=("dedup", "near-dup", "multi-signal"),
+)
+def q_dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal near-dup agreement: full-outer reconciliation of
+    the text signal (exact n-gram Jaccard >= 0.6) against the
+    embedding signal (cosine >= 0.4) over the same entity ids —
+    'both' pairs are high-confidence duplicates, single-signal pairs
+    are the review queue. This is how production dedup composes
+    cheap lexical and semantic detectors instead of trusting either
+    alone; the join cost is pairs-sized (already-thresholded), not
+    corpus-sized."""
+    jac = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("ja"), F.col("doc_b").alias("jb"), "jaccard")
+    cos = q_dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("ca"), F.col("vec_b").alias("cb"), "cosine")
+    return (
+        jac.join(cos, (F.col("ja") == F.col("ca")) & (F.col("jb") == F.col("cb")),
+                 "full_outer")
+        .select(
+            F.coalesce("ja", "ca").alias("doc_a"),
+            F.coalesce("jb", "cb").alias("doc_b"),
+            "jaccard", "cosine",
+            F.when(F.col("ja").isNotNull() & F.col("ca").isNotNull(), "both")
+            .when(F.col("ja").isNotNull(), "text_only")
+            .otherwise("embedding_only").alias("signal")))
