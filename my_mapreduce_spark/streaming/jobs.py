@@ -320,3 +320,36 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     """Stream-stream time-bounded join, gated by the equivalent batch
     inner join as oracle."""
     return run_attribution_stream(spark, sf_dir)
+
+
+def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events stream is unioned
+    with itself (simulating at-least-once redelivery) and
+    ``dropDuplicates`` on the event id restores each event exactly
+    once. The watermark bounds the dedup state: ids older than the
+    watermark are evicted, which is the production contract for
+    infinite streams (a redelivery later than the watermark would
+    NOT be caught — that is the documented trade)."""
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    doubled = ev.unionAll(_event_stream(spark, sf_dir)
+                          .withWatermark("ts", "2 hours"))
+    deduped = (doubled.dropDuplicates(["event_id"])
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 4).alias("sum_value")))
+    return _run_to_memory(spark, deduped, "dedup", "complete")
+
+
+@register(
+    "q_streaming_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "events"),
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup, oracle-gated: doubling the source
+    then deduplicating on event id must equal the plain per-type
+    aggregate over the original events."""
+    return run_dedup_stream(spark, sf_dir)
