@@ -165,3 +165,31 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("value"), 4).alias("sum_value"),
              F.round(F.avg("value"), 4).alias("avg_value"))
     )
+
+
+@register(
+    "q_argmax_events",
+    oracle="""
+    SELECT event_type,
+           arg_max(event_id, value * 100000 + event_id) AS top_event_id,
+           arg_max(user_id,  value * 100000 + event_id) AS top_user_id,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "aggregate", "argmax", "events"),
+)
+def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max aggregation (max_by / arg_max): the row attributes of
+    each type's highest-value event, without a self-join or window.
+    The ordering key is value*1e5 + event_id — values carry 2
+    decimals, so the composite is integral and UNIQUE, making the
+    argmax deterministic on both engines (bare max_by ties are
+    engine-arbitrary). One map-side-combinable aggregate; the
+    window/self-join alternatives shuffle far more."""
+    ev = load_table(spark, sf_dir, "events")
+    score = F.col("value") * 100000 + F.col("event_id")
+    return (ev.groupBy("event_type")
+            .agg(F.max_by("event_id", score).alias("top_event_id"),
+                 F.max_by("user_id", score).alias("top_user_id"),
+                 F.round(F.max("value"), 4).alias("max_value")))
