@@ -590,3 +590,90 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (merged.groupBy("day", "event_type")
             .agg(F.sum("pn").alias("n_events"),
                  F.round(F.sum("pv"), 4).alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# MERGE-style upsert apply
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_merge_upsert",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, ROUND(value, 4) AS last_value
+        FROM events
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) = 1)
+    SELECT COALESCE(c.c_custkey, l.user_id) AS entity_id,
+           CASE WHEN c.c_custkey IS NULL THEN 'insert'
+                WHEN l.user_id IS NULL THEN 'keep'
+                ELSE 'update' END AS action,
+           ROUND(COALESCE(l.last_value, c.c_acctbal), 4) AS new_balance
+    FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
+    """,
+    tags=("pipeline", "merge", "upsert", "cdc"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply the CDC
+    latest-state (last event value per user) onto the customer
+    snapshot — matched keys update, unmatched source keys insert,
+    unmatched target keys keep. Expressed as one full-outer join +
+    coalesce, which is exactly the join Delta/Iceberg MERGE plans
+    under the hood; both sides are key-unique so the shuffle moves
+    |keys| rows. The action column makes the write-side decision
+    auditable."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    latest = (load_table(spark, sf_dir, "events")
+              .withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1)
+              .select("user_id", F.round("value", 4).alias("last_value")))
+    return (
+        cust.join(latest, cust.c_custkey == latest.user_id, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "user_id").alias("entity_id"),
+            F.when(F.col("c_custkey").isNull(), "insert")
+            .when(F.col("user_id").isNull(), "keep")
+            .otherwise("update").alias("action"),
+            F.round(F.coalesce("last_value", "c_acctbal"), 4)
+            .alias("new_balance")))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history intervals
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           ROUND(value, 4) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("pipeline", "scd2", "cdc", "window"),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: each per-user
+    event becomes a [valid_from, valid_to) version row, closed by the
+    next event's timestamp (lead) and open-ended for the current
+    version. One key-partitioned window over the change log — the
+    standard log-to-history transform; at 100 TB it shuffles once on
+    the entity key and streams within partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "user_id", "event_id",
+        F.round("value", 4).alias("value"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(F.date_format(nxt, fmt), F.lit("9999-12-31 00:00:00"))
+        .alias("valid_to"),
+        nxt.isNull().alias("is_current"))
