@@ -1,0 +1,222 @@
+"""Corpus-hygiene operators over ``documents`` (SURVEY.md §2D).
+
+The pre-training data-curation steps that sit between raw crawl and
+tokenizer: PII redaction, cross-document duplicate-ngram measurement
+(the Gopher/MassiveText "dup n-gram fraction" filter), benchmark
+decontamination (strip eval-set overlap from training data), and
+winnowing fingerprints (the MOSS min-in-window scheme — the
+position-robust variant of the min-shingle fingerprint in
+text_analysis.py).
+
+Scale posture (100 TB): every query is a linear scan plus
+shingle/hash-partitioned shuffles — no all-pairs joins. The
+decontamination benchmark set is broadcast (eval suites are MBs,
+corpora are TBs). All hashing is md5 so the DuckDB oracles replicate
+results bit-for-bit (functions/text.py rationale). No Python UDFs;
+everything stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.functions.text import shingles, tokens
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.queries.dedup import _SHINGLES_CTE, _shingle_rows
+from my_mapreduce_spark.registry import register
+
+# PII patterns, deliberately restricted to syntax that means the same
+# thing in Java regex (Spark) and RE2 (DuckDB): character classes,
+# bounded repeats, and ASCII word boundaries only — no backrefs, no
+# lookaround.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+# The fixture corpus is synthetic prose with no PII, so the query
+# plants deterministic PII derived from doc_id and then removes it —
+# the oracle replays the identical planting, making redaction counts
+# and the scrubbed hash exactly checkable.
+_PII_RAW_SQL = """
+    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+    '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+"""
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, {_PII_RAW_SQL} AS raw FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_PII_EMAIL}'))  AS n_email,
+           len(regexp_extract_all(raw, '{_PII_PHONE}'))  AS n_phone,
+           len(regexp_extract_all(raw, '{_PII_IP}'))     AS n_ip,
+           md5(regexp_replace(regexp_replace(regexp_replace(raw,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'))                AS scrubbed_md5
+    FROM raw
+    """,
+    tags=("corpus", "pii", "scrub"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: detect + mask emails, phone numbers, and IPv4
+    addresses, reporting per-document redaction counts and the hash
+    of the scrubbed text. One linear scan, three JVM regex passes —
+    at 100 TB this is embarrassingly parallel with zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(raw, F.lit(_PII_PHONE)).alias("n_phone"),
+        F.regexp_count(raw, F.lit(_PII_IP)).alias("n_ip"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "q_dup_ngram_fraction",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    d AS (SELECT shingle, COUNT(*) AS df FROM s GROUP BY shingle)
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           ROUND(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS shared_frac
+    FROM s JOIN d USING (shingle)
+    GROUP BY s.doc_id
+    """,
+    tags=("corpus", "dedup", "quality"),
+)
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-ngram fraction (the Gopher/MassiveText repetition
+    filter, cross-document form): for each document, the fraction of
+    its distinct 3-gram shingles that also occur in at least one
+    other document.
+
+    Two shingle-partitioned hash aggregations plus one equi-join on
+    the shingle key — the document-frequency relation is the same
+    shuffle key as the probe side, so Catalyst co-locates them. No
+    pairwise comparisons anywhere, so the cost stays linear in total
+    shingle volume at 100 TB.
+    """
+    s = _shingle_rows(spark, sf_dir)  # distinct (doc_id, shingle)
+    df_counts = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (s.join(df_counts, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared"),
+                 F.round(F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                         / F.count(F.lit(1)), 6).alias("shared_frac")))
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 97 = 0),
+    cand AS (SELECT doc_id, shingle FROM s WHERE doc_id % 97 <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cand GROUP BY doc_id),
+    hit AS (
+        SELECT c.doc_id, COUNT(*) AS n_overlap
+        FROM cand c JOIN bench b USING (shingle)
+        GROUP BY c.doc_id)
+    SELECT h.doc_id, t.n_shingles, h.n_overlap,
+           ROUND(h.n_overlap * 1.0 / t.n_shingles, 6) AS overlap_frac
+    FROM hit h JOIN tot t USING (doc_id)
+    """,
+    tags=("corpus", "decontamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    3-gram shingle with a held-out benchmark set (here: every 97th
+    doc stands in for the eval suite), reporting overlap counts and
+    fraction per contaminated document.
+
+    The benchmark shingle set is broadcast — eval suites are MBs
+    while the corpus is TBs, so the contamination probe is a
+    broadcast hash join against the full scan, no shuffle of the big
+    side. This is the industry-standard n-gram decontamination from
+    the GPT-3/PaLM data cards, as a relational plan.
+    """
+    s = _shingle_rows(spark, sf_dir)
+    bench = (s.where(F.col("doc_id") % 97 == 0)
+             .select("shingle").distinct())
+    cand = s.where(F.col("doc_id") % 97 != 0)
+    tot = cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = (cand.join(F.broadcast(bench), "shingle")
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (hit.join(tot, "doc_id")
+            .select("doc_id", "n_shingles", "n_overlap",
+                    F.round(F.col("n_overlap") / F.col("n_shingles"), 6)
+                    .alias("overlap_frac")))
+
+
+@register(
+    "q_winnowing_fingerprints",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '') AS w
+        FROM documents),
+    sh AS (
+        SELECT doc_id, i - 1 AS pos, len(w) - 2 AS n_sh,
+               md5(array_to_string(w[i:i+2], ' ')) AS h
+        FROM t, UNNEST(range(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 3),
+    wm AS (
+        SELECT doc_id, pos, n_sh,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM sh)
+    SELECT doc_id,
+           COUNT(DISTINCT fp) AS n_fingerprints,
+           MIN(fp) AS min_fp,
+           MAX(fp) AS max_fp
+    FROM wm WHERE pos <= n_sh - 4
+    GROUP BY doc_id
+    """,
+    tags=("corpus", "fingerprint", "winnowing"),
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    3-gram shingle, slide a window of 4 consecutive shingle hashes,
+    keep the minimum of each full window; the distinct minima are
+    the document's fingerprints. Guarantees any shared run of >= 6
+    tokens between two documents shares a fingerprint, at a ~1/4
+    sample rate — the position-robust upgrade of q_doc_fingerprint's
+    single min-shingle.
+
+    Per-document window over a posexplode — partitioned by doc_id,
+    so at 100 TB it is one shuffle keyed by document and the window
+    never crosses partitions. Docs with fewer than 4 full windows
+    (< 7 tokens) drop out on both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    withw = docs.select("doc_id", tokens().alias("w")).where(F.size("w") >= 3)
+    sh = withw.select(
+        "doc_id", (F.size("w") - 2).alias("n_sh"),
+        F.posexplode(shingles(F.col("w"))).alias("pos", "sh"),
+    ).select("doc_id", "n_sh", "pos", F.md5("sh").alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return (sh.withColumn("fp", F.min("h").over(win))
+            .where(F.col("pos") <= F.col("n_sh") - 4)
+            .groupBy("doc_id")
+            .agg(F.count_distinct("fp").alias("n_fingerprints"),
+                 F.min("fp").alias("min_fp"),
+                 F.max("fp").alias("max_fp")))

@@ -476,9 +476,10 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn"))
 
 
-@register(
-    "q_dedup_clusters",
-    oracle=f"""
+# Shared by q_dedup_clusters and q_dedup_clusters_pj: both state the
+# same fixpoint (per-component minimum doc_id), so one recursive-CTE
+# oracle checks both implementations.
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_SHINGLES_CTE},
     sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
     pairs AS (
@@ -498,7 +499,12 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.doc_id)
     SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
     tags=("dedup", "near-dup", "clusters", "iterative"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -543,6 +549,66 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_dedup_clusters: label propagation did not converge in 20 "
             f"rounds ({changed} labels still changing); raise the round cap "
             "for graphs with long chain components")
+    return labels
+
+
+@register(
+    "q_dedup_clusters_pj",
+    oracle=_CLUSTERS_ORACLE,
+    tags=("dedup", "near-dup", "clusters", "iterative"),
+)
+def q_dedup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-propagation + POINTER JUMPING:
+    each round first takes the minimum label over the 1-hop
+    neighborhood (as q_dedup_clusters does), then additionally
+    replaces every label by its label's label — squaring the
+    propagation distance, so convergence needs O(log diameter)
+    rounds instead of O(diameter).
+
+    Same fixpoint, same oracle as q_dedup_clusters; this is the
+    variant to run when components can be long chains (boilerplate
+    families, citation threads) rather than tiny cliques. Each round
+    is two key-colocated joins + one min-agg; the driver still sees
+    only a changed-row count.
+    """
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+             .toDF("src", "dst").cache())
+    labels = (edges.select(F.col("src").alias("doc_id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("doc_id"))
+              .cache())
+    changed = -1
+    for _ in range(10):  # O(log diameter); breaks once converged
+        # (a) 1-hop min over neighbors' labels
+        prop = (edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min")))
+        hop = (labels.join(prop, "doc_id", "left")
+               .select("doc_id",
+                       F.least("cluster_id", F.coalesce("nbr_min", "cluster_id"))
+                       .alias("cluster_id")))
+        # (b) pointer jump: label <- label[label]  (labels are doc_ids,
+        # so the parent's label is one equi-join away)
+        parent = hop.select(F.col("doc_id").alias("cluster_id"),
+                            F.col("cluster_id").alias("parent_label"))
+        new = (hop.join(parent, "cluster_id", "left")
+               .select("doc_id",
+                       F.least("cluster_id",
+                               F.coalesce("parent_label", "cluster_id"))
+                       .alias("cluster_id"))
+               .cache())
+        changed = (new.alias("n").join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.cluster_id") != F.col("o.cluster_id")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            "q_dedup_clusters_pj: did not converge in 10 doubling rounds "
+            f"({changed} labels still changing) — component diameter > 2^10")
     return labels
 
 

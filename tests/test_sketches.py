@@ -1,0 +1,46 @@
+"""HLL sketch operators: accuracy and lossless mergeability.
+
+No DuckDB oracle exists for these (engine-specific HLL), so the
+tests pin down the two properties the rows-only registry entry
+relies on instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.queries.sketches import (
+    daily_user_sketches,
+    q_hll_user_sketches,
+)
+from tests.conftest import SF_DIR
+
+
+def test_hll_estimate_close_to_exact(spark):
+    est = {r.event_type: r.est_users
+           for r in q_hll_user_sketches(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {r.event_type: r.n
+             for r in ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for t, e in exact.items():
+        assert abs(est[t] - e) <= max(1, 0.02 * e), (t, est[t], e)
+
+
+def test_hll_union_is_lossless_merge(spark):
+    # merging per-day sketches must give the identical estimate to a
+    # single sketch over the whole range — mergeability is what makes
+    # sketches storable/incremental
+    daily = daily_user_sketches(spark, SF_DIR)
+    merged = {r.event_type: r.est
+              for r in daily.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+              .collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    whole = {r.event_type: r.est
+             for r in ev.groupBy("event_type")
+             .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+             .collect()}
+    assert merged == whole
