@@ -168,6 +168,109 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pack_sequences",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                               x -> x <> '')) AS n_tok
+        FROM documents),
+    c AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+        FROM t)
+    SELECT CAST(start_off // 512 AS BIGINT) AS pack_id,
+           COUNT(*)                         AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT)       AS total_tokens,
+           MIN(doc_id)                      AS first_doc
+    FROM c GROUP BY 1
+    """,
+    tags=("corpus", "packing", "prefix-sum"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: lay documents end-to-end in doc_id
+    order and assign each to the 512-token window its first token
+    lands in — the concat-and-chunk step that turns a filtered
+    corpus into fixed-length training sequences.
+
+    The global running offset is computed as a DISTRIBUTED prefix
+    sum, not one giant window: (1) bucket docs by doc_id DIV 1000
+    and prefix-sum WITHIN each bucket (window partitioned by bucket,
+    shuffle-parallel); (2) prefix-sum the per-bucket totals — a
+    bucket-count-sized relation, thousands of rows per trillion docs
+    — and broadcast it back as each bucket's base offset. A plain
+    ``SUM() OVER (ORDER BY ...)`` with no partition would drag the
+    full corpus through one task; this two-level scan is the classic
+    fix. The oracle states the same result as the naive cumsum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", (F.col("doc_id") / 1000).cast("bigint").alias("bucket"),
+        F.size(tokens()).alias("n_tok"))
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    local = t.withColumn("local_off", F.sum("n_tok").over(in_bucket) - F.col("n_tok"))
+    bucket_tot = t.groupBy("bucket").agg(F.sum("n_tok").alias("btot"))
+    prior = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    base = bucket_tot.select(
+        "bucket", F.coalesce(F.sum("btot").over(prior), F.lit(0)).alias("base_off"))
+    packed = (local.join(F.broadcast(base), "bucket")
+              .select("doc_id", "n_tok",
+                      ((F.col("base_off") + F.col("local_off")) / 512)
+                      .cast("bigint").alias("pack_id")))
+    return (packed.groupBy("pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+@register(
+    "q_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, u.w
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                                 x -> x <> '') AS ws
+              FROM documents), UNNEST(ws) AS u(w)),
+    freq AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT tok.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(log10(freq.cnt * 1.0 / tot.n)), 6) AS avg_logprob,
+           ROUND(MIN(log10(freq.cnt * 1.0 / tot.n)), 6) AS min_logprob
+    FROM tok JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY tok.doc_id
+    """,
+    tags=("corpus", "quality", "language-model"),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: each document's mean and
+    minimum log10 probability of its tokens under the corpus's own
+    unigram distribution — the cheap stand-in for the CCNet/CCNet-
+    style LM perplexity filter (low avg_logprob = gibberish or
+    boilerplate outliers).
+
+    Token instances are exploded once; the frequency table is a
+    token-keyed hash agg joined back on the same key (co-located
+    shuffle), and the corpus token total crosses to the driver as a
+    single scalar broadcast. Linear in token volume at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    logp = F.log10(F.col("cnt") / F.col("n"))
+    return (tok.join(freq, "w")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(logp), 6).alias("avg_logprob"),
+                 F.round(F.min(logp), 6).alias("min_logprob")))
+
+
+@register(
     "q_winnowing_fingerprints",
     oracle="""
     WITH t AS (

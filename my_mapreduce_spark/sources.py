@@ -93,3 +93,18 @@ def read_csv(spark: SparkSession, path: str, schema: str,
     """Schema-enforced CSV source (no inference scan at 100 TB)."""
     return (spark.read.schema(schema).option("header", header)
             .option("sep", sep).csv(path))
+
+
+def write_orc(df: DataFrame, path: str,
+              partition_by: str | None = None) -> None:
+    """ORC sink — the second built-in columnar format (Hive-ecosystem
+    interchange); same pushdown/pruning properties as parquet."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (schema carried in the file footer)."""
+    return spark.read.orc(path)

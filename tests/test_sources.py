@@ -86,3 +86,19 @@ def test_csv_roundtrip(spark, tmp_path):
     back = read_csv(spark, path,
                     "n_nationkey int, n_name string, n_regionkey int")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, na.collect()))
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from my_mapreduce_spark.sources import read_orc, write_orc
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by="lang")
+    back = read_orc(spark, path).select("doc_id", "lang", "n_chars")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    # partition pruning: a lang predicate must prune the read to one
+    # hive partition (PartitionFilters in the scan, not a post-filter)
+    plan = (read_orc(spark, path).where(F.col("lang") == "en")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [isnotnull(lang" in plan

@@ -45,6 +45,8 @@ _ALLOW_NESTED_LOOP = {
                                  # scalar-subquery BNLJ, O(n) x 1
     "q22_prospects",             # crossJoin(broadcast(1-row avg balance)),
                                  # same scalar-subquery shape
+    "q_unigram_logprob",         # crossJoin(broadcast(1-row token total)),
+                                 # same scalar-subquery shape
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
@@ -53,6 +55,7 @@ _SKIP = {
     "q_dedup_clusters",  # returns the converged cached relation; the
                          # per-round join+agg plans (which do codegen)
                          # already executed inside the driver loop
+    "q_dedup_clusters_pj",  # same iterative shape as q_dedup_clusters
 }
 
 # Queries whose filters provably CAN reach a parquet reader (they
