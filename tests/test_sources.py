@@ -102,3 +102,18 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     plan = (read_orc(spark, path).where(F.col("lang") == "en")
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    # batches written months apart drift schema; mergeSchema must
+    # union the columns and null-fill the old batch
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id int, name string")
+    v1.write.parquet(path + "/batch=1")
+    v2 = spark.createDataFrame([(2, "b", 0.5)],
+                               "id int, name string, score double")
+    v2.write.parquet(path + "/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(back.columns) == {"id", "name", "score", "batch"}
+    rows = {r.id: (r.name, r.score) for r in back.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.5)}
