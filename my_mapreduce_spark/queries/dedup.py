@@ -525,20 +525,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (edges.select(F.col("src").alias("doc_id"))
               .distinct()
               .withColumn("cluster_id", F.col("doc_id")))
-    changed = -1
+    changed, prev_cached = -1, None
     for _ in range(20):  # >= diameter; breaks as soon as converged
         prop = (edges.join(labels, edges.src == labels.doc_id)
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("nbr_min")))
+        # the change flag is derivable in the same pass (a label only
+        # ever decreases), so convergence costs a count over the
+        # cached relation instead of a second new-vs-old join
         new = (labels.join(prop, "doc_id", "left")
                .select("doc_id",
                        F.least("cluster_id", F.coalesce("nbr_min", "cluster_id"))
-                       .alias("cluster_id"))
+                       .alias("cluster_id"),
+                       (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id"))
+                       .alias("chg"))
                .cache())
-        changed = (new.alias("n").join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.cluster_id") != F.col("o.cluster_id")).count())
-        labels.unpersist()
-        labels = new
+        changed = new.where("chg").count()
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached, labels = new, new.drop("chg")
         if changed == 0:
             break
     edges.unpersist()
@@ -578,30 +583,31 @@ def q_dedup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
               .distinct()
               .withColumn("cluster_id", F.col("doc_id"))
               .cache())
-    changed = -1
+    changed, prev_cached = -1, labels
     for _ in range(10):  # O(log diameter); breaks once converged
         # (a) 1-hop min over neighbors' labels
         prop = (edges.join(labels, edges.src == labels.doc_id)
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("nbr_min")))
         hop = (labels.join(prop, "doc_id", "left")
-               .select("doc_id",
+               .select("doc_id", F.col("cluster_id").alias("old_label"),
                        F.least("cluster_id", F.coalesce("nbr_min", "cluster_id"))
-                       .alias("cluster_id")))
+                       .alias("h")))
         # (b) pointer jump: label <- label[label]  (labels are doc_ids,
-        # so the parent's label is one equi-join away)
-        parent = hop.select(F.col("doc_id").alias("cluster_id"),
-                            F.col("cluster_id").alias("parent_label"))
-        new = (hop.join(parent, "cluster_id", "left")
+        # so the parent's label is one equi-join away); the change
+        # flag rides along since labels only ever decrease
+        parent = hop.select(F.col("doc_id").alias("h"),
+                            F.col("h").alias("parent_label"))
+        new = (hop.join(parent, "h", "left")
                .select("doc_id",
-                       F.least("cluster_id",
-                               F.coalesce("parent_label", "cluster_id"))
-                       .alias("cluster_id"))
+                       F.least("h", F.coalesce("parent_label", "h"))
+                       .alias("cluster_id"),
+                       (F.least("h", F.coalesce("parent_label", "h"))
+                        < F.col("old_label")).alias("chg"))
                .cache())
-        changed = (new.alias("n").join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.cluster_id") != F.col("o.cluster_id")).count())
-        labels.unpersist()
-        labels = new
+        changed = new.where("chg").count()
+        prev_cached.unpersist()
+        prev_cached, labels = new, new.drop("chg")
         if changed == 0:
             break
     edges.unpersist()
