@@ -393,3 +393,73 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _K)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rnk")
     )
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                   AS scale
+        FROM e),
+    q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> CAST(floor(x * 127.0 / scale + 0.5)
+                                           AS BIGINT)) AS qv
+        FROM s),
+    d AS (
+        SELECT vec_id, scale, qv,
+               list_transform(qv, x -> x * scale / 127.0) AS dq, v
+        FROM q)
+    SELECT vec_id,
+           ROUND(scale, 6)                                   AS scale,
+           CAST(list_sum(qv) AS BIGINT)                      AS q_sum,
+           CAST(list_min(qv) AS BIGINT)                      AS q_min,
+           CAST(list_max(qv) AS BIGINT)                      AS q_max,
+           ROUND(list_dot_product(v, dq)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(dq, dq))), 6)    AS cos_recon
+    FROM d
+    """,
+    tags=("embedding", "quantization", "storage"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    max-abs scale, values mapped to [-127, 127] with explicit
+    floor(x+0.5) rounding (pinned so both engines round identically),
+    plus the reconstruction cosine against the original vector.
+
+    This is the 4x storage/bandwidth reduction step an embedding
+    store applies before ANN indexing at 100 TB; everything is
+    built-in array HOFs (transform/aggregate/zip_with) — JVM-side,
+    zero Python, linear scan, no shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _as_double("embedding")
+    e = emb.select("vec_id", v.alias("v"))
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("v"), F.abs)), F.lit(1e-12))
+    s = e.withColumn("scale", scale)
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x * 127.0 / F.col("scale") + 0.5).cast("bigint"))
+    q = s.withColumn("qv", qv)
+    dq = F.transform(F.col("qv"), lambda x: x * F.col("scale") / 127.0)
+    d = q.withColumn("dq", dq)
+    return d.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.round(_dot(F.col("v"), F.col("dq"))
+                / (F.sqrt(_dot(F.col("v"), F.col("v")))
+                   * F.sqrt(_dot(F.col("dq"), F.col("dq")))), 6)
+        .alias("cos_recon"),
+    )

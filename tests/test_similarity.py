@@ -94,3 +94,16 @@ def test_ivf_quantizer_is_fixed_k(spark):
         assert _ivf_k(10_000_000_000) == 64
     finally:
         del os.environ["SPARK_GRAFT_IVF_K"]
+
+
+def test_quantize_reconstruction_quality(spark):
+    # int8 quantization of 64-dim vectors must keep reconstruction
+    # cosine >= 0.9999 for every vector (worst case ~0.99995 on the
+    # fixture); q values must fit int8 range
+    from pyspark.sql import functions as F
+
+    from my_mapreduce_spark.queries.similarity import q_embedding_quantize
+
+    out = q_embedding_quantize(spark, SF_DIR)
+    assert out.where((F.col("cos_recon") < 0.9999)
+                     | (F.col("q_min") < -127) | (F.col("q_max") > 127)).count() == 0
