@@ -145,6 +145,55 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, x.n AS n_a, y.n AS n_b, n_common,
+           CASE WHEN n_common = x.n AND n_common = y.n THEN 'mutual'
+                WHEN n_common = x.n THEN 'a_in_b'
+                ELSE 'b_in_a' END AS contained,
+           ROUND(n_common * 1.0 / LEAST(x.n, y.n), 6) AS containment
+    FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE n_common = LEAST(x.n, y.n)
+    """,
+    tags=("dedup", "near-dup", "containment"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup: pairs where one document's entire shingle
+    set is a subset of the other's — the quote/excerpt/boilerplate
+    case symmetric Jaccard MISSES (a paragraph embedded in a long
+    page scores near-zero Jaccard but 1.0 containment). Same
+    shingle-join skeleton as q_dedup_ngram_jaccard, so the same
+    verifier-role scale posture applies; the production path seeds
+    it with LSH candidates.
+    """
+    s = _shingle_rows(spark, sf_dir)
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n_a, n_b, n_c = F.col("x.n"), F.col("y.n"), F.col("n_common")
+    return (
+        pairs.join(sz.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sz.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .where(n_c == F.least(n_a, n_b))
+        .select("doc_a", "doc_b", n_a.alias("n_a"), n_b.alias("n_b"), "n_common",
+                F.when((n_c == n_a) & (n_c == n_b), "mutual")
+                .when(n_c == n_a, "a_in_b").otherwise("b_in_a").alias("contained"),
+                F.round(n_c / F.least(n_a, n_b), 6).alias("containment"))
+    )
+
+
 def _minhash_oracle() -> str:
     mins = ",\n               ".join(
         f"MIN(md5('{i}|' || shingle)) AS m{i}" for i in range(_N_MINHASH))

@@ -261,3 +261,62 @@ def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("total_chars"),
                  F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
+@register(
+    "q_bigram_pmi",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    tok AS (SELECT u.w FROM t, UNNEST(ws) AS u(w)),
+    uni AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    n AS (SELECT COUNT(*) AS n_tok FROM tok),
+    big AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS c_ab
+        FROM t, UNNEST(range(1, len(ws))) AS u(i)
+        GROUP BY 1, 2),
+    m AS (SELECT SUM(c_ab) AS n_big FROM big)
+    SELECT w1, w2, c_ab,
+           ROUND(log10((c_ab * 1.0 / m.n_big)
+                 / ((x.c * 1.0 / n.n_tok) * (y.c * 1.0 / n.n_tok))), 6) AS pmi
+    FROM big JOIN uni x ON w1 = x.w JOIN uni y ON w2 = y.w
+    CROSS JOIN n CROSS JOIN m
+    WHERE c_ab >= 20
+    """,
+    tags=("text", "collocation", "pmi"),
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    word pairs occurring >= 20 times — the classic phrase-detection
+    signal (high PMI = 'new york'-style units worth a single token).
+
+    Bigrams come from zipping each token array against itself
+    shifted by one (array HOF, no positional self-join); unigram and
+    bigram totals are 1-row broadcast scalars. Two token-keyed hash
+    aggs + two broadcastable frequency joins — linear at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = _tokens()
+    tok = docs.select(F.explode(w).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    big = (docs.select(F.explode(
+               F.zip_with(F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                          F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                          lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))))
+               .alias("bg"))
+           .select("bg.w1", "bg.w2")
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab")))
+    n_big = big.agg(F.sum("c_ab").alias("n_big"))
+    pmi = F.log10((F.col("c_ab") / F.col("n_big"))
+                  / ((F.col("x.c") / F.col("n_tok"))
+                     * (F.col("y.c") / F.col("n_tok"))))
+    return (big.where(F.col("c_ab") >= 20)
+            .join(uni.alias("x"), F.col("w1") == F.col("x.w"))
+            .join(uni.alias("y"), F.col("w2") == F.col("y.w"))
+            .crossJoin(F.broadcast(n_tok))
+            .crossJoin(F.broadcast(n_big))
+            .select("w1", "w2", "c_ab", F.round(pmi, 6).alias("pmi")))

@@ -47,6 +47,8 @@ _ALLOW_NESTED_LOOP = {
                                  # same scalar-subquery shape
     "q_unigram_logprob",         # crossJoin(broadcast(1-row token total)),
                                  # same scalar-subquery shape
+    "q_bigram_pmi",              # crossJoin(broadcast(two 1-row totals)),
+                                 # same scalar-subquery shape
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
