@@ -193,3 +193,46 @@ def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max_by("event_id", score).alias("top_event_id"),
                  F.max_by("user_id", score).alias("top_user_id"),
                  F.round(F.max("value"), 4).alias("max_value")))
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    WITH t AS (
+        SELECT c_mktsegment,
+               NULLIF(CAST(round(c_acctbal) AS BIGINT) % 5, 2) AS x,
+               NULLIF(CAST(round(c_acctbal) AS BIGINT) % 7, 3) AS y
+        FROM customer)
+    SELECT c_mktsegment,
+           COUNT(*)                        AS n,
+           COUNT(x)                        AS n_x,
+           CAST(COUNT(*) - COUNT(x) AS BIGINT) AS n_x_null,
+           ROUND(AVG(x), 6)                AS avg_x,
+           CAST(SUM(CASE WHEN x IS NOT DISTINCT FROM y THEN 1 ELSE 0 END)
+                AS BIGINT)                 AS nsafe_eq,
+           CAST(SUM(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT) AS plain_eq,
+           MIN(COALESCE(x, 99))            AS min_coalesced
+    FROM t GROUP BY c_mktsegment
+    """,
+    tags=("scalar", "null-semantics"),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL null-semantics parity: null-skipping COUNT/AVG, null-safe
+    equality (``<=>`` vs ``=`` — the plain form drops null pairs,
+    the null-safe form counts null==null as true), NULLIF
+    null-injection and COALESCE recovery, per market segment.
+    Engines differ here more often than anywhere else; the oracle
+    pins Spark to ANSI behavior column by column."""
+    cust = load_table(spark, sf_dir, "customer")
+    xv = F.nullif(F.round("c_acctbal").cast("bigint") % 5, F.lit(2))
+    yv = F.nullif(F.round("c_acctbal").cast("bigint") % 7, F.lit(3))
+    t = cust.select("c_mktsegment", xv.alias("x"), yv.alias("y"))
+    return (t.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("x").alias("n_x"),
+                 (F.count(F.lit(1)) - F.count("x")).alias("n_x_null"),
+                 F.round(F.avg("x"), 6).alias("avg_x"),
+                 F.sum(F.when(F.expr("x <=> y"), 1).otherwise(0)).alias("nsafe_eq"),
+                 F.sum(F.when(F.col("x") == F.col("y"), 1).otherwise(0))
+                 .alias("plain_eq"),
+                 F.min(F.coalesce("x", F.lit(99))).alias("min_coalesced")))
