@@ -72,3 +72,27 @@ def register_views(spark: SparkSession, sf_dir: str,
     """Register every fixture table as a temp view for spark.sql use."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_file_bytes: int = 128 << 20) -> int:
+    """Compact a small-files parquet dataset into ~target-sized files.
+
+    Streaming sinks and fine-grained ingestion leave thousands of
+    KB-sized files; at 100 TB the resulting driver listing cost and
+    per-file open overhead dominate scans. This sizes the output
+    file count from the SOURCE byte size (via the Hadoop FS API, so
+    it works on any supported filesystem, not just local) and
+    rewrites in one round-robin repartition — no shuffle key needed,
+    just even file sizes. Returns the output file count.
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n

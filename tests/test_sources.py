@@ -117,3 +117,19 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(back.columns) == {"id", "name", "score", "batch"}
     rows = {r.id: (r.name, r.score) for r in back.collect()}
     assert rows == {1: ("a", None), 2: ("b", 0.5)}
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    from my_mapreduce_spark.io import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    ev.repartition(64).write.parquet(src)          # the small-files mess
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 20)
+    import glob
+    files = glob.glob(dst + "/part-*.parquet")
+    assert len(files) == n and n < 64
+    back = spark.read.parquet(dst)
+    assert back.count() == ev.count()
+    assert back.select(F.sum("event_id")).first()[0] == \
+        ev.select(F.sum("event_id")).first()[0]
