@@ -199,3 +199,101 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 4).alias("sum_value"))
     )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS ym
+        FROM orders GROUP BY 1, 2),
+    c AS (SELECT o_custkey, MIN(ym) AS cohort_ym FROM a GROUP BY 1),
+    sz AS (SELECT cohort_ym, COUNT(*) AS cohort_size FROM c GROUP BY 1)
+    SELECT c.cohort_ym,
+           a.ym - c.cohort_ym AS month_offset,
+           COUNT(*) AS n_active,
+           sz.cohort_size,
+           ROUND(COUNT(*) * 1.0 / sz.cohort_size, 6) AS retention
+    FROM a JOIN c USING (o_custkey) JOIN sz ON c.cohort_ym = sz.cohort_ym
+    GROUP BY c.cohort_ym, month_offset, sz.cohort_size
+    """,
+    tags=("analytics", "cohort", "retention"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month, the
+    fraction still ordering N months later. Months are encoded as
+    year*12+month ints so offset arithmetic is exact on both
+    engines. Two custkey-keyed hash aggs + one co-located join +
+    a broadcastable cohort-size dim — linear at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+    a = orders.select("o_custkey", ym).distinct()
+    c = a.groupBy("o_custkey").agg(F.min("ym").alias("cohort_ym"))
+    sz = c.groupBy("cohort_ym").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (a.join(c, "o_custkey")
+            .groupBy("cohort_ym", (F.col("ym") - F.col("cohort_ym")).alias("month_offset"))
+            .agg(F.count(F.lit(1)).alias("n_active"))
+            .join(F.broadcast(sz), "cohort_ym")
+            .select("cohort_ym", "month_offset", "n_active", "cohort_size",
+                    F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                    .alias("retention")))
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(o_orderdate)            AS last_order,
+               COUNT(*)                    AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY 1),
+    b AS (
+        SELECT quantile_cont(frequency, 0.25) AS f1,
+               quantile_cont(frequency, 0.50) AS f2,
+               quantile_cont(frequency, 0.75) AS f3,
+               quantile_cont(monetary, 0.25)  AS m1,
+               quantile_cont(monetary, 0.50)  AS m2,
+               quantile_cont(monetary, 0.75)  AS m3
+        FROM rfm)
+    SELECT CAST(1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+                  + CAST(frequency > f3 AS INT) AS BIGINT) AS f_score,
+           CAST(1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+                  + CAST(monetary > m3 AS INT) AS BIGINT) AS m_score,
+           COUNT(*) AS n_customers,
+           MIN(last_order) AS earliest_last_order
+    FROM rfm CROSS JOIN b
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "rfm", "segmentation"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM-style segmentation, scale-correct form: frequency and
+    monetary quartile scores per customer, bucketed by comparing
+    against exact-percentile boundaries computed once and broadcast
+    (1-row relation). The naive ntile(4) over a global ORDER BY
+    drags every customer through one task; boundary-compare keeps
+    the scan fully parallel and needs only a 6-number broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+    b = rfm.agg(
+        F.expr("percentile(frequency, 0.25)").alias("f1"),
+        F.expr("percentile(frequency, 0.50)").alias("f2"),
+        F.expr("percentile(frequency, 0.75)").alias("f3"),
+        F.expr("percentile(monetary, 0.25)").alias("m1"),
+        F.expr("percentile(monetary, 0.50)").alias("m2"),
+        F.expr("percentile(monetary, 0.75)").alias("m3"))
+    score = lambda col, b1, b2, b3: (  # noqa: E731
+        F.lit(1)
+        + (F.col(col) > F.col(b1)).cast("bigint")
+        + (F.col(col) > F.col(b2)).cast("bigint")
+        + (F.col(col) > F.col(b3)).cast("bigint"))
+    return (rfm.crossJoin(F.broadcast(b))
+            .groupBy(score("frequency", "f1", "f2", "f3").alias("f_score"),
+                     score("monetary", "m1", "m2", "m3").alias("m_score"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.min("last_order").alias("earliest_last_order")))

@@ -723,3 +723,76 @@ def q_dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ja").isNotNull() & F.col("ca").isNotNull(), "both")
             .when(F.col("ja").isNotNull(), "text_only")
             .otherwise("embedding_only").alias("signal")))
+
+
+@register(
+    "q_dedup_triangles",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    p0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM p0
+        JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE n_common * 1.0 / (x.n + y.n - n_common) >= 0.6)
+    SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+    FROM e e1 JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    tags=("dedup", "graph", "triangles"),
+)
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the near-dup graph (a < b < c ordered, each
+    listed once): triangle density separates tight duplicate
+    cliques, which are safe to collapse, from chains of pairwise
+    borderline matches, which are not. Two self-joins over the
+    already-thresholded edge list, with the a < b < c orientation
+    bounding the join fan-out (every edge joins only its
+    higher-numbered neighbors) — the standard distributed triangle
+    enumeration; cost is pairs-sized, never corpus-sized.
+    """
+    e = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).cache()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+            .join(e3, (F.col("e3.a") == F.col("e1.a"))
+                  & (F.col("e3.b") == F.col("e2.b")))
+            .select(F.col("e1.a").alias("doc_a"),
+                    F.col("e1.b").alias("doc_b"),
+                    F.col("e2.b").alias("doc_c")))
+
+
+@register(
+    "q_dedup_golden_record",
+    oracle="""
+    WITH g AS (
+        SELECT md5(text) AS content_md5,
+               MIN(doc_id)  AS canonical_doc,
+               COUNT(*)     AS n_members,
+               MAX(n_chars) AS best_n_chars,
+               string_agg(DISTINCT source, ',' ORDER BY source) AS sources,
+               string_agg(DISTINCT lang, ',' ORDER BY lang)     AS langs
+        FROM documents GROUP BY md5(text))
+    SELECT * FROM g
+    """,
+    tags=("dedup", "survivorship", "mdm"),
+)
+def q_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record construction: one canonical row
+    per distinct content, merging the duplicates' fields — lowest
+    doc_id as canonical, longest variant's length, the union of
+    sources and languages as sorted lists. One content-hash
+    partitioned aggregation; list fields stay deterministic via
+    sort_array, never collection order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.groupBy(F.md5("text").alias("content_md5"))
+            .agg(F.min("doc_id").alias("canonical_doc"),
+                 F.count(F.lit(1)).alias("n_members"),
+                 F.max("n_chars").alias("best_n_chars"),
+                 F.array_join(F.sort_array(F.collect_set("source")), ",")
+                 .alias("sources"),
+                 F.array_join(F.sort_array(F.collect_set("lang")), ",")
+                 .alias("langs")))

@@ -49,6 +49,8 @@ _ALLOW_NESTED_LOOP = {
                                  # same scalar-subquery shape
     "q_bigram_pmi",              # crossJoin(broadcast(two 1-row totals)),
                                  # same scalar-subquery shape
+    "q_rfm_segments",            # crossJoin(broadcast(1-row percentile
+                                 # boundaries)), same scalar-subquery shape
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
