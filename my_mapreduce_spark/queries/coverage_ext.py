@@ -212,3 +212,117 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "bigram").limit(10)
     )
+
+
+@register(
+    "q_unpivot_metrics",
+    oracle="""
+    SELECT l_returnflag, metric,
+           ROUND(SUM(val), 2) AS total,
+           ROUND(AVG(val), 6) AS mean
+    FROM (
+        SELECT l_returnflag, 'quantity' AS metric, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem)
+    GROUP BY l_returnflag, metric
+    """,
+    tags=("relational", "unpivot"),
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping (unpivot/melt, the inverse of
+    q_pivot_status): three measure columns become (metric, val)
+    rows, then aggregate per flag x metric. Spark's native unpivot
+    is a zero-shuffle row expansion; only the final aggregation
+    exchanges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        "l_returnflag",
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric", "val")
+    metric = (F.when(F.col("metric") == "l_quantity", "quantity")
+              .when(F.col("metric") == "l_extendedprice", "extendedprice")
+              .otherwise("discount"))
+    return (long.select("l_returnflag", metric.alias("metric"), "val")
+            .groupBy("l_returnflag", "metric")
+            .agg(F.round(F.sum("val"), 2).alias("total"),
+                 F.round(F.avg("val"), 6).alias("mean")))
+
+
+@register(
+    "q_gaps_islands",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey,
+               year(o_orderdate) * 12 + month(o_orderdate) AS ym
+        FROM orders GROUP BY 1, 2),
+    g AS (
+        SELECT o_custkey, ym,
+               ym - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY ym)
+                   AS grp
+        FROM o)
+    SELECT o_custkey,
+           MIN(ym) AS streak_start_ym,
+           MAX(ym) AS streak_end_ym,
+           CAST(COUNT(*) AS BIGINT) AS streak_months
+    FROM g GROUP BY o_custkey, grp
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("window", "gaps-islands", "analytics"),
+)
+def q_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active months
+    per customer (streaks >= 3 months), via the classic
+    value-minus-row_number grouping trick — consecutive months share
+    (ym - rn). One customer-partitioned window + one hash agg; the
+    window never crosses customers, so it parallelizes by key at any
+    scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("ym")
+    o = orders.select("o_custkey", ym).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("ym")
+    g = o.withColumn("grp", F.col("ym") - F.row_number().over(w))
+    return (g.groupBy("o_custkey", "grp")
+            .agg(F.min("ym").alias("streak_start_ym"),
+                 F.max("ym").alias("streak_end_ym"),
+                 F.count(F.lit(1)).alias("streak_months"))
+            .where(F.col("streak_months") >= 3)
+            .drop("grp"))
+
+
+@register(
+    "q_fuzzy_name_match",
+    oracle="""
+    WITH n AS (
+        SELECT DISTINCT p_name,
+               split_part(p_name, ' ', 2) AS noun
+        FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM n a JOIN n b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("text", "fuzzy", "entity-resolution"),
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: distinct part-name pairs within edit
+    distance 3, BLOCKED on the head noun so the quadratic
+    levenshtein comparison runs only inside blocks — the standard
+    blocking-key design that keeps fuzzy dedup linear-ish at scale
+    (never an unblocked all-pairs; the block key shuffles both sides
+    to the same reducer). Levenshtein is exact and identical in both
+    engines."""
+    part = load_table(spark, sf_dir, "part")
+    n = (part.select("p_name")
+         .distinct()
+         .withColumn("noun", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2))))
+    a, b = n.alias("a"), n.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (a.join(b, (F.col("a.noun") == F.col("b.noun"))
+                   & (F.col("a.p_name") < F.col("b.p_name")))
+            .where(dist <= 3)
+            .select(F.col("a.p_name").alias("name_a"),
+                    F.col("b.p_name").alias("name_b"),
+                    dist.cast("bigint").alias("edit_dist")))
