@@ -323,3 +323,117 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count_distinct("fp").alias("n_fingerprints"),
                  F.min("fp").alias("min_fp"),
                  F.max("fp").alias("max_fp")))
+
+
+@register(
+    "q_bigram_logprob",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM t, UNNEST(range(1, len(ws))) AS u(i)),
+    cnt_ab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+    cnt_a AS (SELECT w1, COUNT(*) AS c_a FROM bg GROUP BY 1)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(log10(cnt_ab.c_ab * 1.0 / cnt_a.c_a)), 6) AS avg_cond_logprob
+    FROM bg JOIN cnt_ab USING (w1, w2) JOIN cnt_a USING (w1)
+    GROUP BY bg.doc_id
+    """,
+    tags=("corpus", "quality", "language-model"),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring: each document's mean log10 conditional
+    probability log p(w2|w1) = log(count(w1 w2) / count(w1 ·)) under
+    the corpus's own bigram counts — the next step up from
+    q_unigram_logprob toward the CCNet perplexity filter (documents
+    whose word ORDER is unusual score low even when their vocabulary
+    is normal).
+
+    Bigram instances come from zipping each token array against its
+    shift (no positional self-join); both frequency relations are
+    token-keyed hash aggs joined back on their own grouping keys —
+    co-located shuffles, linear at 100 TB.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    bg = (docs.select(
+            "doc_id",
+            F.explode(F.zip_with(F.slice(w, 1, n1), F.slice(w, 2, n1),
+                                 lambda x, y: F.struct(x.alias("w1"),
+                                                       y.alias("w2"))))
+            .alias("b"))
+          .select("doc_id", "b.w1", "b.w2"))
+    cnt_ab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    cnt_a = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
+    logp = F.log10(F.col("c_ab") / F.col("c_a"))
+    return (bg.join(cnt_ab, ["w1", "w2"]).join(cnt_a, "w1")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg(logp), 6).alias("avg_cond_logprob")))
+
+
+# Target corpus mixture for q_dataset_mixture: source -> desired share
+# of the sampled dataset. Fixed so the oracle can restate it.
+_MIX_TARGETS = (("src0", 0.40), ("src1", 0.30), ("src2", 0.20), ("src3", 0.10))
+
+
+@register(
+    "q_dataset_mixture",
+    oracle=f"""
+    WITH tgt(source, share) AS (VALUES {", ".join(f"('{s}', {p})" for s, p in _MIX_TARGETS)}),
+    sz AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+    budget AS (SELECT MIN(n_src / share) AS total FROM sz JOIN tgt USING (source)),
+    rate AS (
+        SELECT sz.source, LEAST(tgt.share * budget.total / sz.n_src, 1.0) AS r,
+               sz.n_src
+        FROM sz JOIN tgt USING (source) CROSS JOIN budget),
+    hit AS (
+        SELECT d.source,
+               CASE WHEN (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 1000000) / 1000000.0 < rate.r
+                    THEN 1 ELSE 0 END AS take,
+               rate.n_src, rate.r
+        FROM documents d JOIN rate ON d.source = rate.source)
+    SELECT source, n_src,
+           ROUND(r, 6) AS sample_rate,
+           CAST(SUM(take) AS BIGINT) AS n_sampled
+    FROM hit GROUP BY source, n_src, r
+    """,
+    tags=("corpus", "sampling", "mixture"),
+)
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: hit fixed target proportions per source (40/
+    30/20/10) by computing, per source, the largest total budget the
+    scarcest source supports, then sampling each source at
+    share*budget/n_src with a DETERMINISTIC md5-threshold (same doc
+    kept on every run/engine — reproducible mixtures are how
+    training runs stay comparable). The rate table is rows-per-
+    source tiny and broadcast; the scan never shuffles.
+    """
+    from pyspark.sql import functions as F  # noqa: F811
+
+    docs = load_table(spark, sf_dir, "documents")
+    tgt = docs.sparkSession.createDataFrame(
+        list(_MIX_TARGETS), "source string, share double")
+    sz = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    budget = (sz.join(tgt, "source")
+              .agg(F.min(F.col("n_src") / F.col("share")).alias("total")))
+    rate = (sz.join(tgt, "source").crossJoin(F.broadcast(budget))
+            .select("source", "n_src",
+                    F.least(F.col("share") * F.col("total") / F.col("n_src"),
+                            F.lit(1.0)).alias("r")))
+    frac = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                   16, 10).cast("bigint") % 1000000) / 1000000.0
+    return (docs.join(F.broadcast(rate), "source")
+            .select("source", "n_src", "r",
+                    F.when(frac < F.col("r"), 1).otherwise(0).alias("take"))
+            .groupBy("source", "n_src", F.round("r", 6).alias("sample_rate"))
+            .agg(F.sum("take").alias("n_sampled")))

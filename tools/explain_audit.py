@@ -51,6 +51,8 @@ _ALLOW_NESTED_LOOP = {
                                  # same scalar-subquery shape
     "q_rfm_segments",            # crossJoin(broadcast(1-row percentile
                                  # boundaries)), same scalar-subquery shape
+    "q_dataset_mixture",         # crossJoin(broadcast(1-row sampling
+                                 # budget)), same scalar-subquery shape
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
