@@ -525,6 +525,36 @@ def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rn"))
 
 
+_CC_SHUFFLE_ENV = "SPARK_GRAFT_CC_SHUFFLE"
+
+
+def _scoped_shuffle(spark: SparkSession, n_default: int = 8):
+    """Context manager: temporarily size shuffle partitions for the
+    CC iteration rounds. The label/edge relations are PAIRS-graph-
+    sized — orders of magnitude smaller than the corpus that
+    produced them — so corpus-sized shuffle widths just buy
+    per-round scheduler overhead (the dominant cost of an iterative
+    job on a small graph). The edge skeleton itself is materialized
+    BEFORE entering this scope, under full parallelism. Override
+    with SPARK_GRAFT_CC_SHUFFLE; at 100 TB set it to the graph's
+    size, not the corpus's.
+    """
+    import contextlib
+    import os
+
+    @contextlib.contextmanager
+    def scope():
+        n = os.environ.get(_CC_SHUFFLE_ENV, str(n_default))
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return scope()
+
+
 # Shared by q_dedup_clusters and q_dedup_clusters_pj: both state the
 # same fixpoint (per-component minimum doc_id), so one recursive-CTE
 # oracle checks both implementations.
@@ -571,30 +601,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
              .toDF("src", "dst").cache())
+    edges.count()  # materialize the skeleton under corpus-sized parallelism
     labels = (edges.select(F.col("src").alias("doc_id"))
               .distinct()
               .withColumn("cluster_id", F.col("doc_id")))
     changed, prev_cached = -1, None
-    for _ in range(20):  # >= diameter; breaks as soon as converged
-        prop = (edges.join(labels, edges.src == labels.doc_id)
-                .groupBy(F.col("dst").alias("doc_id"))
-                .agg(F.min("cluster_id").alias("nbr_min")))
-        # the change flag is derivable in the same pass (a label only
-        # ever decreases), so convergence costs a count over the
-        # cached relation instead of a second new-vs-old join
-        new = (labels.join(prop, "doc_id", "left")
-               .select("doc_id",
-                       F.least("cluster_id", F.coalesce("nbr_min", "cluster_id"))
-                       .alias("cluster_id"),
-                       (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id"))
-                       .alias("chg"))
-               .cache())
-        changed = new.where("chg").count()
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached, labels = new, new.drop("chg")
-        if changed == 0:
-            break
+    with _scoped_shuffle(spark):  # rounds shuffle graph-sized relations
+        for _ in range(20):  # >= diameter; breaks as soon as converged
+            prop = (edges.join(labels, edges.src == labels.doc_id)
+                    .groupBy(F.col("dst").alias("doc_id"))
+                    .agg(F.min("cluster_id").alias("nbr_min")))
+            # the change flag is derivable in the same pass (a label only
+            # ever decreases), so convergence costs a count over the
+            # cached relation instead of a second new-vs-old join
+            new = (labels.join(prop, "doc_id", "left")
+                   .select("doc_id",
+                           F.least("cluster_id", F.coalesce("nbr_min", "cluster_id"))
+                           .alias("cluster_id"),
+                           (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id"))
+                           .alias("chg"))
+                   .cache())
+            changed = new.where("chg").count()
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached, labels = new, new.drop("chg")
+            if changed == 0:
+                break
     edges.unpersist()
     if changed != 0:
         # a silent return here would emit WRONG cluster labels for any
@@ -628,37 +660,39 @@ def q_dedup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
              .toDF("src", "dst").cache())
+    edges.count()  # materialize the skeleton under corpus-sized parallelism
     labels = (edges.select(F.col("src").alias("doc_id"))
               .distinct()
               .withColumn("cluster_id", F.col("doc_id"))
               .cache())
     changed, prev_cached = -1, labels
-    for _ in range(10):  # O(log diameter); breaks once converged
-        # (a) 1-hop min over neighbors' labels
-        prop = (edges.join(labels, edges.src == labels.doc_id)
-                .groupBy(F.col("dst").alias("doc_id"))
-                .agg(F.min("cluster_id").alias("nbr_min")))
-        hop = (labels.join(prop, "doc_id", "left")
-               .select("doc_id", F.col("cluster_id").alias("old_label"),
-                       F.least("cluster_id", F.coalesce("nbr_min", "cluster_id"))
-                       .alias("h")))
-        # (b) pointer jump: label <- label[label]  (labels are doc_ids,
-        # so the parent's label is one equi-join away); the change
-        # flag rides along since labels only ever decrease
-        parent = hop.select(F.col("doc_id").alias("h"),
-                            F.col("h").alias("parent_label"))
-        new = (hop.join(parent, "h", "left")
-               .select("doc_id",
-                       F.least("h", F.coalesce("parent_label", "h"))
-                       .alias("cluster_id"),
-                       (F.least("h", F.coalesce("parent_label", "h"))
-                        < F.col("old_label")).alias("chg"))
-               .cache())
-        changed = new.where("chg").count()
-        prev_cached.unpersist()
-        prev_cached, labels = new, new.drop("chg")
-        if changed == 0:
-            break
+    with _scoped_shuffle(spark):  # rounds shuffle graph-sized relations
+        for _ in range(10):  # O(log diameter); breaks once converged
+            # (a) 1-hop min over neighbors' labels
+            prop = (edges.join(labels, edges.src == labels.doc_id)
+                    .groupBy(F.col("dst").alias("doc_id"))
+                    .agg(F.min("cluster_id").alias("nbr_min")))
+            hop = (labels.join(prop, "doc_id", "left")
+                   .select("doc_id", F.col("cluster_id").alias("old_label"),
+                           F.least("cluster_id", F.coalesce("nbr_min", "cluster_id"))
+                           .alias("h")))
+            # (b) pointer jump: label <- label[label]  (labels are doc_ids,
+            # so the parent's label is one equi-join away); the change
+            # flag rides along since labels only ever decrease
+            parent = hop.select(F.col("doc_id").alias("h"),
+                                F.col("h").alias("parent_label"))
+            new = (hop.join(parent, "h", "left")
+                   .select("doc_id",
+                           F.least("h", F.coalesce("parent_label", "h"))
+                           .alias("cluster_id"),
+                           (F.least("h", F.coalesce("parent_label", "h"))
+                            < F.col("old_label")).alias("chg"))
+                   .cache())
+            changed = new.where("chg").count()
+            prev_cached.unpersist()
+            prev_cached, labels = new, new.drop("chg")
+            if changed == 0:
+                break
     edges.unpersist()
     if changed != 0:
         raise RuntimeError(
