@@ -677,3 +677,97 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.date_format(nxt, fmt), F.lit("9999-12-31 00:00:00"))
         .alias("valid_to"),
         nxt.isNull().alias("is_current"))
+
+
+@register(
+    "q_data_card",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, lang, n_chars,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w,
+               md5(text) AS h
+        FROM documents),
+    m AS (
+        SELECT doc_id, source, lang, n_chars, h,
+               len(w) AS n_words,
+               len(list_distinct(w)) * 1.0 / len(w) AS ttr
+        FROM t)
+    SELECT source,
+           COUNT(*)                                   AS n_docs,
+           COUNT(DISTINCT lang)                       AS n_langs,
+           COUNT(DISTINCT h)                          AS n_distinct_contents,
+           CAST(SUM(n_words) AS BIGINT)               AS total_words,
+           ROUND(AVG(n_chars), 4)                     AS avg_chars,
+           ROUND(AVG(ttr), 6)                         AS avg_type_token_ratio,
+           ROUND(AVG(CASE WHEN n_chars >= 200 THEN 1.0 ELSE 0.0 END), 6)
+                                                      AS frac_long
+    FROM m GROUP BY source
+    """,
+    tags=("pipeline", "data-card", "reporting"),
+)
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup per source: corpus composition (docs,
+    languages, distinct contents), volume (words, mean length),
+    lexical diversity, and a long-document fraction — the one-page
+    summary every published dataset ships. Single scan + one
+    source-keyed aggregation; every metric is an algebraic aggregate
+    (map-side partial) so the shuffle carries one row per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.col("text"), r"[^a-z0-9]+"), lambda x: x != "")
+    m = docs.select(
+        "source", "lang", "n_chars",
+        F.md5("text").alias("h"),
+        F.size(w).alias("n_words"),
+        (F.size(F.array_distinct(w)) / F.size(w)).alias("ttr"))
+    return (m.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("lang").alias("n_langs"),
+                 F.count_distinct("h").alias("n_distinct_contents"),
+                 F.sum("n_words").alias("total_words"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.round(F.avg("ttr"), 6).alias("avg_type_token_ratio"),
+                 F.round(F.avg(F.when(F.col("n_chars") >= 200, 1.0)
+                               .otherwise(0.0)), 6).alias("frac_long")))
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events),
+    p AS (
+        SELECT prev_type, event_type, COUNT(*) AS n
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2),
+    tot AS (SELECT prev_type, SUM(n) AS n_from FROM p GROUP BY 1)
+    SELECT p.prev_type, p.event_type AS next_type, p.n,
+           ROUND(p.n * 1.0 / tot.n_from, 6) AS transition_prob
+    FROM p JOIN tot USING (prev_type)
+    """,
+    tags=("analytics", "sequence", "markov"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), from a user-partitioned
+    lag window (ordered by ts with event_id as the deterministic
+    tie-break) and two small aggregations. The window never crosses
+    users, so the sequence reconstruction parallelizes by user key
+    at any scale; the transition matrix itself is event-type² tiny."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", "event_type",
+                  F.lag("event_type").over(w).alias("prev_type"))
+    p = (s.where(F.col("prev_type").isNotNull())
+         .groupBy("prev_type", F.col("event_type").alias("next_type"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    tot = p.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return (p.join(tot, "prev_type")
+            .select("prev_type", "next_type", "n",
+                    F.round(F.col("n") / F.col("n_from"), 6)
+                    .alias("transition_prob")))
