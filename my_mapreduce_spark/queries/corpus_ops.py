@@ -18,6 +18,8 @@ everything stays in whole-stage codegen.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -167,6 +169,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("overlap_frac")))
 
 
+# Second level of the packing prefix sum: the per-bucket-totals
+# relation flows through ONE task (a global-order window), so its row
+# count must stay bounded regardless of corpus size. Target ~64k rows:
+# width = ceil(n / 65536), floored at 1000 so small corpora still get
+# full first-level parallelism.
+_PACK_L2_TARGET = 1 << 16
+
+
+def _pack_bucket_width(n_docs: int) -> int:
+    """Bucket width keeping the 2nd-level relation <= _PACK_L2_TARGET rows."""
+    return max(1000, -(-int(n_docs) // _PACK_L2_TARGET))
+
+
 @register(
     "q_pack_sequences",
     oracle="""
@@ -195,18 +210,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus into fixed-length training sequences.
 
     The global running offset is computed as a DISTRIBUTED prefix
-    sum, not one giant window: (1) bucket docs by doc_id DIV 1000
+    sum, not one giant window: (1) bucket docs by doc_id DIV width
     and prefix-sum WITHIN each bucket (window partitioned by bucket,
-    shuffle-parallel); (2) prefix-sum the per-bucket totals — a
-    bucket-count-sized relation, thousands of rows per trillion docs
-    — and broadcast it back as each bucket's base offset. A plain
+    shuffle-parallel); (2) prefix-sum the per-bucket totals — and
+    broadcast it back as each bucket's base offset. A plain
     ``SUM() OVER (ORDER BY ...)`` with no partition would drag the
     full corpus through one task; this two-level scan is the classic
-    fix. The oracle states the same result as the naive cumsum.
+    fix.
+
+    The second level is itself a single-task global window, so its
+    input is BOUNDED by deriving the bucket width from the corpus
+    count: ``width = max(1000, ceil(n / 65536))`` caps the bucket-
+    totals relation at ~65k rows at ANY n. At a trillion docs the
+    width is ~15.3M docs/bucket and the second level still sees only
+    65,536 rows; the count() that sizes it is one column-pruned scan.
+    Results are width-invariant (tested), so the env override
+    ``SPARK_GRAFT_PACK_WIDTH`` exists for tests only. The oracle
+    states the same result as the naive cumsum.
     """
     docs = load_table(spark, sf_dir, "documents")
+    width = int(os.environ.get("SPARK_GRAFT_PACK_WIDTH", "0")) \
+        or _pack_bucket_width(docs.count())
     t = docs.select(
-        "doc_id", (F.col("doc_id") / 1000).cast("bigint").alias("bucket"),
+        "doc_id", (F.col("doc_id") / width).cast("bigint").alias("bucket"),
         F.size(tokens()).alias("n_tok"))
     in_bucket = Window.partitionBy("bucket").orderBy("doc_id") \
         .rowsBetween(Window.unboundedPreceding, 0)

@@ -73,3 +73,37 @@ def test_winnowing_shared_run_shares_fingerprint(spark):
     a = {r.fp for r in fps.where("doc_id = 1").collect()}
     b = {r.fp for r in fps.where("doc_id = 2").collect()}
     assert a & b, "winnowing must fingerprint a shared 6-token run"
+
+
+def test_pack_bucket_width_bounds_second_level():
+    # the bucket-totals relation (n // width rows) must stay under the
+    # 65k target at ANY corpus size — this is the 100 TB contract
+    from my_mapreduce_spark.queries.corpus_ops import (
+        _PACK_L2_TARGET,
+        _pack_bucket_width,
+    )
+
+    for n in (0, 1, 999, 65_536, 10**6, 10**9, 10**12, 10**14):
+        w = _pack_bucket_width(n)
+        assert w >= 1000
+        assert n // w <= _PACK_L2_TARGET, (n, w)
+    # a trillion docs: width ~15.3M, second level exactly at the cap
+    assert _pack_bucket_width(10**12) == -(-10**12 // 65_536)
+
+
+def test_pack_sequences_width_invariant(spark, monkeypatch):
+    # pack assignment is a pure function of the doc_id-ordered token
+    # stream — the bucket width is an execution detail and must not
+    # leak into results
+    from my_mapreduce_spark.queries.corpus_ops import q_pack_sequences
+
+    def run(width):
+        if width:
+            monkeypatch.setenv("SPARK_GRAFT_PACK_WIDTH", str(width))
+        else:
+            monkeypatch.delenv("SPARK_GRAFT_PACK_WIDTH", raising=False)
+        return {tuple(r) for r in q_pack_sequences(spark, SF_DIR).collect()}
+
+    base = run(0)  # corpus-derived width
+    assert base == run(7)
+    assert base == run(100_000)  # one bucket: degenerate single-level
