@@ -64,10 +64,8 @@ def test_ivf_recall_vs_bruteforce(spark):
     near-uniform vectors (LSH/IVF worst case) recall must still
     clear a usefulness bound, and every query must be answered.
     Measured ~0.80 at sf0.001 / ~0.85 at sf0.1 with the trained
-    fixed-k quantizer; asserted at 0.7 — enough headroom for
-    float-sum jitter in the distributed k-means reduction while
-    still catching a regression to the untrained-quantizer era
-    (which measured ~0.38)."""
+    fixed-k quantizer; asserted at 0.8 to match measured behavior
+    (a regression to the untrained-quantizer era measured ~0.38)."""
     from my_mapreduce_spark.queries.similarity import (q_knn_bruteforce,
                                                        q_knn_ivf)
 
@@ -77,7 +75,7 @@ def test_ivf_recall_vs_bruteforce(spark):
     hits = sum(len(exact[q] & approx[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     recall = hits / total
-    assert recall >= 0.7, f"IVF recall {recall:.2f} below bound"
+    assert recall >= 0.8, f"IVF recall {recall:.2f} below bound"
 
 
 def test_ivf_quantizer_is_fixed_k(spark):
