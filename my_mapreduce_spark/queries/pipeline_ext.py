@@ -188,6 +188,61 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("tfidf_raw", 6).alias("tfidf"), "rnk"))
 
 
+_TOP_TERMS_K = 5
+
+
+@register(
+    "q_top_terms_by_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, lang, unnest({_TOKEN_SPLIT_SQL}) AS term
+        FROM documents),
+    cnt AS (
+        SELECT source, lang, term, COUNT(*) AS n_occur
+        FROM tok
+        WHERE len(term) >= 4
+          AND NOT list_contains(['the','a','of','to','and','in','is',
+                                 'that','with','this'], term)
+        GROUP BY 1, 2, 3),
+    ranked AS (
+        SELECT source, lang, term, n_occur,
+               ROW_NUMBER() OVER (PARTITION BY source, lang
+                                  ORDER BY n_occur DESC, term) AS rnk
+        FROM cnt)
+    SELECT source, lang, term, n_occur, rnk
+    FROM ranked WHERE rnk <= {_TOP_TERMS_K}
+    """,
+    tags=("pipeline", "text", "top-k", "per-group"),
+)
+def q_top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} most frequent content terms per (source, lang) — the
+    grouped variant of q_tfidf_top_terms and the single most common
+    reporting query over a curated corpus ("what does each slice
+    actually contain?"). Short tokens and a stopword list are
+    excluded so the ranking surfaces content words.
+
+    Shape: one tokenization pass -> (source, lang, term)-keyed hash
+    agg (map-side partial combine, the token explosion never
+    re-shuffles raw text) -> per-group row_number window. The window
+    input is vocabulary-per-group-sized — bounded by the vocabulary,
+    not the corpus — and partitions on (source, lang), so no global
+    ordering task exists anywhere in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    stops = F.array(*[F.lit(s) for s in
+                      ("the", "a", "of", "to", "and", "in", "is",
+                       "that", "with", "this")])
+    tok = docs.select("source", "lang", F.explode(_tokens()).alias("term"))
+    cnt = (tok.where((F.length("term") >= 4)
+                     & ~F.array_contains(stops, F.col("term")))
+           .groupBy("source", "lang", "term")
+           .agg(F.count(F.lit(1)).alias("n_occur")))
+    w = Window.partitionBy("source", "lang") \
+        .orderBy(F.col("n_occur").desc(), "term")
+    return (cnt.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _TOP_TERMS_K)
+            .select("source", "lang", "term", "n_occur", "rnk"))
+
+
 # ---------------------------------------------------------------------------
 # Gopher-style quality rules
 # ---------------------------------------------------------------------------
