@@ -571,6 +571,58 @@ def q_vocab_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("vocab_id", F.row_number().over(w))
 
 
+@register(
+    "q_vocab_rank_scalable",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKEN_SPLIT_SQL}) AS token FROM documents),
+    c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+          HAVING COUNT(*) >= {_VOCAB_MIN_COUNT})
+    SELECT token, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, token) AS vocab_id
+    FROM c
+    """,
+    tags=("pipeline", "text", "vocabulary", "distributed-rank"),
+)
+def q_vocab_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same frequency-ranked vocabulary as q_vocab_min_count, but
+    the global row_number is computed WITHOUT any corpus-sized
+    single-partition window — the scale path for when the ranked
+    relation is too big for one task (q_vocab_min_count's plain
+    global window is fine for vocabulary-sized inputs; this variant
+    is the pattern for ranking arbitrarily large relations).
+
+    Two-pass range rank: (1) repartitionByRange on the rank order, so
+    partition p holds exactly the rows ranking before partition p+1
+    (the composite key (n desc, token) is unique — counts are
+    per-token — so no tie straddles a boundary); row_number WITHIN
+    each partition is shuffle-parallel. (2) per-partition row counts
+    — at most ``spark.sql.shuffle.partitions`` rows — are prefix-
+    summed into base offsets and broadcast back. Global rank =
+    partition base + local rank. The only global-order window in the
+    plan runs over the partition-counts relation, bounded by a conf,
+    never by data. Tested equal to the plain-window variant and
+    invariant to the partition count (tests/test_vocab_rank.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(_tokens()).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+              .where(F.col("n") >= _VOCAB_MIN_COUNT))
+    ranged = (counts.repartitionByRange(F.col("n").desc(), F.col("token"))
+              .withColumn("pid", F.spark_partition_id()))
+    # row_number within the range partition: sortWithinPartitions +
+    # a pid-keyed window (the window's shuffle hashes whole range
+    # partitions, preserving each group intact)
+    local_w = Window.partitionBy("pid").orderBy(F.col("n").desc(), "token")
+    local = ranged.withColumn("local_rank", F.row_number().over(local_w))
+    pid_counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    prior = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    base = pid_counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(prior), F.lit(0)).alias("base"))
+    return (local.join(F.broadcast(base), "pid")
+            .select("token", "n",
+                    (F.col("base") + F.col("local_rank")).alias("vocab_id")))
+
+
 # ---------------------------------------------------------------------------
 # Time-hierarchy rollup over events (hypertable-style)
 # ---------------------------------------------------------------------------
