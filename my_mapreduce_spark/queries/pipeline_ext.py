@@ -188,6 +188,71 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("tfidf_raw", 6).alias("tfidf"), "rnk"))
 
 
+_HH_PHI = 128          # heavy hitter: n_occur * PHI > corpus token count
+_HH_SUMMARY_K = 512    # Misra-Gries counters per partition summary
+
+
+def _mg_summaries(batches):
+    """Per-partition Misra-Gries summary over an Arrow token stream:
+    bounded at {k} counters no matter how many tokens flow through.
+    Merging a batch's value_counts then subtracting the (k+1)-th
+    largest count (the mergeable-summaries trim) keeps every item
+    whose partition-local frequency exceeds n_part/(k+1) — a superset
+    of the partition's heavy hitters, hence (by pigeonhole) the union
+    over partitions is a superset of the GLOBAL heavy hitters at any
+    threshold above n/(k+1)."""
+    import pandas as pd
+
+    counts = pd.Series(dtype="float64")
+    for pdf in batches:
+        counts = counts.add(pdf["token"].value_counts(), fill_value=0)
+        if len(counts) > _HH_SUMMARY_K:
+            cut = counts.nlargest(_HH_SUMMARY_K + 1).iloc[-1]
+            counts = counts[counts > cut] - cut
+    yield pd.DataFrame({"token": counts.index.astype(str)})
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKEN_SPLIT_SQL}) AS token FROM documents),
+    n AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT token,
+           COUNT(*) AS n_occur,
+           ROUND(COUNT(*) * 1.0 / (SELECT total FROM n), 6) AS frac
+    FROM tok GROUP BY token
+    HAVING COUNT(*) * {_HH_PHI} > (SELECT total FROM n)
+    """,
+    tags=("pipeline", "text", "heavy-hitters", "sketch"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent tokens (frequency > 1/{phi} of the corpus) via
+    the two-pass sketch-then-verify pattern: per-partition Misra-
+    Gries summaries (bounded at {k} counters each — constant memory
+    at any corpus size) nominate candidates, and only the candidate
+    tokens get an exact recount. MG guarantees the candidate union
+    covers every true heavy hitter, so the result is exact — the
+    oracle is a plain GROUP BY/HAVING.
+
+    This is the scale shape for skewed-vocabulary corpora where even
+    the token-count aggregation is too wide to shuffle comfortably:
+    the full-vocab shuffle is replaced by a no-shuffle Arrow summary
+    pass plus a recount semi-joined to ~{k}x{{partitions}} broadcast
+    candidates. The corpus token total crosses in as a 1-row
+    broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens()).alias("token"))
+    cands = tok.mapInPandas(_mg_summaries, schema="token string").distinct()
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    return (tok.join(F.broadcast(cands), "token", "left_semi")
+            .groupBy("token").agg(F.count(F.lit(1)).alias("n_occur"))
+            .crossJoin(F.broadcast(total))
+            .where(F.col("n_occur") * _HH_PHI > F.col("total"))
+            .select("token", "n_occur",
+                    F.round(F.col("n_occur") / F.col("total"), 6).alias("frac")))
+
+
 _TOP_TERMS_K = 5
 
 

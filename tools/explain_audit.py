@@ -53,6 +53,8 @@ _ALLOW_NESTED_LOOP = {
                                  # boundaries)), same scalar-subquery shape
     "q_dataset_mixture",         # crossJoin(broadcast(1-row sampling
                                  # budget)), same scalar-subquery shape
+    "q_heavy_hitters",           # crossJoin(broadcast(1-row token total)),
+                                 # same scalar-subquery shape
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
