@@ -830,3 +830,85 @@ def q_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("sources"),
                  F.array_join(F.sort_array(F.collect_set("lang")), ",")
                  .alias("langs")))
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=None,  # k-means clusters are iterative float math, not
+                  # SQL-expressible; gated by precision/recall/pruning
+                  # tests against the exact pair set instead
+                  # (tests/test_semantic_dedup.py)
+    tags=("dedup", "semantic", "embedding", "clustering"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str,
+                     threshold: float = 0.4) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: cluster the embedding
+    space with the trained coarse quantizer, then score pairs ONLY
+    within each cluster — the published recipe (Abbas et al. 2023)
+    for semantic dedup at web scale, where exact all-pairs cosine
+    (q_dedup_embedding_cosine) is unaffordable.
+
+    Build: reuses the IVF machinery (similarity._train_quantizer) —
+    k ~ sqrt(n) capped at 4096 centroids, O(k*d) driver traffic.
+    Each vector is indexed under its 3 nearest centroids (the same
+    multi-assign that bought IVF its recall: a pair is found if ANY
+    cluster contains both endpoints). Scoring is one applyInPandas
+    per cluster — a vectorized numpy matmul over the cluster block,
+    emitting only above-threshold (a < b) pairs; duplicates from
+    shared clusters collapse with one distinct.
+
+    Scale posture: within-cluster all-pairs is O(sum c_i^2) = O(n^2/k)
+    for balanced clusters — the point of clustering is that k grows
+    with the corpus (SPARK_GRAFT_IVF_K raises the 4096 cap when
+    cluster blocks must shrink further; production SemDeDup sizes k
+    to hold cluster size roughly constant). Every cluster is an
+    independent bounded task; nothing all-pairs ever shuffles.
+    Precision is exact (scores are true cosines); recall misses only
+    pairs split across all shared clusters — measured 0.86-0.88 on
+    the near-uniform fixture (the clustering worst case), asserted
+    >= 0.75 in tests/test_semantic_dedup.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from my_mapreduce_spark.queries.similarity import (_ivf_k, _normed,
+                                                       _train_quantizer)
+
+    e = _normed(load_table(spark, sf_dir, "embeddings")).persist()
+    n = e.count()
+    k = _ivf_k(n)
+    dim = len(e.select("v").head().v)
+    c_mat = _train_quantizer(e, k, dim)
+    nassign = min(3, k)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["v"].to_numpy())
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            top = np.argsort(-(vm @ c_mat.T), axis=1)[:, :nassign]
+            yield pd.DataFrame({
+                "cid": top.reshape(-1),
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nassign),
+                "v": np.repeat(pdf["v"].to_numpy(), nassign)})
+
+    assigned = e.mapInPandas(
+        assign, schema="cid long, vec_id long, v array<double>")
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        vm = np.stack(pdf["v"].to_numpy())
+        vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+        cos = vm @ vm.T
+        ii, jj = np.where(np.triu(cos >= threshold, k=1))
+        a, b = ids[ii], ids[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi,
+                             "cosine": np.round(cos[ii, jj], 6)})
+
+    return (assigned.groupBy("cid")
+            .applyInPandas(score_cluster,
+                           schema="vec_a long, vec_b long, cosine double")
+            .where(F.col("vec_a") != F.col("vec_b"))
+            .distinct())
