@@ -218,6 +218,72 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_stream(spark, sf_dir)
 
 
+_SESSION_WINDOW_GAP_MIN = 30
+_SESSION_WINDOW_GAP_US = _SESSION_WINDOW_GAP_MIN * 60 * 1_000_000
+
+
+def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session aggregation via the BUILT-IN
+    ``F.session_window`` — the native dynamic-gap session operator
+    (vs. the hand-rolled applyInPandasWithState sessionizer above,
+    which exists for semantics the built-in can't express, e.g.
+    emitting per-event sequence numbers). State merges adjacent
+    windows as events arrive; on an infinite stream a watermark
+    evicts closed sessions, here (availableNow, complete mode) the
+    final state equals the batch gaps-islands computation exactly.
+
+    Session bounds are emitted as epoch-micros BIGINTs: start is the
+    first event's timestamp, last_us is ``window.end - gap`` = the
+    last event's timestamp — both exact micro-integers, so the
+    DuckDB oracle matches bit-for-bit with no float/timezone seam.
+    """
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESSION_WINDOW_GAP_MIN} minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select("user_id",
+                F.unix_micros("w.start").alias("start_us"),
+                (F.unix_micros("w.end") - _SESSION_WINDOW_GAP_US)
+                .alias("last_us"),
+                "n_events", "sum_value")
+    )
+    return _run_to_memory(spark, agg, "sesswin", "complete")
+
+
+@register(
+    "q_streaming_session_window",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+    f AS (
+        SELECT *,
+               CASE WHEN ts_us - LAG(ts_us) OVER w >= {_SESSION_WINDOW_GAP_US}
+                     OR LAG(ts_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+    s AS (
+        SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM f)
+    SELECT user_id,
+           MIN(ts_us)               AS start_us,
+           MAX(ts_us)               AS last_us,
+           COUNT(*)                 AS n_events,
+           ROUND(SUM(value), 4)     AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session", "events", "window"),
+)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window aggregation, gated by the equivalent
+    batch gaps-islands oracle (new session when the gap >= 30 min —
+    session_window merges an event only while it lands strictly
+    inside the open [start, last+gap) window)."""
+    return run_session_window_stream(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Streaming joins
 # ---------------------------------------------------------------------------
