@@ -912,3 +912,103 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str,
                            schema="vec_a long, vec_b long, cosine double")
             .where(F.col("vec_a") != F.col("vec_b"))
             .distinct())
+
+
+def _incremental_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN(md5('{i}|' || shingle)) AS m{i}" for i in range(_N_MINHASH))
+    bands = ",\n               ".join(
+        f"md5(m{a} || m{b} || m{c}) AS b{j}" for j, (a, b, c) in enumerate(_BANDS))
+    band_union = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {j} AS band_idx, b{j} AS band_hash FROM sig"
+        for j in range(len(_BANDS)))
+    matches = " + ".join(
+        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(_N_MINHASH))
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sig0 AS (
+        SELECT doc_id,
+               {mins}
+        FROM s GROUP BY doc_id),
+    sig AS (
+        SELECT *,
+               {bands}
+        FROM sig0),
+    bands AS (
+{band_union}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS index_doc
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+    SELECT new_doc, index_doc,
+           CAST({matches} AS BIGINT) AS n_matches,
+           ROUND(({matches}) / {_N_MINHASH}.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sig x ON new_doc = x.doc_id
+    JOIN sig y ON index_doc = y.doc_id
+    WHERE {matches} >= {_MIN_MATCHES}
+    """
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=_incremental_oracle(),
+    tags=("dedup", "near-dup", "minhash", "incremental"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: an ARRIVING batch (docs with
+    doc_id % 10 == 0 stand in for today's crawl) is checked against
+    the already-indexed corpus (the rest) — the production shape of
+    dedup, where the corpus is deduplicated once and every new batch
+    only joins against the index, never against itself all-pairs.
+
+    Same md5 MinHash/banding as q_dedup_minhash_lsh, but the band
+    equi-join is arrivals x index only: candidate volume scales with
+    the BATCH, not the corpus. At 100 TB the index side's (band_hash
+    -> doc) relation is persisted bucketed on band_hash (the
+    write_bucketed path), so an arriving batch shuffles only its own
+    bands into the existing layout; the index is never re-shuffled
+    and never re-signed. Verification joins both signature sets and
+    keeps pairs with >={_MIN_MATCHES}/{_N_MINHASH} matching
+    components, exactly reproducible by the DuckDB oracle.
+    """
+    s = _shingle_rows(spark, sf_dir)
+    sig = s.groupBy("doc_id").agg(
+        *[minhash_expr(i).alias(f"m{i}") for i in range(_N_MINHASH)])
+    for j, (a, b, c) in enumerate(_BANDS):
+        sig = sig.withColumn(
+            f"b{j}", F.md5(F.concat(F.col(f"m{a}"), F.col(f"m{b}"), F.col(f"m{c}"))))
+    sig = sig.cache()
+
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band_idx"), F.col(f"b{j}").alias("band_hash"))
+            for j in range(len(_BANDS))])).alias("bh"),
+    ).select("doc_id", "bh.band_idx", "bh.band_hash")
+    arrivals = bands.where(F.col("doc_id") % 10 == 0)
+    index = bands.where(F.col("doc_id") % 10 != 0)
+
+    cand = (
+        arrivals.alias("a")
+        .join(index.alias("b"),
+              (F.col("a.band_idx") == F.col("b.band_idx"))
+              & (F.col("a.band_hash") == F.col("b.band_hash")))
+        .select(F.col("a.doc_id").alias("new_doc"),
+                F.col("b.doc_id").alias("index_doc"))
+        .distinct()
+    )
+
+    n_matches = sum(
+        F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
+        for i in range(_N_MINHASH))
+    return (
+        cand.join(sig.alias("x"), F.col("new_doc") == F.col("x.doc_id"))
+        .join(sig.alias("y"), F.col("index_doc") == F.col("y.doc_id"))
+        .where(n_matches >= _MIN_MATCHES)
+        .select("new_doc", "index_doc",
+                n_matches.cast("bigint").alias("n_matches"),
+                F.round(n_matches / F.lit(float(_N_MINHASH)), 6)
+                .alias("est_jaccard"))
+    )
