@@ -463,3 +463,196 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * F.sqrt(_dot(F.col("dq"), F.col("dq")))), 6)
         .alias("cos_recon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance computation (PQ-ADC)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 16         # subspaces: 64-dim -> 16 sub-vectors of 4 dims
+_PQ_ROUNDS = 2     # Lloyd's refinement passes per subspace (all in one scan)
+_PQ_KSUB_ENV = "SPARK_GRAFT_PQ_KSUB"
+
+
+def _pq_ksub(n_rows: int) -> int:
+    """Per-subspace codebook size: env knob, else ~sqrt(n) clamped to
+    [16, 256]. 256 is the classic 1-byte-per-subspace PQ code; like
+    _ivf_k it must never grow linearly with the corpus, so the
+    codebook (m * ksub * d/m = ksub * d doubles <= 128 KB) always
+    broadcasts."""
+    env = _os.environ.get(_PQ_KSUB_ENV)
+    if env:
+        return max(2, int(env))
+    return max(16, min(256, int(n_rows ** 0.5)))
+
+
+def _train_pq_codebooks(e: DataFrame, ksub: int):
+    """Train _PQ_M per-subspace codebooks with driver traffic
+    O(ksub * d) per round — the PQ analogue of _train_quantizer.
+
+    Seed: the ksub deterministically-sampled rows (smallest
+    md5(vec_id)) sliced into subvectors seed EVERY subspace — one
+    distributed top-k, not m of them.
+
+    Refine: _PQ_ROUNDS rounds of per-subspace Lloyd's. Each round is
+    ONE linear mapInPandas pass that assigns every subvector in every
+    subspace and emits per-task partial (subspace, code, sum, count)
+    rows — m * ksub rows of d/m doubles per task — reduced to exactly
+    m * ksub * d/m scalars by a groupBy before reaching the driver.
+    Returns a (m, ksub, d/m) numpy array.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dsub = _DIM // _PQ_M
+    seed = (e.select("vec_id", "v", "nrm")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(ksub).collect())
+    seed_mat = np.stack([np.asarray(r.v) / r.nrm for r in seed])
+    # (m, ksub, dsub): subspace s seeded with the sample's slice s
+    books = np.stack([seed_mat[:, s * dsub:(s + 1) * dsub]
+                      for s in range(_PQ_M)])
+
+    for _ in range(_PQ_ROUNDS):
+        bk = books
+
+        def partial_sums(batches, bk=bk):
+            sums = np.zeros_like(bk)                      # (m, ksub, dsub)
+            cnts = np.zeros((_PQ_M, bk.shape[1]), dtype="int64")
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vm = np.stack(pdf["v"].to_numpy())
+                vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+                for s in range(_PQ_M):
+                    sub = vm[:, s * dsub:(s + 1) * dsub]
+                    # argmin L2 == argmax (2<x,c> - |c|^2)
+                    d2 = (np.sum(sub * sub, axis=1, keepdims=True)
+                          - 2.0 * sub @ bk[s].T
+                          + np.sum(bk[s] * bk[s], axis=1))
+                    a = np.argmin(d2, axis=1)
+                    np.add.at(sums[s], a, sub)
+                    np.add.at(cnts[s], a, 1)
+            m_idx, k_idx = np.meshgrid(np.arange(_PQ_M),
+                                       np.arange(bk.shape[1]), indexing="ij")
+            yield pd.DataFrame({"sub": m_idx.ravel(), "code": k_idx.ravel(),
+                                "s": list(sums.reshape(-1, dsub)),
+                                "cnt": cnts.ravel()})
+
+        rows = (
+            e.mapInPandas(partial_sums,
+                          schema="sub long, code long, s array<double>, cnt long")
+            .select("sub", "code", "cnt", F.posexplode("s").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("val").alias("sv"), F.sum("cnt").alias("cnt_d"))
+            .collect())
+        sums = np.zeros_like(books)
+        cnts = np.zeros((_PQ_M, books.shape[1]))
+        for r in rows:
+            sums[r.sub, r.code, r.pos] = r.sv
+            if r.pos == 0:
+                cnts[r.sub, r.code] = r.cnt_d
+        books = books.copy()
+        for s in range(_PQ_M):
+            ne = cnts[s] > 0
+            books[s][ne] = sums[s][ne] / cnts[s][ne, None]
+    return books
+
+
+@register(
+    "q_knn_pq_adc",
+    oracle=None,  # recall-bounded; measured in tests/test_similarity.py
+    tags=("similarity", "knn", "pq"),
+)
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str,
+                 refine: int = 10 * _K) -> DataFrame:
+    """Approximate top-{k} via product quantization with asymmetric
+    distance computation (ADC) — the memory-bound ANN path.
+
+    Build: the corpus is unit-normalized and split into {m} = _PQ_M
+    subvectors; each subspace trains a ksub-entry codebook (Lloyd's,
+    one linear scan per round, O(ksub*d) driver traffic — see
+    _train_pq_codebooks). Every vector is encoded to m small codes:
+    m bytes (ksub<=256) instead of 4*d float bytes — a 16x bandwidth
+    reduction at d=64, m=16, which is the entire point at 100 TB: the scan
+    that ranks candidates reads the code column only, never the
+    embedding column (parquet column pruning does the rest).
+
+    Search: each task holds the broadcast codebooks; for its Arrow
+    batch of codes it builds per-query lookup tables LUT[s, code] =
+    <q_s, c_{s,code}> (the "asymmetric" half: queries stay exact
+    float) and scores a code row as sum_s LUT[s, code_s] ~= <q, v>.
+    Each task emits only its own top-{refine} per query (partial
+    top-k, the map-side combine of ANN), a global window keeps the
+    overall top-{refine}, and an exact cosine rerank join (reading
+    the true embeddings ONLY for |q|*refine candidate ids) produces
+    the final top-{k}. Work: one code-only linear scan + a
+    k*|q|-row shuffle + a point-lookup rerank join.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = _normed(load_table(spark, sf_dir, "embeddings")).persist()
+    n = e.count()
+    ksub = _pq_ksub(n)
+    books = _train_pq_codebooks(e, ksub)          # (m, ksub, dsub)
+    dsub = _DIM // _PQ_M
+
+    q_rows = (e.where(F.expr(_QUERY_FILTER))
+              .select("vec_id", "v", "nrm").collect())
+    q_ids = np.array([r.vec_id for r in q_rows])
+    q_mat = np.stack([np.asarray(r.v) / r.nrm for r in q_rows])
+    # LUT[q, s, code] = <q_s, c_{s,code}>  — |q| * ksub * d doubles,
+    # built once on the driver and broadcast via closure (queries are
+    # a fixed small set, same contract as q_knn_bruteforce).
+    lut = np.einsum("qsd,skd->qsk",
+                    q_mat.reshape(len(q_mat), _PQ_M, dsub), books)
+
+    def encode_and_scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["v"].to_numpy())
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            codes = np.empty((len(vm), _PQ_M), dtype="int64")
+            for s in range(_PQ_M):
+                sub = vm[:, s * dsub:(s + 1) * dsub]
+                d2 = (np.sum(sub * sub, axis=1, keepdims=True)
+                      - 2.0 * sub @ books[s].T
+                      + np.sum(books[s] * books[s], axis=1))
+                codes[:, s] = np.argmin(d2, axis=1)
+            # ADC: scores[q, row] = sum_s LUT[q, s, codes[row, s]]
+            scores = np.zeros((len(q_ids), len(vm)))
+            for s in range(_PQ_M):
+                scores += lut[:, s, codes[:, s]]
+            r = min(refine, len(vm))
+            top = np.argpartition(-scores, r - 1, axis=1)[:, :r]
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame({
+                "query_id": np.repeat(q_ids, r),
+                "neighbor_id": ids[top].ravel(),
+                "adc": np.take_along_axis(scores, top, axis=1).ravel()})
+
+    cand = e.mapInPandas(
+        encode_and_scan, schema="query_id long, neighbor_id long, adc double")
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), "neighbor_id")
+    shortlist = (cand.where(F.col("query_id") != F.col("neighbor_id"))
+                 .withColumn("r", F.row_number().over(w_adc))
+                 .where(F.col("r") <= refine)
+                 .select("query_id", "neighbor_id"))
+
+    qn = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                  F.col("nrm").alias("qnrm"))
+    cn = e.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+    cos_raw = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(),
+                                               "neighbor_id")
+    return (shortlist
+            .join(F.broadcast(qn), "query_id")
+            .join(cn, "neighbor_id")
+            .select("query_id", "neighbor_id", cos_raw.alias("cos_raw"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _K)
+            .select("query_id", "neighbor_id",
+                    F.round("cos_raw", 6).alias("cosine"), "rnk"))
