@@ -1,0 +1,211 @@
+"""Corpus retrieval: BM25 lexical ranking and hybrid lexical+vector
+rerank (SURVEY.md §2D north-star depth — the query side of a training
+-data / RAG pipeline; the reference engine has no retrieval surface,
+its nearest analogue is the inverted index of mrapps/indexer.go).
+
+Both queries are fully DuckDB-oracle-checked: BM25 is pure relational
+algebra once tf/df/dl are computed, and the hybrid rerank adds one
+exact cosine join against the ``embeddings`` table.
+
+Scale shape (100 TB): the per-doc token work filters each document's
+token ARRAY down to the (tiny, broadcast) query-term set BEFORE
+exploding, so the explode emits O(matches) rows, not O(corpus tokens);
+df/N/avgdl are scalar or term-cardinality aggregates (map-side
+combined); the final ranking moves only candidate rows through one
+top-k window. The corpus is scanned exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.queries.similarity import _as_double, _dot
+from my_mapreduce_spark.registry import register
+
+_QUERY_TERMS = ("spark", "join", "vector")
+_K1 = 1.2
+_B = 0.75
+_TOP_N = 10          # BM25 result size
+_HYBRID_CAND = 20    # BM25 candidates fed to the vector rerank
+_HYBRID_TOP = 5
+_QVEC_ID = 0         # the query embedding = embeddings[vec_id = 0]
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+
+# tf/df/dl/N/avgdl computed once, shared by both oracles
+_BM25_CTE = f"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+        WHERE term IN ({_TERMS_SQL})
+        GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * ({_K1} + 1.0)
+                   / (tf.tf + {_K1} * (1.0 - {_B}
+                                       + {_B} * dl.dl / stats.avgdl)))
+                   AS score,
+               COUNT(*) AS n_terms
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id)
+"""
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, n_terms) BM25 relation shared by both queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = F.array(*[F.lit(t) for t in _QUERY_TERMS])
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                 lambda x: x != "").alias("w"))
+    dl = toks.select("doc_id", F.size("w").alias("dl"))
+    # keep only query-term hits BEFORE exploding: O(matches) rows out
+    tf = (toks.select(
+            "doc_id",
+            F.explode(F.filter("w", lambda x: F.array_contains(terms, x)))
+            .alias("term"))
+          .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    w_term = (idf * F.col("tf") * (_K1 + 1.0)
+              / (F.col("tf") + _K1 * (1.0 - _B
+                                      + _B * F.col("dl") / F.col("avgdl"))))
+    return (tf.join(F.broadcast(df_), "term")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.sum(w_term).alias("score"), F.count("*").alias("n_terms")))
+
+
+@register(
+    "q_bm25_search",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    ranked AS (
+        SELECT doc_id, score, n_terms,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM scored)
+    SELECT doc_id, ROUND(score, 6) AS bm25, n_terms, rnk
+    FROM ranked WHERE rnk <= {_TOP_N}
+    """,
+    tags=("retrieval", "text", "bm25"),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1={k1}, b={b}) top-{n} for a fixed conjunctive query
+    {terms} over ``documents`` — the lexical half of a retrieval
+    stack, and the scoring-function upgrade of the reference's
+    inverted index (mrapps/indexer.go:38 emits doc lists per term;
+    BM25 weights them).
+
+    One corpus scan computes the token array per doc; doc length
+    comes from the array size (no explode), term frequencies from
+    exploding only the query-term matches, document frequencies and
+    (N, avgdl) from map-side-combined aggregates of those. idf and
+    the scalar stats broadcast onto the tf relation, one hash agg
+    sums per-term contributions. At 100 TB nothing driver-side ever
+    exceeds |terms| rows, and the global top-{n} is sort+limit —
+    Spark's TakeOrderedAndProject, a per-partition partial top-k —
+    NOT a single-partition global window; the rank window runs on
+    the {n} surviving rows only.
+    """
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (_bm25_scored(spark, sf_dir)
+            .orderBy(F.col("score").desc(), "doc_id").limit(_TOP_N)
+            .withColumn("rnk", F.row_number().over(w))
+            .select("doc_id", F.round("score", 6).alias("bm25"),
+                    "n_terms", "rnk"))
+
+
+@register(
+    "q_hybrid_retrieval",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    cand AS (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+        FROM scored QUALIFY rnk <= {_HYBRID_CAND}),
+    mx AS (SELECT MAX(score) AS mx FROM cand),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    qv AS (SELECT v FROM e WHERE vec_id = {_QVEC_ID}),
+    rer AS (
+        SELECT cand.doc_id,
+               cand.score / mx.mx AS bm25_norm,
+               list_dot_product(e.v, qv.v)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(qv.v, qv.v))) AS cosine
+        FROM cand
+        JOIN e ON e.vec_id = cand.doc_id
+        CROSS JOIN mx CROSS JOIN qv),
+    fin AS (
+        SELECT doc_id, bm25_norm, cosine,
+               0.5 * bm25_norm + 0.5 * cosine AS hybrid,
+               ROW_NUMBER() OVER (ORDER BY 0.5 * bm25_norm + 0.5 * cosine
+                                  DESC, doc_id) AS rnk
+        FROM rer)
+    SELECT doc_id, ROUND(bm25_norm, 6) AS bm25_norm,
+           ROUND(cosine, 6) AS cosine, ROUND(hybrid, 6) AS hybrid, rnk
+    FROM fin WHERE rnk <= {_HYBRID_TOP}
+    """,
+    tags=("retrieval", "hybrid", "embedding"),
+)
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 shortlists {cand} candidates, an exact
+    cosine against a fixed query embedding (vec_id={qvec}) reranks,
+    final score = 0.5*normalized-BM25 + 0.5*cosine, top-{top} kept.
+
+    The candidate set (and the 1-row max-score / query-vector sides)
+    are k-row relations — every join below the corpus scan is a
+    broadcast; the expensive float math runs on |candidates| rows
+    only. This two-stage lexical-then-vector funnel is the standard
+    production retrieval shape precisely because it commutes with
+    scale: stage 1 is the cheap pruner, stage 2's cost is
+    corpus-size-independent.
+    """
+    cand = (_bm25_scored(spark, sf_dir)
+            .orderBy(F.col("score").desc(), "doc_id").limit(_HYBRID_CAND)
+            .select("doc_id", "score"))
+    mx = cand.agg(F.max("score").alias("mx"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    qv = (e.where(F.col("vec_id") == _QVEC_ID)
+          .select(F.col("v").alias("qvec")))
+
+    cosine = (_dot(F.col("v"), F.col("qvec"))
+              / (F.sqrt(_dot(F.col("v"), F.col("v")))
+                 * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))))
+    w_h = Window.orderBy(F.col("hybrid").desc(), "doc_id")
+    return (cand
+            .join(e, cand.doc_id == e.vec_id)
+            .crossJoin(F.broadcast(mx))
+            .crossJoin(F.broadcast(qv))
+            .select("doc_id",
+                    (F.col("score") / F.col("mx")).alias("bm25_norm"),
+                    cosine.alias("cosine"))
+            .withColumn("hybrid",
+                        0.5 * F.col("bm25_norm") + 0.5 * F.col("cosine"))
+            .withColumn("rnk", F.row_number().over(w_h))
+            .where(F.col("rnk") <= _HYBRID_TOP)
+            .select("doc_id", F.round("bm25_norm", 6).alias("bm25_norm"),
+                    F.round("cosine", 6).alias("cosine"),
+                    F.round("hybrid", 6).alias("hybrid"), "rnk"))

@@ -55,6 +55,10 @@ _ALLOW_NESTED_LOOP = {
                                  # budget)), same scalar-subquery shape
     "q_heavy_hitters",           # crossJoin(broadcast(1-row token total)),
                                  # same scalar-subquery shape
+    "q_bm25_search",             # crossJoin(broadcast(1-row N/avgdl
+                                 # stats)), same scalar-subquery shape
+    "q_hybrid_retrieval",        # crossJoin(broadcast(1-row max-score +
+                                 # 1-row query vector)), same shape
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
