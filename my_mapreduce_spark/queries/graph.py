@@ -1,0 +1,116 @@
+"""Graph analytics beyond connected components (SURVEY.md §2D depth;
+the CC family lives in queries/dedup.py).
+
+``q_pagerank`` runs a FIXED number of power iterations so the result
+is exactly reproducible by a non-recursive SQL oracle (one CTE chain
+per iteration) — the same trick the CC queries play with a recursive
+CTE, but here the iteration count is part of the query's contract,
+which is also how production batch PageRank is actually run (fixed
+iteration budget, not convergence detection, so the job's cost is
+known in advance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+_DAMP = 0.85
+_ITERS = 3
+_TOP = 20
+
+
+def _pagerank_oracle() -> str:
+    it = """,
+    s{i} AS (
+        SELECT e.dst AS node, SUM(r{p}.r / outdeg.deg) AS s
+        FROM edges e
+        JOIN r{p} ON r{p}.node = e.src
+        JOIN outdeg ON outdeg.src = e.src
+        GROUP BY e.dst),
+    r{i} AS (
+        SELECT node, (1.0 - {d}) / n.n + {d} * s AS r
+        FROM s{i} CROSS JOIN n)"""
+    iters = "".join(
+        it.format(i=i, p=i - 1, d=_DAMP) for i in range(1, _ITERS + 1))
+    return f"""
+    WITH el AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT src, dst FROM el
+              UNION ALL SELECT dst AS src, src AS dst FROM el),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / n.n AS r FROM nodes CROSS JOIN n){iters},
+    ranked AS (
+        SELECT node, ROUND(r, 6) AS pagerank,
+               ROW_NUMBER() OVER (ORDER BY ROUND(r, 6) DESC, node) AS rnk
+        FROM r{_ITERS})
+    SELECT node, pagerank, rnk FROM ranked WHERE rnk <= {_TOP}
+    """
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping {d}, {it} power iterations) over the
+    bidirected customer<->supplier trade graph derived from
+    lineitem x orders; top-{top} nodes by rank.
+
+    The graph is symmetrized (each trade edge emitted both ways) so
+    every node has out-degree >= 1 — no dangling-mass correction
+    term, which keeps the per-iteration algebra a pure
+    join-aggregate. One iteration = equi-join ranks onto the edge
+    list, hash-aggregate incoming contributions per dst, add the
+    teleport term. The edge list (with out-degrees fused on) is
+    repartitioned by src and persisted ONCE: its hash partitioning
+    survives the cache, so every subsequent iteration shuffles only
+    the rank relation (nodes, 2 doubles) — never the edges. At 100 TB
+    the per-iteration cost is one node-keyed shuffle of the rank
+    vector; iteration count is fixed, so total cost is {it} such
+    shuffles regardless of data size. Ordering ties are broken on
+    ROUND(rank, 6) then node id, so structurally-identical nodes
+    (equal true rank, float-sum wiggle) order deterministically.
+
+    Reference parity: the reference has no graph surface at all; this
+    extends the same iterative pattern as q_dedup_clusters
+    (mr/worker.go:39's fixed map/reduce alternation is the closest
+    native analogue of an iteration schedule).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    el = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .distinct())
+    edges = el.unionAll(el.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # edges+degree, hash-partitioned on the join key once for all
+    # iterations; persist() preserves the partitioning for the planner
+    ed = (edges.join(outdeg, "src")
+          .repartition(F.col("src"))
+          .persist())
+
+    n = ed.select("src").distinct().count()
+    r = ed.select(F.col("src").alias("node")).distinct() \
+          .withColumn("r", F.lit(1.0 / n))
+    for _ in range(_ITERS):
+        contrib = (ed.join(r, ed.src == r.node)
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("r") / F.col("deg")).alias("s")))
+        r = contrib.select(
+            F.col("dst").alias("node"),
+            (F.lit((1.0 - _DAMP) / n) + _DAMP * F.col("s")).alias("r"))
+
+    w = Window.orderBy(F.col("pagerank").desc(), "node")
+    return (r.select("node", F.round("r", 6).alias("pagerank"))
+            .orderBy(F.col("pagerank").desc(), "node").limit(_TOP)
+            .withColumn("rnk", F.row_number().over(w)))
