@@ -297,3 +297,75 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                      score("monetary", "m1", "m2", "m3").alias("m_score"))
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.min("last_order").alias("earliest_last_order")))
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT p_retailprice AS price, p_size AS sz,
+               COUNT(*) AS n_parts, MIN(p_partkey) AS min_partkey
+        FROM part GROUP BY p_retailprice, p_size)
+    SELECT ROUND(price, 2) AS price, sz, n_parts, min_partkey
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price <= p.price AND q.sz >= p.sz
+          AND (q.price < p.price OR q.sz > p.sz))
+    """,
+    tags=("analytics", "skyline", "pareto"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of parts: the (cheapest-price, largest-size)
+    frontier — every distinct (price, size) point not strictly
+    dominated by another (q dominates p iff q is <= on price, >= on
+    size, and strictly better on at least one).
+
+    Distributed shape, the textbook two-phase skyline: (1) collapse
+    to DISTINCT value points (hash agg, also carries n_parts /
+    min_partkey back to the caller); (2) LOCAL skyline per partition
+    with one vectorized numpy sort+running-max pass — a point
+    survives iff its size beats the max size over all
+    cheaper-or-equal points seen before it in (price asc, size desc)
+    order; (3) GLOBAL skyline of the surviving union with the same
+    algorithm. Phase 2 discards everything dominated within its
+    partition, so phase 3's input is at most (n_partitions x local
+    skyline) rows — for a 2-D frontier that's O(partitions * log n)
+    expected on value-diverse data, which is why the final pass is a
+    legitimately tiny single task at any corpus size (same documented
+    -bound posture as q_vocab_min_count's vocabulary rank).
+
+    The oracle is the DEFINITION (NOT EXISTS dominance), not the
+    sweep — the two agreeing is evidence the sweep is right.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def local_skyline(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # sort by (price asc, size desc); survivor iff size beats
+            # the running max of all previously-seen (=> cheaper or
+            # same-price-bigger) points
+            order = np.lexsort((-pdf["sz"].to_numpy(),
+                                pdf["price"].to_numpy()))
+            s = pdf.iloc[order]
+            sz = s["sz"].to_numpy()
+            run = np.maximum.accumulate(sz)
+            keep = np.empty(len(sz), dtype=bool)
+            keep[0] = True
+            keep[1:] = sz[1:] > run[:-1]
+            yield s[keep]
+
+    pts = (load_table(spark, sf_dir, "part")
+           .groupBy(F.col("p_retailprice").alias("price"),
+                    F.col("p_size").alias("sz"))
+           .agg(F.count("*").alias("n_parts"),
+                F.min("p_partkey").alias("min_partkey")))
+    schema = "price double, sz int, n_parts long, min_partkey long"
+    local = pts.mapInPandas(local_skyline, schema=schema)
+    # global pass over the (tiny) union of local frontiers
+    final = local.repartition(1).mapInPandas(local_skyline, schema=schema)
+    return final.select(F.round("price", 2).alias("price"),
+                        "sz", "n_parts", "min_partkey")

@@ -463,3 +463,65 @@ def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(frac < F.col("r"), 1).otherwise(0).alias("take"))
             .groupBy("source", "n_src", F.round("r", 6).alias("sample_rate"))
             .agg(F.sum("take").alias("n_sampled")))
+
+
+@register(
+    "q_source_kl_divergence",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(list_filter(
+                   regexp_split_to_array(text, '[^a-z0-9]+'),
+                   x -> x <> '')) AS token
+        FROM documents),
+    tf_src AS (SELECT source, token, COUNT(*) AS c
+               FROM toks GROUP BY source, token),
+    tot_src AS (SELECT source, SUM(c) AS tot FROM tf_src GROUP BY source),
+    tf_all AS (SELECT token, SUM(c) AS c_all FROM tf_src GROUP BY token),
+    tot_all AS (SELECT SUM(c_all) AS tot_all FROM tf_all)
+    SELECT s.source,
+           ROUND(SUM((s.c * 1.0 / t.tot)
+                     * ln((s.c * 1.0 / t.tot)
+                          / (a.c_all * 1.0 / g.tot_all))), 6) AS kl,
+           COUNT(*) AS n_distinct_tokens,
+           CAST(MAX(t.tot) AS BIGINT) AS n_tokens
+    FROM tf_src s
+    JOIN tot_src t USING (source)
+    JOIN tf_all a USING (token)
+    CROSS JOIN tot_all g
+    GROUP BY s.source
+    """,
+    tags=("corpus", "quality", "divergence"),
+)
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift monitor: KL(P_source || P_corpus) of the
+    unigram token distribution, per source — the standard check that
+    one ingest stream (a crawl slice, a new vendor dump) hasn't
+    drifted from the corpus mixture before it's blended into
+    training data. KL = sum_t p_s(t) * ln(p_s(t) / p(t)); every
+    source token is by construction in the corpus, so the ratio is
+    always finite.
+
+    All relations are token- or source-keyed hash aggregates
+    (map-side combined): per-(source, token) counts, per-source
+    totals, per-token corpus counts, and one 1-row corpus total that
+    broadcasts onto the scoring join. Nothing driver-side, nothing
+    quadratic; at 100 TB this is two shuffles of the (source, token)
+    relation — vocabulary-bounded, not corpus-bounded.
+    """
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("source", F.explode(tokens("text")).alias("token")))
+    tf_src = toks.groupBy("source", "token").agg(F.count("*").alias("c"))
+    tot_src = tf_src.groupBy("source").agg(F.sum("c").alias("tot"))
+    tf_all = tf_src.groupBy("token").agg(F.sum("c").alias("c_all"))
+    tot_all = tf_all.agg(F.sum("c_all").alias("tot_all"))
+
+    p_s = F.col("c") / F.col("tot")
+    p = F.col("c_all") / F.col("tot_all")
+    return (tf_src
+            .join(F.broadcast(tot_src), "source")
+            .join(tf_all, "token")
+            .crossJoin(F.broadcast(tot_all))
+            .groupBy("source")
+            .agg(F.round(F.sum(p_s * F.log(p_s / p)), 6).alias("kl"),
+                 F.count("*").alias("n_distinct_tokens"),
+                 F.max("tot").cast("bigint").alias("n_tokens")))

@@ -59,6 +59,8 @@ _ALLOW_NESTED_LOOP = {
                                  # stats)), same scalar-subquery shape
     "q_hybrid_retrieval",        # crossJoin(broadcast(1-row max-score +
                                  # 1-row query vector)), same shape
+    "q_source_kl_divergence",    # crossJoin(broadcast(1-row corpus token
+                                 # total)), same scalar-subquery shape
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
