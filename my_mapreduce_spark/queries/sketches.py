@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from my_mapreduce_spark.functions.text import tokens
 from my_mapreduce_spark.io import load_table
 from my_mapreduce_spark.registry import register
 
@@ -53,3 +54,89 @@ def q_hll_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_events").alias("n_events"),
                  F.hll_sketch_estimate(F.hll_union_agg("sk"))
                  .alias("est_users")))
+
+
+_CM_DEPTH = 4
+_CM_WIDTH = 256
+_CM_PROBES = ("spark", "join", "vector", "table", "query", "the")
+
+
+def _cm_probes_sql() -> str:
+    return ", ".join(f"'{t}'" for t in _CM_PROBES)
+
+
+@register(
+    "q_countmin_tokens",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(list_filter(
+                   regexp_split_to_array(text, '[^a-z0-9]+'),
+                   x -> x <> '')) AS token
+        FROM documents),
+    rows_ AS (SELECT unnest(range({_CM_DEPTH})) AS row_i),
+    cells AS (
+        SELECT row_i,
+               CAST(('0x' || substr(md5(row_i || '|' || token), 1, 8))
+                    AS BIGINT) % {_CM_WIDTH} AS col,
+               COUNT(*) AS c
+        FROM toks CROSS JOIN rows_
+        GROUP BY row_i, col),
+    probes AS (SELECT unnest([{_cm_probes_sql()}]) AS token),
+    pcells AS (
+        SELECT token, row_i,
+               CAST(('0x' || substr(md5(row_i || '|' || token), 1, 8))
+                    AS BIGINT) % {_CM_WIDTH} AS col
+        FROM probes CROSS JOIN rows_),
+    est AS (
+        SELECT p.token, MIN(c.c) AS est
+        FROM pcells p JOIN cells c USING (row_i, col)
+        GROUP BY p.token),
+    exact AS (
+        SELECT token, COUNT(*) AS exact
+        FROM toks WHERE token IN ({_cm_probes_sql()})
+        GROUP BY token)
+    SELECT token, est, exact, est - exact AS overcount
+    FROM est JOIN exact USING (token)
+    """,
+    tags=("sketch", "approx", "countmin"),
+)
+def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of the corpus token frequencies ({d} rows x
+    {w} columns, md5-derived hash family), probed for a fixed token
+    set and compared against exact counts — unlike the HLL entry
+    this one is FULLY oracle-checked, because the md5 hash family
+    computes identically in DuckDB.
+
+    Build: one token scan; each occurrence increments {d} cells
+    (explode of a {d}-literal array), and the (row, col) hash
+    aggregate IS the sketch — per-partition partials are map-side
+    combined, so what shuffles is at most {d}*{w} cells per task,
+    and the merged sketch is {d}*{w} longs TOTAL regardless of
+    corpus size. That boundedness is the operator's point at 100 TB:
+    the sketch of a petabyte token stream is still 8 KB, and
+    distributing the build is just this same hash agg.
+
+    Probe: est(t) = min over rows of cell(row, h_row(t)) — the CM
+    guarantee est >= exact always holds (tests assert it), with
+    overshoot ~ N/{w} colliding mass per row.
+    """
+    toks = (load_table(spark, sf_dir, "documents")
+            .select(F.explode(tokens("text")).alias("token")))
+    rows_ = F.explode(F.array(*[F.lit(i) for i in range(_CM_DEPTH)]))
+    col = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.col("row_i"), F.col("token"))), 1, 8),
+        16, 10).cast("bigint") % _CM_WIDTH
+    cells = (toks.withColumn("row_i", rows_)
+             .select("row_i", col.alias("col"))
+             .groupBy("row_i", "col").agg(F.count("*").alias("c")))
+
+    probes = spark.createDataFrame([(t,) for t in _CM_PROBES], "token string")
+    pcells = (probes.withColumn("row_i", rows_)
+              .select("token", "row_i", col.alias("col")))
+    est = (pcells.join(cells, ["row_i", "col"])
+           .groupBy("token").agg(F.min("c").alias("est")))
+    exact = (toks.where(F.col("token").isin(*_CM_PROBES))
+             .groupBy("token").agg(F.count("*").alias("exact")))
+    return (est.join(exact, "token")
+            .select("token", "est", "exact",
+                    (F.col("est") - F.col("exact")).alias("overcount")))

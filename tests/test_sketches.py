@@ -44,3 +44,21 @@ def test_hll_union_is_lossless_merge(spark):
              .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
              .collect()}
     assert merged == whole
+
+
+def test_countmin_never_undercounts_and_is_tight(spark):
+    # CM guarantee: est >= exact for EVERY probe; overshoot is the
+    # colliding mass, expected ~N/width per row (min over 4 rows is
+    # far tighter) — assert a generous 4*N/width to catch hash bugs
+    # without flaking on fixture growth
+    from my_mapreduce_spark.functions.text import tokens as tok
+    from my_mapreduce_spark.queries.sketches import (_CM_WIDTH,
+                                                     q_countmin_tokens)
+
+    rows = q_countmin_tokens(spark, SF_DIR).collect()
+    assert rows, "probe tokens must exist in the fixture"
+    n = (load_table(spark, SF_DIR, "documents")
+         .select(F.explode(tok("text"))).count())
+    for r in rows:
+        assert r.est >= r.exact, (r.token, r.est, r.exact)
+        assert r.overcount <= 4 * n / _CM_WIDTH, (r.token, r.overcount)
