@@ -419,3 +419,92 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then deduplicating on event id must equal the plain per-type
     aggregate over the original events."""
     return run_dedup_stream(spark, sf_dir)
+
+
+def run_sketch_maintenance_stream(spark: SparkSession, sf_dir: str):
+    """Incrementally maintain a per-event_type HLL user sketch TABLE
+    across micro-batches: each batch contributes a partial sketch,
+    foreachBatch merges it into the persisted state via
+    ``hll_union_agg`` and rewrites the (tiny, |event_types|-row)
+    state table.
+
+    Two properties make this the production incremental-sketch
+    shape at 100 TB:
+
+    - the state table is KB-sized regardless of stream volume (a
+      sketch per key, not a user set per key), so the merge step's
+      cost never grows;
+    - HLL union is IDEMPOTENT (register-wise max), so a replayed
+      epoch merging the same partial twice yields the identical
+      state — exactly-once semantics without a transaction log.
+
+    Returns (final_estimates_df, n_batches).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    _ensure_runtime_confs(spark)
+    work = tempfile.mkdtemp(prefix="mmr_sketch_stream_")
+    src = os.path.join(work, "src")
+    state = os.path.join(work, "state")
+    try:
+        # split the fixture into several files so availableNow +
+        # maxFilesPerTrigger=1 yields a genuinely multi-batch run
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(4).write.mode("overwrite").parquet(src))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .option("maxFilesPerTrigger", 1).load(src))
+
+        n_batches = []
+
+        def merge_batch(batch_df, epoch_id):
+            sess = batch_df.sparkSession
+            partial = (batch_df.groupBy("event_type")
+                       .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                            F.count(F.lit(1)).alias("n_events")))
+            if glob.glob(os.path.join(state, "*.parquet")):
+                prev = sess.read.parquet(state)
+                merged = (prev.unionByName(partial)
+                          .groupBy("event_type")
+                          .agg(F.hll_union_agg("sk").alias("sk"),
+                               F.sum("n_events").alias("n_events")))
+            else:
+                merged = partial
+            # materialize BEFORE overwriting the path being read;
+            # the state is |event_types| rows, so this is O(types)
+            pdf = merged.toPandas()
+            sess.createDataFrame(pdf, merged.schema) \
+                .write.mode("overwrite").parquet(state)
+            n_batches.append(epoch_id)
+
+        q = (stream.writeStream.foreachBatch(merge_batch)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        final = (spark.read.parquet(state)
+                 .select("event_type", "n_events",
+                         F.hll_sketch_estimate("sk").alias("est_users"))
+                 .toPandas())
+        out = spark.createDataFrame(
+            final, "event_type string, n_events long, est_users long")
+        return out, len(n_batches)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_streaming_sketch_state",
+    oracle=None,  # HLL estimates are engine-specific; equality to the
+                  # batch sketch is asserted in tests/test_sketches.py
+    tags=("streaming", "sketch", "incremental"),
+)
+def q_streaming_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental sketch maintenance (see
+    run_sketch_maintenance_stream): distinct users per event_type,
+    maintained as a persisted HLL state table merged once per
+    micro-batch."""
+    out, _ = run_sketch_maintenance_stream(spark, sf_dir)
+    return out

@@ -62,3 +62,22 @@ def test_countmin_never_undercounts_and_is_tight(spark):
     for r in rows:
         assert r.est >= r.exact, (r.token, r.est, r.exact)
         assert r.overcount <= 4 * n / _CM_WIDTH, (r.token, r.overcount)
+
+
+def test_streaming_sketch_maintenance_matches_batch(spark):
+    # the incrementally-maintained state table must give the IDENTICAL
+    # estimate to one batch sketch over everything (HLL merge is
+    # lossless), and the run must actually be multi-batch
+    from my_mapreduce_spark.streaming.jobs import \
+        run_sketch_maintenance_stream
+
+    out, n_batches = run_sketch_maintenance_stream(spark, SF_DIR)
+    assert n_batches > 1, "maxFilesPerTrigger=1 should yield several batches"
+    got = {r.event_type: (r.n_events, r.est_users) for r in out.collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    want = {r.event_type: (r.n_events, r.est_users)
+            for r in ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+                 .alias("est_users")).collect()}
+    assert got == want

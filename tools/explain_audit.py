@@ -66,6 +66,7 @@ _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
     "q_streaming_enrich", "q_streaming_click_attribution",
     "q_streaming_dedup", "q_streaming_session_window",
+    "q_streaming_sketch_state",  # foreachBatch merge loop, micro-batch exec
     "q_dedup_clusters",  # returns the converged cached relation; the
                          # per-round join+agg plans (which do codegen)
                          # already executed inside the driver loop
