@@ -525,3 +525,102 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(p_s * F.log(p_s / p)), 6).alias("kl"),
                  F.count("*").alias("n_distinct_tokens"),
                  F.max("tot").cast("bigint").alias("n_tokens")))
+
+
+@register(
+    "q_leakage_free_split",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    near AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE n_common / (x.n + y.n - n_common) >= 0.6),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near
+        UNION SELECT doc_b, doc_a FROM near),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.doc_id),
+    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    assigned AS (
+        SELECT d.doc_id,
+               COALESCE(l.cluster_id, d.doc_id) AS grp,
+               CASE WHEN (CAST(('0x' || substr(md5(CAST(
+                        COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 < 0.8
+                    THEN 'train' ELSE 'eval' END AS split,
+               CASE WHEN (CAST(('0x' || substr(md5(CAST(
+                        d.doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 1000000) / 1000000.0 < 0.8
+                    THEN 'train' ELSE 'eval' END AS naive_split
+        FROM documents d LEFT JOIN labels l USING (doc_id)),
+    leaky AS (
+        SELECT grp FROM assigned
+        GROUP BY grp HAVING COUNT(DISTINCT naive_split) > 1),
+    grouped AS (
+        SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_groups
+        FROM assigned GROUP BY split),
+    naive AS (
+        SELECT naive_split AS split, COUNT(*) AS naive_n_docs,
+               CAST(SUM(CASE WHEN grp IN (SELECT grp FROM leaky)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS naive_leaked_docs
+        FROM assigned GROUP BY naive_split)
+    SELECT split, n_docs, n_groups, naive_n_docs, naive_leaked_docs
+    FROM grouped JOIN naive USING (split)
+    """,
+    tags=("corpus", "split", "dedup", "leakage"),
+)
+def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/eval split: every document is assigned by
+    the md5-fraction of its near-dup CLUSTER representative (singletons
+    by their own id), so a cluster of near-duplicates can never span
+    train and eval — the leakage a naive per-document split permits
+    (quantified here: naive_leaked_docs counts docs the naive split
+    places in each half whose cluster straddles the boundary).
+
+    Reuses q_dedup_clusters' converged label relation (iterative CC,
+    scoped shuffles); the split assignment itself is one broadcast-
+    joinable LEFT JOIN of labels onto documents plus two hash aggs —
+    at 100 TB the labels relation is near-dup-docs-sized, far smaller
+    than the corpus, and everything downstream of the (already
+    required) dedup pass is embarrassingly parallel. This is the
+    standard decontaminated-split recipe for training corpora.
+    """
+    from my_mapreduce_spark.queries.dedup import q_dedup_clusters
+
+    labels = q_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def frac(col):
+        return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8),
+                       16, 10).cast("bigint") % 1000000) / 1000000.0
+
+    grp = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    assigned = (docs.join(labels, "doc_id", "left")
+                .select("doc_id", grp.alias("grp"))
+                .withColumn("split", F.when(frac(F.col("grp")) < 0.8,
+                                            "train").otherwise("eval"))
+                .withColumn("naive_split",
+                            F.when(frac(F.col("doc_id")) < 0.8,
+                                   "train").otherwise("eval")))
+    leaky = (assigned.groupBy("grp")
+             .agg(F.countDistinct("naive_split").alias("ns"))
+             .where(F.col("ns") > 1).select("grp"))
+    grouped = (assigned.groupBy("split")
+               .agg(F.count("*").alias("n_docs"),
+                    F.countDistinct("grp").alias("n_groups")))
+    naive = (assigned.join(F.broadcast(leaky.withColumn("lk", F.lit(1))),
+                           "grp", "left")
+             .groupBy(F.col("naive_split").alias("split"))
+             .agg(F.count("*").alias("naive_n_docs"),
+                  F.sum(F.coalesce(F.col("lk"), F.lit(0)).cast("bigint"))
+                  .alias("naive_leaked_docs")))
+    return grouped.join(naive, "split")
