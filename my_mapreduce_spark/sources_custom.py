@@ -1,0 +1,134 @@
+"""Custom Python DataSource for the reference's native output format
+(SURVEY.md §2A sources; reference contract ``mr/worker.go:190-207``:
+``"<key> <value>"`` text lines, one ``part-*``/``mr-out-*`` file per
+reduce partition).
+
+This is the modern Spark-first way to ship a CONNECTOR rather than a
+read helper: ``spark.read.format("mrout")`` goes through the Spark 4
+Python DataSource API (``pyspark.sql.datasource``), which gives the
+format three properties a ``spark.read.text`` + split wrapper lacks:
+
+- **partition-parallel reads** — one ``InputPartition`` per file, so
+  a 10,000-file output fans out across the cluster exactly like a
+  parquet scan (the file list is enumerated driver-side, the bytes
+  are only ever read on executors);
+- **source-level filter pushdown** — ``pushFilters`` accepts
+  key-column predicates (=, IN, prefix/contains/endswith, IS [NOT]
+  NULL) and applies them DURING the scan, before rows are handed to
+  Spark, so ``WHERE key = 'x'`` never materializes the other 100 TB
+  of lines (the audit-visible analogue of parquet's PushedFilters);
+- **a declared schema** — consumers see ``key string, value string``
+  without an inference pass.
+
+Rows stream out per-line (a generator), so a partition never holds
+its file in memory.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterable, Iterator, List
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    StringContains,
+    StringEndsWith,
+    StringStartsWith,
+)
+
+
+class _MrOutPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class MrOutReader(DataSourceReader):
+    """Reads ``<key> <value>`` lines; the first space splits key from
+    value (values may contain spaces; the reference writes
+    ``fmt.Fprintf(ofile, "%v %v\\n", key, value)``)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mrout source requires a path")
+        self._key_filters: List[Filter] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        """Accept key-column string predicates; everything else is
+        returned to Spark to evaluate post-scan (the contract: yield
+        what you do NOT handle)."""
+        for f in filters:
+            handled = (
+                isinstance(f, (EqualTo, In, StringStartsWith,
+                               StringContains, StringEndsWith,
+                               IsNull, IsNotNull))
+                and f.attribute == ("key",))
+            if handled:
+                self._key_filters.append(f)
+            else:
+                yield f
+
+    def _keep(self, key: str) -> bool:
+        for f in self._key_filters:
+            if isinstance(f, EqualTo) and key != f.value:
+                return False
+            if isinstance(f, In) and key not in f.value:
+                return False
+            if isinstance(f, StringStartsWith) and not key.startswith(f.value):
+                return False
+            if isinstance(f, StringContains) and f.value not in key:
+                return False
+            if isinstance(f, StringEndsWith) and not key.endswith(f.value):
+                return False
+            if isinstance(f, IsNull):
+                return False  # text keys are never NULL
+        return True
+
+    def partitions(self):
+        files = sorted(
+            p for pat in ("mr-out-*", "part-*")
+            for p in glob.glob(os.path.join(self.path, pat))
+            if os.path.isfile(p) and not p.endswith((".crc", "_SUCCESS")))
+        if not files and os.path.isfile(self.path):
+            files = [self.path]
+        return [_MrOutPartition(p) for p in files]
+
+    def read(self, partition: _MrOutPartition) -> Iterator[tuple]:
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                key, _, value = line.partition(" ")
+                if self._keep(key):
+                    yield (key, value)
+
+
+class MrOutDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "mrout"
+
+    def schema(self) -> str:
+        return "key string, value string"
+
+    def reader(self, schema) -> MrOutReader:
+        return MrOutReader(self.options)
+
+
+def register_mrout(spark) -> None:
+    """Idempotently register the ``mrout`` format on a session.
+
+    Python-source filter pushdown ships behind a conf (Spark 4.1);
+    implementing ``pushFilters`` without it is an analysis error, so
+    registration turns it on."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(MrOutDataSource)
