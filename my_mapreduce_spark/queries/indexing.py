@@ -1,0 +1,275 @@
+"""Positional indexing, phrase search, chunking, and BPE-style pair
+statistics over ``documents`` (SURVEY.md §2D north-star depth).
+
+These extend the reference's inverted index (mrapps/indexer.go:21-40
+emits term -> doc list) to the structures a real retrieval / LLM-data
+stack builds:
+
+- ``q_positional_index``: postings with in-document positions (the
+  index a phrase/proximity search engine needs, vs the doc-only
+  postings of the reference's indexer);
+- ``q_phrase_search``: exact-phrase matching by position-adjacency
+  self-joins over those postings;
+- ``q_doc_chunking``: overlapping token-window chunks (the context-
+  window chunking step of an embedding/RAG ingest pipeline);
+- ``q_bpe_pair_counts``: the first iteration of BPE tokenizer
+  training — corpus-weighted adjacent-symbol pair counts.
+
+All four are fully DuckDB-oracle-checked.
+
+Scale shape (100 TB): every operator is one corpus scan into token
+arrays, then array-local work (transform/filter on the array) before
+any explode, so exploded row counts are bounded by what the operator
+actually needs (matched terms, chunk starts, distinct words). The
+only shuffles are keyed aggregations (term / pair / doc) and the
+phrase join, which is an equi-join on (doc_id, pos) — co-partitioned
+by doc, never a cross join. Top-k outputs use sort+limit
+(TakeOrderedAndProject: per-partition partial top-k), not a global
+single-partition window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+_TOP_TERMS = 20          # positional-index term budget
+_PHRASE = ("small", "query", "line")
+_CHUNK = 64              # chunk size in tokens
+_STRIDE = 48             # chunk stride (CHUNK - STRIDE = 16 token overlap)
+_TOP_PAIRS = 30          # BPE pair budget
+
+# Shared token-array CTE: lowercase alnum tokens, 1-based positions
+# via a numbers relation (DuckDB 1.0 has no lateral generate_series).
+_TOKS_CTE = """
+    toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    nums AS (SELECT unnest(generate_series(
+                 1, (SELECT MAX(len(w)) FROM toks))) AS i),
+    pos AS (SELECT doc_id, w[i] AS term, CAST(i AS BIGINT) AS p
+            FROM toks JOIN nums ON nums.i <= len(toks.w))
+"""
+
+
+def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, p) token-position relation, 1-based positions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                 lambda x: x != "").alias("w"))
+    return toks.select(
+        "doc_id", F.posexplode("w").alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).cast("long").alias("p"))
+
+
+@register(
+    "q_positional_index",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    totals AS (
+        SELECT term, SUM(1) AS total_tf FROM pos GROUP BY term),
+    top_terms AS (
+        SELECT term FROM totals
+        ORDER BY total_tf DESC, term LIMIT {_TOP_TERMS}),
+    postings AS (
+        SELECT pos.term, pos.doc_id,
+               COUNT(*) AS tf,
+               list_aggregate(list_sort(list(pos.p)), 'string_agg', ',')
+                   AS positions
+        FROM pos JOIN top_terms USING (term)
+        GROUP BY pos.term, pos.doc_id)
+    SELECT term, doc_id, tf, positions FROM postings
+    """,
+    tags=("indexing", "text", "retrieval"),
+)
+def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional posting lists for the {t} highest-frequency terms:
+    (term, doc_id, tf, sorted comma-joined positions) — the index structure
+    phrase and proximity search need, extending the reference's
+    doc-only inverted index (mrapps/indexer.go:37-40).
+
+    One corpus scan feeds posexplode; the term budget is selected by
+    a sort+limit over term totals (map-side-combined agg, then
+    TakeOrderedAndProject) and broadcast back, so the big posting agg
+    only shuffles rows for the {t} surviving terms. Positions
+    aggregate with collect_list + sort_array per (term, doc) — the
+    per-cell list is bounded by per-doc term frequency, not corpus
+    size.
+    """.format(t=_TOP_TERMS)
+    pos = _positions(spark, sf_dir)
+    top = (pos.groupBy("term").agg(F.count("*").alias("total_tf"))
+           .orderBy(F.col("total_tf").desc(), "term").limit(_TOP_TERMS)
+           .select("term"))
+    return (pos.join(F.broadcast(top), "term")
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"),
+                 F.array_join(F.sort_array(F.collect_list("p")), ",")
+                 .alias("positions")))
+
+
+@register(
+    "q_phrase_search",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    t1 AS (SELECT doc_id, p FROM pos WHERE term = '{_PHRASE[0]}'),
+    t2 AS (SELECT doc_id, p FROM pos WHERE term = '{_PHRASE[1]}'),
+    t3 AS (SELECT doc_id, p FROM pos WHERE term = '{_PHRASE[2]}'),
+    hits AS (
+        SELECT t1.doc_id, t1.p AS start_pos
+        FROM t1
+        JOIN t2 ON t2.doc_id = t1.doc_id AND t2.p = t1.p + 1
+        JOIN t3 ON t3.doc_id = t1.doc_id AND t3.p = t1.p + 2)
+    SELECT doc_id, COUNT(*) AS n_matches, MIN(start_pos) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+    tags=("indexing", "text", "retrieval"),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search for "{p}" by position-adjacency joins:
+    a doc matches where the three terms occur at consecutive
+    positions. Returns (doc_id, n_matches, first_pos).
+
+    Each term's postings are filtered BEFORE the join (the filter
+    reaches the scan), so the join inputs are O(tf(term)) rows, and
+    both joins are equi-joins on (doc_id, position±k) — hash joins
+    co-keyed by doc_id, no theta/cross shape anywhere. This is the
+    standard positional-index phrase plan: cost scales with the
+    rarest term's postings, not the corpus.
+    """.format(p=" ".join(_PHRASE))
+    pos = _positions(spark, sf_dir)
+    t1 = pos.where(F.col("term") == _PHRASE[0]).select("doc_id", F.col("p").alias("p1"))
+    t2 = pos.where(F.col("term") == _PHRASE[1]).select(
+        F.col("doc_id").alias("d2"), F.col("p").alias("p2"))
+    t3 = pos.where(F.col("term") == _PHRASE[2]).select(
+        F.col("doc_id").alias("d3"), F.col("p").alias("p3"))
+    hits = (t1
+            .join(t2, (F.col("d2") == F.col("doc_id"))
+                  & (F.col("p2") == F.col("p1") + 1))
+            .join(t3, (F.col("d3") == F.col("doc_id"))
+                  & (F.col("p3") == F.col("p1") + 2)))
+    return (hits.groupBy("doc_id")
+            .agg(F.count("*").alias("n_matches"),
+                 F.min("p1").alias("first_pos")))
+
+
+@register(
+    "q_doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    nums AS (SELECT unnest(generate_series(
+                 1, (SELECT MAX(len(w)) FROM toks))) AS i),
+    starts AS (
+        SELECT doc_id, w, CAST(i AS BIGINT) AS start_tok
+        FROM toks JOIN nums
+          ON nums.i <= len(toks.w) AND (nums.i - 1) % {_STRIDE} = 0)
+    SELECT doc_id,
+           CAST((start_tok - 1) / {_STRIDE} AS BIGINT) AS chunk_id,
+           start_tok,
+           CAST(least(start_tok + {_CHUNK} - 1, len(w)) AS BIGINT) AS end_tok,
+           CAST(least(start_tok + {_CHUNK} - 1, len(w)) - start_tok + 1
+                AS BIGINT) AS n_tok,
+           w[CAST(start_tok AS INT)] AS first_tok
+    FROM starts
+    """,
+    tags=("indexing", "chunking", "text"),
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({c}-token chunks, stride
+    {s}): each doc yields ceil(n_tokens/{s}) chunks with 1-based
+    token bounds — the context-window splitting step every
+    embedding/RAG ingest pipeline runs before vectorizing.
+
+    The chunk starts are generated ARRAY-LOCALLY with
+    sequence(1, n, {s}) and exploded — O(chunks) rows, not
+    O(tokens); no join, no shuffle at all (the output is a pure
+    per-row flatMap of the corpus scan, embarrassingly parallel at
+    any scale). Chunk text itself is a substring of the token array
+    (first_tok returned as the witness column).
+    """.format(c=_CHUNK, s=_STRIDE)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                 lambda x: x != "").alias("w"))
+    n = F.size("w")
+    starts = toks.select(
+        "doc_id", "w",
+        F.explode(F.sequence(F.lit(1), n, F.lit(_STRIDE))).alias("start0")
+    ).select("doc_id", "w", F.col("start0").cast("long").alias("start_tok"))
+    end = F.least(F.col("start_tok") + _CHUNK - 1, F.size("w").cast("long"))
+    return starts.select(
+        "doc_id",
+        ((F.col("start_tok") - 1) / _STRIDE).cast("long").alias("chunk_id"),
+        "start_tok",
+        end.alias("end_tok"),
+        (end - F.col("start_tok") + 1).alias("n_tok"),
+        F.element_at("w", F.col("start_tok").cast("int")).alias("first_tok"))
+
+
+@register(
+    "q_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    words AS (
+        SELECT term, COUNT(*) AS freq
+        FROM (SELECT unnest(w) AS term FROM toks)
+        GROUP BY term),
+    long_words AS (SELECT * FROM words WHERE len(term) >= 2),
+    nums AS (SELECT unnest(generate_series(
+                 1, (SELECT MAX(len(term)) FROM long_words) - 1)) AS i),
+    pairs AS (
+        SELECT substr(term, CAST(i AS INT), 2) AS pair, freq
+        FROM long_words JOIN nums ON nums.i <= len(term) - 1),
+    counted AS (
+        SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY pair)
+    SELECT pair, pair_count,
+           ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rnk
+    FROM counted ORDER BY pair_count DESC, pair LIMIT {_TOP_PAIRS}
+    """,
+    tags=("indexing", "tokenizer", "bpe"),
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration: corpus-weighted adjacent
+    character-pair counts, top {k} — the merge-candidate table a
+    byte-pair-encoding tokenizer trainer maintains (each subsequent
+    iteration merges the argmax pair and recounts).
+
+    The corpus collapses to its word-frequency table FIRST (one
+    token explode + hash agg with map-side combine), so the pair
+    generation runs over |vocabulary| rows, not |corpus tokens| —
+    the same trick real BPE trainers use. Pairs are generated
+    array-locally (transform over sequence(1, len-1)), exploded
+    O(len) per DISTINCT word, and hash-aggregated; the final top-{k}
+    is sort+limit, with the rank window running on {k} rows only.
+    """.format(k=_TOP_PAIRS)
+    docs = load_table(spark, sf_dir, "documents")
+    words = (docs.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                           lambda x: x != "")).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("freq"))
+        .where(F.length("term") >= 2))
+    pairs = words.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(term) - 1),"
+            " i -> substring(term, i, 2))")).alias("pair"),
+        "freq")
+    counted = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    w = Window.orderBy(F.col("pair_count").desc(), "pair")
+    return (counted.orderBy(F.col("pair_count").desc(), "pair")
+            .limit(_TOP_PAIRS)
+            .withColumn("rnk", F.row_number().over(w)))
