@@ -209,3 +209,91 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.round("bm25_norm", 6).alias("bm25_norm"),
                     F.round("cosine", 6).alias("cosine"),
                     F.round("hybrid", 6).alias("hybrid"), "rnk"))
+
+
+_NDCG_K = 10
+_NDCG_QUERY_FILTER = "vec_id % 100 = 0"
+
+
+@register(
+    "q_ndcg_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE {_NDCG_QUERY_FILTER}),
+    ranked AS (
+        SELECT q.vec_id AS query_id, q.label AS qlabel,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                            DESC, c.vec_id) AS rnk
+        FROM q JOIN n c ON q.vec_id <> c.vec_id),
+    topk AS (SELECT * FROM ranked WHERE rnk <= {_NDCG_K}),
+    dcg AS (
+        SELECT query_id, qlabel,
+               CAST(SUM(rel) AS BIGINT) AS n_rel_topk,
+               SUM(rel / log2(rnk + 1.0)) AS dcg
+        FROM topk GROUP BY query_id, qlabel),
+    lbl AS (SELECT label, COUNT(*) AS cnt FROM n GROUP BY label),
+    nums AS (SELECT unnest(generate_series(1, {_NDCG_K})) AS i),
+    idcg AS (
+        SELECT dcg.query_id,
+               SUM(1.0 / log2(nums.i + 1.0)) AS idcg
+        FROM dcg JOIN lbl ON lbl.label = dcg.qlabel
+        JOIN nums ON nums.i <= least({_NDCG_K}, lbl.cnt - 1)
+        GROUP BY dcg.query_id)
+    SELECT dcg.query_id, dcg.n_rel_topk,
+           ROUND(COALESCE(dcg.dcg / idcg.idcg, 0.0), 6) AS ndcg
+    FROM dcg LEFT JOIN idcg ON idcg.query_id = dcg.query_id
+    """,
+    tags=("retrieval", "eval", "knn"),
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{k} of exact cosine retrieval, relevance = label match:
+    for each query vector (the {f} subset), rank the corpus by
+    cosine, score DCG with the standard 1/log2(rank+1) discount,
+    and normalize by the ideal DCG given how many relevant items
+    exist (label count - 1, capped at {k}). The offline ranking-
+    quality metric every retrieval/embedding pipeline reports.
+
+    Same plan skeleton as q_knn_bruteforce: the query set broadcasts
+    onto one corpus scan, the per-query top-{k} window moves
+    k*|queries| rows, and everything after (DCG, label counts,
+    closed-form IDCG via an array-local sequence aggregate) operates
+    on |queries|- or |labels|-row relations. At 100 TB the corpus
+    scan dominates; swap the exact ranking for the LSH/IVF/PQ paths
+    to trade recall for scan cost without touching the metric code.
+    """.format(k=_NDCG_K, f=_NDCG_QUERY_FILTER)
+    from my_mapreduce_spark.queries.similarity import _normed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = _normed(emb).join(emb.select("vec_id", "label"), "vec_id")
+    q = e.where(F.expr(_NDCG_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"), F.col("label").alias("qlabel"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    topk = (e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+            .select("query_id", "qlabel", "vec_id", "label", cos.alias("cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _NDCG_K)
+            .withColumn("rel", (F.col("label") == F.col("qlabel"))
+                        .cast("int")))
+    dcg = (topk.groupBy("query_id", "qlabel")
+           .agg(F.sum("rel").cast("long").alias("n_rel_topk"),
+                F.sum(F.col("rel") / F.log2(F.col("rnk") + 1.0))
+                .alias("dcg")))
+    lbl = e.groupBy("label").agg(F.count("*").alias("cnt"))
+    m = F.least(F.lit(_NDCG_K), F.col("cnt") - 1)
+    idcg = F.expr(f"aggregate(sequence(1, int(m)), 0D, "
+                  f"(acc, i) -> acc + 1.0 / log2(i + 1.0))")
+    return (dcg.join(F.broadcast(lbl), dcg.qlabel == lbl.label, "left")
+            .withColumn("m", m)
+            .withColumn("idcg", F.when(F.col("m") >= 1, idcg))
+            .select("query_id", "n_rel_topk",
+                    F.round(F.coalesce(F.col("dcg") / F.col("idcg"),
+                                       F.lit(0.0)), 6).alias("ndcg")))
