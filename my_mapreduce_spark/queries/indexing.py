@@ -273,3 +273,69 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counted.orderBy(F.col("pair_count").desc(), "pair")
             .limit(_TOP_PAIRS)
             .withColumn("rnk", F.row_number().over(w)))
+
+
+_SKIP_WINDOW = 2      # context window (forward offsets 1..2)
+_TOP_COOC = 40
+
+
+@register(
+    "q_skipgram_cooc",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    pairs AS (
+        SELECT p1.term AS center, p2.term AS context,
+               1.0 / (p2.p - p1.p) AS wgt
+        FROM pos p1
+        JOIN pos p2 ON p2.doc_id = p1.doc_id
+                   AND p2.p - p1.p BETWEEN 1 AND {_SKIP_WINDOW}),
+    counted AS (
+        SELECT center, context,
+               COUNT(*) AS n_cooc,
+               SUM(wgt) AS wgt_sum
+        FROM pairs GROUP BY center, context),
+    ranked AS (
+        SELECT center, context, n_cooc, wgt_sum,
+               ROW_NUMBER() OVER (ORDER BY wgt_sum DESC, center, context)
+                   AS rnk
+        FROM counted)
+    SELECT center, context, n_cooc, ROUND(wgt_sum, 6) AS weight, rnk
+    FROM ranked WHERE rnk <= {_TOP_COOC}
+    """,
+    tags=("indexing", "text", "embedding-prep"),
+)
+def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-weighted skip-gram co-occurrence counts (forward
+    window {w}, weight 1/distance) — the (center, context) count
+    matrix word2vec/GloVe-style embedding training consumes; also
+    the collocation upgrade of q_bigram_pmi's adjacent-only pairs.
+
+    Pairs are generated ARRAY-LOCALLY (nested transform over the
+    token array: for each position, its next {w} tokens), so the
+    corpus scan emits O(tokens x {w}) rows with NO join — the
+    positional self-join in the oracle is the semantic spec, not
+    the plan. One hash agg with map-side combine, then top-{k} via
+    sort+limit; the rank window runs on {k} rows.
+    """.format(w=_SKIP_WINDOW, k=_TOP_COOC)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                 lambda x: x != "").alias("w")).where(F.size("w") >= 2)
+    pairs = toks.select(F.explode(F.expr(f"""
+        flatten(transform(sequence(1, size(w) - 1), i ->
+            transform(sequence(i + 1, least(i + {_SKIP_WINDOW}, size(w))),
+                      j -> struct(element_at(w, i) AS center,
+                                  element_at(w, j) AS context,
+                                  double(1) / (j - i) AS wgt))))
+        """)).alias("pr")).select("pr.center", "pr.context", "pr.wgt")
+    counted = (pairs.groupBy("center", "context")
+               .agg(F.count("*").alias("n_cooc"),
+                    F.sum("wgt").alias("wgt_sum")))
+    w = Window.orderBy(F.col("wgt_sum").desc(), "center", "context")
+    return (counted
+            .orderBy(F.col("wgt_sum").desc(), "center", "context")
+            .limit(_TOP_COOC)
+            .withColumn("rnk", F.row_number().over(w))
+            .select("center", "context", "n_cooc",
+                    F.round("wgt_sum", 6).alias("weight"), "rnk"))

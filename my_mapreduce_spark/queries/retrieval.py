@@ -297,3 +297,66 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "n_rel_topk",
                     F.round(F.coalesce(F.col("dcg") / F.col("idcg"),
                                        F.lit(0.0)), 6).alias("ndcg")))
+
+
+_MINE_K = 3
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE {_NDCG_QUERY_FILTER}),
+    scored AS (
+        SELECT q.vec_id AS query_id,
+               CASE WHEN c.label = q.label THEN 'pos'
+                    ELSE 'hard_neg' END AS kind,
+               c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        FROM q JOIN n c ON q.vec_id <> c.vec_id),
+    ranked AS (
+        SELECT query_id, kind, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id, kind
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored)
+    SELECT query_id, kind, neighbor_id, ROUND(cos, 6) AS cosine, rnk
+    FROM ranked WHERE rnk <= {_MINE_K}
+    """,
+    tags=("retrieval", "training-data", "embedding"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding training: per query
+    vector, the top-{k} most similar SAME-label vectors (positives)
+    and the top-{k} most similar DIFFERENT-label vectors (hard
+    negatives — the near-misses that make contrastive losses learn;
+    random negatives are trivially separable).
+
+    One corpus scan with the broadcast query set (same skeleton as
+    q_knn_bruteforce), kind assigned per pair, and ONE window
+    partitioned by (query, kind) takes both top-{k} lists in a
+    single pass — no second scan for the negatives. At 100 TB the
+    exact ranking swaps for the ANN shortlists (LSH/IVF/PQ paths)
+    with this query unchanged downstream.
+    """.format(k=_MINE_K)
+    from my_mapreduce_spark.queries.similarity import _normed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = _normed(emb).join(emb.select("vec_id", "label"), "vec_id")
+    q = e.where(F.expr(_NDCG_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"), F.col("label").alias("qlabel"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    kind = F.when(F.col("label") == F.col("qlabel"), "pos").otherwise("hard_neg")
+    w = Window.partitionBy("query_id", "kind").orderBy(
+        F.col("cos").desc(), "neighbor_id")
+    return (e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+            .select("query_id", kind.alias("kind"),
+                    F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _MINE_K)
+            .select("query_id", "kind", "neighbor_id",
+                    F.round("cos", 6).alias("cosine"), "rnk"))

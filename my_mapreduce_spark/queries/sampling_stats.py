@@ -219,3 +219,143 @@ def q_sql_cte_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders", "customer", "nation", "region"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_PIPELINE_SQL)
+
+
+_AQP_RATE = 0.05      # deterministic 5% sample
+# 13 md5 hex digits as a 52-bit uniform, same scheme as _U_SQL
+_AQP_U = ("(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) "
+          "AS UBIGINT) + 0.5) / 4503599627370496.0")
+
+
+@register(
+    "q_aqp_estimate",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, n_chars FROM documents WHERE {_AQP_U} < {_AQP_RATE}),
+    est AS (
+        SELECT COUNT(*) AS n_sample,
+               CAST(ROUND(COUNT(*) / {_AQP_RATE}, 0) AS BIGINT)
+                   AS est_total,
+               AVG(n_chars) AS est_avg_chars,
+               SUM(n_chars) / {_AQP_RATE} AS est_sum_chars
+        FROM s),
+    exact AS (
+        SELECT COUNT(*) AS exact_total,
+               AVG(n_chars) AS exact_avg_chars,
+               CAST(SUM(n_chars) AS DOUBLE) AS exact_sum_chars
+        FROM documents)
+    SELECT est.n_sample, est.est_total, exact.exact_total,
+           ROUND(est.est_avg_chars, 6) AS est_avg_chars,
+           ROUND(exact.exact_avg_chars, 6) AS exact_avg_chars,
+           ROUND(abs(est.est_sum_chars - exact.exact_sum_chars)
+                 / exact.exact_sum_chars, 6) AS rel_err_sum
+    FROM est CROSS JOIN exact
+    """,
+    tags=("sampling", "aqp"),
+)
+def q_aqp_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic sampling:
+    estimate corpus count / mean / total from a {r:.0%} md5-hash
+    sample (Horvitz–Thompson inverse-probability scaling) and report
+    the realized relative error against the exact answer. The
+    trade every interactive 100 TB dashboard makes — scan 1/20th of
+    the data for a ~1/sqrt(n) error — made reproducible by hashing
+    doc_id instead of RNG sampling.
+
+    Both branches are single map-side-combined scalar aggregates;
+    the sample predicate is a pure per-row hash (pushable,
+    partition-parallel, no shuffle). The exact branch exists only
+    to score the estimate; a production AQP run executes the sample
+    branch alone.
+    """.format(r=_AQP_RATE)
+    docs = load_table(spark, sf_dir, "documents")
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16, 10).cast("double") + 0.5) / float(2 ** 52)
+    s = docs.where(u < _AQP_RATE)
+    est = s.agg(
+        F.count("*").alias("n_sample"),
+        F.round(F.count("*") / _AQP_RATE, 0).cast("long").alias("est_total"),
+        F.avg("n_chars").alias("est_avg_chars"),
+        (F.sum("n_chars") / _AQP_RATE).alias("est_sum_chars"))
+    exact = docs.agg(
+        F.count("*").alias("exact_total"),
+        F.avg("n_chars").alias("exact_avg_chars"),
+        F.sum("n_chars").cast("double").alias("exact_sum_chars"))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("n_sample", "est_total", "exact_total",
+                    F.round("est_avg_chars", 6).alias("est_avg_chars"),
+                    F.round("exact_avg_chars", 6).alias("exact_avg_chars"),
+                    F.round(F.abs(F.col("est_sum_chars")
+                                  - F.col("exact_sum_chars"))
+                            / F.col("exact_sum_chars"), 6)
+                    .alias("rel_err_sum")))
+
+
+_DIFF_BUCKETS = 256
+_DRIFT_MOD = 997      # simulated target table drops event_id % 997 = 0
+# 52-bit row fingerprint over the stable identity columns
+_ROW_HASH = ("CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' "
+             "|| CAST(user_id AS VARCHAR) || '|' || event_type), 1, 13)) "
+             "AS UBIGINT)")
+
+
+@register(
+    "q_table_diff_checksums",
+    oracle=f"""
+    WITH src AS (
+        SELECT event_id % {_DIFF_BUCKETS} AS bucket,
+               bit_xor({_ROW_HASH}) AS chk, COUNT(*) AS n
+        FROM events GROUP BY 1),
+    dst AS (
+        SELECT event_id % {_DIFF_BUCKETS} AS bucket,
+               bit_xor({_ROW_HASH}) AS chk, COUNT(*) AS n
+        FROM events WHERE event_id % {_DRIFT_MOD} <> 0 GROUP BY 1)
+    SELECT src.bucket, src.n AS n_src,
+           COALESCE(dst.n, 0) AS n_dst,
+           src.n - COALESCE(dst.n, 0) AS n_missing
+    FROM src LEFT JOIN dst ON dst.bucket = src.bucket
+    WHERE dst.bucket IS NULL OR dst.chk <> src.chk OR dst.n <> src.n
+    """,
+    tags=("reconciliation", "ops"),
+)
+def q_table_diff_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-checksum table reconciliation: hash every row of two
+    table versions into {b} buckets, XOR a 52-bit row fingerprint
+    per bucket, and report only the buckets whose (checksum, count)
+    disagree — locating divergence between a source table and a
+    drifted copy (here: a simulated replica missing event_id %
+    {m} = 0) WITHOUT a row-level compare. This is how replicas,
+    CDC sinks, and migrated tables are verified at 100 TB: two
+    scans, two {b}-row summaries, one {b}-row join — then a
+    row-level repair query runs ONLY inside the flagged buckets.
+
+    XOR is the right checksum aggregate: commutative/associative
+    (map-side combinable, order-independent) and overflow-free,
+    unlike SUM of 52-bit fingerprints.
+    """.format(b=_DIFF_BUCKETS, m=_DRIFT_MOD)
+    ev = load_table(spark, sf_dir, "events")
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws(
+            "|", F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"), F.col("event_type"))), 1, 13),
+        16, 10).cast("long")
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return (df.groupBy((F.col("event_id") % _DIFF_BUCKETS)
+                           .alias("bucket"))
+                .agg(F.bit_xor(row_hash).alias("chk"),
+                     F.count("*").alias("n")))
+
+    src = summarize(ev)
+    dst = summarize(ev.where(F.col("event_id") % _DRIFT_MOD != 0))
+    return (src.alias("s")
+            .join(dst.alias("d"), F.col("d.bucket") == F.col("s.bucket"),
+                  "left")
+            .where(F.col("d.bucket").isNull()
+                   | (F.col("d.chk") != F.col("s.chk"))
+                   | (F.col("d.n") != F.col("s.n")))
+            .select(F.col("s.bucket").alias("bucket"),
+                    F.col("s.n").alias("n_src"),
+                    F.coalesce(F.col("d.n"), F.lit(0)).alias("n_dst"),
+                    (F.col("s.n") - F.coalesce(F.col("d.n"), F.lit(0)))
+                    .alias("n_missing")))
