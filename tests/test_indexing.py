@@ -1,0 +1,102 @@
+"""Golden tests for the indexing/chunking/sampling operators:
+independent pure-Python sequential references (SURVEY.md §5 — the
+same methodology as the reference's mrsequential goldens), so these
+pass/fail without DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.queries.indexing import (
+    _CHUNK,
+    _PHRASE,
+    _STRIDE,
+    q_bpe_pair_counts,
+    q_doc_chunking,
+    q_phrase_search,
+)
+from my_mapreduce_spark.queries.sampling_stats import (
+    _SAMPLE_K,
+    q_weighted_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return {
+        int(r["doc_id"]): (r["text"], int(r["n_chars"]))
+        for r in load_table(spark, SF, "documents").collect()
+    }
+
+
+def test_chunking_covers_every_token_with_fixed_overlap(spark, docs):
+    rows = q_doc_chunking(spark, SF).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(int(r["doc_id"]), []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, (text, _) in docs.items():
+        n = len(_tokens(text))
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["start_tok"])
+        # chunk count, bounds, and coverage
+        assert len(chunks) == math.ceil(n / _STRIDE)
+        assert chunks[0]["start_tok"] == 1
+        assert chunks[-1]["end_tok"] == n
+        for i, c in enumerate(chunks):
+            assert c["start_tok"] == 1 + i * _STRIDE
+            assert c["end_tok"] == min(c["start_tok"] + _CHUNK - 1, n)
+        # consecutive chunks overlap by CHUNK - STRIDE except the tail
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_tok"] <= a["end_tok"] + 1  # no gap
+
+
+def test_phrase_search_matches_sequential_scan(spark, docs):
+    got = {int(r["doc_id"]): (r["n_matches"], r["first_pos"])
+           for r in q_phrase_search(spark, SF).collect()}
+    want: dict[int, tuple[int, int]] = {}
+    for doc_id, (text, _) in docs.items():
+        toks = _tokens(text)
+        hits = [i + 1 for i in range(len(toks) - 2)
+                if tuple(toks[i:i + 3]) == _PHRASE]
+        if hits:
+            want[doc_id] = (len(hits), hits[0])
+    assert got == want
+
+
+def test_bpe_pair_counts_match_counter_reference(spark, docs):
+    got = [(r["pair"], r["pair_count"]) for r in
+           q_bpe_pair_counts(spark, SF).orderBy("rnk").collect()]
+    freq = Counter(t for text, _ in docs.values() for t in _tokens(text))
+    pairs: Counter = Counter()
+    for word, c in freq.items():
+        if len(word) >= 2:
+            for i in range(len(word) - 1):
+                pairs[word[i:i + 2]] += c
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:len(got)]
+    assert got == want
+
+
+def test_weighted_sample_matches_exponential_race_reference(spark, docs):
+    got = [(int(r["doc_id"]), r["rnk"]) for r in
+           q_weighted_sample(spark, SF).orderBy("rnk").collect()]
+    keyed = []
+    for doc_id, (_, n_chars) in docs.items():
+        u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16)
+             + 0.5) / 2 ** 52
+        keyed.append((-math.log(u) / n_chars, doc_id))
+    want = [(doc_id, i + 1) for i, (_, doc_id) in
+            enumerate(sorted(keyed)[:_SAMPLE_K])]
+    assert got == want
