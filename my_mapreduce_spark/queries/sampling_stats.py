@@ -359,3 +359,61 @@ def q_table_diff_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("d.n"), F.lit(0)).alias("n_dst"),
                     (F.col("s.n") - F.coalesce(F.col("d.n"), F.lit(0)))
                     .alias("n_missing")))
+
+
+_WINSOR_LO = 0.05
+_WINSOR_HI = 0.95
+
+
+@register(
+    "q_winsorize_stats",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, {_WINSOR_LO}) AS lo,
+               quantile_cont(value, {_WINSOR_HI}) AS hi
+        FROM events GROUP BY event_type),
+    c AS (
+        SELECT e.event_type, b.lo, b.hi, e.value,
+               least(greatest(e.value, b.lo), b.hi) AS clipped,
+               CASE WHEN e.value < b.lo OR e.value > b.hi
+                    THEN 1 ELSE 0 END AS is_clipped
+        FROM events e JOIN b USING (event_type))
+    SELECT event_type,
+           ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
+           ROUND(AVG(value), 6) AS mean_raw,
+           ROUND(AVG(clipped), 6) AS mean_winsorized,
+           CAST(SUM(is_clipped) AS BIGINT) AS n_clipped
+    FROM c GROUP BY event_type, lo, hi
+    """,
+    tags=("robust-stats", "preprocessing"),
+)
+def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization per event type: clip ``value`` to its exact
+    [p{lo:g}, p{hi:g}] percentile band and report raw vs winsorized
+    means plus the clip count — the standard tail-taming
+    preprocessing step before training on heavy-tailed metrics
+    (clipping, unlike dropping, keeps the row count).
+
+    One percentile pass produces a per-type 2-scalar boundary table
+    (broadcast back — the same exact-boundary-broadcast shape as
+    q_rfm_segments), then one clip-and-aggregate scan. No shuffle
+    larger than |event_types| rows at any scale.
+    """.format(lo=_WINSOR_LO * 100, hi=_WINSOR_HI * 100)
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {_WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {_WINSOR_HI})").alias("hi"))
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    is_clipped = ((F.col("value") < F.col("lo"))
+                  | (F.col("value") > F.col("hi"))).cast("int")
+    return (ev.join(F.broadcast(b), "event_type")
+            .select("event_type", "lo", "hi", "value",
+                    clipped.alias("clipped"), is_clipped.alias("is_clipped"))
+            .groupBy("event_type", "lo", "hi")
+            .agg(F.round(F.avg("value"), 6).alias("mean_raw"),
+                 F.round(F.avg("clipped"), 6).alias("mean_winsorized"),
+                 F.sum("is_clipped").cast("long").alias("n_clipped"))
+            .select("event_type", F.round("lo", 6).alias("lo"),
+                    F.round("hi", 6).alias("hi"), "mean_raw",
+                    "mean_winsorized", "n_clipped"))

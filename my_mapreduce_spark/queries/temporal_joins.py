@@ -123,3 +123,74 @@ def q_range_join_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "user_id")
         .agg(F.count(F.lit(1)).alias("n_follow"))
     )
+
+
+_ATTR_WINDOW_US = 24 * 3600 * 1_000_000  # attribution lookback: 24h
+
+
+@register(
+    "q_multitouch_attribution",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+                      strftime(ts, '%Y-%m-%d') AS day
+               FROM events),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    t AS (SELECT * FROM e WHERE event_type IN ('click', 'view')),
+    m AS (
+        SELECT p.event_id AS purchase_id, p.day AS purchase_day,
+               t.event_type AS channel,
+               COUNT(*) OVER (PARTITION BY p.event_id) AS n_touch
+        FROM p JOIN t
+          ON t.user_id = p.user_id
+         AND t.ts_us <= p.ts_us
+         AND t.ts_us > p.ts_us - {_ATTR_WINDOW_US})
+    SELECT purchase_day, channel,
+           COUNT(*) AS n_touches,
+           ROUND(SUM(1.0 / n_touch), 6) AS credit
+    FROM m GROUP BY purchase_day, channel
+    """,
+    tags=("join", "attribution", "events"),
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click/view in the 24h
+    before a purchase by the same user shares that purchase's credit
+    equally (credit = 1/n_touches); credits roll up per (purchase
+    day, channel). The batch complement of the streaming last-touch
+    job (q_streaming_click_attribution) — marketing pipelines run
+    exactly this shape nightly.
+
+    Plan: the time-range join is BUCKETED, not theta — purchases
+    replicate into the two 24h buckets covering their lookback
+    window, the join is an equi-join on (user_id, bucket), and the
+    exact range predicate filters after. Per-key fan-out is bounded
+    by bucket occupancy (the oracle's theta join is the semantic
+    spec, not the plan). The per-purchase touch count is a
+    purchase-partitioned window over match rows, then one small agg.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"),
+        F.col("ts_us").alias("pts"), F.col("day").alias("purchase_day"))
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("tu"), F.col("ts_us").alias("tts"),
+        F.col("event_type").alias("channel"),
+        (F.col("ts_us") / _ATTR_WINDOW_US).cast("long").alias("bucket"))
+    # purchase covers buckets [bucket(pts - W), bucket(pts)]
+    pb = p.select(
+        "*", F.explode(F.array(
+            (F.col("pts") / _ATTR_WINDOW_US).cast("long"),
+            ((F.col("pts") - _ATTR_WINDOW_US) / _ATTR_WINDOW_US)
+            .cast("long"))).alias("bucket")).dropDuplicates(
+        ["purchase_id", "bucket"])
+    m = (pb.join(t, (F.col("tu") == F.col("pu"))
+                 & (t.bucket == pb.bucket)
+                 & (F.col("tts") <= F.col("pts"))
+                 & (F.col("tts") > F.col("pts") - _ATTR_WINDOW_US)))
+    w = Window.partitionBy("purchase_id")
+    return (m.withColumn("n_touch", F.count("*").over(w))
+            .groupBy("purchase_day", "channel")
+            .agg(F.count("*").alias("n_touches"),
+                 F.round(F.sum(1.0 / F.col("n_touch")), 6).alias("credit")))
