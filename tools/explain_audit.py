@@ -61,6 +61,12 @@ _ALLOW_NESTED_LOOP = {
                                  # 1-row query vector)), same shape
     "q_source_kl_divergence",    # crossJoin(broadcast(1-row corpus token
                                  # total)), same scalar-subquery shape
+    "q_ndcg_eval",               # corpus scan x broadcast query set with a
+                                 # != condition — same declared shape as
+                                 # q_knn_bruteforce (the ranking IS exact)
+    "q_hard_negatives",          # same broadcast-query != shape
+    "q_aqp_estimate",            # crossJoin(broadcast(1-row exact stats)),
+                                 # same scalar-subquery shape
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
@@ -176,6 +182,11 @@ def main() -> int:
     for name in names:
         if name in _SKIP:
             continue
+        # audit each plan standalone: a prior query's persist() would
+        # otherwise substitute InMemoryRelation for plan-identical
+        # scans (CacheManager matches at registration, even without
+        # execution), hiding the parquet scan this audit inspects
+        spark.catalog.clearCache()
         df = REGISTRY[name].fn(spark, args.sf)
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
         qe = df._jdf.queryExecution()
