@@ -115,3 +115,71 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 4).alias("sum_value"))
     )
+
+
+_CONC_HOLD_US = 30 * 60 * 1_000_000  # each event holds a slot for 30 min
+
+
+@register(
+    "q_max_concurrent",
+    oracle=f"""
+    WITH b AS (
+        SELECT event_type, epoch_us(ts) AS bts, 1 AS delta, event_id
+        FROM events
+        UNION ALL
+        SELECT event_type, epoch_us(ts) + {_CONC_HOLD_US}, -1, event_id
+        FROM events),
+    swept AS (
+        SELECT event_type, bts, delta,
+               SUM(delta) OVER (PARTITION BY event_type
+                                ORDER BY bts, delta, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+        FROM b),
+    mx AS (
+        SELECT event_type, MAX(run) AS max_concurrent FROM swept
+        GROUP BY event_type)
+    SELECT swept.event_type,
+           CAST(mx.max_concurrent AS BIGINT) AS max_concurrent,
+           MIN(swept.bts) AS peak_at_us
+    FROM swept JOIN mx ON mx.event_type = swept.event_type
+                      AND swept.run = mx.max_concurrent
+    GROUP BY swept.event_type, mx.max_concurrent
+    """,
+    tags=("events", "sweep-line", "concurrency"),
+)
+def q_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type via the sweep line: each
+    event holds a slot for 30 min, boundaries (+1 at start, -1 at
+    end, ends-before-starts on ties via delta ordering) are sorted
+    and prefix-summed; the maximum of the running sum is the peak
+    concurrent load, reported with its first onset time. The
+    capacity-planning query behind "how many sessions were open at
+    once?" — not expressible as a grouped aggregate because
+    concurrency is a property of the ORDERED boundary stream.
+
+    The sweep is a per-type window (running sum over an unbounded-
+    preceding row frame) — sequential per key, parallel across
+    keys, the inherent shape of prefix sums. For a SINGLE global
+    key at 100 TB the same two-level range-partitioned prefix-sum
+    trick as q_pack_sequences / q_vocab_rank_scalable applies; the
+    per-type form here stays one shuffle + one linear pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select("event_type", F.unix_micros("ts").alias("bts"),
+                       F.lit(1).alias("delta"), "event_id")
+    ends = ev.select("event_type",
+                     (F.unix_micros("ts") + _CONC_HOLD_US).alias("bts"),
+                     F.lit(-1).alias("delta"), "event_id")
+    b = starts.unionAll(ends)
+    w = (Window.partitionBy("event_type").orderBy("bts", "delta", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    swept = b.withColumn("run", F.sum("delta").over(w)).alias("s")
+    mx = (swept.groupBy("event_type")
+          .agg(F.max("run").cast("long").alias("max_concurrent"))
+          .withColumnRenamed("event_type", "mx_type").alias("m"))
+    return (swept.join(F.broadcast(mx),
+                       (F.col("s.event_type") == F.col("m.mx_type"))
+                       & (F.col("s.run") == F.col("m.max_concurrent")))
+            .groupBy("s.event_type", "m.max_concurrent")
+            .agg(F.min("s.bts").alias("peak_at_us"))
+            .select("event_type", "max_concurrent", "peak_at_us"))
