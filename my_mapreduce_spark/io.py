@@ -40,25 +40,50 @@ def _ensure_runtime_confs(spark: SparkSession) -> None:
             spark.conf.set(key, val)
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column across fixture generations.
+
+    Guarantees two columns regardless of how the parquet encodes time:
+    ``ts`` as a session-TZ (UTC) TIMESTAMP and ``ts_ns`` as bigint
+    epoch-nanoseconds. Handles all encodings the driver has shipped:
+
+    - TIMESTAMP(NANOS) read as long via ``nanosAsLong`` (early
+      fixtures): integer DIV, not ``/`` — epoch-nanos exceed double's
+      53-bit exact range, so float division drifts by ±1µs;
+    - TIMESTAMP_NTZ micros (current fixtures): cast to TIMESTAMP is
+      value-preserving because the session timezone is pinned UTC;
+    - plain TIMESTAMP: derive ``ts_ns`` only.
+
+    Works identically on batch and streaming DataFrames (pure column
+    expressions, no actions).
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
+        )
+    if ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if dict(df.dtypes).get("ts") == "timestamp":
+        df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a typed DataFrame.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, unreadable by Spark's
-    vectorized reader; with ``spark.sql.legacy.parquet.nanosAsLong``
-    it arrives as a long which we convert to a microsecond timestamp
-    (column ``ts``), keeping the raw nanos as ``ts_ns``.
+    ``events.ts`` arrives either as TIMESTAMP(NANOS)-as-long or as
+    TIMESTAMP_NTZ micros depending on fixture generation; both are
+    normalized to (``ts`` TIMESTAMP, ``ts_ns`` bigint) by
+    :func:`normalize_event_ts`.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer DIV, not `/`: epoch-nanos exceed double's 53-bit
-        # exact integer range, so float division drifts by ±1µs.
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
-        )
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

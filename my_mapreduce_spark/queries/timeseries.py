@@ -1,0 +1,229 @@
+"""Time-series densification, semi-structured (VARIANT) analytics,
+and corpus-law statistics (SURVEY.md §2C/§2D north-star depth).
+
+- ``q_gap_fill_ffill``: per-user hourly scaffold (``sequence`` +
+  explode — no driver loop) left-joined to observed hourly averages,
+  forward-filled with ``last(..., ignorenulls=True)`` over a
+  row-bounded window. The canonical sparse→dense metric-stream
+  transform (the reference can only emit observed keys,
+  ``mr/worker.go:199-215``; densification needs generate+join).
+- ``q_variant_json_stats``: Spark 4 VARIANT path — ``parse_json`` →
+  ``variant_get`` typed extraction of ``events.props``, then a plain
+  aggregate. VARIANT keeps the JSON shredded in a binary encoding
+  (scan-time pushdown-able) instead of re-parsing strings per
+  expression.
+- ``q_zipf_slope``: OLS fit of ln(freq) on ln(rank) over the corpus
+  token frequency table (``regr_slope``/``regr_intercept``/
+  ``regr_r2`` — all JVM aggregates). A healthy natural-language
+  corpus shows slope ≈ -1 (Zipf's law); ingest drift or synthetic
+  spam shifts it — a one-row corpus health probe.
+- ``q_gap_log_histogram``: log2-bucketed inter-event-gap histogram
+  per event type. Bucket index via ``length(bin(gap))`` (exact
+  integer bit-length — NOT ``floor(ln/ln 2)``, whose float rounding
+  differs across engines at exact powers of two).
+
+Scale shape (100 TB): gap-fill shuffles once on user_id and the
+scaffold explodes array-locally (rows ≈ users × span-hours, never
+wider than the densified output itself); VARIANT stats is scan +
+one hash agg; Zipf is token-keyed agg → single JVM regression
+aggregate (vocabulary-bounded input); the gap histogram is one
+user-partitioned window + one tiny agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+_HOUR_US = 3_600_000_000
+
+# shared token relation (identical split on both engines)
+_TOKENS_CTE = """
+    tok AS (
+        SELECT UNNEST(list_filter(
+            regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '')) AS token
+        FROM documents)
+"""
+
+
+@register(
+    "q_gap_fill_ffill",
+    oracle=f"""
+    WITH h AS (
+        SELECT user_id, epoch_us(ts) // {_HOUR_US} AS hour,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+          FROM h GROUP BY 1),
+    s AS (SELECT user_id, UNNEST(generate_series(h0, h1)) AS hour FROM b),
+    j AS (SELECT s.user_id, s.hour, h.avg_value
+          FROM s LEFT JOIN h USING (user_id, hour))
+    SELECT user_id, hour,
+           ROUND(LAST_VALUE(avg_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS filled_value,
+           CAST(avg_value IS NULL AS INT) AS is_gap
+    FROM j
+    """,
+    tags=("timeseries", "window", "pipeline"),
+)
+def q_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify each user's hourly metric series and forward-fill gaps.
+
+    Scaffold = per-user ``sequence(min_hour, max_hour)`` exploded
+    array-locally (one row per user in, span-hours rows out — the
+    explode never shuffles); observed averages left-join on
+    (user, hour); the fill is one user-partitioned running
+    ``last(ignorenulls)`` window. Hours are epoch-hour bigints, not
+    timestamps, so the oracle compare is type-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id",
+                   F.expr(f"unix_micros(ts) DIV {_HOUR_US}").alias("hour"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+    scaffold = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select("user_id", F.explode(F.sequence("h0", "h1")).alias("hour"))
+    )
+    joined = scaffold.join(hourly, ["user_id", "hour"], "left")
+    w = (Window.partitionBy("user_id").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        "user_id", "hour",
+        F.round(F.last("avg_value", ignorenulls=True).over(w), 4)
+            .alias("filled_value"),
+        F.col("avg_value").isNull().cast("int").alias("is_gap"),
+    )
+
+
+@register(
+    "q_variant_json_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(k) AS n_with_k,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           ROUND(AVG(k), 4) AS avg_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+    tags=("variant", "json", "scalar"),
+)
+def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed stats over a semi-structured column via Spark 4 VARIANT.
+
+    ``parse_json`` shreds ``props`` once into the binary VARIANT
+    encoding; ``try_variant_get`` extracts ``$.k`` as int (NULL on
+    missing/mistyped, matching the oracle's CAST of a missing JSON
+    path). One scan, one hash agg — the JSON is never string-parsed
+    twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k")
+    return (
+        ev.select("event_type", k)
+        .groupBy("event_type")
+        .agg(F.count("k").alias("n_with_k"),
+             F.min("k").alias("min_k"), F.max("k").alias("max_k"),
+             F.round(F.avg("k"), 4).alias("avg_k"))
+    )
+
+
+@register(
+    "q_zipf_slope",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    ranked AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+        FROM freq)
+    SELECT COUNT(*) AS n_tokens,
+           ROUND(regr_slope(ln(cnt), ln(rnk)), 6) AS zipf_slope,
+           ROUND(regr_intercept(ln(cnt), ln(rnk)), 6) AS zipf_intercept,
+           ROUND(regr_r2(ln(cnt), ln(rnk)), 6) AS r2
+    FROM ranked
+    """,
+    tags=("text", "stats"),
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequency distribution.
+
+    Token counts are a vocabulary-bounded hash agg; the rank is a
+    single window over vocabulary-cardinality rows (bounded by the
+    language, not the corpus — same argument as q_vocab_min_count);
+    the regression is one JVM ``regr_*`` aggregate pass. Slope ≈ -1
+    on natural text; drift is an ingest red flag.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(
+            F.filter(F.split(F.col("text"), r"[^a-z0-9]+"),
+                     lambda x: x != "")).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = freq.select(
+        "cnt",
+        F.row_number().over(
+            Window.orderBy(F.desc("cnt"), F.asc("token"))).alias("rnk"))
+    y, x = F.log(F.col("cnt")), F.log(F.col("rnk"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+@register(
+    "q_gap_log_histogram",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS gap_us
+        FROM events)
+    SELECT event_type,
+           CAST(length(format('{:b}', gap_us)) AS INT) AS log2_bucket,
+           COUNT(*) AS n_gaps,
+           ROUND(AVG(gap_us), 2) AS avg_gap_us
+    FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "window", "stats"),
+)
+def q_gap_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-gap distribution, log2-bucketed, per event type.
+
+    The latency-histogram shape every monitoring pipeline needs: one
+    user-partitioned LAG window, then a tiny (type × ~40 buckets)
+    agg. Bucket index is the bit length of the µs gap —
+    ``length(bin(gap))`` — which is exact integer arithmetic on both
+    engines, unlike ``floor(ln(gap)/ln(2))`` whose float rounding
+    flips at exact powers of two.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(ts)"), "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.expr("unix_micros(ts)")
+         - F.lag(F.expr("unix_micros(ts)")).over(w)).alias("gap_us"))
+    return (
+        gaps.where(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+        .select("event_type",
+                F.length(F.bin("gap_us")).cast("int").alias("log2_bucket"),
+                "gap_us")
+        .groupBy("event_type", "log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_gaps"),
+             F.round(F.avg("gap_us"), 2).alias("avg_gap_us"))
+    )

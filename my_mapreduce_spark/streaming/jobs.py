@@ -19,7 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from my_mapreduce_spark.io import _ensure_runtime_confs
+from my_mapreduce_spark.io import _ensure_runtime_confs, normalize_event_ts
 from my_mapreduce_spark.registry import register
 
 
@@ -61,22 +61,22 @@ def _run_to_memory(spark: SparkSession, out: DataFrame, prefix: str,
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the nanosecond ``ts``
-    surfaced both as ``ts_us`` (long) and as a proper ``ts``
-    timestamp (integer DIV, matching the batch path exactly)."""
+    """readStream over the events parquet with ``ts`` surfaced both
+    as ``ts_us`` (long) and as a proper UTC ``ts`` timestamp,
+    matching the batch path (io.normalize_event_ts) exactly for any
+    fixture timestamp encoding."""
     _ensure_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    raw = (
         spark.readStream.schema(schema)
         .format("parquet")
         # FileStreamSource requires a directory; glob-filter to the
         # events file within the sf dir
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns DIV 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
     )
+    return normalize_event_ts(raw).withColumn(
+        "ts_us", F.expr("ts_ns DIV 1000"))
 
 
 def run_hourly_stream(spark: SparkSession, sf_dir: str,
@@ -174,15 +174,12 @@ def run_sessionize_stream(spark: SparkSession, sf_dir: str,
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     sessionize = make_sessionizer(gap_us)
 
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumnRenamed("ts", "ts_ns")
-        .select("user_id", "event_id",
-                F.expr("ts_ns DIV 1000").alias("ts_us"))
-    )
+    ).select("user_id", "event_id", F.expr("ts_ns DIV 1000").alias("ts_us"))
     out = stream.groupBy("user_id").applyInPandasWithState(
         sessionize,
         outputStructType=SESSIONIZE_OUT,

@@ -33,6 +33,14 @@ def _orders_table(spark) -> str:
     tag = os.path.basename(os.path.normpath(SF_DIR)).replace(".", "_")
     name = f"mmr_cbo_orders_{tag}"
     if not spark.catalog.tableExists(name):
+        # an orphaned warehouse dir (metastore reset between sessions)
+        # makes CTAS fail with LOCATION_ALREADY_EXISTS; clear it first
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            .removeprefix("file:"), name)
+        if os.path.isdir(loc):
+            import shutil
+            shutil.rmtree(loc)
         from my_mapreduce_spark.io import load_table
         load_table(spark, SF_DIR, "orders").write.mode("overwrite") \
             .format("parquet").saveAsTable(name)
