@@ -22,3 +22,4 @@ del _mod
 
 import my_mapreduce_spark.multimodal  # noqa: F401,E402
 import my_mapreduce_spark.streaming.jobs  # noqa: F401,E402
+import my_mapreduce_spark.streaming.tws  # noqa: F401,E402

@@ -339,3 +339,72 @@ def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rnk", F.row_number().over(w))
             .select("center", "context", "n_cooc",
                     F.round("wgt_sum", 6).alias("weight"), "rnk"))
+
+
+_UDTF_CHUNK = 25  # non-overlapping span width (tokens)
+
+
+@register(
+    "q_udtf_chunk_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    c AS (
+        SELECT doc_id, w,
+               UNNEST(generate_series(
+                   0, CAST(ceil(len(w) / {_UDTF_CHUNK}.0) AS INT) - 1))
+                   AS chunk_seq
+        FROM t WHERE len(w) > 0)
+    SELECT doc_id, CAST(chunk_seq AS INT) AS chunk_seq,
+           CAST(LEAST({_UDTF_CHUNK}, len(w) - chunk_seq * {_UDTF_CHUNK})
+                AS INT) AS n_toks,
+           w[chunk_seq * {_UDTF_CHUNK} + 1] AS first_tok,
+           w[LEAST(len(w), chunk_seq * {_UDTF_CHUNK} + {_UDTF_CHUNK})]
+               AS last_tok
+    FROM c
+    """,
+    tags=("udtf", "chunking", "text"),
+)
+def q_udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc chunk spans via a PYTHON UDTF in a SQL LATERAL join.
+
+    The table-function extension point: a ``@udtf`` class whose
+    ``eval`` yields one row per chunk, invoked per document with
+    ``LATERAL`` correlation — the idiomatic Spark 4 surface for
+    operators that map one row to a variable number of rows with
+    imperative logic. Arrow-batched (``useArrow``); the tokenizer is
+    byte-identical to the engine's JVM split so the DuckDB oracle is
+    a full value check.
+
+    Production note: for THIS op the pure-JVM explode
+    (q_doc_chunking, indexing.py:187) is the faster path; the UDTF
+    exists for the long tail of row-generators Spark has no builtin
+    for (parsers, decoders, span extractors). Cost is one Python
+    worker pass, no shuffle — chunk generation stays array-local
+    per input partition.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=("chunk_seq int, n_toks int, "
+                      "first_tok string, last_tok string"),
+          useArrow=True)
+    class ChunkSpans:
+        def eval(self, text: str):
+            toks = [t for t in re.split(r"[^a-z0-9]+", text or "") if t]
+            for seq in range(0, (len(toks) + _UDTF_CHUNK - 1) // _UDTF_CHUNK):
+                lo = seq * _UDTF_CHUNK
+                hi = min(len(toks), lo + _UDTF_CHUNK)
+                yield seq, hi - lo, toks[lo], toks[hi - 1]
+
+    spark.udtf.register("mmr_chunk_spans", ChunkSpans)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "mmr_udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, c.chunk_seq, c.n_toks, c.first_tok, c.last_tok
+        FROM mmr_udtf_docs d, LATERAL mmr_chunk_spans(d.text) c
+    """)

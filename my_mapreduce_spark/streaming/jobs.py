@@ -19,7 +19,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from my_mapreduce_spark.io import _ensure_runtime_confs, normalize_event_ts
+from my_mapreduce_spark.io import (_ensure_runtime_confs, load_table,
+                                   normalize_event_ts)
 from my_mapreduce_spark.registry import register
 
 
@@ -505,3 +506,94 @@ def q_streaming_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch."""
     out, _ = run_sketch_maintenance_stream(spark, sf_dir)
     return out
+
+
+_OUTER_WINDOW_MIN = 30     # purchase within 30 min after the click
+_OUTER_WATERMARK_H = 2
+# Left-state eviction uses the conservative two-sided state watermark
+# (left row evicted when c_ts < watermark - window, one extra window
+# behind the naive c_ts + window < watermark bound — verified
+# empirically); plus 60s slack for millisecond watermark truncation.
+_OUTER_MARGIN_US = _OUTER_WINDOW_MIN * 60 * 1_000_000 + 60_000_000
+
+
+def run_left_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every click, with
+    its attributed purchase(s) in the next {window} minutes — or a
+    null-extended row if none arrived.
+
+    The outer side is the hard part of streaming joins: a match can
+    emit immediately, but "no match" is only knowable once the
+    watermark passes the end of the click's join window (state
+    eviction emits the null row, during the no-data micro-batch that
+    follows the last data batch). Clicks newer than
+    ``max_ts - watermark - window`` end the run still unresolved in
+    state, so the query pre-filters the left side to clicks old
+    enough to be fully resolved — making the emitted set EXACTLY the
+    batch left join and the oracle a full-value check. On an infinite
+    stream no filter is needed; the cutoff is the finite-source
+    equivalent of "the watermark eventually passes every row".
+    """
+    cutoff_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+        - (_OUTER_WATERMARK_H * 3600 + _OUTER_WINDOW_MIN * 60) * 1_000_000
+        - _OUTER_MARGIN_US
+    )
+    ev = _event_stream(spark, sf_dir).withWatermark(
+        "ts", f"{_OUTER_WATERMARK_H} hours")
+    clicks = (ev.where((F.col("event_type") == "click")
+                       & (F.col("ts_us") < cutoff_us))
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("ts_us").alias("c_ts_us")))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("ts_us").alias("p_ts_us")))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(
+            f"INTERVAL {_OUTER_WINDOW_MIN} MINUTES")),
+        "leftOuter")
+    out = joined.select(
+        F.col("c_user").alias("user_id"), "click_id", "purchase_id",
+        (F.col("p_ts_us") - F.col("c_ts_us")).alias("lag_us"),
+        F.col("purchase_id").isNotNull().cast("int").alias("matched"))
+    return _run_to_memory(spark, out, "louter", "append")
+
+
+@register(
+    "q_streaming_left_outer_join",
+    oracle=f"""
+    WITH cutoff AS (
+        SELECT MAX(epoch_us(ts))
+               - {(_OUTER_WATERMARK_H * 3600 + _OUTER_WINDOW_MIN * 60)
+                  * 1_000_000 + _OUTER_MARGIN_US} AS us
+        FROM events),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+            AND epoch_us(ts) < (SELECT us FROM cutoff)),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+           CAST(p.event_id IS NOT NULL AS INT) AS matched
+    FROM c LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {_OUTER_WINDOW_MIN} MINUTE
+    """,
+    tags=("streaming", "join", "stream-stream", "outer", "events"),
+)
+def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER time-range join, gated by the exact
+    batch left join (see run_left_outer_join_stream for why the
+    left-side cutoff makes the equality exact)."""
+    return run_left_outer_join_stream(spark, sf_dir)
