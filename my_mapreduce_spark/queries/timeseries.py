@@ -227,3 +227,105 @@ def q_gap_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_gaps"),
              F.round(F.avg("gap_us"), 2).alias("avg_gap_us"))
     )
+
+
+@register(
+    "q_seasonal_residuals",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(ts) // {_HOUR_US} AS hour,
+               (epoch_us(ts) // {_HOUR_US}) % 24 AS hod,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2, 3),
+    base AS (
+        SELECT event_type, hod,
+               AVG(cnt) AS mu, STDDEV_SAMP(cnt) AS sigma
+        FROM hourly GROUP BY 1, 2)
+    SELECT h.event_type,
+           COUNT(*) AS n_hours,
+           CAST(SUM(CASE WHEN b.sigma > 0
+                          AND ABS(h.cnt - b.mu) > 2 * b.sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           ROUND(MAX(CASE WHEN b.sigma > 0
+                          THEN ABS(h.cnt - b.mu) / b.sigma END), 4)
+               AS max_z
+    FROM hourly h JOIN base b USING (event_type, hod)
+    GROUP BY 1
+    """,
+    tags=("timeseries", "anomaly", "stats"),
+)
+def q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection on the event stream.
+
+    Classic two-pass shape: per (type, hour-of-day) seasonal
+    baseline (mean/stddev of hourly counts across days), then each
+    hourly bucket scored against its own season — the detector that
+    does not page on the nightly traffic dip. Two vocabulary-bounded
+    aggs + one broadcastable join (type × 24 baseline rows); scales
+    as one scan regardless of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type",
+                  F.expr(f"unix_micros(ts) DIV {_HOUR_US}").alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("hod", F.col("hour") % 24)
+    )
+    base = (hourly.groupBy("event_type", "hod")
+            .agg(F.avg("cnt").alias("mu"),
+                 F.stddev_samp("cnt").alias("sigma")))
+    z = F.abs(F.col("cnt") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.join(F.broadcast(base), ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_hours"),
+             F.sum(F.when((F.col("sigma") > 0)
+                          & (F.abs(F.col("cnt") - F.col("mu"))
+                             > 2 * F.col("sigma")), 1)
+                   .otherwise(0)).alias("n_anomalies"),
+             F.round(F.max(F.when(F.col("sigma") > 0, z)), 4)
+                 .alias("max_z"))
+    )
+
+
+@register(
+    "q_hourly_autocorr",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, epoch_us(ts) // {_HOUR_US} AS hour,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+    lagged AS (
+        SELECT event_type, cnt,
+               LAG(cnt) OVER (PARTITION BY event_type ORDER BY hour)
+                   AS prev_cnt
+        FROM hourly)
+    SELECT event_type,
+           COUNT(prev_cnt) AS n_pairs,
+           ROUND(corr(cnt, prev_cnt), 6) AS lag1_autocorr
+    FROM lagged GROUP BY event_type
+    """,
+    tags=("timeseries", "stats"),
+)
+def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly event counts per type — the
+    one-number seasonality/burstiness probe (≈0 for Poisson arrivals,
+    →1 for strongly trending load). One hash agg, one per-type LAG
+    window over ~720 rows, one ``corr`` aggregate — all JVM.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type",
+                  F.expr(f"unix_micros(ts) DIV {_HOUR_US}").alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = hourly.select("event_type", "cnt",
+                           F.lag("cnt").over(w).alias("prev_cnt"))
+    return (lagged.groupBy("event_type")
+            .agg(F.count("prev_cnt").alias("n_pairs"),
+                 F.round(F.corr("cnt", "prev_cnt"), 6)
+                     .alias("lag1_autocorr")))

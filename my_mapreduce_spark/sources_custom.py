@@ -33,6 +33,7 @@ from typing import Iterable, Iterator, List
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    SimpleDataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -123,6 +124,9 @@ class MrOutDataSource(DataSource):
     def reader(self, schema) -> MrOutReader:
         return MrOutReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "MrOutStreamReader":
+        return MrOutStreamReader(self.options)
+
 
 def register_mrout(spark) -> None:
     """Idempotently register the ``mrout`` format on a session.
@@ -132,3 +136,57 @@ def register_mrout(spark) -> None:
     registration turns it on."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(MrOutDataSource)
+
+
+class MrOutStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of :class:`MrOutReader`: the sorted file list
+    is the log, the offset is how many files have been consumed, and
+    each micro-batch drains exactly one file.
+
+    ``read(start)`` returns (rows, next_offset) for the prefetch
+    path; ``readBetweenOffsets`` deterministically REPLAYS an
+    already-planned range after restart — offsets are file indexes
+    into a sorted listing, so replay yields byte-identical rows,
+    which is what makes the source exactly-once under the simple
+    stream reader's driver-side prefetch contract. New ``mr-out-*``
+    files appended to the directory are picked up by later batches
+    (file-drop ingestion, the reference's own output layout as a
+    live feed)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mrout source requires a path")
+
+    def _files(self) -> List[str]:
+        return sorted(
+            p for pat in ("mr-out-*", "part-*")
+            for p in glob.glob(os.path.join(self.path, pat))
+            if os.path.isfile(p) and not p.endswith((".crc", "_SUCCESS")))
+
+    @staticmethod
+    def _read_file(path: str) -> Iterator[tuple]:
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if line:
+                    key, _, value = line.partition(" ")
+                    yield (key, value)
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        # rows are materialized (the prefetch contract pickles them);
+        # one FILE per batch keeps the driver-resident slice bounded
+        # by the reduce-partition size, not the dataset
+        files = self._files()
+        i = start["idx"]
+        if i >= len(files):
+            return [], start
+        return list(self._read_file(files[i])), {"idx": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> List[tuple]:
+        files = self._files()
+        return [row for i in range(start["idx"], min(end["idx"], len(files)))
+                for row in self._read_file(files[i])]
