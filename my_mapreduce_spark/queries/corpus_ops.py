@@ -624,3 +624,176 @@ def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum(F.coalesce(F.col("lk"), F.lit(0)).cast("bigint"))
                   .alias("naive_leaked_docs")))
     return grouped.join(naive, "split")
+
+
+_SRC_PERMS = 16  # per-source MinHash components
+
+
+def _source_minhash_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN(md5('{i}|' || shingle)) AS m{i}" for i in range(_SRC_PERMS))
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+        for i in range(_SRC_PERMS))
+    return f"""
+    WITH {_SHINGLES_CTE},
+    src AS (
+        SELECT s.doc_id, d.source, s.shingle
+        FROM s JOIN documents d USING (doc_id)),
+    sig AS (
+        SELECT source,
+               {mins}
+        FROM src GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({matches} AS BIGINT) AS n_matches,
+           ROUND(({matches}) / {_SRC_PERMS}.0, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+    """
+
+
+@register(
+    "q_source_minhash_sim",
+    oracle=_source_minhash_oracle(),
+    tags=("dedup", "minhash", "corpus", "source"),
+)
+def q_source_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-level near-dup signal: pairwise MinHash similarity
+    of SOURCES (each source's signature = MinHash over the union of
+    its docs' shingles).
+
+    The crawl-hygiene question "are two feeds mirroring each other?"
+    answered without any doc-level pair join: one shingle pass, one
+    source-keyed aggregation down to {perms} hex strings per source,
+    then a source×source comparison over container-cardinality rows
+    (mirrors q_dedup_minhash_lsh's md5 permutations, dedup.py:197,
+    so the oracle reproduces every signature bit-for-bit). At 100 TB
+    the pair stage is trivia — cost is the one corpus scan.
+    """
+    from my_mapreduce_spark.queries.dedup import _shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src_shingles = _shingle_rows(spark, sf_dir).join(docs, "doc_id")
+    sig = src_shingles.groupBy("source").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+          .alias(f"m{i}") for i in range(_SRC_PERMS)])
+    a, b = sig.alias("a"), sig.alias("b")
+    n_matches = sum(
+        F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+        for i in range(_SRC_PERMS))
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(F.col("a.source").alias("source_a"),
+                F.col("b.source").alias("source_b"),
+                n_matches.cast("bigint").alias("n_matches"),
+                F.round(n_matches / F.lit(float(_SRC_PERMS)), 6)
+                    .alias("est_jaccard"))
+    )
+
+
+@register(
+    "q_source_token_entropy",
+    oracle="""
+    WITH t AS (
+        SELECT source,
+               UNNEST(list_filter(
+                   regexp_split_to_array(text, '[^a-z0-9]+'),
+                   x -> x <> '')) AS token
+        FROM documents),
+    cnt AS (SELECT source, token, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY 1)
+    SELECT cnt.source,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           COUNT(*) AS vocab,
+           ROUND(-SUM((c / n) * ln(c / n)), 6) AS entropy_nats
+    FROM cnt JOIN tot USING (source)
+    GROUP BY cnt.source, tot.n
+    """,
+    tags=("text", "corpus", "stats", "source"),
+)
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's unigram distribution — the
+    absolute diversity twin of q_source_kl_divergence (which is
+    relative to the corpus mixture): low entropy flags template/spam
+    feeds, drift over time flags scraper breakage.
+
+    Two token-keyed aggs (both vocabulary-bounded per source) + one
+    broadcastable per-source total join; the entropy sum is a plain
+    JVM aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (docs.select("source", F.explode(tokens()).alias("token"))
+           .groupBy("source", "token").agg(F.count(F.lit(1)).alias("c")))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source", "n")
+        .agg(F.count(F.lit(1)).alias("vocab"),
+             F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"))
+        .select("source", F.col("n").cast("bigint").alias("n_tokens"),
+                "vocab", "entropy_nats")
+    )
+
+
+_NOVELTY_BUCKET = 100  # docs per bucket on the ingest (doc_id) axis
+
+
+@register(
+    "q_ngram_novelty_curve",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    first AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM s GROUP BY shingle),
+    nov AS (
+        SELECT first_doc // {_NOVELTY_BUCKET} AS bucket,
+               COUNT(*) AS novel_ngrams
+        FROM first GROUP BY 1),
+    tot AS (
+        SELECT doc_id // {_NOVELTY_BUCKET} AS bucket,
+               COUNT(*) AS seen_ngrams
+        FROM s GROUP BY 1)
+    SELECT tot.bucket,
+           tot.seen_ngrams,
+           COALESCE(nov.novel_ngrams, 0) AS novel_ngrams,
+           CAST(SUM(COALESCE(nov.novel_ngrams, 0)) OVER (
+               ORDER BY tot.bucket) AS BIGINT) AS cum_novel,
+           ROUND(COALESCE(nov.novel_ngrams, 0) / tot.seen_ngrams, 6)
+               AS novelty_rate
+    FROM tot LEFT JOIN nov USING (bucket)
+    """,
+    tags=("corpus", "dedup", "stats"),
+)
+def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation curve: per ingest bucket of
+    {bucket} docs, how many distinct 3-gram shingles are NOVEL
+    (first occurrence) vs merely seen — the marginal-value signal
+    that tells a crawl when more of the same source stops adding
+    information (novelty_rate → 0 ⇒ dedup ROI, stop-crawling
+    threshold).
+
+    First-occurrence is a shingle-keyed MIN agg (no window over the
+    corpus); bucket totals are a second agg; the only window is the
+    cumulative sum over bucket-cardinality rows. All shuffles are
+    shingle- or bucket-keyed — nothing quadratic, nothing
+    driver-side.
+    """
+    from my_mapreduce_spark.queries.dedup import _shingle_rows
+
+    s = _shingle_rows(spark, sf_dir)
+    first = s.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    nov = (first.groupBy((F.col("first_doc") / _NOVELTY_BUCKET)
+                         .cast("bigint").alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("novel_ngrams")))
+    tot = (s.groupBy((F.col("doc_id") / _NOVELTY_BUCKET)
+                     .cast("bigint").alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("seen_ngrams")))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    joined = (tot.join(nov, "bucket", "left")
+              .withColumn("novel_ngrams",
+                          F.coalesce("novel_ngrams", F.lit(0))))
+    return joined.select(
+        "bucket", "seen_ngrams", "novel_ngrams",
+        F.sum("novel_ngrams").over(w).cast("bigint").alias("cum_novel"),
+        F.round(F.col("novel_ngrams") / F.col("seen_ngrams"), 6)
+            .alias("novelty_rate"))

@@ -67,12 +67,17 @@ _ALLOW_NESTED_LOOP = {
     "q_hard_negatives",          # same broadcast-query != shape
     "q_aqp_estimate",            # crossJoin(broadcast(1-row exact stats)),
                                  # same scalar-subquery shape
+    "q_source_minhash_sim",      # source<source theta join over
+                                 # container-cardinality signature rows
+                                 # (~#sources², not #docs²) — tiny by
+                                 # construction, broadcast NLJ is right
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
     "q_streaming_enrich", "q_streaming_click_attribution",
     "q_streaming_dedup", "q_streaming_session_window",
     "q_streaming_sketch_state",  # foreachBatch merge loop, micro-batch exec
+    "q_streaming_left_outer_join",  # micro-batch exec (materialized sink)
     "q_dedup_clusters",  # returns the converged cached relation; the
                          # per-round join+agg plans (which do codegen)
                          # already executed inside the driver loop
