@@ -140,3 +140,51 @@ def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (est.join(exact, "token")
             .select("token", "est", "exact",
                     (F.col("est") - F.col("exact")).alias("overcount")))
+
+
+@register(
+    "q_bitmap_exact_distinct",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, user_id
+        FROM events)
+    SELECT event_type,
+           COUNT(DISTINCT day) AS n_days,
+           COUNT(DISTINCT user_id) AS exact_users
+    FROM daily GROUP BY event_type
+    """,
+    tags=("sketch", "bitmap", "distinct", "incremental"),
+)
+def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via Spark 4 bitmap
+    aggregates — the precise twin of q_hll_user_sketches (2% HLL).
+
+    Per (event_type, day, bitmap-bucket) the user ids collapse to a
+    fixed 4KB bitmap (``bitmap_construct_agg`` over
+    ``bitmap_bit_position``); daily bitmaps OR-merge
+    (``bitmap_or_agg``) into per-type bitmaps whose set bits are the
+    exact distinct count. Unlike COUNT(DISTINCT), the partial state
+    is CONSTANT-SIZE per bucket and mergeable across days/partitions
+    — the materialized-rollup pattern: store daily bitmaps once,
+    answer any date-range distinct query by OR-ing them, no re-scan
+    of the raw events. The oracle checks the counts against plain
+    COUNT(DISTINCT).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"),
+                  "user_id")
+        .groupBy("event_type", "day",
+                 F.bitmap_bucket_number("user_id").alias("bkt"))
+        .agg(F.bitmap_construct_agg(
+            F.bitmap_bit_position("user_id")).alias("bm"))
+    )
+    merged = (daily.groupBy("event_type", "bkt")
+              .agg(F.bitmap_or_agg("bm").alias("bm")))
+    counts = (merged.groupBy("event_type")
+              .agg(F.sum(F.bitmap_count("bm")).alias("exact_users")))
+    days = (daily.select("event_type", "day").distinct()
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_days")))
+    return (counts.join(F.broadcast(days), "event_type")
+            .select("event_type", "n_days", "exact_users"))

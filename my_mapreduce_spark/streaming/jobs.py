@@ -597,3 +597,40 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch left join (see run_left_outer_join_stream for why the
     left-side cutoff makes the equality exact)."""
     return run_left_outer_join_stream(spark, sf_dir)
+
+
+def run_dedup_within_wm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup via ``dropDuplicatesWithinWatermark`` — the API built
+    for at-least-once sources whose duplicates carry DIFFERENT event
+    times (a redelivery gets a new ingestion timestamp, so exact
+    dropDuplicates on (id, ts) would NOT collapse it; this one keeps
+    state per id only until the watermark passes the FIRST sighting
+    plus the delay).
+
+    Here the doubled source replays identical rows, a superset of
+    the different-ts case; the per-type aggregate must equal the
+    plain batch answer."""
+    ev = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    doubled = ev.unionAll(_event_stream(spark, sf_dir)
+                          .withWatermark("ts", "2 hours"))
+    deduped = (doubled.select("event_id", "event_type", "value", "ts")
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 4).alias("sum_value")))
+    return _run_to_memory(spark, deduped, "dedupwm", "complete")
+
+
+@register(
+    "q_streaming_dedup_within_wm",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark", "events"),
+)
+def q_streaming_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark dedup, gated by the same batch
+    oracle as q_streaming_dedup (the two APIs must agree on replayed
+    input)."""
+    return run_dedup_within_wm_stream(spark, sf_dir)
