@@ -417,3 +417,54 @@ def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", F.round("lo", 6).alias("lo"),
                     F.round("hi", 6).alias("hi"), "mean_raw",
                     "mean_winsorized", "n_clipped"))
+
+
+_N_BINS = 10
+_DECILES = [i / _N_BINS for i in range(1, _N_BINS)]
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT quantile_cont(l_quantity, {_DECILES}) AS qs
+        FROM lineitem)
+    SELECT CAST(1 + len(list_filter(b.qs, q -> l.l_quantity > q)) AS INT)
+               AS bin,
+           COUNT(*) AS n_rows,
+           MIN(l.l_quantity) AS lo,
+           MAX(l.l_quantity) AS hi
+    FROM lineitem l, b
+    GROUP BY 1
+    """,
+    tags=("stats", "histogram", "percentile"),
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of ``l_quantity`` — the
+    optimizer-statistics shape (equal-count bins expose skew that
+    equal-width bins hide; q_histogram is the equal-width twin).
+
+    Two passes: one EXACT percentile aggregate for the 9 boundaries
+    (a single scalar row, broadcast), one scan assigning each row
+    ``bin = 1 + #boundaries < v`` via an array filter on the
+    broadcast boundary array. Cross-engine exactness argument:
+    l_quantity is integer-valued, so every interpolated boundary is
+    either exactly an integer (both engines agree bit-for-bit) or
+    strictly inside an open integer interval — in which case the
+    ``v > boundary`` comparison is invariant to last-ulp
+    interpolation differences. No per-row shuffle; the only wide op
+    is the tiny bin agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    bounds = li.agg(
+        F.percentile("l_quantity", F.array(*[F.lit(p) for p in _DECILES]))
+        .alias("qs"))
+    binned = (
+        li.crossJoin(F.broadcast(bounds))
+        .select((1 + F.size(F.filter(
+            "qs", lambda q: F.col("l_quantity") > q))).cast("int")
+            .alias("bin"), "l_quantity"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("l_quantity").alias("lo"),
+                 F.max("l_quantity").alias("hi")))

@@ -656,3 +656,60 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str,
             .where(F.col("rnk") <= _K)
             .select("query_id", "neighbor_id",
                     F.round("cos_raw", 6).alias("cosine"), "rnk"))
+
+
+@register(
+    "q_embedding_covariance",
+    oracle=f"""
+    WITH x AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, {_DIM} + 1)) AS t(i))
+    SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+           ROUND(covar_samp(a.v, b.v), 6) + 0.0 AS cov
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+    tags=("embedding", "stats", "matrix"),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full {d}×{d} embedding covariance matrix (upper triangle) via
+    per-partition outer-product partials — the whitening /
+    anisotropy-diagnosis input every embedding pipeline wants.
+
+    Scale shape: each partition reduces its rows to ONE d(d+1)/2-row
+    partial (numpy ``Mᵀ M`` + column sums — O(d²) state regardless
+    of partition size), the shuffle moves partials (not vectors),
+    and the final agg applies the closed form
+    ``(Σxy − ΣxΣy/n)/(n−1)``. The oracle computes the same matrix
+    the quadratic way (position self-join + ``covar_samp``) — the
+    point: Spark runs the O(n·d + P·d²) plan, the SQL spec is
+    O(n·d²) through a join, and they agree to 6dp.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    iu, ju = np.triu_indices(_DIM)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            outer = m.T @ m
+            col_sum = m.sum(axis=0)
+            yield pd.DataFrame({
+                "i": (iu + 1).astype("int32"), "j": (ju + 1).astype("int32"),
+                "sxy": outer[iu, ju],
+                "sx": col_sum[iu], "sy": col_sum[ju],
+                "n": np.full(len(iu), len(m), dtype="int64")})
+
+    parts = emb.mapInPandas(
+        partials, "i int, j int, sxy double, sx double, sy double, n long")
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"), F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"), F.sum("n").alias("n"))
+    cov = ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+           / (F.col("n") - 1))
+    # + 0.0 collapses IEEE negative zero (repr-sorted compares)
+    return agg.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))

@@ -28,12 +28,16 @@ from __future__ import annotations
 
 import glob
 import os
+import uuid
+from dataclasses import dataclass
 from typing import Iterable, Iterator, List
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
     EqualTo,
     Filter,
     In,
@@ -127,6 +131,12 @@ class MrOutDataSource(DataSource):
     def simpleStreamReader(self, schema) -> "MrOutStreamReader":
         return MrOutStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "MrOutWriter":
+        if len(schema.fields) != 2:
+            raise ValueError(
+                f"mrout sink writes (key, value) rows; got {schema}")
+        return MrOutWriter(self.options, overwrite)
+
 
 def register_mrout(spark) -> None:
     """Idempotently register the ``mrout`` format on a session.
@@ -190,3 +200,59 @@ class MrOutStreamReader(SimpleDataSourceStreamReader):
         files = self._files()
         return [row for i in range(start["idx"], min(end["idx"], len(files)))
                 for row in self._read_file(files[i])]
+
+
+@dataclass
+class _MrOutCommit(WriterCommitMessage):
+    """Per-task commit: the temp file written and its final name."""
+    tmp_path: str
+    final_name: str
+    n_rows: int
+
+
+class MrOutWriter(DataSourceWriter):
+    """Write ``"<key> <value>"`` lines in the reference's exact sink
+    layout (``mr/worker.go:190-207``): one ``mr-out-N`` file per
+    partition, committed atomically.
+
+    Two-phase commit, the same protocol contract as Spark's file
+    sinks: each task writes to a uuid temp file and reports it in
+    its commit message; only the DRIVER's ``commit`` renames temp
+    files to their final ``mr-out-N`` names, so a failed/speculative
+    task (``abort``) leaves no partial output visible. Rename-based
+    publish is atomic on a POSIX dir; on an object store the same
+    code shape swaps rename for a manifest write.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("mrout sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _MrOutCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{row[0]} {row[1]}\n")
+                n += 1
+        return _MrOutCommit(tmp_path=tmp, final_name=f"mr-out-{pid}",
+                            n_rows=n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "mr-out-*")):
+                os.remove(old)
+        for msg in messages:
+            os.replace(msg.tmp_path,
+                       os.path.join(self.path, msg.final_name))
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.tmp_path):
+                os.remove(msg.tmp_path)

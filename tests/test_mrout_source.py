@@ -99,3 +99,30 @@ def test_mrout_streaming_reader_multibatch(spark, tmp_path):
         assert runs >= min(n_files, 2)
     finally:
         spark.catalog.dropTempView(sink)
+
+
+def test_mrout_writer_roundtrip_and_layout(spark, tmp_path):
+    """df.write.format('mrout'): reference sink layout (one mr-out-N
+    per partition), atomic publish (no temp files left), and a full
+    write→read roundtrip through the same DataSource."""
+    path = str(tmp_path / "sink")
+    register_mrout(spark)
+    df = (spark.createDataFrame(
+        [("apple", "3"), ("banana", "x 7"), ("cherry", "1"),
+         ("apricot", "9"), ("avocado", "2")],
+        "key string, value string").repartition(3))
+    df.write.format("mrout").mode("append").save(path)
+
+    files = sorted(glob.glob(path + "/mr-out-*"))
+    assert len(files) == 3                      # one file per partition
+    assert not glob.glob(path + "/.tmp-*")      # two-phase commit cleaned up
+    back = spark.read.format("mrout").load(path)
+    assert sorted((r.key, r.value) for r in back.collect()) == \
+        sorted((r.key, r.value) for r in df.collect())
+
+    # overwrite replaces the previous generation atomically
+    df2 = spark.createDataFrame([("kiwi", "1")], "key string, value string") \
+        .repartition(1)
+    df2.write.format("mrout").mode("overwrite").save(path)
+    assert [(r.key, r.value) for r in
+            spark.read.format("mrout").load(path).collect()] == [("kiwi", "1")]

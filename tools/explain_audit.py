@@ -67,6 +67,9 @@ _ALLOW_NESTED_LOOP = {
     "q_hard_negatives",          # same broadcast-query != shape
     "q_aqp_estimate",            # crossJoin(broadcast(1-row exact stats)),
                                  # same scalar-subquery shape
+    "q_equidepth_histogram",     # crossJoin(broadcast(1-row decile
+                                 # boundary array)), same scalar-subquery
+                                 # shape
     "q_source_minhash_sim",      # source<source theta join over
                                  # container-cardinality signature rows
                                  # (~#sources², not #docs²) — tiny by
