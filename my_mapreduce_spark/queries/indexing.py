@@ -408,3 +408,81 @@ def q_udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, c.chunk_seq, c.n_toks, c.first_tok, c.last_tok
         FROM mmr_udtf_docs d, LATERAL mmr_chunk_spans(d.text) c
     """)
+
+
+_BPE_ITERS = 3
+
+
+@register(
+    "q_bpe_train_merges",
+    oracle=None,  # iterative argmax+merge is not reasonably ANSI-SQL-
+                  # expressible; tests/test_indexing.py golden-checks the
+                  # full 3-iteration trace against a pure-Python BPE
+    tags=("bpe", "tokenizer", "iterative", "text"),
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{n} full BPE training iterations (count → argmax merge →
+    re-segment), the loop q_bpe_pair_counts is one step of.
+
+    Engine shape per iteration: adjacent-pair counts over the
+    DISTINCT-word frequency table (vocabulary-bounded, map-side
+    combined), a 1-row argmax collect (O(1) driver traffic, same
+    contract as pagerank's changed-count), then the merge applied to
+    every word IN PLACE with an ``aggregate`` fold that walks each
+    symbol array left-to-right with a just-merged flag — the exact
+    non-overlapping semantics real BPE uses ('aaa' + (a,a) → [aa, a])
+    — array-local, no shuffle. State between iterations is the
+    re-segmented vocabulary (persisted; unpersisted on exit).
+    """.format(n=_BPE_ITERS)
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (docs.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                           lambda x: x != "")).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("freq"))
+        .where(F.length("term") >= 2)
+        .select(F.expr("filter(split(term, ''), x -> x <> '')").alias("syms"),
+                "freq"))
+    vocab = vocab.persist()
+    out_rows = []
+    to_unpersist = [vocab]
+    try:
+        for it in range(1, _BPE_ITERS + 1):
+            pairs = vocab.select(
+                F.explode(F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS l, syms[i] AS r))"))
+                .alias("p"), "freq")
+            best = (pairs.groupBy("p.l", "p.r")
+                    .agg(F.sum("freq").alias("pair_count"))
+                    .orderBy(F.col("pair_count").desc(), "l", "r")
+                    .limit(1).collect())
+            if not best:
+                break
+            left, right, cnt = best[0]["l"], best[0]["r"], \
+                best[0]["pair_count"]
+            out_rows.append((it, left, right, left + right, int(cnt)))
+            lq, rq = left.replace("'", "\\'"), right.replace("'", "\\'")
+            merge = F.expr(f"""
+                aggregate(syms,
+                    named_struct('arr', CAST(array() AS array<string>),
+                                 'jm', false),
+                    (acc, x) -> IF(size(acc.arr) > 0 AND NOT acc.jm
+                                   AND element_at(acc.arr, -1) = '{lq}'
+                                   AND x = '{rq}',
+                        named_struct(
+                            'arr', concat(
+                                slice(acc.arr, 1, size(acc.arr) - 1),
+                                array('{lq}{rq}')),
+                            'jm', true),
+                        named_struct('arr', concat(acc.arr, array(x)),
+                                     'jm', false)),
+                    acc -> acc.arr)""")
+            vocab = vocab.select(merge.alias("syms"), "freq").persist()
+            to_unpersist.append(vocab)
+        return spark.createDataFrame(
+            out_rows,
+            "iter int, left string, right string, merged string, "
+            "pair_count long")
+    finally:
+        for df in to_unpersist:
+            df.unpersist()

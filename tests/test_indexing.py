@@ -100,3 +100,48 @@ def test_weighted_sample_matches_exponential_race_reference(spark, docs):
     want = [(doc_id, i + 1) for i, (_, doc_id) in
             enumerate(sorted(keyed)[:_SAMPLE_K])]
     assert got == want
+
+
+def test_bpe_train_merges_golden(spark, duck):
+    """3-iteration BPE trace must equal a pure-Python reference BPE
+    (count over distinct-word freqs, deterministic argmax, strict
+    left-to-right non-overlapping merge)."""
+    import re
+    from collections import Counter
+
+    from my_mapreduce_spark.queries.indexing import (_BPE_ITERS,
+                                                     q_bpe_train_merges)
+    from tests.conftest import SF_DIR
+
+    texts = [r[0] for r in duck.sql(
+        f"SELECT lower(text) FROM '{SF_DIR}/documents.parquet'").fetchall()]
+    freq = Counter(w for t in texts
+                   for w in re.split(r"[^a-z0-9]+", t)
+                   if w and len(w) >= 2)
+    vocab = {w: tuple(w) for w in freq}
+
+    expected = []
+    for it in range(1, _BPE_ITERS + 1):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((it, l, r, l + r, cnt))
+        merged = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[w] = tuple(out)
+        vocab = merged
+
+    got = [(r.iter, r.left, r.right, r.merged, r.pair_count)
+           for r in q_bpe_train_merges(spark, SF_DIR)
+           .orderBy("iter").collect()]
+    assert got == expected

@@ -86,6 +86,9 @@ _SKIP = {
                          # per-round join+agg plans (which do codegen)
                          # already executed inside the driver loop
     "q_dedup_clusters_pj",  # same iterative shape as q_dedup_clusters
+    "q_bpe_train_merges",   # iterative argmax+merge loop; returns the
+                            # collected 3-row merge trace (per-iteration
+                            # plans executed inside the loop)
 }
 
 # Queries whose filters provably CAN reach a parquet reader (they
