@@ -114,3 +114,59 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (r.select("node", F.round("r", 6).alias("pagerank"))
             .orderBy(F.col("pagerank").desc(), "node").limit(_TOP)
             .withColumn("rnk", F.row_number().over(w)))
+
+
+@register(
+    "q_degree_distribution",
+    oracle="""
+    WITH el AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT src, dst FROM el
+              UNION ALL SELECT dst AS src, src AS dst FROM el),
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY 1),
+    bucketed AS (
+        SELECT CASE WHEN substr(node, 1, 1) = 'c'
+                    THEN 'customer' ELSE 'supplier' END AS side,
+               CAST(length(format('{:b}', degree)) AS INT) AS log2_bucket,
+               degree
+        FROM deg)
+    SELECT side, log2_bucket,
+           COUNT(*) AS n_nodes,
+           MIN(degree) AS min_deg, MAX(degree) AS max_deg
+    FROM bucketed GROUP BY 1, 2
+    """,
+    tags=("graph", "stats"),
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the bidirected trade
+    graph, split by node side — the skew census run BEFORE any graph
+    algorithm: a heavy tail here is exactly what pagerank/CC
+    partitioning must salt around (and what AQE's skew handling
+    absorbs). Same edge relation as q_pagerank
+    (graph.py:40); one degree agg + a tiny (side × ~20 buckets) agg;
+    bucket index is exact integer bit-length, matching
+    q_gap_log_histogram's convention.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    el = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), "o_custkey").alias("src"),
+                  F.concat(F.lit("s"), "l_suppkey").alias("dst"))
+          .distinct())
+    edges = el.unionAll(el.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")) \
+        .agg(F.count("*").alias("degree"))
+    return (
+        deg.select(
+            F.when(F.substring("node", 1, 1) == "c", "customer")
+             .otherwise("supplier").alias("side"),
+            F.length(F.bin("degree")).cast("int").alias("log2_bucket"),
+            "degree")
+        .groupBy("side", "log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_nodes"),
+             F.min("degree").alias("min_deg"),
+             F.max("degree").alias("max_deg"))
+    )

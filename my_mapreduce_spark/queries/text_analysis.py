@@ -15,7 +15,7 @@ queries/reference_parity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.io import load_table
@@ -320,3 +320,86 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(n_tok))
             .crossJoin(F.broadcast(n_big))
             .select("w1", "w2", "c_ab", F.round(pmi, 6).alias("pmi")))
+
+
+_DRIFT_TOP = 15
+
+
+@register(
+    "q_term_drift_logodds",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               UNNEST(list_filter(
+                   regexp_split_to_array(text, '[^a-z0-9]+'),
+                   x -> x <> '')) AS token
+        FROM documents),
+    mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+    cnt AS (
+        SELECT token,
+               CAST(SUM(CASE WHEN doc_id <= (SELECT m FROM mid)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN doc_id > (SELECT m FROM mid)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM t GROUP BY token),
+    tot AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2, COUNT(*) AS v FROM cnt),
+    scored AS (
+        SELECT token, c1, c2,
+               ln((c1 + 1.0) / (n1 + v)) - ln((c2 + 1.0) / (n2 + v))
+                   AS lor
+        FROM cnt CROSS JOIN tot),
+    up AS (
+        SELECT 'rising' AS direction, token, c1, c2, ROUND(lor, 6) AS lor,
+               ROW_NUMBER() OVER (ORDER BY lor DESC, token) AS rnk
+        FROM scored),
+    down AS (
+        SELECT 'falling' AS direction, token, c1, c2, ROUND(lor, 6) AS lor,
+               ROW_NUMBER() OVER (ORDER BY lor ASC, token) AS rnk
+        FROM scored)
+    SELECT * FROM up WHERE rnk <= {_DRIFT_TOP}
+    UNION ALL
+    SELECT * FROM down WHERE rnk <= {_DRIFT_TOP}
+    """,
+    tags=("text", "drift", "stats"),
+)
+def q_term_drift_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top rising/falling terms between the corpus's first and second
+    half (by doc_id, the ingest axis): smoothed log-odds-ratio
+    ``ln((c1+1)/(n1+V)) − ln((c2+1)/(n2+V))`` — the vocabulary-drift
+    report that catches topic shift, scraper breakage, and spam
+    bursts, complementing the distribution-level monitors
+    (q_source_kl_divergence, q_zipf_slope) with term-level names.
+
+    One token agg with conditional sums (vocabulary-bounded), one
+    3-scalar total row broadcast, two rank windows over
+    vocabulary-cardinality rows (the q_vocab_min_count bound
+    argument), sort+limit output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(((F.min("doc_id") + F.max("doc_id"))
+                    / F.lit(2)).cast("bigint").alias("m"))
+    t = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    cnt = (t.crossJoin(F.broadcast(mid))
+           .groupBy("token")
+           .agg(F.sum(F.when(F.col("doc_id") <= F.col("m"), 1)
+                      .otherwise(0)).alias("c1"),
+                F.sum(F.when(F.col("doc_id") > F.col("m"), 1)
+                      .otherwise(0)).alias("c2")))
+    tot = cnt.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"),
+                  F.count(F.lit(1)).alias("v"))
+    scored = (cnt.crossJoin(F.broadcast(tot))
+              .select("token", "c1", "c2",
+                      (F.log((F.col("c1") + 1.0) / (F.col("n1") + F.col("v")))
+                       - F.log((F.col("c2") + 1.0)
+                               / (F.col("n2") + F.col("v")))).alias("lor")))
+    w_up = Window.orderBy(F.col("lor").desc(), "token")
+    w_dn = Window.orderBy(F.col("lor").asc(), "token")
+    up = (scored.withColumn("rnk", F.row_number().over(w_up))
+          .where(F.col("rnk") <= _DRIFT_TOP)
+          .select(F.lit("rising").alias("direction"), "token", "c1", "c2",
+                  F.round("lor", 6).alias("lor"), "rnk"))
+    down = (scored.withColumn("rnk", F.row_number().over(w_dn))
+            .where(F.col("rnk") <= _DRIFT_TOP)
+            .select(F.lit("falling").alias("direction"), "token", "c1",
+                    "c2", F.round("lor", 6).alias("lor"), "rnk"))
+    return up.unionAll(down)
