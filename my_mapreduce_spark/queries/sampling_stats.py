@@ -468,3 +468,50 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min("l_quantity").alias("lo"),
                  F.max("l_quantity").alias("hi")))
+
+
+# One SQL text, run VERBATIM by spark.sql AND DuckDB: WITH RECURSIVE
+# breadth-bounded reachability over the bidirected trade graph.
+# Fan-out control: the recursion stops at 2 hops, so the working
+# relation is degree-bounded, not closure-sized.
+_RECURSIVE_SQL = """
+WITH RECURSIVE el AS (
+    SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM el
+          UNION ALL SELECT dst AS src, src AS dst FROM el),
+reach(node, hops) AS (
+    SELECT 'c1' AS node, 0 AS hops
+    UNION ALL
+    SELECT e.dst AS node, r.hops + 1 AS hops
+    FROM edges e JOIN reach r ON e.src = r.node
+    WHERE r.hops < 2),
+closest AS (SELECT node, MIN(hops) AS min_hops FROM reach GROUP BY node)
+SELECT min_hops, COUNT(*) AS n_nodes
+FROM closest GROUP BY min_hops
+"""
+
+
+@register(
+    "q_recursive_cte_reachability",
+    oracle=_RECURSIVE_SQL,
+    tags=("sql", "recursive", "graph"),
+)
+def q_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (WITH RECURSIVE), exercised through the
+    same shared-SQL contract as q_sql_cte_pipeline: the ONE query
+    text above runs verbatim on both engines — node counts by
+    minimum hop distance from customer c1 in the bidirected trade
+    graph.
+
+    This is the declarative twin of the driver-loop iterations
+    (q_dedup_clusters, q_pagerank): the engine owns the fixed-point
+    loop. The 2-hop bound keeps each recursion step an equi-join of
+    the frontier against the edge list (degree-bounded working set);
+    unbounded transitive closure on a dense graph is exactly what
+    the iterative operators with convergence accounting are for.
+    """
+    from my_mapreduce_spark.io import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(_RECURSIVE_SQL)

@@ -236,3 +236,43 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("x") == F.col("y"), 1).otherwise(0))
                  .alias("plain_eq"),
                  F.min(F.coalesce("x", F.lit(99))).alias("min_coalesced")))
+
+
+@register(
+    "q_listagg_ordered",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT n.n_name, c.c_mktsegment
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    SELECT n_name,
+           COUNT(*) AS n_segments,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment)
+               AS segments_csv
+    FROM d GROUP BY n_name
+    """,
+    tags=("scalar", "aggregate", "string"),
+)
+def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation: Spark 4
+    ``LISTAGG(...) WITHIN GROUP (ORDER BY ...)`` vs DuckDB's
+    ``string_agg(... ORDER BY ...)`` over a pre-distincted relation
+    (LISTAGG DISTINCT + WITHIN GROUP together trips a SortOrder cast
+    bug in this Spark build; the distinct belongs upstream anyway —
+    it halves the agg input) — the report-building
+    aggregate whose output is only stable when the in-group order is
+    pinned (unordered collect_list would hash-mismatch run to run).
+    Broadcast dim join + one hash agg over nation-cardinality groups.
+    """
+    from my_mapreduce_spark.io import register_views
+
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql("""
+        WITH d AS (
+            SELECT DISTINCT n.n_name, c.c_mktsegment
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        SELECT n_name,
+               COUNT(*) AS n_segments,
+               listagg(c_mktsegment, ',')
+                   WITHIN GROUP (ORDER BY c_mktsegment) AS segments_csv
+        FROM d GROUP BY n_name
+    """)
