@@ -685,6 +685,18 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     point: Spark runs the O(n·d + P·d²) plan, the SQL spec is
     O(n·d²) through a join, and they agree to 6dp.
     """
+    agg = _cov_moments(spark, sf_dir)
+    cov = ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+           / (F.col("n") - 1))
+    # + 0.0 collapses IEEE negative zero (repr-sorted compares)
+    return agg.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
+
+
+def _cov_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle second-moment sums (i, j, sxy, sx, sy, n):
+    one mapInPandas pass emitting a d(d+1)/2-row partial per
+    partition, summed by (i, j). Shared by q_embedding_covariance
+    and q_embedding_pca."""
     import numpy as np
     import pandas as pd
 
@@ -706,10 +718,50 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts = emb.mapInPandas(
         partials, "i int, j int, sxy double, sx double, sy double, n long")
-    agg = parts.groupBy("i", "j").agg(
+    return parts.groupBy("i", "j").agg(
         F.sum("sxy").alias("sxy"), F.sum("sx").alias("sx"),
         F.sum("sy").alias("sy"), F.sum("n").alias("n"))
-    cov = ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
-           / (F.col("n") - 1))
-    # + 0.0 collapses IEEE negative zero (repr-sorted compares)
-    return agg.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
+
+
+_PCA_TOP = 8
+
+
+@register(
+    "q_embedding_pca",
+    oracle=None,  # eigensolve is not SQL-expressible; golden-tested
+                  # against numpy over the full data (test_similarity)
+    tags=("embedding", "stats", "matrix", "pca"),
+)
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} PCA spectrum of the embedding cloud: eigenvalues of
+    the covariance matrix with explained-variance ratios — the
+    anisotropy report (a collapsed embedding space shows one
+    dominant component; healthy spaces decay smoothly).
+
+    Honest scale split: the covariance reduction is DISTRIBUTED
+    (_cov_moments, O(d²) state per partition); the eigensolve runs
+    driver-side on the collected d×d matrix — O(d²) driver rows and
+    an O(d³) LAPACK call on a 64×64 symmetric matrix, which is the
+    right side of the boundary at ANY corpus size (the matrix never
+    grows with n). Returning a distributed frame of the spectrum
+    keeps the driver contract uniform.
+    """
+    import numpy as np
+
+    rows = _cov_moments(spark, sf_dir).collect()  # d(d+1)/2 rows, O(d^2)
+    cov = np.zeros((_DIM, _DIM))
+    for r in rows:
+        c = (r["sxy"] - r["sx"] * r["sy"] / r["n"]) / (r["n"] - 1)
+        cov[r["i"] - 1, r["j"] - 1] = c
+        cov[r["j"] - 1, r["i"] - 1] = c
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    out = [(k + 1, float(evals[k]), float(evals[k] / total),
+            float(evals[: k + 1].sum() / total))
+           for k in range(_PCA_TOP)]
+    return spark.createDataFrame(
+        out, "rank int, eigenvalue double, explained double, "
+             "cum_explained double"
+    ).select("rank", F.round("eigenvalue", 6).alias("eigenvalue"),
+             F.round("explained", 6).alias("explained"),
+             F.round("cum_explained", 6).alias("cum_explained"))

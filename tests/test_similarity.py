@@ -145,3 +145,30 @@ def test_pq_codebook_is_fixed_size(spark):
         assert _pq_ksub(10_000_000_000) == 32
     finally:
         del os.environ["SPARK_GRAFT_PQ_KSUB"]
+
+
+def test_embedding_pca_matches_numpy(spark, duck):
+    """The distributed-covariance PCA spectrum must equal numpy's
+    eigvalsh of the full-data covariance to 1e-9 (same d x d matrix,
+    same LAPACK — the distributed reduction is the only moving
+    part)."""
+    import numpy as np
+
+    from my_mapreduce_spark.queries.similarity import _PCA_TOP, q_embedding_pca
+    from tests.conftest import SF_DIR
+
+    m = np.vstack(duck.sql(
+        f"SELECT embedding FROM '{SF_DIR}/embeddings.parquet' ORDER BY vec_id"
+    ).df()["embedding"].to_numpy()).astype(np.float64)
+    cov = np.cov(m, rowvar=False, ddof=1)
+    evals = np.linalg.eigvalsh(cov)[::-1]
+    total = evals.sum()
+
+    got = {r.rank: (r.eigenvalue, r.explained, r.cum_explained)
+           for r in q_embedding_pca(spark, SF_DIR).collect()}
+    assert len(got) == _PCA_TOP
+    for k in range(_PCA_TOP):
+        want = (round(float(evals[k]), 6),
+                round(float(evals[k] / total), 6),
+                round(float(evals[: k + 1].sum() / total), 6))
+        assert got[k + 1] == want, (k, got[k + 1], want)

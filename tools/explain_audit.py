@@ -92,6 +92,10 @@ _SKIP = {
     "q_bpe_train_merges",   # iterative argmax+merge loop; returns the
                             # collected 3-row merge trace (per-iteration
                             # plans executed inside the loop)
+    "q_embedding_pca",      # distributed cov reduction + driver-side
+                            # d×d eigensolve; returns the 8-row spectrum
+                            # (the moments plan is audited via
+                            # q_embedding_covariance)
 }
 
 # Queries whose filters provably CAN reach a parquet reader (they
