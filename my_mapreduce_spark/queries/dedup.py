@@ -1012,3 +1012,69 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(n_matches / F.lit(float(_N_MINHASH)), 6)
                 .alias("est_jaccard"))
     )
+
+
+_SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@register(
+    "q_dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT n_common * 1.0 / (x.n + y.n - n_common) AS jaccard
+        FROM pairs JOIN sz x ON doc_a = x.doc_id
+                   JOIN sz y ON doc_b = y.doc_id),
+    th AS (SELECT UNNEST({list(_SWEEP_THRESHOLDS)}) AS threshold)
+    SELECT threshold,
+           CAST(COUNT(CASE WHEN jaccard >= threshold THEN 1 END) AS BIGINT)
+               AS n_pairs
+    FROM th LEFT JOIN scored ON TRUE
+    GROUP BY threshold
+    """,
+    tags=("dedup", "near-dup", "jaccard", "tuning"),
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts at every candidate Jaccard threshold in
+    ONE pass over the exact pair relation — the calibration curve
+    that picks the dedup operating point (where does the pair count
+    elbow?) before committing the full corpus to an LSH config.
+
+    The pair relation is computed once (same shape as
+    q_dedup_ngram_jaccard — shingle-keyed self-join, verifier-role
+    at scale); the sweep is a broadcast 7-row threshold table
+    crossed against pair SCORES (not pairs re-joined per threshold)
+    and one tiny agg. Thresholds are exact binary fractions-free
+    decimals compared identically on both engines after the shared
+    ``n_common/(na+nb-n_common)`` double arithmetic.
+    """
+    s = _shingle_rows(spark, sf_dir)
+    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        pairs.join(sz.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sz.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .select((F.col("n_common")
+                 / (F.col("x.n") + F.col("y.n") - F.col("n_common")))
+                .alias("jaccard"))
+    )
+    th = spark.createDataFrame([(t,) for t in _SWEEP_THRESHOLDS],
+                               "threshold double")
+    return (
+        F.broadcast(th).join(scored, how="left")
+        .groupBy("threshold")
+        .agg(F.count(F.when(F.col("jaccard") >= F.col("threshold"), 1))
+             .alias("n_pairs"))
+    )

@@ -58,6 +58,18 @@ def _run_to_memory(spark: SparkSession, out: DataFrame, prefix: str,
     schema = tbl.schema
     pdf = tbl.toPandas()
     spark.catalog.dropTempView(sink)
+    # NULLs in integral columns surface as NaN-bearing float64 in
+    # pandas; a non-Arrow createDataFrame (vanilla driver session)
+    # then rejects float objects against LongType. Restore nullable
+    # ints, and hand every NULL over as None.
+    import pandas as pd
+    from pyspark.sql.types import IntegralType
+
+    for f in schema.fields:
+        if isinstance(f.dataType, IntegralType) \
+                and pd.api.types.is_float_dtype(pdf[f.name]):
+            pdf[f.name] = pdf[f.name].astype("Int64")
+    pdf = pdf.astype(object).where(pdf.notna(), None)
     return spark.createDataFrame(pdf, schema)
 
 

@@ -67,6 +67,9 @@ _ALLOW_NESTED_LOOP = {
     "q_hard_negatives",          # same broadcast-query != shape
     "q_aqp_estimate",            # crossJoin(broadcast(1-row exact stats)),
                                  # same scalar-subquery shape
+    "q_dedup_threshold_sweep",   # broadcast 7-row threshold table crossed
+                                 # against pair scores — same tiny-broadcast
+                                 # shape
     "q_term_drift_logodds",      # crossJoin(broadcast(1-row midpoint /
                                  # 3-scalar totals)), same scalar-subquery
                                  # shape
