@@ -145,3 +145,53 @@ def test_bpe_train_merges_golden(spark, duck):
            for r in q_bpe_train_merges(spark, SF_DIR)
            .orderBy("iter").collect()]
     assert got == expected
+
+
+def test_bpe_merge_fold_matches_python_on_random_words(spark):
+    """The SQL aggregate-fold merge (left-to-right, non-overlapping,
+    just-merged flag) must agree with the imperative Python merge on
+    adversarial inputs — runs of the merged pair ('aaaa' + (a,a) →
+    [aa, aa]), odd runs ('aaa' → [aa, a]), interleavings, and the
+    pair straddling a fresh merge ('aba'+(a,b) then b? no — single
+    pass). 300 random words over a 2-letter alphabet, one Spark job.
+    """
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    words = ["".join(rng.choice("ab") for _ in range(rng.randint(1, 12)))
+             for _ in range(300)] + ["aaa", "aaaa", "aaaaa", "ababab", "bbaa"]
+    left, right = "a", "a"
+
+    def py_merge(w):
+        out, i = [], 0
+        while i < len(w):
+            if i + 1 < len(w) and w[i] == left and w[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(w[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame([(w,) for w in words], "term string") \
+        .select(F.expr("filter(split(term, ''), x -> x <> '')")
+                .alias("syms"), "term")
+    merged = df.select("term", F.expr(f"""
+        aggregate(syms,
+            named_struct('arr', CAST(array() AS array<string>),
+                         'jm', false),
+            (acc, x) -> IF(size(acc.arr) > 0 AND NOT acc.jm
+                           AND element_at(acc.arr, -1) = '{left}'
+                           AND x = '{right}',
+                named_struct(
+                    'arr', concat(slice(acc.arr, 1, size(acc.arr) - 1),
+                                  array('{left}{right}')),
+                    'jm', true),
+                named_struct('arr', concat(acc.arr, array(x)),
+                             'jm', false)),
+            acc -> acc.arr)""").alias("m"))
+    got = {r.term: list(r.m) for r in merged.collect()}
+    for w in words:
+        assert got[w] == py_merge(w), (w, got[w], py_merge(w))

@@ -126,3 +126,26 @@ def test_mrout_writer_roundtrip_and_layout(spark, tmp_path):
     df2.write.format("mrout").mode("overwrite").save(path)
     assert [(r.key, r.value) for r in
             spark.read.format("mrout").load(path).collect()] == [("kiwi", "1")]
+
+
+def test_mrout_writer_abort_leaves_nothing_visible(spark, tmp_path):
+    """The two-phase commit's abort path: task temp files are removed
+    and no mr-out-* ever appears (what a failed/speculative task run
+    must guarantee). Driver-side unit test: fabricate the temp file a
+    task write would leave, then abort with its commit message plus a
+    None (a task that never reported)."""
+    import os
+    import uuid
+
+    from my_mapreduce_spark.sources_custom import MrOutWriter, _MrOutCommit
+
+    path = str(tmp_path / "sink")
+    w = MrOutWriter({"path": path}, overwrite=False)
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("k v\n")
+    msg = _MrOutCommit(tmp_path=tmp, final_name="mr-out-0", n_rows=1)
+    w.abort([msg, None])
+    assert not glob.glob(path + "/.tmp-*")
+    assert not glob.glob(path + "/mr-out-*")
