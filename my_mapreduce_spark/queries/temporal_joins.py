@@ -194,3 +194,78 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("purchase_day", "channel")
             .agg(F.count("*").alias("n_touches"),
                  F.round(F.sum(1.0 / F.col("n_touch")), 6).alias("credit")))
+
+
+_NEAREST_W_US = 30 * 60 * 1_000_000   # nearest-match search radius
+
+
+@register(
+    "q_asof_nearest",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+               FROM events),
+    err AS (SELECT * FROM e WHERE event_type = 'error'),
+    pur AS (SELECT * FROM e WHERE event_type = 'purchase')
+    SELECT err.event_id AS error_id, err.user_id,
+           p.event_id AS nearest_purchase_id,
+           p.dt_us
+    FROM err LEFT JOIN LATERAL (
+        SELECT pur.event_id, pur.ts_us - err.ts_us AS dt_us
+        FROM pur
+        WHERE pur.user_id = err.user_id
+          AND abs(pur.ts_us - err.ts_us) <= {_NEAREST_W_US}
+        ORDER BY abs(pur.ts_us - err.ts_us),
+                 pur.ts_us - err.ts_us,
+                 CASE WHEN pur.ts_us - err.ts_us <= 0
+                      THEN -pur.event_id ELSE pur.event_id END
+        LIMIT 1) p ON TRUE
+    """,
+    tags=("temporal", "asof", "join", "events"),
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of: for every error event, the NEAREST
+    purchase by the same user within ±30 min (ties → the earlier
+    one) — the 'what was this user doing around the failure'
+    join, completing the one-directional q_asof_join.
+
+    Scale shape: the oracle's LATERAL is the spec; the plan is TWO
+    running windows over ONE user-partitioned union sort — a
+    backward ``last(purchase, ignorenulls)`` and a forward
+    ``first(purchase, ignorenulls)`` — then a row-local choice by
+    absolute distance. One shuffle on user_id, no per-row probe
+    join. Equal-timestamp purchases order (ts, event_id), so
+    backward carries the max id and forward the min id at the
+    nearest instant, matching the oracle's signed tie-break.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", "event_type",
+                  F.unix_micros("ts").alias("ts_us"))
+    payload_t = "struct<ts_us:bigint,event_id:bigint>"
+    pur = (e.where(F.col("event_type") == "purchase")
+           .select("user_id", "ts_us", F.lit(0).alias("side"), "event_id",
+                   F.struct("ts_us", "event_id").cast(payload_t).alias("p")))
+    err = (e.where(F.col("event_type") == "error")
+           .select("user_id", "ts_us", F.lit(1).alias("side"), "event_id",
+                   F.lit(None).cast(payload_t).alias("p")))
+    # purchases sort before an error at the same microsecond, so the
+    # backward window sees dt=0 matches (and wins the tie, as in the
+    # oracle's `dt asc` ordering)
+    order = [F.col("ts_us"), F.col("side"), F.col("event_id")]
+    wb = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy(*order)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    u = (pur.unionByName(err)
+         .withColumn("pb", F.last("p", ignorenulls=True).over(wb))
+         .withColumn("pf", F.first("p", ignorenulls=True).over(wf)))
+    probes = u.where(F.col("side") == 1)
+    dtb = F.col("ts_us") - F.col("pb.ts_us")          # >= 0
+    dtf = F.col("pf.ts_us") - F.col("ts_us")          # > 0 (dt=0 is in pb)
+    b_ok = F.col("pb").isNotNull() & (dtb <= _NEAREST_W_US)
+    f_ok = F.col("pf").isNotNull() & (dtf <= _NEAREST_W_US)
+    take_b = b_ok & (~f_ok | (dtb <= dtf))
+    return probes.select(
+        F.col("event_id").alias("error_id"), "user_id",
+        F.when(take_b, F.col("pb.event_id"))
+         .when(f_ok, F.col("pf.event_id")).alias("nearest_purchase_id"),
+        F.when(take_b, -dtb).when(f_ok, dtf).alias("dt_us"))
