@@ -403,3 +403,84 @@ def q_term_drift_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("falling").alias("direction"), "token", "c1",
                     "c2", F.round("lor", 6).alias("lor"), "rnk"))
     return up.unionAll(down)
+
+
+@register(
+    "q_lang_id_trigram",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id, lang,
+               substr(lower(text), i, 3) AS tri
+        FROM documents,
+             UNNEST(range(1, length(text) - 1)) AS t(i)),
+    dtc AS (SELECT doc_id, lang, tri, COUNT(*) AS c
+            FROM tri GROUP BY 1, 2, 3),
+    dn AS (SELECT doc_id, sqrt(SUM(c * c)) AS dnorm
+           FROM dtc GROUP BY 1),
+    cent AS (SELECT lang AS clang, tri, SUM(c) AS l
+             FROM dtc GROUP BY 1, 2),
+    cn AS (SELECT clang, sqrt(SUM(l * l)) AS cnorm
+           FROM cent GROUP BY 1),
+    dots AS (
+        SELECT dtc.doc_id, dtc.lang, cent.clang,
+               SUM(dtc.c * cent.l) AS dot
+        FROM dtc JOIN cent USING (tri)
+        GROUP BY 1, 2, 3),
+    cos AS (
+        SELECT dots.doc_id, dots.lang, dots.clang,
+               ROUND(dot / (dn.dnorm * cn.cnorm), 6) AS cos
+        FROM dots JOIN dn USING (doc_id) JOIN cn USING (clang)),
+    pred AS (
+        SELECT lang, clang AS predicted,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cos DESC, clang) AS rnk
+        FROM cos)
+    SELECT lang, predicted, COUNT(*) AS n_docs
+    FROM pred WHERE rnk = 1
+    GROUP BY 1, 2
+    """,
+    tags=("text", "lang-id", "classification"),
+)
+def q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram cosine language ID — the production-real langid
+    shape (q_lang_id's stopword overlap needs curated lists; trigram
+    profiles train themselves from labeled data): each doc's trigram
+    count vector is scored against every language centroid by sparse
+    cosine, argmax wins, reported as a label-vs-prediction confusion
+    matrix.
+
+    Scale shape: trigram generation is array-local (transform over
+    sequence, one explode); doc vectors stay as (doc, tri, c) rows
+    (never densified); the centroid table is (langs × ~30³) rows —
+    BROADCAST for the dot-product join, so the corpus side never
+    shuffles by trigram; all norms are one agg each. Cosines are
+    rounded to 6dp BEFORE the argmax so last-ulp float-summation
+    differences between engines collapse before they can flip a
+    ranking (tie → lang name).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(1, length(text) - 2), "
+            "i -> substring(lower(text), i, 3))")).alias("tri"))
+    dtc = (tri.groupBy("doc_id", "lang", "tri")
+           .agg(F.count(F.lit(1)).alias("c")))
+    dn = dtc.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("dnorm"))
+    cent = dtc.groupBy(F.col("lang").alias("clang"), "tri") \
+        .agg(F.sum("c").alias("l"))
+    cn = cent.groupBy("clang").agg(
+        F.sqrt(F.sum(F.col("l") * F.col("l"))).alias("cnorm"))
+    dots = (dtc.join(F.broadcast(cent), "tri")
+            .groupBy("doc_id", "lang", "clang")
+            .agg(F.sum(F.col("c") * F.col("l")).alias("dot")))
+    cos = (dots.join(dn, "doc_id").join(F.broadcast(cn), "clang")
+           .select("doc_id", "lang", "clang",
+                   F.round(F.col("dot") / (F.col("dnorm") * F.col("cnorm")),
+                           6).alias("cos")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cos").desc(), "clang")
+    return (cos.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .groupBy("lang", F.col("clang").alias("predicted"))
+            .agg(F.count(F.lit(1)).alias("n_docs")))
