@@ -1078,3 +1078,48 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.when(F.col("jaccard") >= F.col("threshold"), 1))
              .alias("n_pairs"))
     )
+
+
+@register(
+    "q_dedup_normalized_exact",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS nh,
+               md5(text) AS rh
+        FROM documents)
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT rh) AS distinct_raw,
+           COUNT(DISTINCT nh) AS distinct_normalized,
+           CAST(COUNT(DISTINCT rh) - COUNT(DISTINCT nh) AS BIGINT)
+               AS normalization_collapsed
+    FROM n
+    """,
+    tags=("dedup", "exact", "normalization"),
+)
+def q_dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup tier BETWEEN exact and fuzzy: byte-exact dedup
+    after canonical normalization (lowercase, strip non-alnum,
+    collapse whitespace, trim) — catches the trivially-reformatted
+    duplicates (case, punctuation, spacing) that raw-hash dedup
+    misses and MinHash overkills. Reported as the collapse census:
+    how many raw-distinct docs fold together once normalized.
+
+    One scan, normalization entirely JVM expression-side, two
+    count-distincts on md5 hashes (partial-aggregated). The same
+    normalize-then-hash column is what a production pipeline keys
+    its dedup groupBy on at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+        " +", " ")))
+    n = docs.select(norm.alias("nh"), F.md5("text").alias("rh"))
+    return n.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("rh").alias("distinct_raw"),
+        F.count_distinct("nh").alias("distinct_normalized"),
+        (F.count_distinct("rh") - F.count_distinct("nh"))
+        .alias("normalization_collapsed"))

@@ -183,3 +183,56 @@ def q_max_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("s.event_type", "m.max_concurrent")
             .agg(F.min("s.bts").alias("peak_at_us"))
             .select("event_type", "max_concurrent", "peak_at_us"))
+
+
+_PATH_TOP = 15
+
+
+@register(
+    "q_event_paths",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+        FROM events),
+    seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    paths AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path
+        FROM seq WHERE e3 IS NOT NULL),
+    counted AS (
+        SELECT path, COUNT(*) AS n_occurrences FROM paths GROUP BY path),
+    ranked AS (
+        SELECT path, n_occurrences,
+               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path) AS rnk
+        FROM counted)
+    SELECT path, n_occurrences, rnk FROM ranked WHERE rnk <= {_PATH_TOP}
+    """,
+    tags=("events", "sequence", "window"),
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} 3-step event-type paths across all users — the
+    sequential-pattern census behind funnel design ('what do users
+    actually do around a purchase?'). One user-partitioned window
+    pass (two LEADs), a path-keyed hash agg over at most
+    |event_types|³ keys, and a sort+limit; nothing quadratic, no
+    self-joins on the event table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"))
+    counted = (seq.where(F.col("e3").isNotNull())
+               .select(F.concat_ws(">", "event_type", "e2", "e3")
+                       .alias("path"))
+               .groupBy("path").agg(F.count(F.lit(1))
+                                    .alias("n_occurrences")))
+    wr = Window.orderBy(F.col("n_occurrences").desc(), "path")
+    return (counted.orderBy(F.col("n_occurrences").desc(), "path")
+            .limit(_PATH_TOP)
+            .withColumn("rnk", F.row_number().over(wr)))
