@@ -236,3 +236,49 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counted.orderBy(F.col("n_occurrences").desc(), "path")
             .limit(_PATH_TOP)
             .withColumn("rnk", F.row_number().over(wr)))
+
+
+@register(
+    "q_audience_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM tu GROUP BY 1),
+    ov AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+    SELECT type_a, type_b, n_both,
+           ROUND(n_both * 1.0 / (x.n + y.n - n_both), 6) AS jaccard
+    FROM ov JOIN sz x ON type_a = x.event_type
+            JOIN sz y ON type_b = y.event_type
+    """,
+    tags=("events", "overlap", "stats"),
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types: distinct-user
+    Jaccard for every type pair — the 'do purchasers also view?'
+    segmentation matrix. The (type, user) relation is distincted
+    once (the only corpus-sized agg); the pair join is user-keyed
+    with type<type orientation, producing at most |types|² rows; at
+    bigger type cardinalities the same question downgrades
+    gracefully to the bitmap/HLL sketch rollups
+    (q_bitmap_exact_distinct, q_hll_user_sketches).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sz = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tu.alias("a"), tu.alias("b")
+    ov = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                 & (F.col("a.event_type") < F.col("b.event_type")))
+          .groupBy(F.col("a.event_type").alias("type_a"),
+                   F.col("b.event_type").alias("type_b"))
+          .agg(F.count(F.lit(1)).alias("n_both")))
+    jac = F.col("n_both") / (F.col("x.n") + F.col("y.n") - F.col("n_both"))
+    return (ov.join(F.broadcast(sz.alias("x")),
+                    F.col("type_a") == F.col("x.event_type"))
+            .join(F.broadcast(sz.alias("y")),
+                  F.col("type_b") == F.col("y.event_type"))
+            .select("type_a", "type_b", "n_both",
+                    F.round(jac, 6).alias("jaccard")))
