@@ -274,3 +274,62 @@ def q_theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"),
              _r4(F.avg("p_retailprice")).alias("avg_price"))
     )
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN NULL
+                    ELSE CAST(floor(c_acctbal) AS BIGINT) // 1000 END
+                   AS bal_band
+        FROM customer),
+    o AS (
+        SELECT o_custkey,
+               CASE WHEN o_totalprice > 250000 THEN NULL
+                    ELSE CAST(floor(o_totalprice) AS BIGINT) // 50000 END
+                   AS price_band,
+               o_totalprice
+        FROM orders),
+    bands AS (
+        SELECT DISTINCT bal_band FROM c),
+    matched AS (
+        SELECT b.bal_band AS band,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS total_price
+        FROM bands b JOIN o
+          ON b.bal_band IS NOT DISTINCT FROM o.price_band
+        GROUP BY 1)
+    SELECT band, n_orders, total_price FROM matched
+    """,
+    tags=("join", "null-semantics", "relational"),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    NULL band on each side must MATCH (one output group), where a
+    plain ``=`` would silently drop every NULL-keyed row — the
+    semantics corner that matters whenever a derived join key can be
+    'unknown' on both sides (sentinel buckets, optional dimensions).
+
+    Catalyst plans ``<=>`` as a hash join (EqualNullSafe is a valid
+    equi-join key), NOT a nested loop — same single-shuffle cost as
+    ``=``; the distinct band side is dimension-sized and broadcast.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    c = cust.select(
+        F.when(F.col("c_acctbal") < 0, F.lit(None))
+        .otherwise(F.floor(F.floor("c_acctbal") / 1000).cast("bigint"))
+        .alias("bal_band"))
+    o = orders.select(
+        F.when(F.col("o_totalprice") > 250000, F.lit(None))
+        .otherwise(F.floor(F.floor("o_totalprice") / 50000).cast("bigint"))
+        .alias("price_band"),
+        "o_totalprice")
+    bands = c.distinct()
+    return (F.broadcast(bands)
+            .join(o, bands.bal_band.eqNullSafe(o.price_band))
+            .groupBy(F.col("bal_band").alias("band"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price")))

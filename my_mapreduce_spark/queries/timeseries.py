@@ -329,3 +329,109 @@ def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("prev_cnt").alias("n_pairs"),
                  F.round(F.corr("cnt", "prev_cnt"), 6)
                      .alias("lag1_autocorr")))
+
+
+@register(
+    "q_gap_fill_interpolate",
+    oracle=f"""
+    WITH h AS (
+        SELECT user_id, epoch_us(ts) // {_HOUR_US} AS hour,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+          FROM h GROUP BY 1),
+    s AS (SELECT user_id, UNNEST(generate_series(h0, h1)) AS hour FROM b),
+    j AS (SELECT s.user_id, s.hour, h.avg_value
+          FROM s LEFT JOIN h USING (user_id, hour)),
+    k AS (
+        SELECT user_id, hour, avg_value,
+               LAST_VALUE(avg_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS pv,
+               LAST_VALUE(CASE WHEN avg_value IS NOT NULL
+                               THEN hour END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS ph,
+               FIRST_VALUE(avg_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nv,
+               FIRST_VALUE(CASE WHEN avg_value IS NOT NULL
+                                THEN hour END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS nh
+        FROM j)
+    SELECT user_id, hour,
+           CASE
+               WHEN avg_value IS NOT NULL
+                   THEN CAST(ROUND(avg_value * 10000) AS BIGINT) / 10000.0
+               WHEN pv IS NULL
+                   THEN CAST(ROUND(nv * 10000) AS BIGINT) / 10000.0
+               WHEN nv IS NULL
+                   THEN CAST(ROUND(pv * 10000) AS BIGINT) / 10000.0
+               ELSE (CAST(ROUND(pv * 10000) AS BIGINT) * (nh - hour)
+                     + CAST(ROUND(nv * 10000) AS BIGINT) * (hour - ph))
+                    // (nh - ph) / 10000.0
+           END AS interp_value,
+           CAST(avg_value IS NULL AS INT) AS is_gap
+    FROM k
+    """,
+    tags=("timeseries", "window", "pipeline"),
+)
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps — the two-sided sibling of
+    q_gap_fill_ffill (forward fill holds the last value flat;
+    interpolation draws the line to the next observation, edges fall
+    back to nearest). One user-partitioned sort serves all four
+    carried values (prev/next value and hour) via backward-last +
+    forward-first IGNORE NULLS windows — same single-shuffle shape
+    as q_asof_nearest.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id",
+                   F.expr(f"unix_micros(ts) DIV {_HOUR_US}").alias("hour"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+    scaffold = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select("user_id", F.explode(F.sequence("h0", "h1")).alias("hour"))
+    )
+    j = scaffold.join(hourly, ["user_id", "hour"], "left")
+    wb = (Window.partitionBy("user_id").orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy("hour")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_hour = F.when(F.col("avg_value").isNotNull(), F.col("hour"))
+    k = j.select(
+        "user_id", "hour", "avg_value",
+        F.last("avg_value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(wb).alias("ph"),
+        F.first("avg_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(wf).alias("nh"))
+    # fixed-point (1e-4) integer interpolation: double rounding of
+    # near-half results diverges between engines (Spark rounds the
+    # shortest decimal repr, DuckDB the binary value); exact bigint
+    # arithmetic makes the spec deterministic. Values are >= 0 so
+    # truncating and flooring division agree.
+    p_e4 = F.round(F.col("pv") * 10000).cast("bigint")
+    n_e4 = F.round(F.col("nv") * 10000).cast("bigint")
+    seg = (p_e4 * (F.col("nh") - F.col("hour"))
+           + n_e4 * (F.col("hour") - F.col("ph")))
+    # floor(double-division) is exact here: the quotient's distance
+    # from an integer is a multiple of 1/gap (>= ~1.4e-3) while the
+    # division's representation error is ~1e-10 at this magnitude
+    interp_e4 = (
+        F.when(F.col("avg_value").isNotNull(),
+               F.round(F.col("avg_value") * 10000).cast("bigint"))
+        .when(F.col("pv").isNull(), n_e4)
+        .when(F.col("nv").isNull(), p_e4)
+        .otherwise(F.floor(seg / (F.col("nh") - F.col("ph")))))
+    return k.select(
+        "user_id", "hour",
+        (interp_e4 / F.lit(10000.0)).alias("interp_value"),
+        F.col("avg_value").isNull().cast("int").alias("is_gap"))
