@@ -282,3 +282,59 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("type_b") == F.col("y.event_type"))
             .select("type_a", "type_b", "n_both",
                     F.round(jac, 6).alias("jaccard")))
+
+
+@register(
+    "q_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour,
+               epoch_us(ts) AS ts_us, event_id, value
+        FROM events),
+    r AS (
+        SELECT event_type, hour, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                  ORDER BY ts_us, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                  ORDER BY ts_us DESC, event_id DESC)
+                   AS rn_d
+        FROM e)
+    SELECT event_type, hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events
+    FROM r GROUP BY 1, 2
+    """,
+    tags=("events", "window", "ohlc", "timeseries"),
+)
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) of ``value`` per event type
+    — the candlestick rollup every metrics store ends up needing.
+    Open/close are rank-1 rows under the total (ts, event_id) order
+    (deterministic under same-microsecond ties, which a naive
+    min_by(value, ts) is not); high/low/count are plain aggregates.
+    Two windows + one hash agg, all partitioned by the rollup key —
+    at scale this is one shuffle of the events table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type",
+                  F.expr("unix_micros(ts) DIV 3600000000").alias("hour"),
+                  F.unix_micros("ts").alias("ts_us"), "event_id", "value")
+    wa = Window.partitionBy("event_type", "hour").orderBy("ts_us",
+                                                          "event_id")
+    wd = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc())
+    r = e.select("event_type", "hour", "value",
+                 F.row_number().over(wa).alias("rn_a"),
+                 F.row_number().over(wd).alias("rn_d"))
+    return (r.groupBy("event_type", "hour")
+            .agg(F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+                 .alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+                 .alias("close"),
+                 F.count(F.lit(1)).alias("n_events")))

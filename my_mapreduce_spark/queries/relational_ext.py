@@ -333,3 +333,68 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("bal_band").alias("band"))
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("total_price")))
+
+
+@register(
+    "q_basket_brand_affinity",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+    bs AS (SELECT brand, COUNT(*) AS n_brand FROM ob GROUP BY 1),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               COUNT(*) AS n_both
+        FROM ob a JOIN ob b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2)
+    SELECT brand_a, brand_b, n_both,
+           ROUND(n_both * 1.0 / (SELECT n_orders FROM n), 6) AS support,
+           ROUND(n_both * 1.0 * (SELECT n_orders FROM n)
+                 / (x.n_brand * y.n_brand), 6) AS lift
+    FROM pairs JOIN bs x ON brand_a = x.brand
+               JOIN bs y ON brand_b = y.brand
+    WHERE n_both >= 5
+    """,
+    tags=("relational", "basket", "affinity", "join"),
+)
+def q_basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between part brands: support and lift
+    for every brand pair co-occurring in ≥5 orders — the co-purchase
+    signal behind recommendations ('brands bought together').
+
+    The (order, brand) relation distincts once (the only
+    corpus-sized agg); the pair join is order-keyed with a<b
+    orientation — fan-out is per-order brand count squared (baskets
+    are small), never |orders|²; brand marginals and the order total
+    are dimension-sized broadcasts. lift>1 = genuinely associated,
+    not just popular.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (li.join(part, li.l_partkey == part.p_partkey)
+          .select(F.col("l_orderkey").alias("okey"),
+                  F.col("p_brand").alias("brand")).distinct())
+    n = ob.agg(F.count_distinct("okey").alias("n_orders"))
+    bs = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n_brand"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (a.join(b, (F.col("a.okey") == F.col("b.okey"))
+                    & (F.col("a.brand") < F.col("b.brand")))
+             .groupBy(F.col("a.brand").alias("brand_a"),
+                      F.col("b.brand").alias("brand_b"))
+             .agg(F.count(F.lit(1)).alias("n_both"))
+             .where(F.col("n_both") >= 5))
+    return (pairs
+            .join(F.broadcast(bs.alias("x")),
+                  F.col("brand_a") == F.col("x.brand"))
+            .join(F.broadcast(bs.alias("y")),
+                  F.col("brand_b") == F.col("y.brand"))
+            .crossJoin(F.broadcast(n))
+            .select("brand_a", "brand_b", "n_both",
+                    F.round(F.col("n_both") / F.col("n_orders"), 6)
+                    .alias("support"),
+                    F.round(F.col("n_both") * F.col("n_orders")
+                            / (F.col("x.n_brand") * F.col("y.n_brand")),
+                            6).alias("lift")))
