@@ -435,3 +435,61 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "hour",
         (interp_e4 / F.lit(10000.0)).alias("interp_value"),
         F.col("avg_value").isNull().cast("int").alias("is_gap"))
+
+
+@register(
+    "q_percentile_trend",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               value
+        FROM events),
+    r AS (
+        SELECT event_type, day, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                  ORDER BY value) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type, day) AS n
+        FROM e)
+    SELECT event_type, day,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                    THEN value END) AS p95,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                    THEN value END) AS p99
+    FROM r GROUP BY 1, 2
+    """,
+    tags=("timeseries", "percentile", "stats"),
+)
+def q_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95/p99 trend of ``value`` per event type — the
+    latency-dashboard staple. Percentiles are NEAREST-RANK
+    (``ceil(p·n)``-th order statistic), deliberately not
+    interpolated: rank selection is exact integer logic on both
+    engines, where interpolation formulas differ in last-ulp float
+    arithmetic and flip rounded results (the q_gap_fill_interpolate
+    lesson). One rollup-keyed window pass + one hash agg; ties in
+    value don't affect the selected value (rank picks a position in
+    the sorted multiset).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_type",
+                  F.date_format(F.col("ts").cast("date"),
+                                "yyyy-MM-dd").alias("day"),
+                  "value")
+    w = Window.partitionBy("event_type", "day").orderBy("value")
+    wc = Window.partitionBy("event_type", "day")
+    r = e.select("event_type", "day", "value",
+                 F.row_number().over(w).alias("rn"),
+                 F.count(F.lit(1)).over(wc).alias("n"))
+
+    def at(p):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+            F.col("value")))
+
+    return (r.groupBy("event_type", "day")
+            .agg(F.max("n").cast("bigint").alias("n_events"),
+                 at(0.50).alias("p50"), at(0.95).alias("p95"),
+                 at(0.99).alias("p99")))
