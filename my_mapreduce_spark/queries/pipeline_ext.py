@@ -943,3 +943,97 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("prev_type", "next_type", "n",
                     F.round(F.col("n") / F.col("n_from"), 6)
                     .alias("transition_prob")))
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+               AS n_violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.1)
+    UNION ALL
+    SELECT 'lineitem_tax_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_tax < 0 OR l_tax > 0.08)
+    UNION ALL
+    SELECT 'orders_null_priority',
+           (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL)
+    UNION ALL
+    SELECT 'events_value_negative',
+           (SELECT COUNT(*) FROM events WHERE value < 0)
+    UNION ALL
+    SELECT 'documents_chars_mismatch',
+           (SELECT COUNT(*) FROM documents
+            WHERE length(text) <> n_chars)
+    """,
+    tags=("pipeline", "quality", "integrity"),
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite over the star
+    schema: referential integrity (anti-join orphan counts), domain
+    ranges, ordering invariants, null contracts, and a derived-
+    column consistency check — the pre-ingest gate a production
+    pipeline runs before promoting a batch, emitted as one
+    (check, violations) relation a scheduler can assert on.
+
+    Each integrity check is an anti join on its FK (broadcast where
+    the parent is dimension-sized); range/null checks are pushdown
+    filters + counts, one scan each. Everything unions into an
+    8-row frame — cost is bounded by the two FK anti joins.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def check(name, cnt_df):
+        return cnt_df.select(F.lit(name).alias("check_name"),
+                             F.col("n").cast("bigint")
+                             .alias("n_violations"))
+
+    checks = [
+        check("lineitem_orphan_orderkey",
+              li.join(orders, li.l_orderkey == orders.o_orderkey,
+                      "left_anti").agg(F.count(F.lit(1)).alias("n"))),
+        check("orders_orphan_custkey",
+              orders.join(cust, orders.o_custkey == cust.c_custkey,
+                          "left_anti").agg(F.count(F.lit(1)).alias("n"))),
+        check("lineitem_nonpositive_price",
+              li.where(F.col("l_extendedprice") <= 0)
+              .agg(F.count(F.lit(1)).alias("n"))),
+        check("lineitem_discount_range",
+              li.where((F.col("l_discount") < 0)
+                       | (F.col("l_discount") > 0.1))
+              .agg(F.count(F.lit(1)).alias("n"))),
+        check("lineitem_tax_range",
+              li.where((F.col("l_tax") < 0) | (F.col("l_tax") > 0.08))
+              .agg(F.count(F.lit(1)).alias("n"))),
+        check("orders_null_priority",
+              orders.where(F.col("o_orderpriority").isNull())
+              .agg(F.count(F.lit(1)).alias("n"))),
+        check("events_value_negative",
+              ev.where(F.col("value") < 0)
+              .agg(F.count(F.lit(1)).alias("n"))),
+        check("documents_chars_mismatch",
+              docs.where(F.length("text") != F.col("n_chars"))
+              .agg(F.count(F.lit(1)).alias("n"))),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
