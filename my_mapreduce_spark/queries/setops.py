@@ -7,7 +7,7 @@ no limit/top-k — its only sort is per-reduce-partition at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.io import load_table
@@ -93,3 +93,53 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("s_suppkey").alias("party_key"),
                     F.round("s_acctbal", 4).alias("acctbal")))
     return cust.unionByName(supp)
+
+
+_PAGE = 50
+_CURSOR_AT = 100  # keyset cursor = the 100th row under the total order
+
+
+@register(
+    "q_keyset_pagination",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_orderkey, o_orderdate, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders)
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_totalprice,
+           CAST(rn - {_CURSOR_AT} AS BIGINT) AS page_pos
+    FROM ranked
+    WHERE rn > {_CURSOR_AT} AND rn <= {_CURSOR_AT} + {_PAGE}
+    """,
+    tags=("setops", "pagination", "topk"),
+)
+def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the scalable alternative to
+    OFFSET: fetch the page AFTER a cursor tuple with a pushdown-able
+    tuple comparison + sort + LIMIT, instead of sorting and skipping
+    {at} rows.
+
+    The cursor here is derived from the data (the {at}-th row's
+    (date, key) under the total order) via a broadcast 1-row
+    aggregate of a partial top-k — so the whole query is two
+    TakeOrderedAndProject passes, no global sort, no offset scan.
+    The oracle states the same page as ROW_NUMBER bounds (the
+    specification OFFSET would implement).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice")
+    cursor = (orders.orderBy("o_orderdate", "o_orderkey")
+              .limit(_CURSOR_AT)
+              .agg(F.max(F.struct("o_orderdate", "o_orderkey"))
+                   .alias("cur")))
+    after = (orders.crossJoin(F.broadcast(cursor))
+             .where(F.struct("o_orderdate", "o_orderkey") > F.col("cur"))
+             .orderBy("o_orderdate", "o_orderkey").limit(_PAGE))
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return after.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_totalprice",
+        F.row_number().over(w).cast("bigint").alias("page_pos"))

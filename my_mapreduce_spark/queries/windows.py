@@ -130,3 +130,36 @@ def q_window_share_of_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("brand_share"),
         _r4(F.avg("p_retailprice").over(w_mov)).alias("moving_avg_price"),
     )
+
+
+@register(
+    "q_window_ntile",
+    oracle="""
+    WITH t AS (
+        SELECT c_custkey, c_acctbal,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer)
+    SELECT quartile,
+           COUNT(*) AS n_customers,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM t GROUP BY quartile
+    """,
+    tags=("window", "ntile", "stats"),
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count quartile assignment via ``ntile(4)`` (the first
+    N mod 4 buckets take the extra row — identical division rule on
+    both engines; the (bal, key) order makes assignment
+    deterministic under balance ties). The global window runs over
+    the customer DIMENSION — bounded; for fact-sized equi-depth
+    bucketing use the broadcast-boundary pattern
+    (q_equidepth_histogram) instead of a global ntile.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+            .groupBy("quartile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+                 F.round(F.max("c_acctbal"), 2).alias("max_bal")))

@@ -67,6 +67,8 @@ _ALLOW_NESTED_LOOP = {
     "q_hard_negatives",          # same broadcast-query != shape
     "q_aqp_estimate",            # crossJoin(broadcast(1-row exact stats)),
                                  # same scalar-subquery shape
+    "q_keyset_pagination",       # crossJoin(broadcast(1-row cursor
+                                 # tuple)), same scalar-subquery shape
     "q_basket_brand_affinity",   # crossJoin(broadcast(1-row order
                                  # total)), same scalar-subquery shape
     "q_dedup_threshold_sweep",   # broadcast 7-row threshold table crossed
