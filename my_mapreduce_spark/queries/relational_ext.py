@@ -10,7 +10,7 @@ join form. Scale note per query in its docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.io import load_table
@@ -398,3 +398,87 @@ def q_basket_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_both") * F.col("n_orders")
                             / (F.col("x.n_brand") * F.col("y.n_brand")),
                             6).alias("lift")))
+
+
+@register(
+    "q_grouping_id_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "rollup", "grouping"),
+)
+def q_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with ``grouping_id`` — the bit that makes rollups safe
+    on nullable columns: GROUPING() distinguishes 'NULL because the
+    rollup aggregated this level away' from 'NULL in the data',
+    which the COALESCE label alone cannot. Same map-side-combined
+    rollup agg as q_rollup, plus the grouping-bit projection.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+             (F.grouping("l_returnflag") * 2
+              + F.grouping("l_linestatus")).cast("bigint").alias("gid"))
+        .select(F.coalesce("l_returnflag", F.lit("<all>"))
+                .alias("returnflag"),
+                F.coalesce("l_linestatus", F.lit("<all>"))
+                .alias("linestatus"),
+                "gid", "n_rows", "total_price"))
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_quantity AS BIGINT) AS w,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_w,
+               SUM(CAST(l_quantity AS BIGINT)) OVER (
+                   PARTITION BY l_returnflag) AS total_w
+        FROM lineitem)
+    SELECT l_returnflag AS returnflag,
+           CAST(MAX(total_w) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN 2 * cum_w >= total_w
+                    THEN l_extendedprice END) AS weighted_median
+    FROM r GROUP BY l_returnflag
+    """,
+    tags=("stats", "percentile", "window"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — 'the price a
+    median UNIT shipped at', which an unweighted median misstates
+    whenever quantity correlates with price. Spec'd exactly: the
+    smallest price whose cumulative weight reaches half the total,
+    with the half test as ``2·cum ≥ total`` in bigint (no 0.5
+    float). One partitioned running-sum window + one hash agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wsum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("w")
+    ).select(
+        "l_returnflag", "l_extendedprice",
+        F.sum("w").over(wsum).alias("cum_w"),
+        F.sum("w").over(wtot).alias("total_w"))
+    return (r.groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(F.max("total_w").cast("bigint").alias("total_weight"),
+                 F.min(F.when(2 * F.col("cum_w") >= F.col("total_w"),
+                              F.col("l_extendedprice")))
+                 .alias("weighted_median")))
