@@ -90,7 +90,7 @@ def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("indexing", "text", "retrieval"),
 )
 def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Positional posting lists for the {t} highest-frequency terms:
+    """Positional posting lists for the 20 highest-frequency terms:
     (term, doc_id, tf, sorted comma-joined positions) — the index structure
     phrase and proximity search need, extending the reference's
     doc-only inverted index (mrapps/indexer.go:37-40).
@@ -98,11 +98,11 @@ def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     One corpus scan feeds posexplode; the term budget is selected by
     a sort+limit over term totals (map-side-combined agg, then
     TakeOrderedAndProject) and broadcast back, so the big posting agg
-    only shuffles rows for the {t} surviving terms. Positions
+    only shuffles rows for the 20 surviving terms. Positions
     aggregate with collect_list + sort_array per (term, doc) — the
     per-cell list is bounded by per-doc term frequency, not corpus
     size.
-    """.format(t=_TOP_TERMS)
+    """
     pos = _positions(spark, sf_dir)
     top = (pos.groupBy("term").agg(F.count("*").alias("total_tf"))
            .orderBy(F.col("total_tf").desc(), "term").limit(_TOP_TERMS)
@@ -132,7 +132,7 @@ def q_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("indexing", "text", "retrieval"),
 )
 def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-phrase search for "{p}" by position-adjacency joins:
+    """Exact-phrase search for "small query line" by position-adjacency joins:
     a doc matches where the three terms occur at consecutive
     positions. Returns (doc_id, n_matches, first_pos).
 
@@ -142,7 +142,7 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-keyed by doc_id, no theta/cross shape anywhere. This is the
     standard positional-index phrase plan: cost scales with the
     rarest term's postings, not the corpus.
-    """.format(p=" ".join(_PHRASE))
+    """
     pos = _positions(spark, sf_dir)
     t1 = pos.where(F.col("term") == _PHRASE[0]).select("doc_id", F.col("p").alias("p1"))
     t2 = pos.where(F.col("term") == _PHRASE[1]).select(
@@ -185,18 +185,18 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("indexing", "chunking", "text"),
 )
 def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking ({c}-token chunks, stride
-    {s}): each doc yields ceil(n_tokens/{s}) chunks with 1-based
+    """Overlapping token-window chunking (64-token chunks, stride
+    48): each doc yields ceil(n_tokens/48) chunks with 1-based
     token bounds — the context-window splitting step every
     embedding/RAG ingest pipeline runs before vectorizing.
 
     The chunk starts are generated ARRAY-LOCALLY with
-    sequence(1, n, {s}) and exploded — O(chunks) rows, not
+    sequence(1, n, 48) and exploded — O(chunks) rows, not
     O(tokens); no join, no shuffle at all (the output is a pure
     per-row flatMap of the corpus scan, embarrassingly parallel at
     any scale). Chunk text itself is a substring of the token array
     (first_tok returned as the witness column).
-    """.format(c=_CHUNK, s=_STRIDE)
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -245,7 +245,7 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE training iteration: corpus-weighted adjacent
-    character-pair counts, top {k} — the merge-candidate table a
+    character-pair counts, top 30 — the merge-candidate table a
     byte-pair-encoding tokenizer trainer maintains (each subsequent
     iteration merges the argmax pair and recounts).
 
@@ -254,9 +254,9 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation runs over |vocabulary| rows, not |corpus tokens| —
     the same trick real BPE trainers use. Pairs are generated
     array-locally (transform over sequence(1, len-1)), exploded
-    O(len) per DISTINCT word, and hash-aggregated; the final top-{k}
-    is sort+limit, with the rank window running on {k} rows only.
-    """.format(k=_TOP_PAIRS)
+    O(len) per DISTINCT word, and hash-aggregated; the final top-30
+    is sort+limit, with the rank window running on 30 rows only.
+    """
     docs = load_table(spark, sf_dir, "documents")
     words = (docs.select(
         F.explode(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
@@ -306,17 +306,17 @@ _TOP_COOC = 40
 )
 def q_skipgram_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-weighted skip-gram co-occurrence counts (forward
-    window {w}, weight 1/distance) — the (center, context) count
+    window 2, weight 1/distance) — the (center, context) count
     matrix word2vec/GloVe-style embedding training consumes; also
     the collocation upgrade of q_bigram_pmi's adjacent-only pairs.
 
     Pairs are generated ARRAY-LOCALLY (nested transform over the
-    token array: for each position, its next {w} tokens), so the
-    corpus scan emits O(tokens x {w}) rows with NO join — the
+    token array: for each position, its next 2 tokens), so the
+    corpus scan emits O(tokens x 2) rows with NO join — the
     positional self-join in the oracle is the semantic spec, not
-    the plan. One hash agg with map-side combine, then top-{k} via
-    sort+limit; the rank window runs on {k} rows.
-    """.format(w=_SKIP_WINDOW, k=_TOP_COOC)
+    the plan. One hash agg with map-side combine, then top-40 via
+    sort+limit; the rank window runs on 40 rows.
+    """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -421,7 +421,7 @@ _BPE_ITERS = 3
     tags=("bpe", "tokenizer", "iterative", "text"),
 )
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{n} full BPE training iterations (count → argmax merge →
+    """3 full BPE training iterations (count → argmax merge →
     re-segment), the loop q_bpe_pair_counts is one step of.
 
     Engine shape per iteration: adjacent-pair counts over the
@@ -433,7 +433,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping semantics real BPE uses ('aaa' + (a,a) → [aa, a])
     — array-local, no shuffle. State between iterations is the
     re-segmented vocabulary (persisted; unpersisted on exit).
-    """.format(n=_BPE_ITERS)
+    """
     docs = load_table(spark, sf_dir, "documents")
     vocab = (docs.select(
         F.explode(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),

@@ -253,21 +253,21 @@ _NDCG_QUERY_FILTER = "vec_id % 100 = 0"
     tags=("retrieval", "eval", "knn"),
 )
 def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@{k} of exact cosine retrieval, relevance = label match:
-    for each query vector (the {f} subset), rank the corpus by
+    """NDCG@10 of exact cosine retrieval, relevance = label match:
+    for each query vector (the vec_id % 100 = 0 subset), rank the corpus by
     cosine, score DCG with the standard 1/log2(rank+1) discount,
     and normalize by the ideal DCG given how many relevant items
-    exist (label count - 1, capped at {k}). The offline ranking-
+    exist (label count - 1, capped at 10). The offline ranking-
     quality metric every retrieval/embedding pipeline reports.
 
     Same plan skeleton as q_knn_bruteforce: the query set broadcasts
-    onto one corpus scan, the per-query top-{k} window moves
+    onto one corpus scan, the per-query top-10 window moves
     k*|queries| rows, and everything after (DCG, label counts,
     closed-form IDCG via an array-local sequence aggregate) operates
     on |queries|- or |labels|-row relations. At 100 TB the corpus
     scan dominates; swap the exact ranking for the LSH/IVF/PQ paths
     to trade recall for scan cost without touching the metric code.
-    """.format(k=_NDCG_K, f=_NDCG_QUERY_FILTER)
+    """
     from my_mapreduce_spark.queries.similarity import _normed
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -330,18 +330,18 @@ _MINE_K = 3
 )
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining for embedding training: per query
-    vector, the top-{k} most similar SAME-label vectors (positives)
-    and the top-{k} most similar DIFFERENT-label vectors (hard
+    vector, the top-3 most similar SAME-label vectors (positives)
+    and the top-3 most similar DIFFERENT-label vectors (hard
     negatives — the near-misses that make contrastive losses learn;
     random negatives are trivially separable).
 
     One corpus scan with the broadcast query set (same skeleton as
     q_knn_bruteforce), kind assigned per pair, and ONE window
-    partitioned by (query, kind) takes both top-{k} lists in a
+    partitioned by (query, kind) takes both top-3 lists in a
     single pass — no second scan for the negatives. At 100 TB the
     exact ranking swaps for the ANN shortlists (LSH/IVF/PQ paths)
     with this query unchanged downstream.
-    """.format(k=_MINE_K)
+    """
     from my_mapreduce_spark.queries.similarity import _normed
 
     emb = load_table(spark, sf_dir, "embeddings")

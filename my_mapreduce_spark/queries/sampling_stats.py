@@ -60,7 +60,7 @@ _U_SQL = ("(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) "
     tags=("sampling", "pipeline"),
 )
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sample without replacement, k={k}, weight=n_chars,
+    """Weighted sample without replacement, k=25, weight=n_chars,
     via the Efraimidis–Spirakis exponential race: each doc draws
     u~U(0,1) (deterministically, from md5(doc_id)) and the k docs
     with the smallest -ln(u)/weight win — exactly equivalent to
@@ -71,7 +71,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan, no shuffle except the sort+limit top-k
     (TakeOrderedAndProject: per-partition partial top-k, k rows to
     the driver side of the plan) — at 100 TB the cost is the scan.
-    """.format(k=_SAMPLE_K)
+    """
     docs = load_table(spark, sf_dir, "documents")
     u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
                 16, 10).cast("double") + 0.5) / float(2 ** 52)
@@ -98,16 +98,16 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact rolling median of ``value`` over each user's last
-    {n} events (row frame, ordered by ts) — the robust smoother for
+    7 events (row frame, ordered by ts) — the robust smoother for
     noisy per-entity metric streams; both engines interpolate
     (Spark ``percentile`` == DuckDB ``quantile_cont``).
 
     The window is user-partitioned with a BOUNDED row frame: state
-    per open frame is {n}+1 rows, partitions distribute by user —
+    per open frame is 7+1 rows, partitions distribute by user —
     no single-partition window, no growth with history length
     beyond the per-user sort. At 100 TB this is one shuffle on
     user_id plus a linear pass.
-    """.format(n=_FRAME + 1)
+    """
     ev = load_table(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(-_FRAME, 0))
@@ -144,7 +144,7 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier counts per event type via the MAD rule:
-    modified z = 0.6745*(x - median)/MAD, flag |z| > {z} — the
+    modified z = 0.6745*(x - median)/MAD, flag |z| > 3.5 — the
     standard robust alternative to mean/stddev z-scores (which the
     outliers themselves inflate; median/MAD have a 50% breakdown
     point).
@@ -154,7 +154,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the data lives, never collected; the flag pass is a
     broadcast hash join + map-side-combinable count. At 100 TB:
     2 scans + 2 type-keyed aggs, no large shuffle.
-    """.format(z=_MAD_Z)
+    """
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med"))
@@ -255,7 +255,7 @@ _AQP_U = ("(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) "
 )
 def q_aqp_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate query processing by deterministic sampling:
-    estimate corpus count / mean / total from a {r:.0%} md5-hash
+    estimate corpus count / mean / total from a 5% md5-hash
     sample (Horvitz–Thompson inverse-probability scaling) and report
     the realized relative error against the exact answer. The
     trade every interactive 100 TB dashboard makes — scan 1/20th of
@@ -267,7 +267,7 @@ def q_aqp_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-parallel, no shuffle). The exact branch exists only
     to score the estimate; a production AQP run executes the sample
     branch alone.
-    """.format(r=_AQP_RATE)
+    """
     docs = load_table(spark, sf_dir, "documents")
     u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
                 16, 10).cast("double") + 0.5) / float(2 ** 52)
@@ -320,19 +320,19 @@ _ROW_HASH = ("CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' "
 )
 def q_table_diff_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-checksum table reconciliation: hash every row of two
-    table versions into {b} buckets, XOR a 52-bit row fingerprint
+    table versions into 256 buckets, XOR a 52-bit row fingerprint
     per bucket, and report only the buckets whose (checksum, count)
     disagree — locating divergence between a source table and a
     drifted copy (here: a simulated replica missing event_id %
-    {m} = 0) WITHOUT a row-level compare. This is how replicas,
+    997 = 0) WITHOUT a row-level compare. This is how replicas,
     CDC sinks, and migrated tables are verified at 100 TB: two
-    scans, two {b}-row summaries, one {b}-row join — then a
+    scans, two 256-row summaries, one 256-row join — then a
     row-level repair query runs ONLY inside the flagged buckets.
 
     XOR is the right checksum aggregate: commutative/associative
     (map-side combinable, order-independent) and overflow-free,
     unlike SUM of 52-bit fingerprints.
-    """.format(b=_DIFF_BUCKETS, m=_DRIFT_MOD)
+    """
     ev = load_table(spark, sf_dir, "events")
     row_hash = F.conv(
         F.substring(F.md5(F.concat_ws(
@@ -390,7 +390,7 @@ _WINSOR_HI = 0.95
 )
 def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization per event type: clip ``value`` to its exact
-    [p{lo:g}, p{hi:g}] percentile band and report raw vs winsorized
+    [p5, p95] percentile band and report raw vs winsorized
     means plus the clip count — the standard tail-taming
     preprocessing step before training on heavy-tailed metrics
     (clipping, unlike dropping, keeps the row count).
@@ -399,7 +399,7 @@ def q_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast back — the same exact-boundary-broadcast shape as
     q_rfm_segments), then one clip-and-aggregate scan. No shuffle
     larger than |event_types| rows at any scale.
-    """.format(lo=_WINSOR_LO * 100, hi=_WINSOR_HI * 100)
+    """
     ev = load_table(spark, sf_dir, "events")
     b = ev.groupBy("event_type").agg(
         F.expr(f"percentile(value, {_WINSOR_LO})").alias("lo"),

@@ -1,0 +1,65 @@
+"""Registry and audit-list hygiene — the meta-contracts that keep
+193 queries navigable.
+
+- every spec carries documentation and at least one tag (the judge,
+  the inventory generator, and future maintainers all key off them);
+- every name in explain_audit's skip/whitelist sets refers to a
+  REAL registered query — a renamed query must not leave a stale
+  exemption silently skipping the audit;
+- names follow the q_*/reference conventions used by QUERIES.md;
+- every oracle at least EXPLAIN-parses against the fixture views
+  (renamed tables/columns fail fast, before the value sweep).
+"""
+
+from __future__ import annotations
+
+from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+_KNOWN_PREFIXES = ("q_", "q1", "q2", "q3", "q4", "q5", "q6", "q7",
+                   "q8", "wc_", "indexer_", "early_exit_", "concat_")
+
+
+def test_every_spec_documented_and_tagged():
+    undocumented = [n for n, s in REGISTRY.items() if not s.doc.strip()]
+    untagged = [n for n, s in REGISTRY.items() if not s.tags]
+    assert not undocumented, undocumented
+    assert not untagged, untagged
+
+
+def test_names_follow_conventions():
+    bad = [n for n in REGISTRY
+           if not n.startswith(_KNOWN_PREFIXES)]
+    assert not bad, bad
+
+
+def test_audit_exemptions_reference_real_queries():
+    import tools.explain_audit as ea
+
+    for attr in ("_SKIP",):
+        stale = [n for n in getattr(ea, attr) if n not in REGISTRY]
+        assert not stale, (attr, stale)
+    # the whitelist set name differs per revision; find set-of-str
+    # module attrs and check them all
+    for attr, val in vars(ea).items():
+        if isinstance(val, (set, frozenset)) and val \
+                and all(isinstance(x, str) for x in val):
+            stale = [n for n in val
+                     if n.startswith("q") and n not in REGISTRY]
+            assert not stale, (attr, stale)
+
+
+def test_every_oracle_parses_in_duckdb(duck):
+    """Every oracle must at least PREPARE against the fixture views —
+    catches renamed tables/columns without running the query (the
+    full value sweep runs them; this is the fast structural gate)."""
+    bad = []
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        try:
+            duck.sql("EXPLAIN " + spec.oracle)
+        except Exception as ex:
+            bad.append((name, str(ex)[:120]))
+    assert not bad, bad
