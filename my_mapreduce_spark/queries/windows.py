@@ -148,17 +148,53 @@ def q_window_share_of_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ntile", "stats"),
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-count quartile assignment via ``ntile(4)`` (the first
-    N mod 4 buckets take the extra row — identical division rule on
-    both engines; the (bal, key) order makes assignment
-    deterministic under balance ties). The global window runs over
-    the customer DIMENSION — bounded; for fact-sized equi-depth
-    bucketing use the broadcast-boundary pattern
-    (q_equidepth_histogram) instead of a global ntile.
-    """
+    """Equal-count quartile assignment — EXACT ``ntile(4)`` semantics
+    (first N mod 4 buckets take the extra row; (bal, key) order makes
+    assignment deterministic under balance ties) computed WITHOUT a
+    single-partition global window, so the shipped plan is the scale
+    plan even when the input is fact-sized.
+
+    Two-pass range rank (same machinery as q_vocab_rank_scalable):
+    (1) repartitionByRange on (c_acctbal, c_custkey) — the composite
+    key is unique, so no tie straddles a partition boundary — then
+    row_number within each range partition, which is shuffle-
+    parallel. (2) per-partition counts (at most
+    spark.sql.shuffle.partitions rows) are prefix-summed into
+    broadcast base offsets; global rank = base + local rank. The
+    quartile is then closed-form from (rank, N):
+    ntile(k) puts rows 1..rem*(q+1) into buckets of size q+1 and the
+    rest into buckets of size q, with q = N div k, rem = N mod k.
+    The only global-order window runs over the partition-counts
+    relation, bounded by a conf, never by data."""
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (cust.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    ranged = (cust.select("c_acctbal", "c_custkey")
+              .repartitionByRange(F.col("c_acctbal"), F.col("c_custkey"))
+              .withColumn("pid", F.spark_partition_id()))
+    local_w = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    local = ranged.withColumn("local_rank", F.row_number().over(local_w))
+    pid_counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    prior = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    base = pid_counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(prior), F.lit(0)).alias("base"))
+    total = pid_counts.agg(F.sum("cnt").alias("n_total"))
+    ranked = (local.join(F.broadcast(base), "pid")
+              .crossJoin(F.broadcast(total))  # 1-row scalar broadcast
+              .select("c_acctbal",
+                      (F.col("base") + F.col("local_rank")).alias("r"),
+                      "n_total"))
+    # ntile(4) closed form: q = N div 4, rem = N mod 4; first rem
+    # buckets hold q+1 rows. greatest(q,1) guards the N<4 degenerate
+    # case where the otherwise-branch divides by zero.
+    q = (F.col("n_total") / 4).cast("long")
+    rem = F.col("n_total") % 4
+    big = rem * (q + F.lit(1))
+    quartile = F.when(
+        F.col("r") <= big,
+        ((F.col("r") - 1) / (q + 1)).cast("long") + 1,
+    ).otherwise(
+        rem + ((F.col("r") - big - 1) / F.greatest(q, F.lit(1))).cast("long")
+        + 1)
+    return (ranked.select("c_acctbal", quartile.alias("quartile"))
             .groupBy("quartile")
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.round(F.min("c_acctbal"), 2).alias("min_bal"),

@@ -80,6 +80,10 @@ _ALLOW_NESTED_LOOP = {
     "q_equidepth_histogram",     # crossJoin(broadcast(1-row decile
                                  # boundary array)), same scalar-subquery
                                  # shape
+    "q_window_ntile",            # crossJoin(broadcast(1-row total
+                                 # count)) in the two-pass prefix-
+                                 # offset ntile, same scalar-subquery
+                                 # shape
     "q_source_minhash_sim",      # source<source theta join over
                                  # container-cardinality signature rows
                                  # (~#sources², not #docs²) — tiny by
@@ -133,6 +137,35 @@ _ALLOW_FULL_WIDTH = {
     "q_bucketed_join_noshuffle",  # writes faithful bucketed copies first
 }
 
+# Queries allowed to run a Window with an EMPTY partition spec over
+# input that is not limit-bounded (limit-bounded globals — a
+# TakeOrderedAndProject / GlobalLimit descendant of the Window — are
+# auto-exempted by the tree walk). Every entry must justify WHY the
+# windowed relation is bounded by something other than the data size.
+# The smell this gate closes: a single-partition WindowExec whose
+# input grows with the fact tables (the pre-fix q_window_ntile shape).
+_ALLOW_GLOBAL_WINDOW: dict[str, str] = {
+    # conf-bounded: the window runs over per-shuffle-partition counts
+    # (<= spark.sql.shuffle.partitions rows) in the two-pass
+    # prefix-offset rank — the pattern that REPLACES global windows
+    "q_vocab_rank_scalable": "window over per-partition counts, <= "
+                             "shuffle.partitions rows by construction",
+    "q_window_ntile": "same prefix-offset machinery: window input is "
+                      "the per-partition count relation, conf-bounded",
+    "q_pack_sequences": "window over bucket counts, <= 65536 rows "
+                        "by the bounded second level (corpus_ops.py)",
+    # vocabulary-bounded: input already aggregated to a token/bucket
+    # vocabulary with a documented HAVING/min-count floor
+    "q_vocab_min_count": "window over the min-count vocabulary "
+                         "(documented dimension-sized relation)",
+    # vocabulary/bucket-bounded cumulative or rank windows
+    "q_zipf_slope": "rank window over the token vocabulary (bounded "
+                    "by the language, not the corpus — docstring)",
+    "q_ngram_novelty_curve": "cumulative sum over ingest-bucket rows "
+                             "(corpus size / bucket width — curve "
+                             "resolution, orders below doc count)",
+}
+
 _WIDE = 8  # a scan reading >= this many columns must be pruning something
 
 
@@ -163,6 +196,65 @@ def _scan_blocks(plan: str):
         yield table, len(fields), pushed
 
 
+def _toplevel_groups(s: str) -> list[str]:
+    """Split a formatted-plan Arguments line into its top-level
+    ``[...]`` groups. A Window node prints ``[exprs],
+    [partitionSpec], [orderSpec]`` (3 groups) when both are present;
+    with only one of the two specs it prints 2 groups, and the specs
+    are told apart by content (order-spec entries carry ASC/DESC)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def _global_window_ids(plan: str) -> list[int]:
+    """Node ids of Window nodes with an EMPTY partition spec — these
+    execute as a single-task WindowExec over their whole input."""
+    ids = []
+    for m in re.finditer(r"\((\d+)\) Window\n(.*?)(?=\n\(\d+\) |\Z)",
+                         plan, re.S):
+        args = re.search(r"Arguments: (.*)", m.group(2))
+        if not args:
+            continue
+        groups = _toplevel_groups(args.group(1))
+        # 3 groups -> partitioned; 2 groups -> global iff the trailing
+        # group is an ORDER spec (ASC/DESC markers), i.e. no partition
+        # spec; 1 group (bare agg-over-all window) is global too.
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(r"\b(ASC|DESC)\b", groups[1]):
+            continue  # [exprs], [partitionSpec] — partitioned, no order
+        ids.append(int(m.group(1)))
+    return ids
+
+
+def _limit_bounded(plan: str, node_id: int) -> bool:
+    """True iff the plan tree shows a limit operator as a DESCENDANT
+    of the given node — i.e. the windowed input was already cut to a
+    constant row count before reaching the single partition."""
+    lines = plan.split("\n")
+    pat = re.compile(rf"\({node_id}\)\s*$")
+    indent_of = lambda ln: len(re.match(r"^[\s:+*\-]*", ln).group(0))
+    for i, ln in enumerate(lines):
+        if pat.search(ln) and "Window" in ln:
+            base = indent_of(ln)
+            for sub in lines[i + 1:]:
+                if not sub.strip() or indent_of(sub) <= base:
+                    break
+                if re.search(r"TakeOrderedAndProject|GlobalLimit|"
+                             r"CollectLimit|LocalLimit", sub):
+                    return True
+    return False
+
+
 def audit(name: str, plan: str, codegen_subtrees: int,
           widths: dict[str, int]) -> list[str]:
     smells = []
@@ -185,6 +277,14 @@ def audit(name: str, plan: str, codegen_subtrees: int,
     # at least one scan with non-empty PushedFilters
     if name in _REQUIRE_PUSHDOWN and not any(p for _, _, p in scans):
         smells.append("no-pushdown")
+    # global-window: a Window with an empty partition spec funnels its
+    # whole input through one task — forbidden on unbounded input
+    # (auto-exempt when a limit operator bounds the input below it;
+    # whitelist entries document data-independent bounds)
+    if name not in _ALLOW_GLOBAL_WINDOW:
+        for wid in _global_window_ids(plan):
+            if not _limit_bounded(plan, wid):
+                smells.append(f"global-window:{wid}")
     return smells
 
 
