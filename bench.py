@@ -17,6 +17,7 @@ import os
 import sys
 import time
 
+from my_mapreduce_spark.caching import pinned_rdd_count, release_caches
 from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded
 from my_mapreduce_spark.session import get_spark
 
@@ -40,6 +41,13 @@ def main() -> int:
         except Exception as exc:  # record failures as negative sentinel
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
+        # caller-owned cache release (my_mapreduce_spark/caching.py):
+        # queries whose returned plan references a persisted relation
+        # cannot unpersist it themselves; releasing here keeps 193
+        # queries in one JVM from compounding pinned storage.
+        release_caches(spark)
+        assert pinned_rdd_count(spark) == 0, \
+            f"cache leak survived release after {name}"
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     line = json.dumps({
         "metric": "total_query_wall_clock",

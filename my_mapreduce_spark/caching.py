@@ -1,0 +1,38 @@
+"""Cache lifecycle contract for query functions.
+
+Several queries persist an intermediate relation that the RETURNED
+DataFrame still references (pagerank's partitioned edge relation,
+IVF/PQ's normalized embeddings, LSH band signatures). Unpersisting
+those inside the query function would drop the cache before the
+caller has collected — the cache would do nothing — so the contract
+is caller-owned release:
+
+- a query function may ``persist()``/``cache()`` a relation its
+  returned plan references;
+- a cache that is ONLY consumed inside the function body (e.g. BPE's
+  per-iteration vocabulary, materialized by a driver-side collect)
+  must be released in a ``try/finally`` before returning;
+- the CALLER releases returned-plan caches once it is done with the
+  result, via :func:`release_caches` — ``bench.py`` and
+  ``tools/check_correctness.py`` do this after every query, and
+  assert nothing stays pinned, so 193 queries in one JVM cannot
+  compound leaked storage (and on a shared cluster cannot evict
+  neighbors' blocks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def pinned_rdd_count(spark: SparkSession) -> int:
+    """Number of RDDs currently pinned in this JVM's block manager."""
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def release_caches(spark: SparkSession) -> int:
+    """Release every cached relation; returns how many were pinned
+    beforehand (0 for the majority of queries that cache nothing)."""
+    n = pinned_rdd_count(spark)
+    spark.catalog.clearCache()
+    return n

@@ -663,7 +663,7 @@ def q_source_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The crawl-hygiene question "are two feeds mirroring each other?"
     answered without any doc-level pair join: one shingle pass, one
-    source-keyed aggregation down to {perms} hex strings per source,
+    source-keyed aggregation down to 16 hex strings per source,
     then a source×source comparison over container-cardinality rows
     (mirrors q_dedup_minhash_lsh's md5 permutations, dedup.py:197,
     so the oracle reproduces every signature bit-for-bit). At 100 TB
@@ -765,7 +765,7 @@ _NOVELTY_BUCKET = 100  # docs per bucket on the ingest (doc_id) axis
 )
 def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus saturation curve: per ingest bucket of
-    {bucket} docs, how many distinct 3-gram shingles are NOVEL
+    100 docs, how many distinct 3-gram shingles are NOVEL
     (first occurrence) vs merely seen — the marginal-value signal
     that tells a crawl when more of the same source stops adding
     information (novelty_rate → 0 ⇒ dedup ROI, stop-crawling

@@ -213,7 +213,7 @@ _PATH_TOP = 15
     tags=("events", "sequence", "window"),
 )
 def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} 3-step event-type paths across all users — the
+    """Top-15 3-step event-type paths across all users — the
     sequential-pattern census behind funnel design ('what do users
     actually do around a purchase?'). One user-partitioned window
     pass (two LEADs), a path-keyed hash agg over at most

@@ -163,7 +163,7 @@ _TFIDF_TOP = 3
     tags=("pipeline", "text", "tfidf"),
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} TF-IDF terms per English document.
+    """Top-3 TF-IDF terms per English document.
 
     Two aggregations over one tokenization pass (term frequency per
     doc, document frequency per term), a join back on term, and a
@@ -280,7 +280,7 @@ _TOP_TERMS_K = 5
     tags=("pipeline", "text", "top-k", "per-group"),
 )
 def q_top_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} most frequent content terms per (source, lang) — the
+    """Top-5 most frequent content terms per (source, lang) — the
     grouped variant of q_tfidf_top_terms and the single most common
     reporting query over a curated corpus ("what does each slice
     actually contain?"). Short tokens and a stopword list are
@@ -390,7 +390,7 @@ _EXTREME_TOP = 5
     tags=("pipeline", "anomaly", "events"),
 )
 def q_event_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} most anomalous events per type by |z-score|.
+    """Top-5 most anomalous events per type by |z-score|.
 
     Rank-based rather than threshold-based on purpose: a `z > 2`
     WHERE clause can flip rows between engines when an observation

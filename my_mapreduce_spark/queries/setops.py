@@ -119,9 +119,9 @@ def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset (cursor) pagination — the scalable alternative to
     OFFSET: fetch the page AFTER a cursor tuple with a pushdown-able
     tuple comparison + sort + LIMIT, instead of sorting and skipping
-    {at} rows.
+    100 rows.
 
-    The cursor here is derived from the data (the {at}-th row's
+    The cursor here is derived from the data (the 100th row's
     (date, key) under the total order) via a broadcast 1-row
     aggregate of a partial top-k — so the whole query is two
     TakeOrderedAndProject passes, no global sort, no offset scan.

@@ -582,9 +582,9 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str,
     batch of codes it builds per-query lookup tables LUT[s, code] =
     <q_s, c_{s,code}> (the "asymmetric" half: queries stay exact
     float) and scores a code row as sum_s LUT[s, code_s] ~= <q, v>.
-    Each task emits only its own top-{refine} per query (partial
+    Each task emits only its own top-refine (10·k = 50) rows per query (partial
     top-k, the map-side combine of ANN), a global window keeps the
-    overall top-{refine}, and an exact cosine rerank join (reading
+    overall top-refine, and an exact cosine rerank join (reading
     the true embeddings ONLY for |q|*refine candidate ids) produces
     the final top-{k}. Work: one code-only linear scan + a
     k*|q|-row shuffle + a point-lookup rerank join.
@@ -672,7 +672,7 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str,
     tags=("embedding", "stats", "matrix"),
 )
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full {d}×{d} embedding covariance matrix (upper triangle) via
+    """Full 64×64 embedding covariance matrix (upper triangle) via
     per-partition outer-product partials — the whitening /
     anisotropy-diagnosis input every embedding pipeline wants.
 
@@ -733,7 +733,7 @@ _PCA_TOP = 8
     tags=("embedding", "stats", "matrix", "pca"),
 )
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} PCA spectrum of the embedding cloud: eigenvalues of
+    """Top-8 PCA spectrum of the embedding cloud: eigenvalues of
     the covariance matrix with explained-variance ratios — the
     anisotropy report (a collapsed embedding space shows one
     dominant component; healthy spaces decay smoothly).

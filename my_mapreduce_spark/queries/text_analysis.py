@@ -449,23 +449,38 @@ def q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine, argmax wins, reported as a label-vs-prediction confusion
     matrix.
 
-    Scale shape: trigram generation is array-local (transform over
-    sequence, one explode); doc vectors stay as (doc, tri, c) rows
-    (never densified); the centroid table is (langs × ~30³) rows —
+    Scale shape: ONE corpus-bytes shuffle, total. The docs relation
+    is hash-repartitioned by doc_id BEFORE the explode, which
+    declares a partitioning that every doc-keyed step downstream
+    satisfies: the (doc, tri) count agg, the doc-norm agg, the
+    post-broadcast dot-product agg, the dn join, and the final
+    per-doc argmax window all run exchange-free (doc_id is a subset
+    of each one's keys). The (doc, tri, c) relation is computed once
+    and cached (caller-released, caching.py) instead of re-exploded
+    for each consumer. The centroid table is the only other shuffle —
+    (langs × ~30³) rows after map-side partial agg — and is
     BROADCAST for the dot-product join, so the corpus side never
-    shuffles by trigram; all norms are one agg each. Cosines are
-    rounded to 6dp BEFORE the argmax so last-ulp float-summation
-    differences between engines collapse before they can flip a
-    ranking (tie → lang name).
+    shuffles by trigram. Doc vectors stay as (doc, tri, c) rows
+    (never densified). Cosines are rounded to 6dp BEFORE the argmax
+    so last-ulp float-summation differences between engines collapse
+    before they can flip a ranking (tie → lang name).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "text")
+            .repartition(F.col("doc_id")))
     tri = docs.select(
         "doc_id", "lang",
         F.explode(F.expr(
+            # guard: for length(text) < 3 Spark's sequence(1, len-2)
+            # would default to step -1 and fabricate positions the
+            # oracle's range() (empty there) does not have
+            "IF(length(text) >= 3, "
             "transform(sequence(1, length(text) - 2), "
-            "i -> substring(lower(text), i, 3))")).alias("tri"))
+            "i -> substring(lower(text), i, 3)), "
+            "CAST(array() AS array<string>))")).alias("tri"))
     dtc = (tri.groupBy("doc_id", "lang", "tri")
-           .agg(F.count(F.lit(1)).alias("c")))
+           .agg(F.count(F.lit(1)).alias("c"))
+           .persist())
     dn = dtc.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("dnorm"))
     cent = dtc.groupBy(F.col("lang").alias("clang"), "tri") \

@@ -127,7 +127,9 @@ def q_variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice.
     """
     ev = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k")
+    # try_parse_json: NULL on malformed props, matching the oracle's
+    # json_extract_string NULL-on-bad-input (parse_json would throw)
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int").alias("k")
     return (
         ev.select("event_type", k)
         .groupBy("event_type")

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import uuid
 from dataclasses import dataclass
 from typing import Iterable, Iterator, List
@@ -149,30 +150,56 @@ def register_mrout(spark) -> None:
 
 
 class MrOutStreamReader(SimpleDataSourceStreamReader):
-    """Streaming twin of :class:`MrOutReader`: the sorted file list
-    is the log, the offset is how many files have been consumed, and
-    each micro-batch drains exactly one file.
+    """Streaming twin of :class:`MrOutReader`: the naturally-sorted
+    file list is the log, the offset is the NAME of the last consumed
+    file, and each micro-batch drains exactly one file.
+
+    Offsets are name-based, not index-based, because the reference
+    writes unpadded numeric suffixes (``mr/worker.go:190``:
+    ``'mr-out-' + Itoa(id)``), where ``mr-out-10`` sorts
+    lexicographically before ``mr-out-2``: under live file-drop
+    ingestion an index into a re-sorted listing would shift when a
+    late name lands before already-consumed ones, re-emitting
+    consumed files and skipping new ones. Storing the last consumed
+    name and consuming only files strictly GREATER (in natural
+    order: numeric suffix compared as an integer) makes consumed
+    work immutable — no late arrival can reorder it. The flip side
+    is the same contract as Spark's own file source: producers must
+    publish names in non-decreasing natural order (true for the
+    reference sink, which publishes a whole job's files at commit);
+    a name dropped BELOW the consumed watermark is skipped, never
+    mis-replayed.
 
     ``read(start)`` returns (rows, next_offset) for the prefetch
     path; ``readBetweenOffsets`` deterministically REPLAYS an
-    already-planned range after restart — offsets are file indexes
-    into a sorted listing, so replay yields byte-identical rows,
-    which is what makes the source exactly-once under the simple
-    stream reader's driver-side prefetch contract. New ``mr-out-*``
-    files appended to the directory are picked up by later batches
-    (file-drop ingestion, the reference's own output layout as a
-    live feed)."""
+    already-planned range after restart, yielding the files whose
+    names fall in ``(start, end]``."""
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("mrout source requires a path")
 
+    @staticmethod
+    def _natkey(name: str) -> tuple:
+        """Natural order: trailing digits compare as an integer, so
+        mr-out-2 < mr-out-10 (lexicographic order gets this wrong)."""
+        m = re.match(r"^(.*?)(\d+)$", name)
+        return (m.group(1), int(m.group(2))) if m else (name, -1)
+
     def _files(self) -> List[str]:
         return sorted(
-            p for pat in ("mr-out-*", "part-*")
-            for p in glob.glob(os.path.join(self.path, pat))
-            if os.path.isfile(p) and not p.endswith((".crc", "_SUCCESS")))
+            (p for pat in ("mr-out-*", "part-*")
+             for p in glob.glob(os.path.join(self.path, pat))
+             if os.path.isfile(p) and not p.endswith((".crc", "_SUCCESS"))),
+            key=lambda p: self._natkey(os.path.basename(p)))
+
+    def _after(self, files: List[str], last: str | None) -> List[str]:
+        if last is None:
+            return files
+        k = self._natkey(last)
+        return [f for f in files
+                if self._natkey(os.path.basename(f)) > k]
 
     @staticmethod
     def _read_file(path: str) -> Iterator[tuple]:
@@ -184,22 +211,27 @@ class MrOutStreamReader(SimpleDataSourceStreamReader):
                     yield (key, value)
 
     def initialOffset(self) -> dict:
-        return {"idx": 0}
+        return {"last": None}
 
     def read(self, start: dict):
         # rows are materialized (the prefetch contract pickles them);
         # one FILE per batch keeps the driver-resident slice bounded
         # by the reduce-partition size, not the dataset
-        files = self._files()
-        i = start["idx"]
-        if i >= len(files):
+        pending = self._after(self._files(), start["last"])
+        if not pending:
             return [], start
-        return list(self._read_file(files[i])), {"idx": i + 1}
+        nxt = pending[0]
+        return (list(self._read_file(nxt)),
+                {"last": os.path.basename(nxt)})
 
     def readBetweenOffsets(self, start: dict, end: dict) -> List[tuple]:
-        files = self._files()
-        return [row for i in range(start["idx"], min(end["idx"], len(files)))
-                for row in self._read_file(files[i])]
+        if end["last"] is None:
+            return []
+        hi = self._natkey(end["last"])
+        return [row
+                for f in self._after(self._files(), start["last"])
+                if self._natkey(os.path.basename(f)) <= hi
+                for row in self._read_file(f)]
 
 
 @dataclass
@@ -248,6 +280,20 @@ class MrOutWriter(DataSourceWriter):
         if self.overwrite:
             for old in glob.glob(os.path.join(self.path, "mr-out-*")):
                 os.remove(old)
+        else:
+            # append must never silently clobber a previous run's
+            # mr-out-N (nor mix with stale higher-numbered files from
+            # a run with more partitions): fail loudly, cleaning up
+            # the temp files, and leave the prior output intact
+            clobbered = [m.final_name for m in messages
+                         if os.path.exists(
+                             os.path.join(self.path, m.final_name))]
+            if clobbered:
+                self.abort(messages)
+                raise FileExistsError(
+                    f"mrout append would overwrite existing "
+                    f"{sorted(clobbered)} in {self.path}; use "
+                    f"mode('overwrite') or a fresh directory")
         for msg in messages:
             os.replace(msg.tmp_path,
                        os.path.join(self.path, msg.final_name))

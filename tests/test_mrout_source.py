@@ -5,6 +5,7 @@ source-level key-filter pushdown (pushFilters)."""
 from __future__ import annotations
 
 import glob
+import os
 
 from pyspark.sql import functions as F
 
@@ -149,3 +150,68 @@ def test_mrout_writer_abort_leaves_nothing_visible(spark, tmp_path):
     w.abort([msg, None])
     assert not glob.glob(path + "/.tmp-*")
     assert not glob.glob(path + "/mr-out-*")
+
+
+def test_mrout_stream_offsets_natural_order_and_stability(tmp_path):
+    """Name-based offsets under the reference's unpadded numeric
+    names (mr/worker.go:190): files must be consumed in NUMERIC
+    order (mr-out-2 before mr-out-10), a late-dropped file that
+    sorts below the consumed watermark must not shift or re-emit
+    consumed work, and readBetweenOffsets must replay a committed
+    range byte-identically."""
+    from my_mapreduce_spark.sources_custom import MrOutStreamReader
+
+    path = str(tmp_path / "log")
+    os.makedirs(path)
+
+    def drop(n, body):
+        with open(os.path.join(path, f"mr-out-{n}"), "w") as fh:
+            fh.write(body)
+
+    for n in (0, 1, 2, 10):   # 'mr-out-10' < 'mr-out-2' lexicographically
+        drop(n, f"k{n} {n}\n")
+    r = MrOutStreamReader({"path": path})
+    off = r.initialOffset()
+    seen = []
+    for _ in range(4):
+        rows, off = r.read(off)
+        seen.extend(rows)
+    assert [k for k, _ in seen] == ["k0", "k1", "k2", "k10"]  # numeric order
+    # drained: no more pending
+    rows, off2 = r.read(off)
+    assert rows == [] and off2 == off
+
+    # replay of the full committed range is byte-identical
+    replay = r.readBetweenOffsets(r.initialOffset(), off)
+    assert replay == seen
+
+    # a late file below the watermark must NOT resurface consumed
+    # names or shift anything; only names above the watermark flow
+    drop(5, "k5 5\n")   # below consumed mr-out-10
+    rows, off3 = r.read(off)
+    assert rows == []           # skipped, not mis-replayed (documented)
+    drop(11, "k11 11\n")
+    rows, off4 = r.read(off3)
+    assert [k for k, _ in rows] == ["k11"]
+    assert off4 == {"last": "mr-out-11"}
+
+
+def test_mrout_writer_append_refuses_clobber(spark, tmp_path):
+    """Append-mode commit must fail loudly instead of silently
+    replacing a previous run's mr-out-N files (ADVICE r3), leaving
+    the prior generation intact and no temp files behind."""
+    import pytest
+
+    path = str(tmp_path / "sink")
+    register_mrout(spark)
+    df = spark.createDataFrame([("a", "1"), ("b", "2")],
+                               "key string, value string").repartition(2)
+    df.write.format("mrout").mode("append").save(path)
+    before = {f: open(f).read() for f in glob.glob(path + "/mr-out-*")}
+    assert len(before) == 2
+
+    with pytest.raises(Exception, match="would overwrite existing"):
+        df.write.format("mrout").mode("append").save(path)
+    after = {f: open(f).read() for f in glob.glob(path + "/mr-out-*")}
+    assert after == before                       # prior output intact
+    assert not glob.glob(path + "/.tmp-*")       # temps cleaned up

@@ -13,6 +13,7 @@ Exit code 0 iff every checked query matches.
 from __future__ import annotations
 
 import argparse
+import json
 import math
 import sys
 import time
@@ -22,6 +23,7 @@ import pandas as pd
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root, when run as a script
 
+from my_mapreduce_spark.caching import release_caches
 from my_mapreduce_spark.io import TABLES
 from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded
 from my_mapreduce_spark.session import get_spark
@@ -47,6 +49,9 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None, metavar="JSON",
+                    help="write per-query results in the driver's "
+                         "CORRECTNESS schema (rows/schema/hash_match, err)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -58,24 +63,44 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
     failures = []
+    record: dict[str, dict] = {}
     for name in names:
         spec = REGISTRY[name]
         t0 = time.time()
-        sdf = spec.fn(spark, args.sf).toPandas()
+        try:
+            sdf = spec.fn(spark, args.sf).toPandas()
+        except Exception as exc:
+            print(f"  {name}: ERROR {exc}")
+            failures.append(name)
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": f"spark: {exc}"}
+            release_caches(spark)
+            continue
+        finally:
+            release_caches(spark)  # caller-owned lifecycle (caching.py)
         if spec.oracle is None:
             print(f"  {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
             if len(sdf) == 0:
                 print("    WARN: zero rows")
+            record[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(sdf),
+                            "oracle_rows": None, "err": "no_oracle"}
             continue
         odf = con.sql(spec.oracle).df()
         ok, msg = True, ""
-        if len(sdf) != len(odf):
+        rows_match = len(sdf) == len(odf)
+        schema_match = sorted(sdf.columns) == sorted(odf.columns)
+        hash_match = False
+        if not rows_match:
             ok, msg = False, f"row count spark={len(sdf)} oracle={len(odf)}"
-        elif sorted(sdf.columns) != sorted(odf.columns):
+        elif not schema_match:
             ok, msg = False, f"columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
         else:
             a, b = _normalize(sdf), _normalize(odf)
-            if not a.equals(b):
+            if a.equals(b):
+                hash_match = True
+            else:
                 diff = (a != b) & ~(a.isna() & b.isna())
                 cells = int(diff.to_numpy().sum())
                 ok, msg = False, f"{cells} differing cells"
@@ -86,12 +111,19 @@ def main() -> int:
                         break
         status = "OK" if ok else f"MISMATCH ({msg})"
         print(f"  {name}: {status} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
+        record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": len(sdf),
+                        "oracle_rows": len(odf), "err": None if ok else msg}
         if not ok:
             failures.append(name)
 
     print(f"\n{len(names)-len(failures)}/{len(names)} matched")
     if failures:
         print("failed:", ", ".join(failures))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        print(f"wrote {args.out} ({len(record)} entries)")
     return 1 if failures else 0
 
 
