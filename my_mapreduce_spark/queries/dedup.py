@@ -231,36 +231,38 @@ def _minhash_oracle() -> str:
     """
 
 
-@register(
-    "q_dedup_minhash_lsh",
-    oracle=_minhash_oracle(),
-    tags=("dedup", "near-dup", "minhash", "lsh"),
-)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup detection — THE scale path for dedup.
-
-    9 md5-permutation MinHash components per doc (one aggregation
-    pass over distinct shingles), banded 3x3; candidate pairs are
-    docs sharing any band hash (an equi-join on (band, hash) — a
-    key-colocated shuffle, never a cross join); reported pairs have
-    >=5/9 matching components (estimated Jaccard >= 0.56).
-
-    Every hash is md5-derived, so the DuckDB oracle reproduces the
-    exact signatures, bands, candidates, and estimates.
+def minhash_lsh_pairs(shingle_df: DataFrame, n_bands: int = 3,
+                      n_rows: int = 3,
+                      min_matches: int | None = None) -> DataFrame:
+    """Parametrized banded MinHash-LSH over any (doc_id, shingle)
+    relation — the (bands, rows) FIDELITY KNOB: candidate
+    probability for a pair at true Jaccard s is 1-(1-s^rows)^bands,
+    so 3x3 (9 perms) targets s≈0.8 detection while production
+    near-dup at a 0.7 threshold runs 16x4 or 32x4 (64/128 perms) for
+    a sharper S-curve. Components are md5('<seed>|'||shingle)
+    minima; band j hashes components [j*rows, (j+1)*rows). Widening
+    bands strictly grows the candidate set (band prefixes are
+    shared), so fidelity can be raised without re-running lower
+    configs. Cost stays banded: candidates come from a (band_idx,
+    band_hash) equi-join — a key-colocated shuffle, never all-pairs.
+    Returns (doc_a, doc_b, n_matches, est_jaccard); min_matches
+    filters on matching components when given. The signature relation
+    is cached (returned-plan cache — caller releases, caching.py).
     """
-    s = _shingle_rows(spark, sf_dir)
-    sig = s.groupBy("doc_id").agg(
-        *[minhash_expr(i).alias(f"m{i}") for i in range(_N_MINHASH)])
-    for j, (a, b, c) in enumerate(_BANDS):
+    n = n_bands * n_rows
+    sig = shingle_df.groupBy("doc_id").agg(
+        *[minhash_expr(i).alias(f"m{i}") for i in range(n)])
+    for j in range(n_bands):
         sig = sig.withColumn(
-            f"b{j}", F.md5(F.concat(F.col(f"m{a}"), F.col(f"m{b}"), F.col(f"m{c}"))))
+            f"b{j}", F.md5(F.concat(
+                *[F.col(f"m{j * n_rows + k}") for k in range(n_rows)])))
     sig = sig.cache()  # reused by the band explode and both pair-side joins
 
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(j).alias("band_idx"), F.col(f"b{j}").alias("band_hash"))
-            for j in range(len(_BANDS))])).alias("bh"),
+            for j in range(n_bands)])).alias("bh"),
     ).select("doc_id", "bh.band_idx", "bh.band_hash")
 
     cand = (
@@ -275,15 +277,42 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_matches = sum(
         F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
-        for i in range(_N_MINHASH))
-    return (
+        for i in range(n))
+    out = (
         cand.join(sig.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
         .join(sig.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
         .select("doc_a", "doc_b",
                 n_matches.cast("bigint").alias("n_matches"),
-                F.round(n_matches / float(_N_MINHASH), 6).alias("est_jaccard"))
-        .where(F.col("n_matches") >= _MIN_MATCHES)
+                F.round(n_matches / float(n), 6).alias("est_jaccard"))
     )
+    if min_matches is not None:
+        out = out.where(F.col("n_matches") >= min_matches)
+    return out
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "near-dup", "minhash", "lsh"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection — THE scale path for dedup.
+
+    9 md5-permutation MinHash components per doc (one aggregation
+    pass over distinct shingles), banded 3x3; candidate pairs are
+    docs sharing any band hash (an equi-join on (band, hash) — a
+    key-colocated shuffle, never a cross join); reported pairs have
+    >=5/9 matching components (estimated Jaccard >= 0.56). The 3x3
+    instance of :func:`minhash_lsh_pairs` — raise (bands, rows) for
+    lower-threshold production dedup (recall curve pinned by
+    tests/test_minhash_fidelity.py).
+
+    Every hash is md5-derived, so the DuckDB oracle reproduces the
+    exact signatures, bands, candidates, and estimates.
+    """
+    return minhash_lsh_pairs(_shingle_rows(spark, sf_dir),
+                             n_bands=len(_BANDS), n_rows=len(_BANDS[0]),
+                             min_matches=_MIN_MATCHES)
 
 
 # ---------------------------------------------------------------------------
