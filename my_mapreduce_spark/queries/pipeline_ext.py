@@ -657,7 +657,8 @@ def q_vocab_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window is fine for vocabulary-sized inputs; this variant
     is the pattern for ranking arbitrarily large relations).
 
-    Two-pass range rank: (1) repartitionByRange on the rank order, so
+    Two-pass range rank (functions/ranking.distributed_row_number):
+    (1) repartitionByRange on the rank order, so
     partition p holds exactly the rows ranking before partition p+1
     (the composite key (n desc, token) is unique — counts are
     per-token — so no tie straddles a boundary); row_number WITHIN
@@ -668,24 +669,15 @@ def q_vocab_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan runs over the partition-counts relation, bounded by a conf,
     never by data. Tested equal to the plain-window variant and
     invariant to the partition count (tests/test_vocab_rank.py)."""
+    from my_mapreduce_spark.functions.ranking import distributed_row_number
+
     docs = load_table(spark, sf_dir, "documents")
     counts = (docs.select(F.explode(_tokens()).alias("token"))
               .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
               .where(F.col("n") >= _VOCAB_MIN_COUNT))
-    ranged = (counts.repartitionByRange(F.col("n").desc(), F.col("token"))
-              .withColumn("pid", F.spark_partition_id()))
-    # row_number within the range partition: sortWithinPartitions +
-    # a pid-keyed window (the window's shuffle hashes whole range
-    # partitions, preserving each group intact)
-    local_w = Window.partitionBy("pid").orderBy(F.col("n").desc(), "token")
-    local = ranged.withColumn("local_rank", F.row_number().over(local_w))
-    pid_counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    prior = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    base = pid_counts.select(
-        "pid", F.coalesce(F.sum("cnt").over(prior), F.lit(0)).alias("base"))
-    return (local.join(F.broadcast(base), "pid")
-            .select("token", "n",
-                    (F.col("base") + F.col("local_rank")).alias("vocab_id")))
+    return distributed_row_number(
+        counts, [F.col("n").desc(), F.col("token")],
+        out="vocab_id").select("token", "n", "vocab_id")
 
 
 # ---------------------------------------------------------------------------

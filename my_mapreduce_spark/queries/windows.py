@@ -154,7 +154,8 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition global window, so the shipped plan is the scale
     plan even when the input is fact-sized.
 
-    Two-pass range rank (same machinery as q_vocab_rank_scalable):
+    Two-pass range rank (functions/ranking.distributed_row_number,
+    shared with q_vocab_rank_scalable):
     (1) repartitionByRange on (c_acctbal, c_custkey) — the composite
     key is unique, so no tie straddles a partition boundary — then
     row_number within each range partition, which is shuffle-
@@ -166,22 +167,13 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest into buckets of size q, with q = N div k, rem = N mod k.
     The only global-order window runs over the partition-counts
     relation, bounded by a conf, never by data."""
+    from my_mapreduce_spark.functions.ranking import distributed_row_number
+
     cust = load_table(spark, sf_dir, "customer")
-    ranged = (cust.select("c_acctbal", "c_custkey")
-              .repartitionByRange(F.col("c_acctbal"), F.col("c_custkey"))
-              .withColumn("pid", F.spark_partition_id()))
-    local_w = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
-    local = ranged.withColumn("local_rank", F.row_number().over(local_w))
-    pid_counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    prior = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    base = pid_counts.select(
-        "pid", F.coalesce(F.sum("cnt").over(prior), F.lit(0)).alias("base"))
-    total = pid_counts.agg(F.sum("cnt").alias("n_total"))
-    ranked = (local.join(F.broadcast(base), "pid")
-              .crossJoin(F.broadcast(total))  # 1-row scalar broadcast
-              .select("c_acctbal",
-                      (F.col("base") + F.col("local_rank")).alias("r"),
-                      "n_total"))
+    ranked = distributed_row_number(
+        cust.select("c_acctbal", "c_custkey"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        out="r", total_col="n_total")
     # ntile(4) closed form: q = N div 4, rem = N mod 4; first rem
     # buckets hold q+1 rows. greatest(q,1) guards the N<4 degenerate
     # case where the otherwise-branch divides by zero.
