@@ -126,7 +126,7 @@ _FRAME_STRIDE = 4
 )
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling over binary payloads: each asset is
-    cut into fixed-size {bytes}-byte frames and every {stride}-th
+    cut into fixed-size 256-byte frames and every 4th
     frame is kept, emitting (doc_id, frame_idx, digest) rows.
 
     The extraction runs in mapInPandas over the payload bytes — the

@@ -175,14 +175,14 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to AQE's runtime skew splitting (which is itself
     exercised in tests/test_aqe_skew_join.py).
 
-    The fact side gets a deterministic salt (event_id % {n}); the
+    The fact side gets a deterministic salt (event_id % 32); the
     dimension side is replicated once per salt value via a
     posexplode, so the join key becomes (key, salt) and a hot key's
-    rows spread over {n} reducers instead of one. The oracle is the
+    rows spread over 32 reducers instead of one. The oracle is the
     plain unsalted join — salting is a physical rewrite with
     identical semantics. Use when the skewed key set isn't known in
     advance and the dimension is small enough to replicate; at
-    100 TB this caps any single task at 1/{n} of the hottest key.
+    100 TB this caps any single task at 1/32 of the hottest key.
     """
     n_salt = 8
     ev = (load_table(spark, sf_dir, "events")

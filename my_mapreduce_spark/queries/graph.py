@@ -60,9 +60,9 @@ def _pagerank_oracle() -> str:
     tags=("graph", "pagerank", "iterative"),
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (damping {d}, {it} power iterations) over the
+    """PageRank (damping 0.85, 3 power iterations) over the
     bidirected customer<->supplier trade graph derived from
-    lineitem x orders; top-{top} nodes by rank.
+    lineitem x orders; top-20 nodes by rank.
 
     The graph is symmetrized (each trade edge emitted both ways) so
     every node has out-degree >= 1 — no dangling-mass correction
@@ -74,7 +74,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives the cache, so every subsequent iteration shuffles only
     the rank relation (nodes, 2 doubles) — never the edges. At 100 TB
     the per-iteration cost is one node-keyed shuffle of the rank
-    vector; iteration count is fixed, so total cost is {it} such
+    vector; iteration count is fixed, so total cost is 3 such
     shuffles regardless of data size. Ordering ties are broken on
     ROUND(rank, 6) then node id, so structurally-identical nodes
     (equal true rank, float-sum wiggle) order deterministically.

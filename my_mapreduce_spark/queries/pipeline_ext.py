@@ -98,7 +98,7 @@ _FUNNEL_WINDOW_MIN = 30
 )
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click-to-purchase funnel per market segment: a user converts
-    if any purchase follows any of their clicks within {window} min.
+    if any purchase follows any of their clicks within 30 min.
 
     Shape: enrich (broadcast dim join) -> distinct click users ->
     time-bounded self-join reduced to a per-user conversion flag
@@ -227,9 +227,9 @@ def _mg_summaries(batches):
     tags=("pipeline", "text", "heavy-hitters", "sketch"),
 )
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT frequent tokens (frequency > 1/{phi} of the corpus) via
+    """EXACT frequent tokens (frequency > 1/128 of the corpus) via
     the two-pass sketch-then-verify pattern: per-partition Misra-
-    Gries summaries (bounded at {k} counters each — constant memory
+    Gries summaries (bounded at 512 counters each — constant memory
     at any corpus size) nominate candidates, and only the candidate
     tokens get an exact recount. MG guarantees the candidate union
     covers every true heavy hitter, so the result is exact — the
@@ -238,7 +238,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scale shape for skewed-vocabulary corpora where even
     the token-count aggregation is too wide to shuffle comfortably:
     the full-vocab shuffle is replaced by a no-shuffle Arrow summary
-    pass plus a recount semi-joined to ~{k}x{{partitions}} broadcast
+    pass plus a recount semi-joined to ~512 x n_partitions broadcast
     candidates. The corpus token total crosses in as a 1-row
     broadcast scalar."""
     docs = load_table(spark, sf_dir, "documents")

@@ -109,8 +109,8 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("retrieval", "text", "bm25"),
 )
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (k1={k1}, b={b}) top-{n} for a fixed conjunctive query
-    {terms} over ``documents`` — the lexical half of a retrieval
+    """BM25 (k1=1.2, b=0.75) top-10 for the fixed conjunctive query
+    (spark, join, vector) over ``documents`` — the lexical half of a retrieval
     stack, and the scoring-function upgrade of the reference's
     inverted index (mrapps/indexer.go:38 emits doc lists per term;
     BM25 weights them).
@@ -121,10 +121,10 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (N, avgdl) from map-side-combined aggregates of those. idf and
     the scalar stats broadcast onto the tf relation, one hash agg
     sums per-term contributions. At 100 TB nothing driver-side ever
-    exceeds |terms| rows, and the global top-{n} is sort+limit —
+    exceeds |terms| rows, and the global top-10 is sort+limit —
     Spark's TakeOrderedAndProject, a per-partition partial top-k —
     NOT a single-partition global window; the rank window runs on
-    the {n} surviving rows only.
+    the 10 surviving rows only.
     """
     w = Window.orderBy(F.col("score").desc(), "doc_id")
     return (_bm25_scored(spark, sf_dir)
@@ -169,9 +169,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("retrieval", "hybrid", "embedding"),
 )
 def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: BM25 shortlists {cand} candidates, an exact
-    cosine against a fixed query embedding (vec_id={qvec}) reranks,
-    final score = 0.5*normalized-BM25 + 0.5*cosine, top-{top} kept.
+    """Hybrid retrieval: BM25 shortlists 20 candidates, an exact
+    cosine against a fixed query embedding (vec_id=0) reranks,
+    final score = 0.5*normalized-BM25 + 0.5*cosine, top-5 kept.
 
     The candidate set (and the 1-row max-score / query-vector sides)
     are k-row relations — every join below the corpus scan is a

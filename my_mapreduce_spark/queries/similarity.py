@@ -65,7 +65,7 @@ def _normed(emb: DataFrame) -> DataFrame:
     tags=("similarity", "knn"),
 )
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-{k}: broadcast the (small) query set against
+    """Exact cosine top-5: broadcast the (small) query set against
     the corpus — one scan of the corpus, no shuffle until the
     per-query top-k window (which moves k*|queries| rows).
 
@@ -161,12 +161,12 @@ def _hamming(a_prefix: str, b_prefix: str) -> Column:
 )
 def q_knn_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: 96-bit hyperplane sketches; candidates are
-    corpus vectors within Hamming distance {prune} of the query
+    corpus vectors within Hamming distance 43 of the query
     sketch, reranked by exact cosine.
 
     The Hamming-radius test is multiprobe in closed form: instead of
     enumerating the probe buckets around the query (the classical
-    formulation), the radius-{prune} Hamming ball is evaluated
+    formulation), the radius-43 Hamming ball is evaluated
     directly against each corpus sketch — three XOR+popcount ops per
     pair, all JVM, no probe-key blowup. Thresholding the FULL sketch
     is also the likelihood-ratio-optimal candidate test for
@@ -303,7 +303,7 @@ def _train_quantizer(e: DataFrame, k: int, dim: int):
     tags=("similarity", "knn", "ivf"),
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-{k} via an inverted-file (IVF) index with a
+    """Approximate top-5 via an inverted-file (IVF) index with a
     TRAINED fixed-k coarse quantizer.
 
     Build: k = min(4096, ~sqrt(n)) centroids (never O(n)) are seeded
@@ -315,9 +315,9 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized numpy matmul per Arrow batch (mapInPandas); the
     (bucket -> vectors) relation IS the inverted file.
 
-    Search: each query probes its {nprobe} nearest buckets only,
+    Search: each query probes its nprobe (sqrt(k)-scaled) nearest buckets only,
     reranking candidates by exact cosine (JVM fold) and keeping
-    top-{k}. Work per query is |corpus| * nprobe / k instead of
+    top-5. Work per query is |corpus| * nprobe / k instead of
     |corpus|.
 
     At 100 TB: training is _IVF_ROUNDS+1 linear scans with O(k*d)
@@ -566,10 +566,10 @@ def _train_pq_codebooks(e: DataFrame, ksub: int):
 )
 def q_knn_pq_adc(spark: SparkSession, sf_dir: str,
                  refine: int = 10 * _K) -> DataFrame:
-    """Approximate top-{k} via product quantization with asymmetric
+    """Approximate top-5 via product quantization with asymmetric
     distance computation (ADC) — the memory-bound ANN path.
 
-    Build: the corpus is unit-normalized and split into {m} = _PQ_M
+    Build: the corpus is unit-normalized and split into 16 = _PQ_M
     subvectors; each subspace trains a ksub-entry codebook (Lloyd's,
     one linear scan per round, O(ksub*d) driver traffic — see
     _train_pq_codebooks). Every vector is encoded to m small codes:
@@ -586,7 +586,7 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str,
     top-k, the map-side combine of ANN), a global window keeps the
     overall top-refine, and an exact cosine rerank join (reading
     the true embeddings ONLY for |q|*refine candidate ids) produces
-    the final top-{k}. Work: one code-only linear scan + a
+    the final top-5. Work: one code-only linear scan + a
     k*|q|-row shuffle + a point-lookup rerank join.
     """
     import numpy as np

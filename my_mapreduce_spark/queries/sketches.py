@@ -101,24 +101,24 @@ def _cm_probes_sql() -> str:
     tags=("sketch", "approx", "countmin"),
 )
 def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min sketch of the corpus token frequencies ({d} rows x
-    {w} columns, md5-derived hash family), probed for a fixed token
+    """Count-Min sketch of the corpus token frequencies (4 rows x
+    256 columns, md5-derived hash family), probed for a fixed token
     set and compared against exact counts — unlike the HLL entry
     this one is FULLY oracle-checked, because the md5 hash family
     computes identically in DuckDB.
 
-    Build: one token scan; each occurrence increments {d} cells
-    (explode of a {d}-literal array), and the (row, col) hash
+    Build: one token scan; each occurrence increments 4 cells
+    (explode of a 4-literal array), and the (row, col) hash
     aggregate IS the sketch — per-partition partials are map-side
-    combined, so what shuffles is at most {d}*{w} cells per task,
-    and the merged sketch is {d}*{w} longs TOTAL regardless of
+    combined, so what shuffles is at most 4*256 cells per task,
+    and the merged sketch is 4*256 longs TOTAL regardless of
     corpus size. That boundedness is the operator's point at 100 TB:
     the sketch of a petabyte token stream is still 8 KB, and
     distributing the build is just this same hash agg.
 
     Probe: est(t) = min over rows of cell(row, h_row(t)) — the CM
     guarantee est >= exact always holds (tests assert it), with
-    overshoot ~ N/{w} colliding mass per row.
+    overshoot ~ N/256 colliding mass per row.
     """
     toks = (load_table(spark, sf_dir, "documents")
             .select(F.explode(tokens("text")).alias("token")))

@@ -63,3 +63,17 @@ def test_every_oracle_parses_in_duckdb(duck):
         except Exception as ex:
             bad.append((name, str(ex)[:120]))
     assert not bad, bad
+
+
+def test_no_unformatted_docstring_placeholders():
+    """A '{name}' in a registered docstring means an f-string prefix
+    was forgotten or a constant was never inlined — the class that
+    silently shipped '{at}'/'Top-{k}' placeholders twice (rounds 3
+    and 4). Oracle templates format before registration, so any
+    brace pattern surviving in spec.doc is a bug."""
+    import re
+
+    bad = {n: re.findall(r"\{[a-z_0-9]+\}", s.doc)
+           for n, s in REGISTRY.items()
+           if re.search(r"\{[a-z_0-9]+\}", s.doc)}
+    assert not bad, bad
