@@ -75,7 +75,6 @@ def main() -> int:
             record[name] = {"rows_match": False, "schema_match": False,
                             "hash_match": False, "spark_rows": None,
                             "oracle_rows": None, "err": f"spark: {exc}"}
-            release_caches(spark)
             continue
         finally:
             release_caches(spark)  # caller-owned lifecycle (caching.py)
