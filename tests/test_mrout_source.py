@@ -215,3 +215,36 @@ def test_mrout_writer_append_refuses_clobber(spark, tmp_path):
     after = {f: open(f).read() for f in glob.glob(path + "/mr-out-*")}
     assert after == before                       # prior output intact
     assert not glob.glob(path + "/.tmp-*")       # temps cleaned up
+
+
+def test_mrout_streaming_twelve_files_numeric_order(spark, tmp_path):
+    """End-to-end readStream over >10 unpadded file names — the case
+    the pre-fix index-based offsets broke (mr-out-10 sorts before
+    mr-out-2 lexicographically, so a checkpointed index pointed at a
+    different file across restarts). 12 files drained one per
+    availableNow run against one checkpoint must yield exactly-once
+    totals, no dup or loss."""
+    path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(path)
+    for n in range(12):
+        with open(os.path.join(path, f"mr-out-{n}"), "w") as fh:
+            fh.write(f"k{n} {n}\n")
+    register_mrout(spark)
+
+    sink = "mrout_natorder_sink"
+    try:
+        for _ in range(14):
+            q = (spark.readStream.format("mrout").load(path)
+                 .groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+                 .writeStream.format("memory").queryName(sink)
+                 .outputMode("complete")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            if spark.table(sink).count() == 12:
+                break
+        got = {(r.key, r.n) for r in spark.table(sink).collect()}
+        assert got == {(f"k{n}", 1) for n in range(12)}
+    finally:
+        spark.catalog.dropTempView(sink)
