@@ -69,10 +69,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     term, which keeps the per-iteration algebra a pure
     join-aggregate. One iteration = equi-join ranks onto the edge
     list, hash-aggregate incoming contributions per dst, add the
-    teleport term. The edge list (with out-degrees fused on) is
-    repartitioned by src and persisted ONCE: its hash partitioning
-    survives the cache, so every subsequent iteration shuffles only
-    the rank relation (nodes, 2 doubles) — never the edges. At 100 TB
+    teleport term. The edge list is repartitioned by src ONCE and
+    the out-degree is fused on with a src-partitioned WINDOW count —
+    which reuses that same partitioning, so degree attachment costs
+    zero additional edge shuffles (vs groupBy+join-back, which costs
+    two). The persisted relation's hash partitioning survives the
+    cache, so every subsequent iteration shuffles only the rank
+    relation (nodes, 2 doubles) — never the edges. At 100 TB
     the per-iteration cost is one node-keyed shuffle of the rank
     vector; iteration count is fixed, so total cost is 3 such
     shuffles regardless of data size. Ordering ties are broken on
@@ -92,11 +95,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
           .distinct())
     edges = el.unionAll(el.select(F.col("dst").alias("src"),
                                   F.col("src").alias("dst")))
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # edges+degree, hash-partitioned on the join key once for all
     # iterations; persist() preserves the partitioning for the planner
-    ed = (edges.join(outdeg, "src")
-          .repartition(F.col("src"))
+    ed = (edges.repartition(F.col("src"))
+          .withColumn("deg", F.count(F.lit(1))
+                      .over(Window.partitionBy("src")))
           .persist())
 
     n = ed.select("src").distinct().count()
