@@ -905,6 +905,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str,
 
     e = _normed(load_table(spark, sf_dir, "embeddings")).persist()
     n = e.count()
+    if n == 0:  # empty corpus: typed empty result, not a crash
+        return spark.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double")
     k = _ivf_k(n)
     dim = len(e.select("v").head().v)
     c_mat = _train_quantizer(e, k, dim)

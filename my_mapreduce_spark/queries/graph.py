@@ -103,6 +103,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
           .persist())
 
     n = ed.select("src").distinct().count()
+    if n == 0:  # empty graph: typed empty result, not a crash
+        return spark.createDataFrame(
+            [], "node string, pagerank double, rnk int")
     r = ed.select(F.col("src").alias("node")).distinct() \
           .withColumn("r", F.lit(1.0 / n))
     for _ in range(_ITERS):

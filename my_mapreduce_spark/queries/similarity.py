@@ -337,6 +337,9 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead (swap `e` for e.sample in _train_quantizer).
     e = _normed(load_table(spark, sf_dir, "embeddings")).persist()
     n = e.count()
+    if n == 0:  # empty corpus: typed empty result, not a crash
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk int")
     k = _ivf_k(n)
     c_mat = _train_quantizer(e, k, _DIM)
     nprobe = _ivf_nprobe(k)
@@ -594,6 +597,9 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str,
 
     e = _normed(load_table(spark, sf_dir, "embeddings")).persist()
     n = e.count()
+    if n == 0:  # empty corpus: typed empty result, not a crash
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk int")
     ksub = _pq_ksub(n)
     books = _train_pq_codebooks(e, ksub)          # (m, ksub, dsub)
     dsub = _DIM // _PQ_M
