@@ -36,7 +36,8 @@ def build_asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     image/audio bytes; a real pipeline reads
     ``spark.read.format('binaryFile')`` and unions sources."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    # a NULL payload is not an asset — drop, don't crash the decode
+    return docs.where(F.col("text").isNotNull()).select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
         F.lit("text/plain").alias("mime"),

@@ -451,7 +451,9 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
     this operator's role at 100 TB is the verifier for ANN
     candidates (q_knn_lsh_buckets / q_knn_ivf are the scale path).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .where(F.col("embedding").isNotNull()
+                  & (F.size("embedding") > 0)))  # np.stack hygiene
     if n_tiles is None:
         n_tiles = _n_tiles(emb.count())
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))

@@ -201,7 +201,8 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
-                 lambda x: x != "").alias("w"))
+                 lambda x: x != "").alias("w")).where(F.size("w") >= 1)
+    # (the size guard: sequence(1, 0, 48) THROWS on zero-token docs)
     n = F.size("w")
     starts = toks.select(
         "doc_id", "w",

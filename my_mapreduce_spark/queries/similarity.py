@@ -39,8 +39,13 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _normed(emb: DataFrame) -> DataFrame:
+    # ingestion hygiene: NULL / empty / wrong-width vectors would
+    # poison every downstream numpy path (np.stack needs a uniform
+    # matrix) — drop them here, the single entry point
     v = _as_double("embedding")
-    return emb.select("vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"))
+    return (emb.where(F.col("embedding").isNotNull()
+                      & (F.size("embedding") == _DIM))
+            .select("vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm")))
 
 
 @register(
@@ -706,7 +711,10 @@ def _cov_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .where(F.col("embedding").isNotNull()
+                  & (F.size("embedding") == _DIM))  # vstack hygiene
+           .select("embedding"))
     iu, ju = np.triu_indices(_DIM)
 
     def partials(batches):

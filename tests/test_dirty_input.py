@@ -1,0 +1,88 @@
+"""Dirty-row inputs (NULL/empty text, NULL lang/source, NULL/empty
+embedding arrays, malformed props JSON) must degrade to dropped rows
+or NULL outputs, never crashes. A real crawl delivers all of these.
+
+Round 4's sweep found the embedding family (np.stack/np.vstack over
+NULL/empty arrays), the multimodal decode (bytes(None)) and
+q_doc_chunking (sequence(1, 0, 48) THROWS with an explicit step)
+crashing; fixed by ingestion-hygiene filters at each entry point
+(_normed, _cov_moments, build_asset_table, the chunker's size
+guard). This suite pins those plus a family spread against a tier
+with injected dirty rows; it also asserts the hygiene filters do
+not disturb results on clean rows (the oracles pin that on the
+driver side)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from my_mapreduce_spark.io import TABLES, load_table
+
+FIXED = [
+    "q_dedup_embedding_cosine", "q_dedup_signal_agreement",
+    "q_dedup_semantic", "q_knn_lsh_buckets", "q_knn_ivf", "q_knn_pq_adc",
+    "q_embedding_covariance", "q_embedding_pca", "q_doc_chunking",
+    "q_multimodal_frame_sample", "q_multimodal_pipeline",
+]
+SPREAD = [
+    "q_lang_id_trigram", "q_variant_json_stats", "q_dedup_minhash_lsh",
+    "q_quality_filter_rules", "q_pack_sequences", "q_bm25_search",
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sf_dirty"))
+    for t in TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", t)
+        if t == "documents":
+            d0 = df.limit(1).collect()[0].asDict()
+            rows = [dict(d0, doc_id=900001, text=None),
+                    dict(d0, doc_id=900002, text=""),
+                    dict(d0, doc_id=900003, lang=None, source=None),
+                    dict(d0, doc_id=900004, text="xy")]
+            df = df.unionByName(spark.createDataFrame(rows, df.schema))
+        elif t == "embeddings":
+            d0 = df.limit(1).collect()[0].asDict()
+            rows = [dict(d0, vec_id=900001, embedding=None),
+                    dict(d0, vec_id=900002, embedding=[])]
+            df = df.unionByName(spark.createDataFrame(rows, df.schema))
+        elif t == "events":
+            bad = (df.limit(1)
+                   .withColumn("event_id", F.lit(900001).cast("long"))
+                   .withColumn("props", F.lit("{not json")))
+            df = df.unionByName(bad.select(*df.columns))
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+@pytest.mark.parametrize("name", FIXED + SPREAD)
+def test_query_survives_dirty_rows(spark, dirty_dir, name):
+    from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    if name not in REGISTRY:
+        pytest.skip(f"{name} not registered")
+    REGISTRY[name].fn(spark, dirty_dir).count()  # must not raise
+    spark.catalog.clearCache()
+
+
+def test_dirty_rows_are_dropped_not_counted(spark, dirty_dir):
+    """The hygiene filters drop ONLY the poisoned rows: the frame
+    sampler sees every non-NULL-payload doc, covariance moments
+    count exactly the well-formed vectors."""
+    from my_mapreduce_spark.multimodal import build_asset_table
+    from my_mapreduce_spark.queries.similarity import _cov_moments
+
+    docs = load_table(spark, dirty_dir, "documents")
+    assets = build_asset_table(spark, dirty_dir)
+    assert assets.count() == docs.where(F.col("text").isNotNull()).count()
+
+    emb = load_table(spark, dirty_dir, "embeddings")
+    n_good = emb.where(F.col("embedding").isNotNull()
+                       & (F.size("embedding") > 0)).count()
+    n_moments = _cov_moments(spark, dirty_dir) \
+        .where((F.col("i") == 1) & (F.col("j") == 1)) \
+        .select("n").collect()[0].n
+    assert n_moments == n_good
