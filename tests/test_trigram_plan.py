@@ -20,6 +20,10 @@ def test_single_doc_keyed_exchange(spark):
 
     old = spark.conf.get("spark.sql.adaptive.enabled")
     try:
+        # a previous test's lingering cache would substitute
+        # InMemoryRelation for plan-identical subtrees and hide the
+        # exchange this test counts
+        spark.catalog.clearCache()
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         df = q_lang_id_trigram(spark, SF_DIR)
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
