@@ -194,16 +194,23 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(n_bands: int = len(_BANDS),
+                    n_rows: int = len(_BANDS[0]),
+                    min_matches: int = _MIN_MATCHES) -> str:
+    """SQL twin of minhash_lsh_pairs at any (bands, rows, threshold)
+    — every hash md5, so the oracle reproduces signatures, bands,
+    candidates, and estimates bit-for-bit."""
+    n = n_bands * n_rows
     mins = ",\n               ".join(
-        f"MIN(md5('{i}|' || shingle)) AS m{i}" for i in range(_N_MINHASH))
+        f"MIN(md5('{i}|' || shingle)) AS m{i}" for i in range(n))
     bands = ",\n               ".join(
-        f"md5(m{a} || m{b} || m{c}) AS b{j}" for j, (a, b, c) in enumerate(_BANDS))
+        "md5(" + " || ".join(f"m{j * n_rows + k}" for k in range(n_rows))
+        + f") AS b{j}" for j in range(n_bands))
     band_union = "\n        UNION ALL\n".join(
         f"        SELECT doc_id, {j} AS band_idx, b{j} AS band_hash FROM sig"
-        for j in range(len(_BANDS)))
+        for j in range(n_bands))
     matches = " + ".join(
-        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(_N_MINHASH))
+        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(n))
     return f"""
     WITH {_SHINGLES_CTE},
     sig0 AS (
@@ -223,11 +230,11 @@ def _minhash_oracle() -> str:
          AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b,
            CAST({matches} AS BIGINT) AS n_matches,
-           ROUND(({matches}) / {_N_MINHASH}.0, 6) AS est_jaccard
+           ROUND(({matches}) / {n}.0, 6) AS est_jaccard
     FROM cand
     JOIN sig x ON doc_a = x.doc_id
     JOIN sig y ON doc_b = y.doc_id
-    WHERE {matches} >= {_MIN_MATCHES}
+    WHERE {matches} >= {min_matches}
     """
 
 
@@ -313,6 +320,38 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_shingle_rows(spark, sf_dir),
                              n_bands=len(_BANDS), n_rows=len(_BANDS[0]),
                              min_matches=_MIN_MATCHES)
+
+
+_PROD_BANDS, _PROD_ROWS = 16, 4   # 64 perms: P[cand] at s=0.7 is 0.994
+_PROD_MIN_MATCHES = 45            # report est_jaccard >= 45/64 = 0.703
+
+
+@register(
+    "q_dedup_minhash_lsh_prod",
+    oracle=_minhash_oracle(_PROD_BANDS, _PROD_ROWS, _PROD_MIN_MATCHES),
+    tags=("dedup", "near-dup", "minhash", "lsh", "production"),
+)
+def q_dedup_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION operating point of the MinHash fidelity knob:
+    16 bands x 4 rows (64 md5 permutations), reporting pairs with
+    >= 45/64 matching components (estimated Jaccard >= 0.703).
+
+    Where the 9-perm q_dedup_minhash_lsh is tuned for s~0.8
+    detection, this config holds the banding S-curve steep around a
+    0.7 dedup threshold: P[candidate] = 1-(1-s^4)^16 is 0.994 at
+    s=0.7 but only 0.23 at s=0.4 — high recall at the operating
+    threshold, strong pruning below it (the recall curve is measured
+    against theory in tests/test_minhash_fidelity.py). Same banded
+    plan shape as the 3x3 instance — one signature aggregation pass,
+    a (band_idx, band_hash) equi-join for candidates, never
+    all-pairs — so cost scales with collisions, not corpus^2; the
+    64-permutation signature just widens the map-side aggregate.
+    Oracle reproduces all 64 md5 permutations and 16 band hashes
+    bit-for-bit.
+    """
+    return minhash_lsh_pairs(_shingle_rows(spark, sf_dir),
+                             n_bands=_PROD_BANDS, n_rows=_PROD_ROWS,
+                             min_matches=_PROD_MIN_MATCHES)
 
 
 # ---------------------------------------------------------------------------
