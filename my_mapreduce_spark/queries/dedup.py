@@ -29,6 +29,17 @@ from my_mapreduce_spark.registry import register
 _N_MINHASH = 9          # 3 bands x 3 rows
 _BANDS = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
 _MIN_MATCHES = 5        # report pairs with >=5/9 matching components
+_CW_PRIME = 2147483647  # 2^31-1: (a*h+b) stays under 2^62 in int64
+_CW_SEED = 42
+
+
+def _cw_params(n: int, seed: int = _CW_SEED) -> tuple[list, int]:
+    """n deterministic Carter-Wegman (a, b) pairs mod _CW_PRIME."""
+    import random
+
+    rnd = random.Random(seed)
+    return ([(rnd.randrange(1, _CW_PRIME), rnd.randrange(_CW_PRIME))
+             for _ in range(n)], _CW_PRIME)
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,7 +251,8 @@ def _minhash_oracle(n_bands: int = len(_BANDS),
 
 def minhash_lsh_pairs(shingle_df: DataFrame, n_bands: int = 3,
                       n_rows: int = 3,
-                      min_matches: int | None = None) -> DataFrame:
+                      min_matches: int | None = None,
+                      scheme: str = "md5") -> DataFrame:
     """Parametrized banded MinHash-LSH over any (doc_id, shingle)
     relation — the (bands, rows) FIDELITY KNOB: candidate
     probability for a pair at true Jaccard s is 1-(1-s^rows)^bands,
@@ -255,14 +267,36 @@ def minhash_lsh_pairs(shingle_df: DataFrame, n_bands: int = 3,
     Returns (doc_a, doc_b, n_matches, est_jaccard); min_matches
     filters on matching components when given. The signature relation
     is cached (returned-plan cache — caller releases, caching.py).
+
+    scheme="md5" (default): each component is min(md5(seed||shingle))
+    — n md5 calls per shingle, simple and fully hash-independent.
+    scheme="cw": Carter-Wegman permutations min((a_i*h + b_i) mod p)
+    over ONE md5-derived 32-bit shingle hash (p = 2^31-1; products
+    stay under 2^62, exact in int64 on both engines) — the
+    production-fidelity path, where 64+ permutations cost 1 md5 +
+    n multiply-adds per shingle instead of n md5s. Both schemes are
+    deterministic and bit-reproducible in the DuckDB oracles.
     """
     n = n_bands * n_rows
-    sig = shingle_df.groupBy("doc_id").agg(
-        *[minhash_expr(i).alias(f"m{i}") for i in range(n)])
+    if scheme == "md5":
+        sig = shingle_df.groupBy("doc_id").agg(
+            *[minhash_expr(i).alias(f"m{i}") for i in range(n)])
+        band_cols = [F.concat(*[F.col(f"m{j * n_rows + k}")
+                                for k in range(n_rows)])
+                     for j in range(n_bands)]
+    else:  # Carter-Wegman: 1 md5 + n multiply-adds per shingle
+        params, prime = _cw_params(n)
+        h = (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
+             .cast("bigint") % prime)
+        sig = shingle_df.groupBy("doc_id").agg(
+            *[F.min((F.lit(a) * h + F.lit(b)) % prime).alias(f"m{i}")
+              for i, (a, b) in enumerate(params)])
+        band_cols = [F.concat_ws("|", *[F.col(f"m{j * n_rows + k}")
+                                        .cast("string")
+                                        for k in range(n_rows)])
+                     for j in range(n_bands)]
     for j in range(n_bands):
-        sig = sig.withColumn(
-            f"b{j}", F.md5(F.concat(
-                *[F.col(f"m{j * n_rows + k}") for k in range(n_rows)])))
+        sig = sig.withColumn(f"b{j}", F.md5(band_cols[j]))
     sig = sig.cache()  # reused by the band explode and both pair-side joins
 
     bands = sig.select(
@@ -322,13 +356,64 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                              min_matches=_MIN_MATCHES)
 
 
+def _minhash_oracle_cw(n_bands: int, n_rows: int,
+                       min_matches: int) -> str:
+    """SQL twin of minhash_lsh_pairs(scheme="cw") — the shingle hash
+    and every Carter-Wegman permutation are exact int64 arithmetic,
+    reproduced verbatim."""
+    n = n_bands * n_rows
+    params, prime = _cw_params(n)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {prime}) AS m{i}"
+        for i, (a, b) in enumerate(params))
+    bands = ",\n               ".join(
+        "md5(" + " || '|' || ".join(
+            f"CAST(m{j * n_rows + k} AS VARCHAR)" for k in range(n_rows))
+        + f") AS b{j}" for j in range(n_bands))
+    band_union = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {j} AS band_idx, b{j} AS band_hash FROM sig"
+        for j in range(n_bands))
+    matches = " + ".join(
+        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(n))
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sh AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)
+                   % {prime} AS h
+        FROM s),
+    sig0 AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id),
+    sig AS (
+        SELECT *,
+               {bands}
+        FROM sig0),
+    bands AS (
+{band_union}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST({matches} AS BIGINT) AS n_matches,
+           ROUND(({matches}) / {n}.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sig x ON doc_a = x.doc_id
+    JOIN sig y ON doc_b = y.doc_id
+    WHERE {matches} >= {min_matches}
+    """
+
+
 _PROD_BANDS, _PROD_ROWS = 16, 4   # 64 perms: P[cand] at s=0.7 is 0.994
 _PROD_MIN_MATCHES = 45            # report est_jaccard >= 45/64 = 0.703
 
 
 @register(
     "q_dedup_minhash_lsh_prod",
-    oracle=_minhash_oracle(_PROD_BANDS, _PROD_ROWS, _PROD_MIN_MATCHES),
+    oracle=_minhash_oracle_cw(_PROD_BANDS, _PROD_ROWS, _PROD_MIN_MATCHES),
     tags=("dedup", "near-dup", "minhash", "lsh", "production"),
 )
 def q_dedup_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +436,7 @@ def q_dedup_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     return minhash_lsh_pairs(_shingle_rows(spark, sf_dir),
                              n_bands=_PROD_BANDS, n_rows=_PROD_ROWS,
-                             min_matches=_PROD_MIN_MATCHES)
+                             min_matches=_PROD_MIN_MATCHES, scheme="cw")
 
 
 # ---------------------------------------------------------------------------

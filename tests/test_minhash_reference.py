@@ -70,3 +70,42 @@ def test_builder_matches_pure_python_reference(spark):
         n = 3 * 3
         assert any(a == 0 and m == n for a, b, m in
                    _py_reference(corpus, 3, 3) if b == len(corpus) - 2)
+
+
+def test_cw_scheme_matches_pure_python_reference(spark):
+    """scheme="cw" (Carter-Wegman permutations over one md5-derived
+    32-bit shingle hash) must equal an independent hashlib+int
+    implementation bit-for-bit — the oracle-style gate for the
+    production-fidelity path."""
+    from my_mapreduce_spark.queries.dedup import (_cw_params,
+                                                  minhash_lsh_pairs)
+
+    corpus = _random_corpus(11)
+    rows = [(d, s) for d, sh in corpus.items() for s in sh]
+    df = spark.createDataFrame(rows, "doc_id long, shingle string")
+    for bands, rows_per in ((4, 2), (8, 4)):
+        n = bands * rows_per
+        params, prime = _cw_params(n)
+
+        def md5i(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % prime
+
+        sig = {d: [min((a * md5i(s) + b) % prime for s in sh)
+                   for a, b in params]
+               for d, sh in corpus.items()}
+        bnd = {d: [hashlib.md5("|".join(
+                    str(m[j * rows_per + k]) for k in range(rows_per))
+                    .encode()).hexdigest() for j in range(bands)]
+               for d, m in sig.items()}
+        docs = sorted(corpus)
+        want = set()
+        for ai, a in enumerate(docs):
+            for b in docs[ai + 1:]:
+                if any(x == y for x, y in zip(bnd[a], bnd[b])):
+                    want.add((a, b,
+                              sum(x == y for x, y in zip(sig[a], sig[b]))))
+        got = {(r.doc_a, r.doc_b, r.n_matches) for r in
+               minhash_lsh_pairs(df, bands, rows_per,
+                                 scheme="cw").collect()}
+        assert got == want, f"{bands}x{rows_per}: {got ^ want}"
+        spark.catalog.clearCache()
