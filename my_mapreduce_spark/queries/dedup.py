@@ -29,17 +29,26 @@ from my_mapreduce_spark.registry import register
 _N_MINHASH = 9          # 3 bands x 3 rows
 _BANDS = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
 _MIN_MATCHES = 5        # report pairs with >=5/9 matching components
-_CW_PRIME = 2147483647  # 2^31-1: (a*h+b) stays under 2^62 in int64
+_CW_PRIME = 2147483647  # 2^31-1: a*h1 + b*h2 + c stays under 2^61
 _CW_SEED = 42
 
 
 def _cw_params(n: int, seed: int = _CW_SEED) -> tuple[list, int]:
-    """n deterministic Carter-Wegman (a, b) pairs mod _CW_PRIME."""
+    """n deterministic 2-universal (a, b, c) triples mod _CW_PRIME.
+
+    The permutation input is a 56-BIT shingle key split into two
+    28-bit halves (h1, h2) so the key space does not saturate at
+    web-scale shingle cardinality (a single 32-bit key collides
+    ~n^2/2^33 times — material Jaccard bias past ~10^8 distinct
+    shingles; 56 bits pushes that past 10^8^1.75). Each permutation
+    is (a*h1 + b*h2 + c) mod p with a,b,c < p=2^31-1: every product
+    is < 2^59 and the sum < 2^61, exact in int64 on BOTH engines —
+    no decimal/int128 needed."""
     import random
 
     rnd = random.Random(seed)
-    return ([(rnd.randrange(1, _CW_PRIME), rnd.randrange(_CW_PRIME))
-             for _ in range(n)], _CW_PRIME)
+    return ([(rnd.randrange(1, _CW_PRIME), rnd.randrange(1, _CW_PRIME),
+              rnd.randrange(_CW_PRIME)) for _ in range(n)], _CW_PRIME)
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,12 +279,14 @@ def minhash_lsh_pairs(shingle_df: DataFrame, n_bands: int = 3,
 
     scheme="md5" (default): each component is min(md5(seed||shingle))
     — n md5 calls per shingle, simple and fully hash-independent.
-    scheme="cw": Carter-Wegman permutations min((a_i*h + b_i) mod p)
-    over ONE md5-derived 32-bit shingle hash (p = 2^31-1; products
-    stay under 2^62, exact in int64 on both engines) — the
-    production-fidelity path, where 64+ permutations cost 1 md5 +
-    n multiply-adds per shingle instead of n md5s. Both schemes are
-    deterministic and bit-reproducible in the DuckDB oracles.
+    scheme="cw": 2-universal permutations min((a*h1 + b*h2 + c) mod
+    p) over ONE md5-derived 56-bit shingle key split into two 28-bit
+    halves (p = 2^31-1; every term under 2^59, exact in int64 on
+    both engines) — the production-fidelity path, where 64+
+    permutations cost 1 md5 + n multiply-adds per shingle instead of
+    n md5s, and the 56-bit key space does not saturate at web-scale
+    shingle cardinality. Both schemes are deterministic and
+    bit-reproducible in the DuckDB oracles.
     """
     n = n_bands * n_rows
     if scheme == "md5":
@@ -286,11 +297,12 @@ def minhash_lsh_pairs(shingle_df: DataFrame, n_bands: int = 3,
                      for j in range(n_bands)]
     else:  # Carter-Wegman: 1 md5 + n multiply-adds per shingle
         params, prime = _cw_params(n)
-        h = (F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10)
-             .cast("bigint") % prime)
+        md = F.md5("shingle")
+        h1 = F.conv(F.substring(md, 1, 7), 16, 10).cast("bigint")
+        h2 = F.conv(F.substring(md, 8, 7), 16, 10).cast("bigint")
         sig = shingle_df.groupBy("doc_id").agg(
-            *[F.min((F.lit(a) * h + F.lit(b)) % prime).alias(f"m{i}")
-              for i, (a, b) in enumerate(params)])
+            *[F.min((F.lit(a) * h1 + F.lit(b) * h2 + F.lit(c)) % prime)
+              .alias(f"m{i}") for i, (a, b, c) in enumerate(params)])
         band_cols = [F.concat_ws("|", *[F.col(f"m{j * n_rows + k}")
                                         .cast("string")
                                         for k in range(n_rows)])
@@ -364,8 +376,8 @@ def _minhash_oracle_cw(n_bands: int, n_rows: int,
     n = n_bands * n_rows
     params, prime = _cw_params(n)
     mins = ",\n               ".join(
-        f"MIN(({a} * h + {b}) % {prime}) AS m{i}"
-        for i, (a, b) in enumerate(params))
+        f"MIN(({a} * h1 + {b} * h2 + {c}) % {prime}) AS m{i}"
+        for i, (a, b, c) in enumerate(params))
     bands = ",\n               ".join(
         "md5(" + " || '|' || ".join(
             f"CAST(m{j * n_rows + k} AS VARCHAR)" for k in range(n_rows))
@@ -379,8 +391,8 @@ def _minhash_oracle_cw(n_bands: int, n_rows: int,
     WITH {_SHINGLES_CTE},
     sh AS (
         SELECT doc_id,
-               CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT)
-                   % {prime} AS h
+               CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(shingle), 8, 7)) AS BIGINT) AS h2
         FROM s),
     sig0 AS (
         SELECT doc_id,

@@ -87,11 +87,13 @@ def test_cw_scheme_matches_pure_python_reference(spark):
         n = bands * rows_per
         params, prime = _cw_params(n)
 
-        def md5i(s: str) -> int:
-            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % prime
+        def halves(s: str) -> tuple[int, int]:
+            hx = hashlib.md5(s.encode()).hexdigest()
+            return int(hx[:7], 16), int(hx[7:14], 16)
 
-        sig = {d: [min((a * md5i(s) + b) % prime for s in sh)
-                   for a, b in params]
+        sig = {d: [min((a * halves(s)[0] + b * halves(s)[1] + c) % prime
+                       for s in sh)
+                   for a, b, c in params]
                for d, sh in corpus.items()}
         bnd = {d: [hashlib.md5("|".join(
                     str(m[j * rows_per + k]) for k in range(rows_per))
