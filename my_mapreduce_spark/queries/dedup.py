@@ -441,10 +441,11 @@ def q_dedup_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     against theory in tests/test_minhash_fidelity.py). Same banded
     plan shape as the 3x3 instance — one signature aggregation pass,
     a (band_idx, band_hash) equi-join for candidates, never
-    all-pairs — so cost scales with collisions, not corpus^2; the
-    64-permutation signature just widens the map-side aggregate.
-    Oracle reproduces all 64 md5 permutations and 16 band hashes
-    bit-for-bit.
+    all-pairs — so cost scales with collisions, not corpus^2. The
+    64 permutations use the Carter-Wegman scheme (scheme="cw": one
+    md5-derived 56-bit key + 64 exact-int64 multiply-adds per
+    shingle, ~2.5x cheaper than 64 md5-min aggregates); the oracle
+    reproduces every permutation and band hash bit-for-bit.
     """
     return minhash_lsh_pairs(_shingle_rows(spark, sf_dir),
                              n_bands=_PROD_BANDS, n_rows=_PROD_ROWS,

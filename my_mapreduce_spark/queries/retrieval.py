@@ -271,7 +271,7 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_mapreduce_spark.queries.similarity import _normed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = _normed(emb).join(emb.select("vec_id", "label"), "vec_id")
+    e = _normed(emb, "label")  # label rides the one scan, no self-join
     q = e.where(F.expr(_NDCG_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"), F.col("label").alias("qlabel"))
@@ -345,7 +345,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_mapreduce_spark.queries.similarity import _normed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = _normed(emb).join(emb.select("vec_id", "label"), "vec_id")
+    e = _normed(emb, "label")  # label rides the one scan, no self-join
     q = e.where(F.expr(_NDCG_QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qnrm"), F.col("label").alias("qlabel"))

@@ -38,14 +38,17 @@ def _dot(a: Column, b: Column) -> Column:
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _normed(emb: DataFrame) -> DataFrame:
+def _normed(emb: DataFrame, *extra: str) -> DataFrame:
     # ingestion hygiene: NULL / empty / wrong-width vectors would
     # poison every downstream numpy path (np.stack needs a uniform
-    # matrix) — drop them here, the single entry point
+    # matrix) — drop them here, the single entry point. ``extra``
+    # carries metadata columns (e.g. "label") through the SAME scan
+    # instead of a self-join back onto the table.
     v = _as_double("embedding")
     return (emb.where(F.col("embedding").isNotNull()
                       & (F.size("embedding") == _DIM))
-            .select("vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm")))
+            .select("vec_id", v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm"),
+                    *extra))
 
 
 @register(

@@ -285,6 +285,21 @@ def audit(name: str, plan: str, codegen_subtrees: int,
         for wid in _global_window_ids(plan):
             if not _limit_bounded(plan, wid):
                 smells.append(f"global-window:{wid}")
+    # dup-scan: the same table read 5+ times in one plan is a
+    # structural accident (the round-4 finding: _normed(emb) joined
+    # back onto emb just to recover a metadata column — 6 scans where
+    # 3 suffice). 2-4 reads stay unflagged ON PURPOSE: at 100 TB,
+    # re-reading a pruned+pushed-down scan per aggregate is routinely
+    # CHEAPER than pinning a corpus-sized relation in cluster memory,
+    # and multi-aggregate queries (pmi, tf-idf, dq checks) legitimately
+    # make 3-4 cheap passes. The gate catches accidents, not the
+    # scan-vs-cache tradeoff.
+    per_table: dict[str, int] = {}
+    for table, _, _ in scans:
+        per_table[table] = per_table.get(table, 0) + 1
+    for table, cnt in per_table.items():
+        if cnt >= 5:
+            smells.append(f"dup-scan:{table}x{cnt}")
     return smells
 
 
