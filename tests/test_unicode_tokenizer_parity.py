@@ -33,3 +33,25 @@ def test_tokenizer_unicode_parity(spark, duck):
             "SELECT list_filter(regexp_split_to_array(lower(?), "
             "'[^a-z0-9]+'), x -> x <> '')", params=[s]).fetchone()[0]
         assert g == want, f"{s!r}: spark={g} duck={want}"
+
+
+def test_substring_length_unicode_parity(spark, duck):
+    """The trigram family's primitives — length() and substring(_, i,
+    3) — must count CHARACTERS (not bytes) identically on both
+    engines for multibyte text, or q_lang_id_trigram's oracle would
+    silently diverge on non-ASCII documents."""
+    df = spark.createDataFrame([(s,) for s in SAMPLES if s], "text string")
+    rows = df.select(
+        "text", F.length("text").alias("n"),
+        F.expr("IF(length(text) >= 3, transform(sequence(1, "
+               "length(text) - 2), i -> substring(lower(text), i, 3)), "
+               "CAST(array() AS array<string>))").alias("tris")).collect()
+    for r in rows:
+        n = duck.sql("SELECT length(?)", params=[r.text]).fetchone()[0]
+        assert n == r.n, f"{r.text!r}: length spark={r.n} duck={n}"
+        tris = duck.sql(
+            "SELECT COALESCE(list(substr(lower(?), CAST(i AS INT), 3) "
+            "ORDER BY i), []) FROM UNNEST(range(1, length(?) - 1)) t(i)",
+            params=[r.text, r.text]).fetchone()[0]
+        assert list(r.tris) == list(tris), \
+            f"{r.text!r}: spark={r.tris} duck={tris}"
