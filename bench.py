@@ -12,6 +12,7 @@ to the first query.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -23,6 +24,13 @@ from my_mapreduce_spark.session import get_spark
 
 
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=1,
+                    help="time each query N times and record the "
+                         "MEDIAN — damps the measured ±7% machine-"
+                         "load band for cross-round comparisons "
+                         "(default 1, the driver's contract)")
+    args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     _ensure_loaded()
@@ -34,18 +42,28 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
-        t0 = time.time()
-        try:
-            spec.fn(spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # record failures as negative sentinel
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        samples = []
+        for _ in range(max(1, args.runs)):
+            t0 = time.time()
+            try:
+                spec.fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+            except Exception as exc:  # record failures as negative sentinel
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                samples = None
+                break
+            finally:
+                # caller-owned cache release (caching.py): queries
+                # whose returned plan references a persisted relation
+                # cannot unpersist it themselves; releasing here keeps
+                # 194 queries in one JVM from compounding pinned
+                # storage (and makes every sample cache-cold).
+                release_caches(spark)
+        if samples is None:
             timings[name] = -1.0
-        # caller-owned cache release (my_mapreduce_spark/caching.py):
-        # queries whose returned plan references a persisted relation
-        # cannot unpersist it themselves; releasing here keeps 193
-        # queries in one JVM from compounding pinned storage.
-        release_caches(spark)
+            continue
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
         assert pinned_rdd_count(spark) == 0, \
             f"cache leak survived release after {name}"
     total = round(sum(t for t in timings.values() if t >= 0), 3)
