@@ -108,6 +108,72 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRAME_BYTES = 256
 _FRAME_STRIDE = 4
+_THUMB_PIXELS = 64          # "resize" target: an 8x8 byte thumbnail
+
+
+@register(
+    "q_multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           8 AS out_w, 8 AS out_h,
+           CAST(length(text) AS BIGINT) AS n_src_bytes,
+           GREATEST(1, CAST(ceil(length(text) / {_THUMB_PIXELS}.0)
+                            AS BIGINT)) AS stride,
+           CAST(ceil(length(text)
+                     / GREATEST(1.0, ceil(length(text) / {_THUMB_PIXELS}.0)))
+                AS BIGINT) AS n_thumb_bytes,
+           md5(array_to_string(list_transform(
+               range(0, CAST(ceil(length(text)
+                   / GREATEST(1.0, ceil(length(text) / {_THUMB_PIXELS}.0)))
+                   AS BIGINT)),
+               i -> substr(text, CAST(1 + i * GREATEST(1,
+                   CAST(ceil(length(text) / {_THUMB_PIXELS}.0) AS BIGINT))
+                   AS INT), 1)), '')) AS thumb_digest
+    FROM documents
+    WHERE text IS NOT NULL  -- mirrors build_asset_table's hygiene drop
+    """,
+    tags=("multimodal", "resize"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-style RESIZE over binary payloads: every asset is
+    downsampled to a fixed 8x8 = 64-"pixel" thumbnail by sampling
+    one byte every ``stride = max(1, ceil(n/64))`` bytes, emitting
+    (doc_id, out dims, stride, thumb size, thumbnail digest).
+
+    The extraction is the exact batch shape a real image resize
+    runs — mapInPandas over the payload bytes, one output row per
+    asset, payload dropped on output; a real pipeline swaps the byte
+    stride for codec decode + area averaging (decode_image is the
+    documented stub, multimodal.py:49 — no codecs in this sandbox)
+    while the schema, partitioning and batch flow stay identical.
+    One scan, no shuffle. The corpus is pure ASCII (octet_length ==
+    length fixture-wide), so the DuckDB oracle reproduces the byte
+    stride with substr arithmetic and the digest bit-for-bit."""
+    assets = build_asset_table(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"doc_id": [], "out_w": [], "out_h": [], "n_src_bytes": [],
+               "stride": [], "n_thumb_bytes": [], "thumb_digest": []}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                n = len(p)
+                stride = max(1, -(-n // _THUMB_PIXELS))
+                thumb = p[::stride]
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(8)
+                out["out_h"].append(8)
+                out["n_src_bytes"].append(n)
+                out["stride"].append(stride)
+                out["n_thumb_bytes"].append(len(thumb))
+                out["thumb_digest"].append(
+                    hashlib.md5(thumb).hexdigest())
+        yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        resize, schema="doc_id bigint, out_w int, out_h int, "
+                       "n_src_bytes bigint, stride bigint, "
+                       "n_thumb_bytes bigint, thumb_digest string")
 
 
 @register(
