@@ -86,3 +86,40 @@ def test_dirty_rows_are_dropped_not_counted(spark, dirty_dir):
         .where((F.col("i") == 1) & (F.col("j") == 1)) \
         .select("n").collect()[0].n
     assert n_moments == n_good
+
+
+@pytest.fixture(scope="module")
+def nan_dir(spark, tmp_path_factory):
+    """Events tier with NaN / +Inf / -Inf values injected — float
+    telemetry delivers all three; round-4 full-registry sweep found
+    zero crashes (Spark aggregates propagate, windows order NaN
+    last); this spread keeps the class pinned."""
+    out = str(tmp_path_factory.mktemp("sf_nan"))
+    for t in TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", t)
+        if t == "events":
+            one = df.limit(3)
+            mid = F.monotonically_increasing_id()
+            bad = (one.withColumn(
+                       "value",
+                       F.when(mid == 0, float("nan"))
+                        .when(mid == 1, float("inf"))
+                        .otherwise(float("-inf")))
+                   .withColumn("event_id",
+                               (F.col("event_id") + F.lit(900000))
+                               .cast(df.schema["event_id"].dataType)))
+            df = df.unionByName(bad.select(*df.columns))
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+@pytest.mark.parametrize("name", [
+    "q_percentile_trend", "q_mad_outliers", "q_events_latest_state",
+    "q_window_lag_events", "q_events_time_rollup", "q_approx_quantiles",
+])
+def test_query_survives_nan_inf_values(spark, nan_dir, name):
+    from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    REGISTRY[name].fn(spark, nan_dir).count()  # must not raise
+    spark.catalog.clearCache()
