@@ -520,6 +520,163 @@ def q_streaming_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def run_near_dup_stream(spark: SparkSession, sf_dir: str):
+    """Streaming NEAR-dup detection: MinHash-LSH on arrival against a
+    persisted signature index — the production shape for deduping a
+    live crawl without ever re-scanning the accumulated corpus.
+
+    Per micro-batch (documents arriving as files):
+
+    1. the batch's 9-component md5 MinHash signatures + 3 band
+       hashes are computed from the batch alone (one batch-local
+       aggregation — the historical corpus is never re-signed);
+    2. candidates = batch bands equi-joined against (index ∪ batch)
+       bands, orientation normalized to (lo, hi) — so cross-batch
+       pairs surface when the LATER doc arrives, and within-batch
+       pairs surface immediately;
+    3. pairs with >= 5/9 matching components merge into a persisted
+       pair table by set-union (DISTINCT), and the batch signatures
+       merge into the index the same way. Both merges are
+       IDEMPOTENT — signatures are deterministic and union is a set
+       union — so a replayed epoch rewrites identical state:
+       exactly-once semantics without a transaction log (same
+       argument as run_sketch_maintenance_stream).
+
+    State size: index = one 12-column row per doc (no shingles, no
+    text); pairs = the near-dup relation itself. Work per batch
+    scales with batch x matching-band collisions, never with the
+    corpus. The accumulated pair table converges to EXACTLY the
+    batch q_dedup_minhash_lsh answer, which is this job's oracle.
+
+    Returns (pairs_df, n_batches).
+    """
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from my_mapreduce_spark.functions.text import (minhash_expr, shingles,
+                                                   tokens)
+    from my_mapreduce_spark.queries.dedup import (_BANDS, _MIN_MATCHES,
+                                                  _N_MINHASH)
+
+    _ensure_runtime_confs(spark)
+    work = tempfile.mkdtemp(prefix="mmr_neardup_stream_")
+    src_dir = os.path.join(work, "src")
+    index = os.path.join(work, "index")
+    pairs = os.path.join(work, "pairs")
+    try:
+        (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .repartition(4).write.mode("overwrite").parquet(src_dir))
+        schema = spark.read.parquet(src_dir).schema
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .option("maxFilesPerTrigger", 1).load(src_dir))
+
+        def sign(docs_df: DataFrame) -> DataFrame:
+            withw = (docs_df.select("doc_id", tokens().alias("w"))
+                     .where(F.size("w") >= 3))
+            sh = (withw.select("doc_id",
+                               F.explode(shingles(F.col("w")))
+                               .alias("shingle")).distinct())
+            sig = sh.groupBy("doc_id").agg(
+                *[minhash_expr(i).alias(f"m{i}")
+                  for i in range(_N_MINHASH)])
+            for j, band in enumerate(_BANDS):
+                sig = sig.withColumn(
+                    f"b{j}", F.md5(F.concat(
+                        *[F.col(f"m{k}") for k in band])))
+            return sig
+
+        def bands_of(sig: DataFrame) -> DataFrame:
+            return sig.select(
+                "doc_id",
+                F.explode(F.array(*[
+                    F.struct(F.lit(j).alias("band_idx"),
+                             F.col(f"b{j}").alias("band_hash"))
+                    for j in range(len(_BANDS))])).alias("bh"),
+            ).select("doc_id", "bh.band_idx", "bh.band_hash")
+
+        n_batches = []
+
+        def merge_batch(batch_df, epoch_id):
+            sess = batch_df.sparkSession
+            bsig = sign(batch_df)
+            if globmod.glob(os.path.join(index, "*.parquet")):
+                all_sig = sess.read.parquet(index).unionByName(bsig)
+            else:
+                all_sig = bsig
+            cand = (bands_of(bsig).alias("a")
+                    .join(bands_of(all_sig).alias("b"),
+                          (F.col("a.band_idx") == F.col("b.band_idx"))
+                          & (F.col("a.band_hash") == F.col("b.band_hash"))
+                          & (F.col("a.doc_id") != F.col("b.doc_id")))
+                    .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+                    .distinct())
+            n_matches = sum(
+                F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
+                for i in range(_N_MINHASH))
+            scored = (cand
+                      .join(all_sig.alias("x"),
+                            F.col("doc_a") == F.col("x.doc_id"))
+                      .join(all_sig.alias("y"),
+                            F.col("doc_b") == F.col("y.doc_id"))
+                      .select("doc_a", "doc_b",
+                              n_matches.cast("bigint").alias("n_matches"),
+                              F.round(n_matches / float(_N_MINHASH), 6)
+                              .alias("est_jaccard"))
+                      .where(F.col("n_matches") >= _MIN_MATCHES))
+            if globmod.glob(os.path.join(pairs, "*.parquet")):
+                scored = sess.read.parquet(pairs).unionByName(scored)
+            new_pairs = scored.distinct().toPandas()
+            if len(new_pairs):
+                sess.createDataFrame(new_pairs, scored.schema) \
+                    .write.mode("overwrite").parquet(pairs)
+            new_index = all_sig.distinct().toPandas()
+            sess.createDataFrame(new_index, all_sig.schema) \
+                .write.mode("overwrite").parquet(index)
+            n_batches.append(epoch_id)
+
+        q = (stream.writeStream.foreachBatch(merge_batch)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        if globmod.glob(os.path.join(pairs, "*.parquet")):
+            final = spark.read.parquet(pairs).toPandas()
+            out = spark.createDataFrame(
+                final, "doc_a long, doc_b long, n_matches long, "
+                       "est_jaccard double")
+        else:
+            out = spark.createDataFrame(
+                [], "doc_a long, doc_b long, n_matches long, "
+                    "est_jaccard double")
+        return out, len(n_batches)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _neardup_stream_oracle() -> str:
+    from my_mapreduce_spark.queries.dedup import _minhash_oracle
+
+    return _minhash_oracle()
+
+
+@register(
+    "q_streaming_near_dup",
+    oracle=_neardup_stream_oracle(),
+    tags=("streaming", "dedup", "near-dup", "minhash", "lsh"),
+)
+def q_streaming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection against a persisted
+    signature index (see run_near_dup_stream): documents arrive in
+    micro-batches, each batch is signed once and LSH-joined against
+    the accumulated index, and the idempotently-merged pair table
+    must converge to EXACTLY the batch q_dedup_minhash_lsh relation
+    — which is this query's full-equality oracle."""
+    out, _ = run_near_dup_stream(spark, sf_dir)
+    return out
+
+
 _OUTER_WINDOW_MIN = 30     # purchase within 30 min after the click
 _OUTER_WATERMARK_H = 2
 # Left-state eviction uses the conservative two-sided state watermark

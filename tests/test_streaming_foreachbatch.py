@@ -63,3 +63,21 @@ def test_foreachbatch_idempotent_epochs(spark, tmp_path):
     assert again.count() == ev.count()
     assert again.select(F.sum("event_id")).first()[0] == \
         ev.select(F.sum("event_id")).first()[0]
+
+
+def test_streaming_near_dup_converges_to_batch_lsh(spark):
+    """The streaming signature-index near-dup job must (a) genuinely
+    run multiple micro-batches, (b) converge to EXACTLY the batch
+    MinHash-LSH pair relation — cross-batch pairs surface when the
+    later doc arrives, within-batch pairs immediately, none twice."""
+    from my_mapreduce_spark.queries.dedup import q_dedup_minhash_lsh
+    from my_mapreduce_spark.streaming.jobs import run_near_dup_stream
+    from tests.conftest import SF_DIR
+
+    got_df, n_batches = run_near_dup_stream(spark, SF_DIR)
+    assert n_batches >= 2, "must exercise the cross-batch path"
+    got = {tuple(r) for r in got_df.collect()}
+    want = {tuple(r) for r in q_dedup_minhash_lsh(spark, SF_DIR).collect()}
+    spark.catalog.clearCache()
+    assert want, "fixture should contain near-dups"
+    assert got == want

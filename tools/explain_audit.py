@@ -96,6 +96,8 @@ _SKIP = {
     "q_streaming_sketch_state",  # foreachBatch merge loop, micro-batch exec
     "q_streaming_left_outer_join",  # micro-batch exec (materialized sink)
     "q_streaming_dedup_within_wm",  # micro-batch exec (materialized sink)
+    "q_streaming_near_dup",  # foreachBatch LSH-index merge loop,
+                             # micro-batch exec (materialized state)
     "q_dedup_clusters",  # returns the converged cached relation; the
                          # per-round join+agg plans (which do codegen)
                          # already executed inside the driver loop
