@@ -561,13 +561,24 @@ def run_near_dup_stream(spark: SparkSession, sf_dir: str):
                                                   _N_MINHASH)
 
     _ensure_runtime_confs(spark)
+    # same scoping as _run_memory_sink: 4 tiny micro-batches never
+    # amortize 32 near-empty shuffle partitions per merge step
+    n_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_parts)
     work = tempfile.mkdtemp(prefix="mmr_neardup_stream_")
     src_dir = os.path.join(work, "src")
     index = os.path.join(work, "index")
     pairs = os.path.join(work, "pairs")
     try:
+        # 3 micro-batches: within-batch AND cross-batch pairs both
+        # exercised. Wall-clock at toy sf is dominated by per-batch
+        # FIXED cost (~5 s of job scheduling per merge on local[32]),
+        # not data — the overhead a real continuous stream amortizes
+        # across its lifetime; the data-proportional part is one
+        # batch signing + a collision-sized join per batch.
         (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .repartition(4).write.mode("overwrite").parquet(src_dir))
+         .repartition(3).write.mode("overwrite").parquet(src_dir))
         schema = spark.read.parquet(src_dir).schema
         stream = (spark.readStream.schema(schema).format("parquet")
                   .option("maxFilesPerTrigger", 1).load(src_dir))
@@ -652,6 +663,7 @@ def run_near_dup_stream(spark: SparkSession, sf_dir: str):
                     "est_jaccard double")
         return out, len(n_batches)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(work, ignore_errors=True)
 
 
