@@ -520,6 +520,89 @@ def q_streaming_sketch_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _neardup_sign(docs_df: DataFrame) -> DataFrame:
+    """Batch-local 9-component md5 MinHash signatures + 3 band hashes
+    (the q_dedup_minhash_lsh scheme, so the accumulated stream state
+    stays oracle-comparable to the batch relation)."""
+    from my_mapreduce_spark.functions.text import (minhash_expr, shingles,
+                                                   tokens)
+    from my_mapreduce_spark.queries.dedup import _BANDS, _N_MINHASH
+
+    withw = (docs_df.select("doc_id", tokens().alias("w"))
+             .where(F.size("w") >= 3))
+    sh = (withw.select("doc_id",
+                       F.explode(shingles(F.col("w")))
+                       .alias("shingle")).distinct())
+    sig = sh.groupBy("doc_id").agg(
+        *[minhash_expr(i).alias(f"m{i}") for i in range(_N_MINHASH)])
+    for j, band in enumerate(_BANDS):
+        sig = sig.withColumn(
+            f"b{j}", F.md5(F.concat(*[F.col(f"m{k}") for k in band])))
+    return sig
+
+
+def _neardup_bands(sig: DataFrame) -> DataFrame:
+    from my_mapreduce_spark.queries.dedup import _BANDS
+
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band_idx"),
+                     F.col(f"b{j}").alias("band_hash"))
+            for j in range(len(_BANDS))])).alias("bh"),
+    ).select("doc_id", "bh.band_idx", "bh.band_hash")
+
+
+def _neardup_merge(batch_df: DataFrame, index: str, pairs: str) -> None:
+    """One micro-batch of the streaming near-dup job: sign the batch,
+    LSH-join it against (index + batch), set-union the surviving
+    pairs and the batch signatures into the persisted state.
+
+    IDEMPOTENT by construction — signatures are deterministic and
+    both merges are DISTINCT unions — so re-applying the same batch
+    (a replayed epoch after failure) rewrites identical state;
+    pinned by tests/test_streaming_foreachbatch.py."""
+    import glob as globmod
+    import os
+
+    from my_mapreduce_spark.queries.dedup import _MIN_MATCHES, _N_MINHASH
+
+    sess = batch_df.sparkSession
+    bsig = _neardup_sign(batch_df)
+    if globmod.glob(os.path.join(index, "*.parquet")):
+        all_sig = sess.read.parquet(index).unionByName(bsig)
+    else:
+        all_sig = bsig
+    cand = (_neardup_bands(bsig).alias("a")
+            .join(_neardup_bands(all_sig).alias("b"),
+                  (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col("a.doc_id") != F.col("b.doc_id")))
+            .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+            .distinct())
+    n_matches = sum(
+        F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
+        for i in range(_N_MINHASH))
+    scored = (cand
+              .join(all_sig.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+              .join(all_sig.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+              .select("doc_a", "doc_b",
+                      n_matches.cast("bigint").alias("n_matches"),
+                      F.round(n_matches / float(_N_MINHASH), 6)
+                      .alias("est_jaccard"))
+              .where(F.col("n_matches") >= _MIN_MATCHES))
+    if globmod.glob(os.path.join(pairs, "*.parquet")):
+        scored = sess.read.parquet(pairs).unionByName(scored)
+    new_pairs = scored.distinct().toPandas()
+    if len(new_pairs):
+        sess.createDataFrame(new_pairs, scored.schema) \
+            .write.mode("overwrite").parquet(pairs)
+    new_index = all_sig.distinct().toPandas()
+    sess.createDataFrame(new_index, all_sig.schema) \
+        .write.mode("overwrite").parquet(index)
+
+
 def run_near_dup_stream(spark: SparkSession, sf_dir: str):
     """Streaming NEAR-dup detection: MinHash-LSH on arrival against a
     persisted signature index — the production shape for deduping a
@@ -555,11 +638,6 @@ def run_near_dup_stream(spark: SparkSession, sf_dir: str):
     import shutil
     import tempfile
 
-    from my_mapreduce_spark.functions.text import (minhash_expr, shingles,
-                                                   tokens)
-    from my_mapreduce_spark.queries.dedup import (_BANDS, _MIN_MATCHES,
-                                                  _N_MINHASH)
-
     _ensure_runtime_confs(spark)
     # same scoping as _run_memory_sink: 4 tiny micro-batches never
     # amortize 32 near-empty shuffle partitions per merge step
@@ -583,69 +661,10 @@ def run_near_dup_stream(spark: SparkSession, sf_dir: str):
         stream = (spark.readStream.schema(schema).format("parquet")
                   .option("maxFilesPerTrigger", 1).load(src_dir))
 
-        def sign(docs_df: DataFrame) -> DataFrame:
-            withw = (docs_df.select("doc_id", tokens().alias("w"))
-                     .where(F.size("w") >= 3))
-            sh = (withw.select("doc_id",
-                               F.explode(shingles(F.col("w")))
-                               .alias("shingle")).distinct())
-            sig = sh.groupBy("doc_id").agg(
-                *[minhash_expr(i).alias(f"m{i}")
-                  for i in range(_N_MINHASH)])
-            for j, band in enumerate(_BANDS):
-                sig = sig.withColumn(
-                    f"b{j}", F.md5(F.concat(
-                        *[F.col(f"m{k}") for k in band])))
-            return sig
-
-        def bands_of(sig: DataFrame) -> DataFrame:
-            return sig.select(
-                "doc_id",
-                F.explode(F.array(*[
-                    F.struct(F.lit(j).alias("band_idx"),
-                             F.col(f"b{j}").alias("band_hash"))
-                    for j in range(len(_BANDS))])).alias("bh"),
-            ).select("doc_id", "bh.band_idx", "bh.band_hash")
-
         n_batches = []
 
         def merge_batch(batch_df, epoch_id):
-            sess = batch_df.sparkSession
-            bsig = sign(batch_df)
-            if globmod.glob(os.path.join(index, "*.parquet")):
-                all_sig = sess.read.parquet(index).unionByName(bsig)
-            else:
-                all_sig = bsig
-            cand = (bands_of(bsig).alias("a")
-                    .join(bands_of(all_sig).alias("b"),
-                          (F.col("a.band_idx") == F.col("b.band_idx"))
-                          & (F.col("a.band_hash") == F.col("b.band_hash"))
-                          & (F.col("a.doc_id") != F.col("b.doc_id")))
-                    .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
-                    .distinct())
-            n_matches = sum(
-                F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
-                for i in range(_N_MINHASH))
-            scored = (cand
-                      .join(all_sig.alias("x"),
-                            F.col("doc_a") == F.col("x.doc_id"))
-                      .join(all_sig.alias("y"),
-                            F.col("doc_b") == F.col("y.doc_id"))
-                      .select("doc_a", "doc_b",
-                              n_matches.cast("bigint").alias("n_matches"),
-                              F.round(n_matches / float(_N_MINHASH), 6)
-                              .alias("est_jaccard"))
-                      .where(F.col("n_matches") >= _MIN_MATCHES))
-            if globmod.glob(os.path.join(pairs, "*.parquet")):
-                scored = sess.read.parquet(pairs).unionByName(scored)
-            new_pairs = scored.distinct().toPandas()
-            if len(new_pairs):
-                sess.createDataFrame(new_pairs, scored.schema) \
-                    .write.mode("overwrite").parquet(pairs)
-            new_index = all_sig.distinct().toPandas()
-            sess.createDataFrame(new_index, all_sig.schema) \
-                .write.mode("overwrite").parquet(index)
+            _neardup_merge(batch_df, index, pairs)
             n_batches.append(epoch_id)
 
         q = (stream.writeStream.foreachBatch(merge_batch)

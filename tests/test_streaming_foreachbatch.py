@@ -81,3 +81,31 @@ def test_streaming_near_dup_converges_to_batch_lsh(spark):
     spark.catalog.clearCache()
     assert want, "fixture should contain near-dups"
     assert got == want
+
+
+def test_near_dup_merge_replay_idempotent(spark, tmp_path):
+    """The exactly-once claim, tested directly: re-applying the SAME
+    micro-batch to the near-dup state (a replayed epoch after a
+    failure between state write and offset commit) must leave both
+    the pair table and the signature index exactly as they were."""
+    from my_mapreduce_spark.io import load_table
+    from my_mapreduce_spark.streaming.jobs import _neardup_merge
+    from tests.conftest import SF_DIR
+
+    index = str(tmp_path / "index")
+    pairs = str(tmp_path / "pairs")
+    docs = load_table(spark, SF_DIR, "documents")
+    b1 = docs.where("doc_id % 2 = 0")
+    b2 = docs.where("doc_id % 2 = 1")
+
+    _neardup_merge(b1, index, pairs)
+    _neardup_merge(b2, index, pairs)
+
+    def snap(path):
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    pairs_before, index_before = snap(pairs), snap(index)
+    _neardup_merge(b2, index, pairs)          # replayed epoch
+    assert snap(pairs) == pairs_before
+    assert snap(index) == index_before
+    spark.catalog.clearCache()
