@@ -22,6 +22,8 @@ SPREAD = [
     "q_vocab_rank_scalable", "q_lang_id_trigram", "q_dedup_minhash_lsh",
     "q_dedup_clusters", "q_pack_sequences", "q_bm25_search",
     "q_knn_bruteforce", "q_equidepth_histogram", "q_keyset_pagination",
+    "q_multimodal_resize", "q_dedup_minhash_lsh_prod",
+    "q_streaming_near_dup",
 ]
 
 
