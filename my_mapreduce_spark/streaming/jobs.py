@@ -553,24 +553,32 @@ def _neardup_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "bh.band_idx", "bh.band_hash")
 
 
-def _neardup_merge(batch_df: DataFrame, index: str, pairs: str) -> None:
+def _neardup_merge(batch_df: DataFrame, epoch_id: int, index: str,
+                   pairs: str) -> None:
     """One micro-batch of the streaming near-dup job: sign the batch,
-    LSH-join it against (index + batch), set-union the surviving
-    pairs and the batch signatures into the persisted state.
+    LSH-join it against (index + batch), and write BOTH the surviving
+    pairs and the batch signatures as ``epoch=<id>`` partitions of
+    the persisted state — fully distributed writes, no driver
+    round-trip (the previous shape ``toPandas``'d the whole index
+    every batch: O(corpus) driver traffic per micro-batch, the one
+    piece that would not survive a real crawl).
 
     IDEMPOTENT by construction — signatures are deterministic and
-    both merges are DISTINCT unions — so re-applying the same batch
-    (a replayed epoch after failure) rewrites identical state;
-    pinned by tests/test_streaming_foreachbatch.py."""
-    import glob as globmod
+    each epoch overwrites ONLY its own partition — so a replayed
+    epoch (failure between state write and offset commit) rewrites
+    identical state; pinned by tests/test_streaming_foreachbatch.py.
+    Cross-epoch duplicates cannot arise: file micro-batches partition
+    the documents, and a pair is discovered exactly once, in the
+    epoch where its LATER member arrives (candidates always take one
+    side from the current batch)."""
     import os
 
     from my_mapreduce_spark.queries.dedup import _MIN_MATCHES, _N_MINHASH
 
     sess = batch_df.sparkSession
     bsig = _neardup_sign(batch_df)
-    if globmod.glob(os.path.join(index, "*.parquet")):
-        all_sig = sess.read.parquet(index).unionByName(bsig)
+    if os.path.isdir(index):
+        all_sig = sess.read.parquet(index).drop("epoch").unionByName(bsig)
     else:
         all_sig = bsig
     cand = (_neardup_bands(bsig).alias("a")
@@ -592,15 +600,12 @@ def _neardup_merge(batch_df: DataFrame, index: str, pairs: str) -> None:
                       F.round(n_matches / float(_N_MINHASH), 6)
                       .alias("est_jaccard"))
               .where(F.col("n_matches") >= _MIN_MATCHES))
-    if globmod.glob(os.path.join(pairs, "*.parquet")):
-        scored = sess.read.parquet(pairs).unionByName(scored)
-    new_pairs = scored.distinct().toPandas()
-    if len(new_pairs):
-        sess.createDataFrame(new_pairs, scored.schema) \
-            .write.mode("overwrite").parquet(pairs)
-    new_index = all_sig.distinct().toPandas()
-    sess.createDataFrame(new_index, all_sig.schema) \
-        .write.mode("overwrite").parquet(index)
+    # pairs first, then signatures: a crash in between replays the
+    # epoch, and both writes land in this epoch's partition only.
+    scored.distinct().write.mode("overwrite") \
+        .parquet(os.path.join(pairs, f"epoch={int(epoch_id)}"))
+    bsig.write.mode("overwrite") \
+        .parquet(os.path.join(index, f"epoch={int(epoch_id)}"))
 
 
 def run_near_dup_stream(spark: SparkSession, sf_dir: str):
@@ -617,11 +622,13 @@ def run_near_dup_stream(spark: SparkSession, sf_dir: str):
        bands, orientation normalized to (lo, hi) — so cross-batch
        pairs surface when the LATER doc arrives, and within-batch
        pairs surface immediately;
-    3. pairs with >= 5/9 matching components merge into a persisted
-       pair table by set-union (DISTINCT), and the batch signatures
-       merge into the index the same way. Both merges are
-       IDEMPOTENT — signatures are deterministic and union is a set
-       union — so a replayed epoch rewrites identical state:
+    3. pairs with >= 5/9 matching components and the batch's
+       signatures are each written as an ``epoch=<id>`` partition of
+       the persisted state — distributed writes, nothing ever
+       round-trips the driver, and the historical partitions are
+       never rewritten. Both writes are IDEMPOTENT — signatures are
+       deterministic and an epoch overwrites only its own
+       partition — so a replayed epoch rewrites identical state:
        exactly-once semantics without a transaction log (same
        argument as run_sketch_maintenance_stream).
 
@@ -664,15 +671,18 @@ def run_near_dup_stream(spark: SparkSession, sf_dir: str):
         n_batches = []
 
         def merge_batch(batch_df, epoch_id):
-            _neardup_merge(batch_df, index, pairs)
+            _neardup_merge(batch_df, epoch_id, index, pairs)
             n_batches.append(epoch_id)
 
         q = (stream.writeStream.foreachBatch(merge_batch)
              .trigger(availableNow=True).start())
         q.awaitTermination()
 
-        if globmod.glob(os.path.join(pairs, "*.parquet")):
-            final = spark.read.parquet(pairs).toPandas()
+        if globmod.glob(os.path.join(pairs, "epoch=*")):
+            # materialize before the temp state dir is removed; the
+            # pair relation is collision-sized, not corpus-sized
+            final = (spark.read.parquet(pairs).drop("epoch")
+                     .distinct().toPandas())
             out = spark.createDataFrame(
                 final, "doc_a long, doc_b long, n_matches long, "
                        "est_jaccard double")

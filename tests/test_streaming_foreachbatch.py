@@ -98,14 +98,14 @@ def test_near_dup_merge_replay_idempotent(spark, tmp_path):
     b1 = docs.where("doc_id % 2 = 0")
     b2 = docs.where("doc_id % 2 = 1")
 
-    _neardup_merge(b1, index, pairs)
-    _neardup_merge(b2, index, pairs)
+    _neardup_merge(b1, 0, index, pairs)
+    _neardup_merge(b2, 1, index, pairs)
 
     def snap(path):
         return sorted(tuple(r) for r in spark.read.parquet(path).collect())
 
     pairs_before, index_before = snap(pairs), snap(index)
-    _neardup_merge(b2, index, pairs)          # replayed epoch
+    _neardup_merge(b2, 1, index, pairs)       # replayed epoch
     assert snap(pairs) == pairs_before
     assert snap(index) == index_before
     spark.catalog.clearCache()
