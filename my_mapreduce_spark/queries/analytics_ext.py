@@ -369,3 +369,68 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = local.repartition(1).mapInPandas(local_skyline, schema=schema)
     return final.select(F.round("price", 2).alias("price"),
                         "sz", "n_parts", "min_partkey")
+
+
+# Wilson score: z for a 95% lower confidence bound. The whole bound
+# is one fixed-order scalar expression over (k, n), so both engines
+# evaluate it bit-identically before the final ROUND.
+_WILSON_Z = 1.96
+
+
+def _wilson_sql(k: str, n: str) -> str:
+    z2 = f"({_WILSON_Z} * {_WILSON_Z})"
+    p = f"(CAST({k} AS DOUBLE) / {n})"
+    return (f"(({p} + {z2} / (2.0 * {n})"
+            f" - {_WILSON_Z} * SQRT(({p} * (1.0 - {p})"
+            f" + {z2} / (4.0 * {n})) / {n}))"
+            f" / (1.0 + {z2} / {n}))")
+
+
+@register(
+    "q_wilson_ctr",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+        FROM events GROUP BY 1)
+    SELECT hour_of_day, n_events, n_purchases,
+           ROUND(CAST(n_purchases AS DOUBLE) / n_events, 6) AS p_hat,
+           ROUND({_wilson_sql("n_purchases", "n_events")}, 6)
+               AS wilson_lb
+    FROM h
+    ORDER BY wilson_lb DESC, hour_of_day
+    """,
+    tags=("stats", "ranking", "events", "wilson"),
+)
+def q_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-rate league table per hour of day, ranked by the
+    WILSON 95% lower confidence bound instead of the raw rate — the
+    standard fix for "sort by average" rankings where small-sample
+    groups with a lucky streak outrank well-measured ones. A group's
+    bound rises toward its observed rate only as evidence
+    accumulates, so thin hours sink.
+
+    Engine shape: one hash aggregate to 24 rows, then pure scalar
+    math — the ranking expression is a single fixed-order formula
+    shared verbatim with the oracle (bit-identical doubles before
+    ROUND). At 100 TB it is one map-side-combined aggregate over the
+    scan; the league table itself is O(distinct key) rows.
+
+    Reference parity: none (the reference has no scalar-expression
+    layer at all); north-star §2C scalar-function depth applied to a
+    ranking idiom.
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    h = (ev.groupBy(F.hour("ts").cast("int").alias("hour_of_day"))
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.sum(F.when(F.col("event_type") == "purchase", 1)
+                    .otherwise(0)).cast("bigint").alias("n_purchases")))
+    wilson = _wilson_sql("n_purchases", "n_events")
+    return (h.select(
+        "hour_of_day", "n_events", "n_purchases",
+        F.expr("round(CAST(n_purchases AS DOUBLE) / n_events, 6)")
+            .alias("p_hat"),
+        F.expr(f"round({wilson}, 6)").alias("wilson_lb"))
+        .orderBy(F.col("wilson_lb").desc(), "hour_of_day"))

@@ -92,3 +92,99 @@ def q_bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
     )
+
+
+# Z-order layout audit: 16-bit grid per dimension, top-8 z-bits as
+# the file/bucket id (256 buckets).
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 8
+
+
+def _z_interleave_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
+    """The Morton interleave as SQL — the same unrolled shift/mask
+    term list my_mapreduce_spark.layout.zorder_value builds as Column
+    expressions; terms touch disjoint bits so + == bitwise OR."""
+    terms = [f"((({a} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    terms += [f"((({b} >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    return " + ".join(terms)
+
+
+def _z_scale_sql(c: str, lo: str, hi: str, bits: int = _Z_BITS) -> str:
+    top = (1 << bits) - 1
+    return (f"LEAST({top}, CAST(FLOOR((CAST({c} AS DOUBLE) - {lo})"
+            f" * {top} / GREATEST({hi} - {lo}, 1e-300)) AS BIGINT))")
+
+
+@register(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(MIN(l_orderkey) AS DOUBLE) AS lo_a,
+               CAST(MAX(l_orderkey) AS DOUBLE) AS hi_a,
+               CAST(MIN(l_partkey) AS DOUBLE) AS lo_b,
+               CAST(MAX(l_partkey) AS DOUBLE) AS hi_b
+        FROM lineitem),
+    g AS (
+        SELECT {_z_scale_sql("l_orderkey", "lo_a", "hi_a")} AS ga,
+               {_z_scale_sql("l_partkey", "lo_b", "hi_b")} AS gb
+        FROM lineitem CROSS JOIN bounds),
+    z AS (SELECT ga, gb,
+                 ({_z_interleave_sql("ga", "gb")}) >> {_Z_BUCKET_SHIFT}
+                     AS bucket
+          FROM g)
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(ga) AS min_a, MAX(ga) AS max_a,
+           MIN(gb) AS min_b, MAX(gb) AS max_b,
+           MAX(ga) - MIN(ga) AS span_a,
+           MAX(gb) - MIN(gb) AS span_b
+    FROM z GROUP BY bucket
+    """,
+    tags=("layout", "zorder", "pruning", "physical"),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit over lineitem
+    (l_orderkey, l_partkey): scale both keys onto a 16-bit grid,
+    interleave the bits, and report per-bucket (top-8 z-bits = 256
+    files) row counts and min/max bounds of BOTH dimensions — the
+    footer statistics a lake would prune with, computed as a query.
+    Small span_a AND span_b per bucket is the whole point of
+    z-ordering: every file is a small hyper-rectangle, so a
+    selective filter on EITHER column skips most files (a linear
+    sort bounds one dimension and leaves the other full-range; see
+    my_mapreduce_spark/layout.py and tests/test_zorder.py, which
+    assert exactly that on real parquet footers).
+
+    Engine shape: one 4-scalar aggregate for the bounds (broadcast
+    back as literals via a cross join of a 1-row relation on the
+    oracle side, driver literals on the Spark side — O(1) either
+    way), then pure shift/mask arithmetic inside whole-stage codegen
+    and ONE hash aggregate to 256 rows. No shuffle wider than the
+    256-row result. The scale formula wraps FLOOR before the BIGINT
+    cast because Spark's double->long cast truncates while DuckDB's
+    rounds — the one cross-engine seam, designed out the same way
+    as q_null_safe_join.
+
+    Reference parity: none — the reference's only layout control is
+    nReduce output files hashed by key (mr/worker.go:84); data
+    layout for scan pruning is north-star 100 TB efficiency work.
+    """
+    from my_mapreduce_spark.layout import scale_to_bits, zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey")
+    lo_a, hi_a, lo_b, hi_b = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey")).first()
+    g = li.select(
+        scale_to_bits(F.col("l_orderkey"), lo_a, hi_a, _Z_BITS).alias("ga"),
+        scale_to_bits(F.col("l_partkey"), lo_b, hi_b, _Z_BITS).alias("gb"))
+    z = g.select(
+        "ga", "gb",
+        F.shiftright(zorder_value(F.col("ga"), F.col("gb"), _Z_BITS),
+                     _Z_BUCKET_SHIFT).alias("bucket"))
+    return (z.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("ga").alias("min_a"), F.max("ga").alias("max_a"),
+                 F.min("gb").alias("min_b"), F.max("gb").alias("max_b"),
+                 (F.max("ga") - F.min("ga")).alias("span_a"),
+                 (F.max("gb") - F.min("gb")).alias("span_b")))

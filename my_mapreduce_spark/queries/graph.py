@@ -176,3 +176,94 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("degree").alias("min_deg"),
              F.max("degree").alias("max_deg"))
     )
+
+
+_SSSP_ROUNDS = 4
+_SSSP_TOP = 20
+
+
+def _sssp_oracle() -> str:
+    it = """,
+    d{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{p}
+            UNION ALL
+            SELECT e.dst AS node, d{p}.dist + e.w AS dist
+            FROM edges e JOIN d{p} ON d{p}.node = e.src) GROUP BY node)"""
+    iters = "".join(
+        it.format(i=i, p=i - 1) for i in range(1, _SSSP_ROUNDS + 1))
+    return f"""
+    WITH el AS (
+        SELECT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst,
+               COUNT(*) AS cnt
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+    ew AS (SELECT src, dst,
+                  1 + CAST(FLOOR(1000000.0 / cnt) AS BIGINT) AS w
+           FROM el),
+    edges AS (SELECT src, dst, w FROM ew
+              UNION ALL SELECT dst AS src, src AS dst, w FROM ew),
+    d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist
+           FROM edges){iters},
+    ranked AS (
+        SELECT node, dist,
+               ROW_NUMBER() OVER (ORDER BY dist, node) AS rnk
+        FROM d{_SSSP_ROUNDS})
+    SELECT node, dist, rnk FROM ranked WHERE rnk <= {_SSSP_TOP}
+    """
+
+
+@register(
+    "q_sssp_bellman_ford",
+    oracle=_sssp_oracle(),
+    tags=("graph", "shortest-path", "iterative"),
+)
+def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (distributed
+    Bellman-Ford, 4 fixed relaxation rounds) over the bidirected
+    customer<->supplier trade graph; the 20 closest nodes to the
+    lexicographically-first node. Edge weight = 1 +
+    floor(1e6 / trade-count): high-volume relationships are cheap
+    hops, so distance reads as "degrees of commercial separation".
+
+    Weights and therefore distances are EXACT integers — no float
+    accumulation across path lengths, so the oracle (the same fixed
+    relaxation schedule unrolled as CTEs) matches bit-for-bit.
+    Engine shape per round: equi-join the current tentative-distance
+    relation onto the edge list, hash-aggregate MIN per node — the
+    same join-agg skeleton as q_pagerank, reusing the edge
+    relation's src hash partitioning every round, so each of the 4
+    rounds shuffles only the distance vector (node, one bigint),
+    never the edges. Fixed rounds, not convergence detection: the
+    cost is known in advance and the result is a deterministic
+    contract (nodes beyond 4 hops are absent on both engines).
+
+    Reference parity: none — the reference cannot iterate
+    (mr/worker.go runs one map/reduce pass); north-star §2D graph
+    depth alongside q_pagerank and the CC family.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    el = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .groupBy(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                   F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .agg(F.count(F.lit(1)).alias("cnt"))
+          .select("src", "dst",
+                  (F.lit(1) + F.floor(F.lit(1000000.0) / F.col("cnt"))
+                   .cast("bigint")).alias("w")))
+    edges = (el.unionAll(el.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"), "w"))
+             .repartition(F.col("src")).persist())
+    d = (edges.agg(F.min("src").alias("node"))
+         .withColumn("dist", F.lit(0).cast("bigint")))
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (edges.join(d, edges.src == d.node)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        d = (d.unionAll(relaxed)
+             .groupBy("node").agg(F.min("dist").alias("dist")))
+    top = d.orderBy("dist", "node").limit(_SSSP_TOP)
+    w_rank = Window.orderBy("dist", "node")
+    return top.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))

@@ -487,3 +487,90 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for df in to_unpersist:
             df.unpersist()
+
+
+# Pinned merge table for the ENCODE side of BPE. The first three
+# entries are exactly what q_bpe_train_merges learns on this corpus
+# (er, in, ow at sf0.01); the rest extend the vocabulary with common
+# English merges, including one second-level merge (er+s) so encoding
+# exercises multi-character symbols. Order matters: merges apply
+# sequentially, like a released tokenizer's merges.txt.
+_BPE_MERGES = [("e", "r"), ("i", "n"), ("o", "w"), ("t", "h"),
+               ("a", "n"), ("o", "n"), ("r", "e"), ("er", "s")]
+_BPE_TOP = 20
+
+
+def _bpe_encode_oracle() -> str:
+    s = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')"
+    for left, right in _BPE_MERGES:
+        s = f"replace({s}, ' {left} {right} ', ' {left}{right} ')"
+    return f"""
+    WITH words AS (
+        SELECT UNNEST(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS word
+        FROM documents),
+    toks AS (
+        SELECT UNNEST(list_filter(string_split(trim({s}), ' '),
+                                  x -> x <> '')) AS token
+        FROM words),
+    counts AS (
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    ranked AS (
+        SELECT token, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+        FROM counts)
+    SELECT token, n, rnk FROM ranked WHERE rnk <= {_BPE_TOP}
+    """
+
+
+@register(
+    "q_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("bpe", "tokenizer", "text", "encode"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE side of the BPE pair: apply a pinned 8-entry merge
+    table (headed by exactly the merges q_bpe_train_merges learns on
+    this corpus) to every word and report the top-20 resulting
+    subword tokens — the vocabulary histogram a tokenizer rollout
+    would be validated against.
+
+    Each word becomes a space-separated symbol string and the merge
+    table applies as a fixed chain of plain (non-regex) replaces —
+    single-pass, left-to-right, non-overlapping, which is exactly
+    the same scan semantics in the JVM's UTF8String.replace and in
+    DuckDB, so the oracle is a full value match. (For runs of the
+    same symbol this greedy single pass can merge one fewer pair
+    than the trainer's fold — 'aaa' -> [aa, a] either way, but
+    'aaaa' -> [aa, a, a] vs [aa, aa]; a released merges.txt applied
+    by replace is deterministic, which is the property that matters
+    for reproducible corpus tokenization.)
+
+    Engine shape: everything up to the final count is array-local
+    per word — explode, scalar replace chain, split — with ONE
+    token-keyed hash aggregate (map-side combined) and a top-k. At
+    100 TB the replace chain runs where the text lives; nothing
+    shuffles except (token, partial-count) pairs, and the merge
+    table ships as part of the plan (it is a model artifact, not
+    data).
+
+    Reference parity: the reference tokenizes with
+    unicode.IsLetter splits only (mrapps/wc.go:14-18); subword
+    encoding is north-star §2D tokenizer depth.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                           lambda x: x != "")).alias("word"))
+    s = F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
+    for left, right in _BPE_MERGES:
+        s = F.replace(s, F.lit(f" {left} {right} "),
+                      F.lit(f" {left}{right} "))
+    toks = words.select(
+        F.explode(F.filter(F.split(F.trim(s), " "),
+                           lambda x: x != "")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), "token").limit(_BPE_TOP)
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

@@ -495,3 +495,139 @@ def q_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("n").cast("bigint").alias("n_events"),
                  at(0.50).alias("p50"), at(0.95).alias("p95"),
                  at(0.99).alias("p99")))
+
+
+@register(
+    "q_twap_events",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, value, epoch_us(ts) AS t,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS t_next
+        FROM events),
+    iv AS (SELECT user_id, value, t_next - t AS dt
+           FROM x WHERE t_next IS NOT NULL)
+    SELECT user_id,
+           COUNT(*) + 1 AS n_events,
+           CAST(SUM(dt) AS BIGINT) AS span_us,
+           ROUND(SUM(value * dt) / SUM(dt), 4) AS twap
+    FROM iv GROUP BY user_id HAVING SUM(dt) > 0
+    """,
+    tags=("timeseries", "window", "events", "twap"),
+)
+def q_twap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation is
+    weighted by how long it was the CURRENT value (microseconds
+    until the user's next event; the final observation carries no
+    forward interval and is excluded, as in any tick-to-TWAP
+    rollup). The plain arithmetic mean over-weights burst periods;
+    TWAP is the standard correction for irregularly sampled series.
+
+    Engine shape: one user-partitioned LEAD window + one hash
+    aggregate — a single user-keyed shuffle reused by both (the agg
+    arrives pre-partitioned). Weights are exact integer
+    microseconds; users whose events all share one timestamp
+    (zero span) are excluded on both engines rather than dividing
+    by zero. At 100 TB this is the same one-shuffle shape as any
+    per-entity sessionization.
+
+    Reference parity: no temporal weighting exists in the reference
+    (mr/worker.go sums plain counts); north-star §2D timeseries
+    depth.
+    """
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "event_id", "ts", "value")
+    t = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(t, "event_id")
+    x = (ev.select("user_id", "value", t.alias("t"),
+                   F.lead(t).over(w).alias("t_next"))
+         .where(F.col("t_next").isNotNull())
+         .withColumn("dt", F.col("t_next") - F.col("t")))
+    return (x.groupBy("user_id")
+            .agg((F.count(F.lit(1)) + 1).alias("n_events"),
+                 F.sum("dt").alias("span_us"),
+                 F.round(F.sum(F.col("value") * F.col("dt"))
+                         / F.sum("dt"), 4).alias("twap"))
+            .where(F.col("span_us") > 0))
+
+
+# EWMA decay weights: alpha = 0.5 truncated at 8 taps. Powers of 1/2
+# have exact double representations, so the renormalized weighted sum
+# is a fixed-order expression both engines evaluate bit-identically.
+_EWMA_TAPS = [0.5 ** j for j in range(8)]
+
+
+def _ewma_expr() -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(l{j} * {w!r}, 0.0)" if j else f"value * {w!r}"
+        for j, w in enumerate(_EWMA_TAPS))
+    den = " + ".join(
+        f"CASE WHEN l{j} IS NULL THEN 0.0 ELSE {w!r} END" if j
+        else f"{_EWMA_TAPS[0]!r}"
+        for j, w in enumerate(_EWMA_TAPS))
+    return num, den
+
+
+@register(
+    "q_ewma_events",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, value,
+               {lags},
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events)
+    SELECT user_id, n_events,
+           ROUND(value, 4) AS last_value,
+           ROUND(({num}) / ({den}), 6) AS ewma
+    FROM x WHERE rn = 1
+    """.format(
+        lags=", ".join(
+            f"LAG(value, {j}) OVER (PARTITION BY user_id "
+            f"ORDER BY epoch_us(ts), event_id) AS l{j}"
+            for j in range(1, len(_EWMA_TAPS))),
+        num=_ewma_expr()[0], den=_ewma_expr()[1]),
+    tags=("timeseries", "window", "events", "ewma"),
+)
+def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.5, 8 taps)
+    of each user's metric stream, reported at the stream head — the
+    denoised "current level" per user.
+
+    The truncated-tap formulation is the scale-correct one: the
+    closed-form full-history EWMA needs (1-alpha)^(-i) prefix terms
+    that overflow doubles after ~1000 rows, while 8 LAGs are O(1)
+    per row, keep the whole computation inside one user-partitioned
+    window (a single shuffle), and with alpha = 0.5 the dropped
+    tail weighs < 0.4%. Weights are renormalized over the taps that
+    exist, so short histories are exact averages of what is there,
+    not biased toward zero. Every weight is a power of 1/2 (exact
+    in binary), and numerator/denominator are fixed-order
+    expressions — not commutative aggregates — so Spark and DuckDB
+    produce bit-identical doubles before the final ROUND.
+
+    Reference parity: none (no windowed state in mr/worker.go);
+    north-star §2D timeseries depth.
+    """
+    num_sql, den_sql = _ewma_expr()
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "event_id", "ts", "value")
+    t = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(t, "event_id")
+    wd = Window.partitionBy("user_id").orderBy(t.desc(),
+                                               F.col("event_id").desc())
+    wc = Window.partitionBy("user_id")
+    x = ev.select(
+        "user_id", "value",
+        *[F.lag("value", j).over(w).alias(f"l{j}")
+          for j in range(1, len(_EWMA_TAPS))],
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_events"))
+    return (x.where(F.col("rn") == 1)
+            .select("user_id", "n_events",
+                    F.round("value", 4).alias("last_value"),
+                    F.expr(f"round(({num_sql}) / ({den_sql}), 6)")
+                    .alias("ewma")))
