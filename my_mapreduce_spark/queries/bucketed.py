@@ -175,6 +175,10 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_a, hi_a, lo_b, hi_b = li.agg(
         F.min("l_orderkey"), F.max("l_orderkey"),
         F.min("l_partkey"), F.max("l_partkey")).first()
+    if lo_a is None:  # empty table: typed empty result, not a crash
+        return spark.createDataFrame(
+            [], "bucket long, n_rows long, min_a long, max_a long, "
+                "min_b long, max_b long, span_a long, span_b long")
     g = li.select(
         scale_to_bits(F.col("l_orderkey"), lo_a, hi_a, _Z_BITS).alias("ga"),
         scale_to_bits(F.col("l_partkey"), lo_b, hi_b, _Z_BITS).alias("gb"))

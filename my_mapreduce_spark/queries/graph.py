@@ -208,7 +208,7 @@ def _sssp_oracle() -> str:
     ranked AS (
         SELECT node, dist,
                ROW_NUMBER() OVER (ORDER BY dist, node) AS rnk
-        FROM d{_SSSP_ROUNDS})
+        FROM d{_SSSP_ROUNDS} WHERE node IS NOT NULL)
     SELECT node, dist, rnk FROM ranked WHERE rnk <= {_SSSP_TOP}
     """
 
@@ -264,6 +264,7 @@ def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
                            (F.col("dist") + F.col("w")).alias("dist")))
         d = (d.unionAll(relaxed)
              .groupBy("node").agg(F.min("dist").alias("dist")))
-    top = d.orderBy("dist", "node").limit(_SSSP_TOP)
+    top = (d.where(F.col("node").isNotNull())
+           .orderBy("dist", "node").limit(_SSSP_TOP))
     w_rank = Window.orderBy("dist", "node")
     return top.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))

@@ -28,6 +28,7 @@ FIXED = [
 SPREAD = [
     "q_lang_id_trigram", "q_variant_json_stats", "q_dedup_minhash_lsh",
     "q_quality_filter_rules", "q_pack_sequences", "q_bm25_search",
+    "q_bpe_encode", "q_wilson_ctr",
 ]
 
 
@@ -116,6 +117,7 @@ def nan_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", [
     "q_percentile_trend", "q_mad_outliers", "q_events_latest_state",
     "q_window_lag_events", "q_events_time_rollup", "q_approx_quantiles",
+    "q_twap_events", "q_ewma_events",
 ])
 def test_query_survives_nan_inf_values(spark, nan_dir, name):
     from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded

@@ -24,6 +24,9 @@ SPREAD = [
     "q_knn_bruteforce", "q_equidepth_histogram", "q_keyset_pagination",
     "q_multimodal_resize", "q_dedup_minhash_lsh_prod",
     "q_streaming_near_dup",
+    # round-4 continuation additions with driver-scalar seams
+    "q_zorder_layout", "q_sssp_bellman_ford", "q_twap_events",
+    "q_bpe_encode",
 ]
 
 
