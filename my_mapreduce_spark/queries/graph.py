@@ -268,3 +268,172 @@ def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
            .orderBy("dist", "node").limit(_SSSP_TOP))
     w_rank = Window.orderBy("dist", "node")
     return top.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+
+
+_HITS_TOP = 10
+
+
+def _hits_oracle() -> str:
+    return f"""
+    WITH el AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    a1 AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS score
+           FROM el GROUP BY dst),
+    h1 AS (SELECT el.src AS node, CAST(SUM(a1.score) AS BIGINT) AS score
+           FROM el JOIN a1 ON a1.node = el.dst GROUP BY el.src),
+    a2 AS (SELECT el.dst AS node, CAST(SUM(h1.score) AS BIGINT) AS score
+           FROM el JOIN h1 ON h1.node = el.src GROUP BY el.dst),
+    h2 AS (SELECT el.src AS node, CAST(SUM(a2.score) AS BIGINT) AS score
+           FROM el JOIN a2 ON a2.node = el.dst GROUP BY el.src),
+    ra AS (SELECT 'authority' AS role, node, score,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, node) AS rnk
+           FROM a2),
+    rh AS (SELECT 'hub' AS role, node, score,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, node) AS rnk
+           FROM h2)
+    SELECT role, node, score, rnk FROM ra WHERE rnk <= {_HITS_TOP}
+    UNION ALL
+    SELECT role, node, score, rnk FROM rh WHERE rnk <= {_HITS_TOP}
+    """
+
+
+@register(
+    "q_hits_hub_authority",
+    oracle=_hits_oracle(),
+    tags=("graph", "hits", "iterative", "ranking"),
+)
+def q_hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities, 2 unnormalized iterations) on the
+    DIRECTED customer->supplier trade graph: suppliers score as
+    authorities (bought from by well-connected customers), customers
+    as hubs (buying from high-authority suppliers); top-10 of each.
+
+    The key design choice is UNNORMALIZED iterations from an
+    all-ones hub vector: every intermediate score is then an exact
+    BIGINT (auth_1 = in-degree, hub_1 = sums of in-degrees, ...), so
+    the oracle matches bit-for-bit with no float-rounding seam at
+    all — same trick as q_sssp_bellman_ford's integer weights.
+    Normalization only rescales within an iteration, so rankings are
+    identical to textbook HITS; 2 iterations of growth stay far
+    inside 64 bits (score <= E * max_deg^2).
+
+    Engine shape per half-iteration: one equi-join of the score
+    vector onto the edge list + one hash aggregate — the pagerank
+    skeleton, 4 times. Only the (node, bigint) score vector ever
+    shuffles. Reference parity: none; north-star §2D graph depth.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    el = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .distinct().persist())
+
+    def push(scores: DataFrame, key: str, out: str) -> DataFrame:
+        """One half-iteration: join scores on `key`, sum per `out`."""
+        return (el.join(scores, el[key] == scores.node)
+                .groupBy(F.col(out).alias("node"))
+                .agg(F.sum("score").cast("bigint").alias("score")))
+
+    a1 = (el.groupBy(F.col("dst").alias("node"))
+          .agg(F.count(F.lit(1)).cast("bigint").alias("score")))
+    h1 = push(a1, "dst", "src")
+    a2 = push(h1, "src", "dst")
+    h2 = push(a2, "dst", "src")
+
+    def top(scores: DataFrame, role: str) -> DataFrame:
+        t = scores.orderBy(F.col("score").desc(), "node").limit(_HITS_TOP)
+        w = Window.orderBy(F.col("score").desc(), "node")
+        return t.select(F.lit(role).alias("role"), "node", "score",
+                        F.row_number().over(w).cast("bigint").alias("rnk"))
+
+    return top(a2, "authority").unionAll(top(h2, "hub"))
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = i - 1
+        rounds.append(f""",
+    deg{i} AS (SELECT src, COUNT(*) AS d FROM edges{p} GROUP BY src),
+    keep{i} AS (SELECT src AS node FROM deg{i} WHERE d >= {_KCORE_K}),
+    edges{i} AS (
+        SELECT e.src, e.dst FROM edges{p} e
+        JOIN keep{i} a ON e.src = a.node
+        JOIN keep{i} b ON e.dst = b.node)""")
+    stats = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({i} AS INT) AS round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM keep{i}) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges{i}) AS n_edges"""
+        for i in range(1, _KCORE_ROUNDS + 1))
+    return f"""
+    WITH el AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges0 AS (SELECT src, dst FROM el
+               UNION ALL SELECT dst AS src, src AS dst FROM el)
+    {"".join(rounds)}
+{stats}
+    """
+
+
+@register(
+    "q_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore", "iterative"),
+)
+def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling (k = 4, 3 fixed rounds) on the bidirected
+    trade graph: each round drops every node with current degree
+    < k and the edges touching it, reporting (round, surviving
+    nodes, surviving directed edges) — the densification trajectory
+    toward the 4-core. The k-core is the standard "dense engaged
+    subgraph" extraction (spam rings, power users, co-purchase
+    cores); the trajectory rows also show HOW FAST it converges,
+    which is the production signal for choosing an iteration budget.
+
+    All quantities are exact integers (degrees and counts), so the
+    unrolled-CTE oracle matches bit-for-bit. Engine shape per
+    round: one degree aggregate + one semi-join-shaped filter of
+    the edge list against the keep set on BOTH endpoints — edges
+    shrink monotonically, so per-round cost falls; the keep set is
+    (node)-only and is what shuffles. The per-round counts are
+    O(1)-row aggregates collected on the driver (same bounded
+    contract as pagerank's n). Reference parity: none; north-star
+    §2D graph depth.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    el = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .distinct())
+    edges = el.unionAll(el.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"))).persist()
+    rows = []
+    pinned = [edges]
+    try:
+        for i in range(1, _KCORE_ROUNDS + 1):
+            keep = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+                    .where(F.col("d") >= _KCORE_K)
+                    .select(F.col("src").alias("node")))
+            edges = (edges.join(keep.withColumnRenamed("node", "src"),
+                                "src")
+                     .join(keep.withColumnRenamed("node", "dst"), "dst")
+                     .select("src", "dst").persist())
+            pinned.append(edges)
+            rows.append((i, keep.count(), edges.count()))
+        return spark.createDataFrame(
+            rows, "round int, n_nodes long, n_edges long")
+    finally:
+        for df in pinned:
+            df.unpersist()

@@ -26,7 +26,7 @@ SPREAD = [
     "q_streaming_near_dup",
     # round-4 continuation additions with driver-scalar seams
     "q_zorder_layout", "q_sssp_bellman_ford", "q_twap_events",
-    "q_bpe_encode",
+    "q_bpe_encode", "q_hits_hub_authority", "q_kcore_peel",
 ]
 
 
@@ -47,6 +47,7 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
     df = REGISTRY[name].fn(spark, empty_dir)
     assert df.count() == 0 or name in (
         # global summaries legitimately emit one all-zero/NULL row
-        "q_dedup_exact",)
+        # (or, for the k-core trajectory, one zero row per round)
+        "q_dedup_exact", "q_kcore_peel")
     assert df.schema.fields, "schema must survive the empty path"
     spark.catalog.clearCache()
