@@ -797,3 +797,61 @@ def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("novel_ngrams").over(w).cast("bigint").alias("cum_novel"),
         F.round(F.col("novel_ngrams") / F.col("seen_ngrams"), 6)
             .alias("novelty_rate"))
+
+
+# Temperature for q_mixture_temperature: the multilingual-LM standard
+# exponent (0 = uniform over sources, 1 = raw proportions).
+_MIX_TAU = 0.7
+
+
+@register(
+    "q_mixture_temperature",
+    oracle=f"""
+    WITH sz AS (SELECT source, COUNT(*) AS n_docs
+                FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM sz),
+    sh AS (SELECT source, n_docs,
+                  CAST(n_docs AS DOUBLE) / tot.n AS q,
+                  POWER(CAST(n_docs AS DOUBLE) / tot.n, {_MIX_TAU}) AS wr
+           FROM sz CROSS JOIN tot),
+    den AS (SELECT SUM(wr) AS s FROM sh)
+    SELECT source, n_docs,
+           ROUND(q, 6) AS raw_share,
+           ROUND(wr / den.s, 6) AS temp_share,
+           ROUND(wr / den.s / q, 6) AS boost
+    FROM sh CROSS JOIN den
+    """,
+    tags=("corpus", "sampling", "mixture"),
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (tau = 0.7): the sampling
+    weights a multilingual/multi-source LM run derives FROM the
+    corpus — w_i = q_i^tau / sum q_j^tau — so low-resource sources
+    are upsampled (boost > 1) and dominant ones downsampled, the
+    standard compromise between raw proportions (tau=1, head
+    sources drown the tail) and uniform (tau=0, tail noise drowns
+    the head). Complements q_dataset_mixture, which APPLIES a given
+    share table; this query derives one.
+
+    Engine shape: one map-side-combined count to O(sources) rows,
+    then two 1-row scalar broadcasts (total, then the power-sum
+    normalizer) crossed back — the whitelisted scalar-subquery
+    shape; no row-level work after the first aggregate, so at
+    100 TB the cost is the count scan and nothing else.
+
+    Reference parity: none; north-star §2D mixture construction.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source")
+    sz = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = sz.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    sh = (sz.crossJoin(F.broadcast(tot))
+          .select("source", "n_docs",
+                  (F.col("n_docs").cast("double") / F.col("n")).alias("q"))
+          .withColumn("wr", F.pow(F.col("q"), F.lit(_MIX_TAU))))
+    den = sh.agg(F.sum("wr").alias("s"))
+    return (sh.crossJoin(F.broadcast(den))
+            .select("source", "n_docs",
+                    F.round("q", 6).alias("raw_share"),
+                    F.round(F.col("wr") / F.col("s"), 6).alias("temp_share"),
+                    F.round(F.col("wr") / F.col("s") / F.col("q"), 6)
+                    .alias("boost")))

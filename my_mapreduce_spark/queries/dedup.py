@@ -19,7 +19,7 @@ completeness is what LSH recall is measured against (tests).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.functions.text import minhash_expr, shingles, tokens
@@ -1294,3 +1294,113 @@ def q_dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("nh").alias("distinct_normalized"),
         (F.count_distinct("rh") - F.count_distinct("nh"))
         .alias("normalization_collapsed"))
+
+
+# Prefix-filtering (ppjoin-style) word-set Jaccard join. Threshold
+# 3/5 kept rational so the prefix length n - ceil(t*n) + 1 computes
+# in EXACT integer arithmetic: ceil(3n/5) = (3n + 4) DIV 5.
+_PF_THRESHOLD = 0.6
+_PF_TOKS = """
+    toks AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, UNNEST(list_filter(
+                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS token
+            FROM documents))
+"""
+
+
+@register(
+    "q_dedup_prefix_filter",
+    oracle=f"""
+    WITH {_PF_TOKS},
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM toks GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM toks a JOIN toks b
+          ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    j AS (
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jac
+        FROM pairs
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, n_common, ROUND(jac, 6) AS jaccard
+    FROM j WHERE jac >= {_PF_THRESHOLD}
+    """,
+    tags=("dedup", "near-dup", "jaccard", "prefix-filter"),
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup join (threshold 0.6) computed with
+    PREFIX FILTERING — the ppjoin/AllPairs candidate-generation
+    trick: order every document's tokens by ascending global
+    document frequency (rarest first) and join documents ONLY on
+    their first ``n - ceil(t*n) + 1`` tokens. Any pair with
+    J >= t MUST share a token inside both prefixes under a common
+    ordering (pigeonhole: missing all prefix tokens caps the
+    overlap below t), so the filter is lossless — and the oracle
+    PROVES it per run, because the oracle is the brute-force
+    all-shared-token join and the result must be value-identical.
+
+    Why it matters at 100 TB: the naive join fans out on stopwords
+    (every pair of documents sharing "the" becomes a candidate);
+    prefix filtering never joins on frequent tokens at all — head
+    tokens sit at the END of the df-ordering and fall outside every
+    prefix — so candidate volume tracks rare-token collisions, the
+    same collision-bounded shape as the MinHash band join, while
+    staying EXACT (no recall knob to tune). Verification then runs
+    only on candidate docs' token sets. Prefix length uses integer
+    arithmetic ((3n + 4) DIV 5) — no float ceil seam.
+
+    Engine shape: token df agg -> doc-partitioned window rank ->
+    prefix equi-join -> candidate-restricted intersection counts.
+    Everything is keyed shuffles; the only pair-shaped relation is
+    collision-sized. Reference parity: extends q_dedup_ngram_jaccard
+    (the declared brute-force verifier) with the production
+    candidate generator.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                           lambda x: x != "")).alias("token"))
+        .distinct())
+    sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    df_ = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    ranked = (toks.join(df_, "token")
+              .select("doc_id", "token", F.row_number().over(w).alias("rn"))
+              .join(sz, "doc_id")
+              .where(F.col("rn") <=
+                     F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1)
+              .select("doc_id", "token"))
+    cand = (ranked.alias("a")
+            .join(ranked.alias("b"),
+                  (F.col("a.token") == F.col("b.token"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    cdocs = (cand.select(F.col("doc_a").alias("doc_id"))
+             .union(cand.select("doc_b")).distinct())
+    toks_c = toks.join(cdocs, "doc_id")
+    inter = (cand
+             .join(toks_c.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+             .join(toks_c.alias("y"),
+                   (F.col("doc_b") == F.col("y.doc_id"))
+                   & (F.col("x.token") == F.col("y.token")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    j = (inter
+         .join(sz.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n").alias("na")), "doc_a")
+         .join(sz.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n").alias("nb")), "doc_b")
+         .withColumn("jac", F.col("n_common").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("n_common"))))
+    return (j.where(F.col("jac") >= _PF_THRESHOLD)
+            .select("doc_a", "doc_b", "n_common",
+                    F.round("jac", 6).alias("jaccard")))

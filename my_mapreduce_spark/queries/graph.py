@@ -262,8 +262,15 @@ def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         relaxed = (edges.join(d, edges.src == d.node)
                    .select(F.col("dst").alias("node"),
                            (F.col("dist") + F.col("w")).alias("dist")))
+        # persist each tentative-distance vector: d feeds BOTH the
+        # union branch and the relaxation join, and without a cache
+        # that double reference re-evaluates the whole prior round's
+        # subtree on each side — geometric re-execution by round 4.
+        # The vector is O(nodes) x (string, bigint); caller releases
+        # (caching.release_caches), same contract as pagerank.
         d = (d.unionAll(relaxed)
-             .groupBy("node").agg(F.min("dist").alias("dist")))
+             .groupBy("node").agg(F.min("dist").alias("dist"))
+             .persist())
     top = (d.where(F.col("node").isNotNull())
            .orderBy("dist", "node").limit(_SSSP_TOP))
     w_rank = Window.orderBy("dist", "node")
@@ -423,9 +430,12 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned = [edges]
     try:
         for i in range(1, _KCORE_ROUNDS + 1):
+            # keep is consumed three times (count + both join sides);
+            # persist so the degree aggregate runs once per round
             keep = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
                     .where(F.col("d") >= _KCORE_K)
-                    .select(F.col("src").alias("node")))
+                    .select(F.col("src").alias("node")).persist())
+            pinned.append(keep)
             edges = (edges.join(keep.withColumnRenamed("node", "src"),
                                 "src")
                      .join(keep.withColumnRenamed("node", "dst"), "dst")

@@ -500,10 +500,27 @@ _BPE_MERGES = [("e", "r"), ("i", "n"), ("o", "w"), ("t", "h"),
 _BPE_TOP = 20
 
 
-def _bpe_encode_oracle() -> str:
-    s = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')"
+def _bpe_chain_sql(word_expr: str = "word") -> str:
+    """DuckDB expression: the spaced symbol string for a word after
+    the pinned merge chain (shared by encode and fertility)."""
+    s = f"' ' || regexp_replace({word_expr}, '(.)', '\\1 ', 'g')"
     for left, right in _BPE_MERGES:
         s = f"replace({s}, ' {left} {right} ', ' {left}{right} ')"
+    return s
+
+
+def _bpe_chain_col(word_col) -> "F.Column":
+    """Spark twin of :func:`_bpe_chain_sql` — identical replace
+    order, identical single-pass scan semantics."""
+    s = F.concat(F.lit(" "), F.regexp_replace(word_col, "(.)", "$1 "))
+    for left, right in _BPE_MERGES:
+        s = F.replace(s, F.lit(f" {left} {right} "),
+                      F.lit(f" {left}{right} "))
+    return s
+
+
+def _bpe_encode_oracle() -> str:
+    s = _bpe_chain_sql()
     return f"""
     WITH words AS (
         SELECT UNNEST(list_filter(
@@ -563,10 +580,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
                            lambda x: x != "")).alias("word"))
-    s = F.concat(F.lit(" "), F.regexp_replace("word", "(.)", "$1 "))
-    for left, right in _BPE_MERGES:
-        s = F.replace(s, F.lit(f" {left} {right} "),
-                      F.lit(f" {left}{right} "))
+    s = _bpe_chain_col(F.col("word"))
     toks = words.select(
         F.explode(F.filter(F.split(F.trim(s), " "),
                            lambda x: x != "")).alias("token"))
@@ -574,3 +588,68 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), "token").limit(_BPE_TOP)
     w = Window.orderBy(F.col("n").desc(), "token")
     return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    WITH words AS (
+        SELECT lang, UNNEST(list_filter(
+            regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+            x -> x <> '')) AS word
+        FROM documents),
+    t AS (
+        SELECT lang,
+               CAST(len(list_filter(
+                   string_split(trim({_bpe_chain_sql()}), ' '),
+                   x -> x <> '')) AS BIGINT) AS ntok,
+               CAST(length(word) AS BIGINT) AS nch
+        FROM words)
+    SELECT lang,
+           COUNT(*) AS n_words,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(nch) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(ntok) AS DOUBLE) / COUNT(*), 6) AS fertility,
+           ROUND(CAST(SUM(nch) AS DOUBLE) / SUM(ntok), 6)
+               AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+    tags=("bpe", "tokenizer", "text", "eval"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report per language: subword tokens per
+    word and characters per token under the pinned BPE merge table —
+    the standard cross-lingual tokenizer-quality metric (a language
+    whose fertility is 2× another's pays 2× the sequence length for
+    the same text, which is the first thing a multilingual data
+    pipeline audits before fixing a tokenizer).
+
+    Reuses q_bpe_encode's merge chain verbatim (one shared helper on
+    each engine); per-word token counts are array-local ``size`` —
+    the words never materialize as token rows at all, so this is
+    strictly cheaper than the encode query: one scan, per-row scalar
+    work, one hash aggregate to O(languages) rows. Counts are exact
+    integers; the two ratios divide aggregated bigints, identical on
+    both engines before ROUND.
+
+    Reference parity: none (wc counts whitespace words only,
+    mrapps/wc.go:14-18); north-star §2D tokenizer-eval depth.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    words = docs.select(
+        "lang",
+        F.explode(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                           lambda x: x != "")).alias("word"))
+    t = words.select(
+        "lang",
+        F.size(F.filter(F.split(F.trim(_bpe_chain_col(F.col("word"))), " "),
+                        lambda x: x != "")).cast("bigint").alias("ntok"),
+        F.length("word").cast("bigint").alias("nch"))
+    return (t.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("ntok").alias("n_tokens"),
+                 F.sum("nch").alias("n_chars"),
+                 F.round(F.sum("ntok").cast("double")
+                         / F.count(F.lit(1)), 6).alias("fertility"),
+                 F.round(F.sum("nch").cast("double")
+                         / F.sum("ntok"), 6).alias("chars_per_token")))

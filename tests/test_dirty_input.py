@@ -28,7 +28,8 @@ FIXED = [
 SPREAD = [
     "q_lang_id_trigram", "q_variant_json_stats", "q_dedup_minhash_lsh",
     "q_quality_filter_rules", "q_pack_sequences", "q_bm25_search",
-    "q_bpe_encode", "q_wilson_ctr",
+    "q_bpe_encode", "q_wilson_ctr", "q_tokenizer_fertility",
+    "q_mixture_temperature", "q_dedup_prefix_filter",
 ]
 
 

@@ -27,6 +27,8 @@ SPREAD = [
     # round-4 continuation additions with driver-scalar seams
     "q_zorder_layout", "q_sssp_bellman_ford", "q_twap_events",
     "q_bpe_encode", "q_hits_hub_authority", "q_kcore_peel",
+    "q_tokenizer_fertility", "q_mixture_temperature",
+    "q_dedup_prefix_filter",
 ]
 
 

@@ -53,6 +53,10 @@ _ALLOW_NESTED_LOOP = {
                                  # boundaries)), same scalar-subquery shape
     "q_dataset_mixture",         # crossJoin(broadcast(1-row sampling
                                  # budget)), same scalar-subquery shape
+    "q_mixture_temperature",     # crossJoin(broadcast(1-row total, then
+                                 # 1-row power-sum normalizer)), same
+                                 # scalar-subquery shape over O(sources)
+                                 # rows
     "q_heavy_hitters",           # crossJoin(broadcast(1-row token total)),
                                  # same scalar-subquery shape
     "q_bm25_search",             # crossJoin(broadcast(1-row N/avgdl
