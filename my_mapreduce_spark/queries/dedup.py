@@ -1296,31 +1296,23 @@ def q_dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("normalization_collapsed"))
 
 
-# Prefix-filtering (ppjoin-style) word-set Jaccard join. Threshold
+# Prefix-filtering (ppjoin-style) shingle-set Jaccard join. Threshold
 # 3/5 kept rational so the prefix length n - ceil(t*n) + 1 computes
 # in EXACT integer arithmetic: ceil(3n/5) = (3n + 4) DIV 5.
 _PF_THRESHOLD = 0.6
-_PF_TOKS = """
-    toks AS (
-        SELECT DISTINCT doc_id, token FROM (
-            SELECT doc_id, UNNEST(list_filter(
-                regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                x -> x <> '')) AS token
-            FROM documents))
-"""
 
 
 @register(
     "q_dedup_prefix_filter",
     oracle=f"""
-    WITH {_PF_TOKS},
+    WITH {_SHINGLES_CTE},
     sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-           FROM toks GROUP BY doc_id),
+           FROM s GROUP BY doc_id),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(COUNT(*) AS BIGINT) AS n_common
-        FROM toks a JOIN toks b
-          ON a.token = b.token AND a.doc_id < b.doc_id
+        FROM s a JOIN s b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
     j AS (
         SELECT doc_a, doc_b, n_common,
@@ -1334,40 +1326,41 @@ _PF_TOKS = """
     tags=("dedup", "near-dup", "jaccard", "prefix-filter"),
 )
 def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard near-dup join (threshold 0.6) computed with
-    PREFIX FILTERING — the ppjoin/AllPairs candidate-generation
-    trick: order every document's tokens by ascending global
-    document frequency (rarest first) and join documents ONLY on
-    their first ``n - ceil(t*n) + 1`` tokens. Any pair with
-    J >= t MUST share a token inside both prefixes under a common
-    ordering (pigeonhole: missing all prefix tokens caps the
-    overlap below t), so the filter is lossless — and the oracle
-    PROVES it per run, because the oracle is the brute-force
-    all-shared-token join and the result must be value-identical.
+    """Shingle-set Jaccard near-dup join (3-gram shingles, threshold
+    0.6) computed with PREFIX FILTERING — the ppjoin/AllPairs
+    candidate-generation trick: order every document's shingles by
+    ascending global document frequency (rarest first) and join
+    documents ONLY on their first ``n - ceil(t*n) + 1`` shingles,
+    plus the length filter (``5*na >= 3*nb`` both ways — a pair
+    whose sizes differ by more than t cannot reach J >= t). Any
+    pair with J >= t MUST share a shingle inside both prefixes
+    under a common ordering (pigeonhole: missing every prefix
+    shingle caps the overlap below t), so both filters are
+    lossless — and the oracle PROVES it per run, because the oracle
+    is the brute-force all-shared-shingle join
+    (q_dedup_ngram_jaccard's SQL verbatim) and the result must be
+    value-identical.
 
-    Why it matters at 100 TB: the naive join fans out on stopwords
-    (every pair of documents sharing "the" becomes a candidate);
-    prefix filtering never joins on frequent tokens at all — head
-    tokens sit at the END of the df-ordering and fall outside every
-    prefix — so candidate volume tracks rare-token collisions, the
-    same collision-bounded shape as the MinHash band join, while
-    staying EXACT (no recall knob to tune). Verification then runs
-    only on candidate docs' token sets. Prefix length uses integer
+    Why it matters at 100 TB: the brute-force join fans out on
+    boilerplate shingles (every pair of documents sharing one
+    becomes a group); prefix filtering never joins on frequent
+    shingles at all — head shingles sit at the END of the
+    df-ordering and fall outside every prefix — so candidate volume
+    tracks rare-shingle collisions, the same collision-bounded
+    shape as the MinHash band join, while staying EXACT (no recall
+    knob to tune). Intersection counting then runs only on
+    candidate docs' shingle sets. Prefix length uses integer
     arithmetic ((3n + 4) DIV 5) — no float ceil seam.
 
-    Engine shape: token df agg -> doc-partitioned window rank ->
-    prefix equi-join -> candidate-restricted intersection counts.
-    Everything is keyed shuffles; the only pair-shaped relation is
-    collision-sized. Reference parity: extends q_dedup_ngram_jaccard
-    (the declared brute-force verifier) with the production
-    candidate generator.
+    Engine shape: shingle df agg -> doc-partitioned window rank ->
+    prefix equi-join with integer length filter ->
+    candidate-restricted intersection counts. Everything is keyed
+    shuffles; the only pair-shaped relation is collision-sized.
+    Reference parity: extends q_dedup_ngram_jaccard (the declared
+    brute-force verifier) with the production candidate generator.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = (docs.select(
-        "doc_id",
-        F.explode(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
-                           lambda x: x != "")).alias("token"))
-        .distinct())
+    toks = _shingle_rows(spark, sf_dir).withColumnRenamed(
+        "shingle", "token")
     sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     df_ = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
@@ -1376,11 +1369,13 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(sz, "doc_id")
               .where(F.col("rn") <=
                      F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1)
-              .select("doc_id", "token"))
+              .select("doc_id", "token", "n"))
     cand = (ranked.alias("a")
             .join(ranked.alias("b"),
                   (F.col("a.token") == F.col("b.token"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  & (F.col("a.doc_id") < F.col("b.doc_id"))
+                  & (5 * F.col("a.n") >= 3 * F.col("b.n"))
+                  & (5 * F.col("b.n") >= 3 * F.col("a.n")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
