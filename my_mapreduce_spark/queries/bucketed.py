@@ -192,3 +192,127 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("gb").alias("min_b"), F.max("gb").alias("max_b"),
                  (F.max("ga") - F.min("ga")).alias("span_a"),
                  (F.max("gb") - F.min("gb")).alias("span_b")))
+
+
+_ZM_BUCKETS = 64
+_ZM_D1 = "1994-01-01"
+_ZM_D2 = "1994-04-01"
+
+
+@register(
+    "q_zonemap_skipping",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(l_shipdate) AS lo,
+               datediff('day', MIN(l_shipdate), MAX(l_shipdate)) + 1
+                   AS span
+        FROM lineitem),
+    b AS (
+        SELECT 'clustered' AS layout,
+               (datediff('day', lo, l_shipdate) * {_ZM_BUCKETS}) // span
+                   AS bucket,
+               l_shipdate
+        FROM lineitem CROSS JOIN bounds
+        UNION ALL
+        SELECT 'scattered' AS layout,
+               l_orderkey % {_ZM_BUCKETS} AS bucket,
+               l_shipdate
+        FROM lineitem),
+    per AS (
+        SELECT layout, bucket,
+               MIN(l_shipdate) AS min_d, MAX(l_shipdate) AS max_d,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN l_shipdate >= DATE '{_ZM_D1}'
+                              AND l_shipdate <  DATE '{_ZM_D2}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        FROM b GROUP BY layout, bucket)
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN max_d < DATE '{_ZM_D1}'
+                          OR min_d >= DATE '{_ZM_D2}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           CAST(SUM(CASE WHEN max_d < DATE '{_ZM_D1}'
+                          OR min_d >= DATE '{_ZM_D2}'
+                         THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_skipped,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matching,
+           ROUND(CAST(SUM(CASE WHEN max_d < DATE '{_ZM_D1}'
+                                OR min_d >= DATE '{_ZM_D2}'
+                               THEN n_rows ELSE 0 END) AS DOUBLE)
+                 / SUM(n_rows), 6) AS row_skip_frac
+    FROM per GROUP BY layout
+    """,
+    tags=("layout", "zonemap", "pruning", "physical"),
+)
+def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max footer statistics) skipping audit: lay
+    lineitem out two ways into 64 simulated files — CLUSTERED
+    (equal-width l_shipdate range buckets, all-integer arithmetic:
+    (days_since_min * 64) DIV span) and SCATTERED (l_orderkey mod
+    64, the hash-ish layout you get by default) — record each
+    file's min/max shipdate exactly as a parquet footer would, and
+    measure how many files and rows a 3-month shipdate predicate
+    could skip under each layout.
+
+    This is the measurement behind every "sort your fact table"
+    recommendation: the same rows, the same predicate, and the
+    clustered layout skips ~(1 - selectivity) of files while the
+    scattered one skips ~none because every file's min/max spans
+    the whole date range. q_zorder_layout makes the
+    two-dimensional version of this argument from span statistics;
+    this query closes the loop by computing the actual skip counts
+    a scan planner would achieve (tests/test_zorder.py asserts the
+    same effect on REAL parquet footers — here it is a pure query,
+    so it runs at any scale as one pass).
+
+    Engine shape: one 2-scalar bounds aggregate (driver literals,
+    same contract as q_zorder_layout), then a single scan fanned
+    into both layouts by a union, one (layout, bucket) hash
+    aggregate to 128 rows, one O(layouts) rollup. Dates never
+    leave the plan (compared, not emitted), so there is no
+    date-serialization seam.
+
+    Reference parity: none — layout control in the reference is
+    nReduce hash files (mr/worker.go:84); north-star scan-pruning
+    efficiency work.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    lo, hi = li.agg(F.min("l_shipdate"), F.max("l_shipdate")).first()
+    if lo is None:  # empty table: typed empty result, not a crash
+        return spark.createDataFrame(
+            [], "layout string, n_buckets bigint, n_skipped bigint, "
+                "rows_skipped bigint, rows_total bigint, "
+                "rows_matching bigint, row_skip_frac double")
+    span = (hi - lo).days + 1
+    clustered = li.select(
+        F.lit("clustered").alias("layout"),
+        ((F.datediff("l_shipdate", F.lit(lo)) * _ZM_BUCKETS)
+         .cast("long") / F.lit(span)).cast("long").alias("bucket"),
+        "l_shipdate")
+    scattered = li.select(
+        F.lit("scattered").alias("layout"),
+        (F.col("l_orderkey") % _ZM_BUCKETS).alias("bucket"),
+        "l_shipdate")
+    pred = ((F.col("l_shipdate") >= F.lit(_ZM_D1).cast("date"))
+            & (F.col("l_shipdate") < F.lit(_ZM_D2).cast("date")))
+    per = (clustered.unionAll(scattered)
+           .groupBy("layout", "bucket")
+           .agg(F.min("l_shipdate").alias("min_d"),
+                F.max("l_shipdate").alias("max_d"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(pred, 1).otherwise(0)).alias("n_match")))
+    skipped = ((F.col("max_d") < F.lit(_ZM_D1).cast("date"))
+               | (F.col("min_d") >= F.lit(_ZM_D2).cast("date")))
+    return (per.groupBy("layout")
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.sum(F.when(skipped, 1).otherwise(0))
+                 .alias("n_skipped"),
+                 F.sum(F.when(skipped, F.col("n_rows")).otherwise(0))
+                 .alias("rows_skipped"),
+                 F.sum("n_rows").alias("rows_total"),
+                 F.sum("n_match").alias("rows_matching"),
+                 F.round(F.sum(F.when(skipped, F.col("n_rows"))
+                               .otherwise(0)).cast("double")
+                         / F.sum("n_rows"), 6).alias("row_skip_frac")))

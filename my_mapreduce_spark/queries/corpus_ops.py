@@ -855,3 +855,108 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("wr") / F.col("s"), 6).alias("temp_share"),
                     F.round(F.col("wr") / F.col("s") / F.col("q"), 6)
                     .alias("boost")))
+
+
+@register(
+    "q_doc_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    base AS (SELECT doc_id, lang FROM t),
+    words AS (SELECT doc_id, UNNEST(w) AS word FROM t),
+    wc AS (SELECT doc_id, word, COUNT(*) AS c, length(word) AS lw
+           FROM words GROUP BY doc_id, word),
+    perdoc_w AS (
+        SELECT doc_id, CAST(SUM(c * lw) AS BIGINT) AS chars,
+               CAST(MAX(c * lw) AS BIGINT) AS maxwc
+        FROM wc GROUP BY doc_id),
+    tri AS (
+        SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        FROM t, UNNEST(range(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 3),
+    perdoc_t AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tot3,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS d3
+        FROM tri GROUP BY doc_id),
+    pd AS (
+        SELECT b.lang,
+               COALESCE(pw.chars, 0) AS chars,
+               COALESCE(pw.maxwc, 0) AS maxwc,
+               COALESCE(pt.tot3, 0) AS tot3,
+               COALESCE(pt.d3, 0) AS d3
+        FROM base b
+        LEFT JOIN perdoc_w pw ON pw.doc_id = b.doc_id
+        LEFT JOIN perdoc_t pt ON pt.doc_id = b.doc_id)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(1.0 - CAST(SUM(d3) AS DOUBLE)
+                       / NULLIF(SUM(tot3), 0), 6) AS dup3_frac,
+           CAST(SUM(CASE WHEN 5 * d3 < 4 * tot3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_rep_flagged,
+           CAST(SUM(CASE WHEN 10 * maxwc > 3 * chars THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_topword_flagged
+    FROM pd GROUP BY lang
+    """,
+    tags=("corpus", "quality", "repetition", "gopher"),
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition census per language — the Gopher /
+    MassiveText repetition filters in their intra-doc form, which
+    q_dup_ngram_fraction (cross-document) deliberately does not
+    cover: per doc, the duplicate word-3-gram fraction (1 -
+    distinct/total occurrences) and the top-word character share
+    (max over words of count*len / total word chars). Reported per
+    lang: corpus-level dup fraction (ratio of SUMMED integers — one
+    float division total, no float-accumulation seam), docs flagged
+    for repetition (dup fraction > 0.2, tested as the integer
+    inequality 5*d3 < 4*tot3), and docs flagged for a dominant word
+    (share > 0.3, tested as 10*maxwc > 3*chars).
+
+    Engine shape: two explodes (words; shingles), each absorbed by
+    a (doc, token)-keyed hash aggregate with map-side partials,
+    then a doc-keyed rollup and an O(langs) final aggregate — no
+    joins wider than doc-keyed, no windows, nothing pair-shaped.
+    At 100 TB this is the canonical pre-training hygiene scan: one
+    pass, one shuffle per explode, output bounded by the language
+    inventory. Docs with no trigrams (under 3 words) count zero
+    repetition by the COALESCE rule on both engines.
+
+    Reference parity: none (wc counts words only, mrapps/wc.go:14);
+    north-star §2D corpus-hygiene depth.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", tokens().alias("w"))
+    base = docs.select("doc_id", "lang")
+    words = docs.select("doc_id", F.explode("w").alias("word"))
+    wc = (words.groupBy("doc_id", "word")
+          .agg(F.count(F.lit(1)).alias("c"))
+          .withColumn("cl", F.col("c") * F.length("word")))
+    perdoc_w = (wc.groupBy("doc_id")
+                .agg(F.sum("cl").alias("chars"),
+                     F.max("cl").alias("maxwc")))
+    tri = (docs.where(F.size("w") >= 3)
+           .select("doc_id", F.explode(shingles(F.col("w"))).alias("g")))
+    perdoc_t = (tri.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("tot3"),
+                     F.count_distinct("g").alias("d3")))
+    pd = (base
+          .join(perdoc_w, "doc_id", "left")
+          .join(perdoc_t, "doc_id", "left")
+          .select("lang",
+                  F.coalesce("chars", F.lit(0)).alias("chars"),
+                  F.coalesce("maxwc", F.lit(0)).alias("maxwc"),
+                  F.coalesce("tot3", F.lit(0)).alias("tot3"),
+                  F.coalesce("d3", F.lit(0)).alias("d3")))
+    return (pd.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.lit(1.0) - F.try_divide(
+                     F.sum("d3").cast("double"),
+                     F.nullif(F.sum("tot3"), F.lit(0))), 6)
+                 .alias("dup3_frac"),
+                 F.sum(F.when(5 * F.col("d3") < 4 * F.col("tot3"), 1)
+                       .otherwise(0)).alias("n_rep_flagged"),
+                 F.sum(F.when(10 * F.col("maxwc") > 3 * F.col("chars"), 1)
+                       .otherwise(0)).alias("n_topword_flagged")))

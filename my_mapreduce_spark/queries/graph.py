@@ -447,3 +447,98 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for df in pinned:
             df.unpersist()
+
+
+_LPA_ITERS = 3
+_LPA_TOP = 20
+
+
+def _lpa_oracle() -> str:
+    it = """,
+    c{i} AS (
+        SELECT e.dst AS node, l.label, COUNT(*) AS c
+        FROM edges e JOIN l{p} l ON l.node = e.src
+        GROUP BY 1, 2),
+    l{i} AS (
+        SELECT node, label FROM c{i}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY node ORDER BY c DESC, label) = 1)"""
+    iters = "".join(it.format(i=i, p=i - 1)
+                    for i in range(1, _LPA_ITERS + 1))
+    return f"""
+    WITH el AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT src, dst FROM el
+              UNION ALL SELECT dst AS src, src AS dst FROM el),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges){iters},
+    sz AS (SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size
+           FROM l{_LPA_ITERS} GROUP BY 1)
+    SELECT community, size,
+           ROW_NUMBER() OVER (ORDER BY size DESC, community) AS rnk
+    FROM sz
+    QUALIFY rnk <= {_LPA_TOP}
+    """
+
+
+@register(
+    "q_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "community", "iterative"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (3
+    rounds) over the bidirected customer<->supplier trade graph:
+    every node starts labeled with its own id; each round it adopts
+    its neighbors' PLURALITY label (ties broken by highest count
+    then lexicographically smallest label — the rule that makes
+    synchronous LPA fully deterministic, which stock
+    random-order LPA is not). Top-20 communities by final size.
+
+    Distinct from the CC family (queries/dedup.py): min-label
+    propagation converges to connected components; plurality voting
+    finds DENSE groups inside one component — the
+    customer-supplier bipartite clusters that share most of their
+    trade volume.
+
+    Engine shape per round: one equi-join of the O(nodes) label
+    relation onto the src-partitioned edge list, one (node, label)
+    hash aggregate, one node-partitioned window for the argmax —
+    all keyed shuffles of node-sized relations; the edge list is
+    partitioned+persisted ONCE (caller releases,
+    caching.release_caches). Iteration count is fixed, so at 100 TB
+    total cost is 3 label-vector shuffles, the pagerank posture.
+    The unrolled-CTE oracle reproduces every round bit-for-bit
+    (counts and string comparisons only — no float seam anywhere).
+
+    Reference parity: none; north-star §2D graph depth
+    (mr/worker.go:39's fixed map/reduce alternation is the closest
+    native analogue of a fixed iteration schedule).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    el = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .distinct())
+    edges = (el.unionAll(el.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+             .repartition(F.col("src")).persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    w_vote = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+    for _ in range(_LPA_ITERS):
+        votes = (edges.join(labels, edges.src == labels.node)
+                 .groupBy(F.col("dst").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        labels = (votes
+                  .withColumn("rn", F.row_number().over(w_vote))
+                  .where(F.col("rn") == 1)
+                  .select("node", "label"))
+    sz = (labels.groupBy(F.col("label").alias("community"))
+          .agg(F.count(F.lit(1)).alias("size")))
+    w_rank = Window.orderBy(F.col("size").desc(), "community")
+    return (sz.orderBy(F.col("size").desc(), "community").limit(_LPA_TOP)
+            .withColumn("rnk", F.row_number().over(w_rank).cast("bigint")))

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from my_mapreduce_spark.functions.text import tokens
 from my_mapreduce_spark.io import load_table
 from my_mapreduce_spark.registry import register
 
@@ -653,3 +654,88 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.count(F.lit(1)), 6).alias("fertility"),
                  F.round(F.sum("nch").cast("double")
                          / F.sum("ntok"), 6).alias("chars_per_token")))
+
+
+_GAP_TOP = 15
+
+
+@register(
+    "q_posting_gap_bits",
+    oracle=f"""
+    WITH p AS (
+        SELECT DISTINCT token, doc_id FROM (
+            SELECT doc_id, UNNEST(list_filter(
+                regexp_split_to_array(text, '[^a-z0-9]+'),
+                x -> x <> '')) AS token
+            FROM documents)),
+    g AS (
+        SELECT token, doc_id,
+               COALESCE(doc_id - LAG(doc_id) OVER (
+                   PARTITION BY token ORDER BY doc_id),
+                   doc_id + 1) AS gap
+        FROM p),
+    per AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(length(bin(gap))) AS BIGINT) AS delta_bits,
+               CAST(64 * COUNT(*) AS BIGINT) AS fixed_bits
+        FROM g GROUP BY token)
+    SELECT token, df, delta_bits, fixed_bits,
+           fixed_bits - delta_bits AS bits_saved,
+           ROUND(1.0 - CAST(delta_bits AS DOUBLE) / fixed_bits, 6)
+               AS compression,
+           ROW_NUMBER() OVER (
+               ORDER BY fixed_bits - delta_bits DESC, token) AS rnk
+    FROM per
+    QUALIFY rnk <= {_GAP_TOP}
+    """,
+    tags=("indexing", "compression", "posting-list"),
+)
+def q_posting_gap_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list delta-gap compression accounting: for every
+    term's doc_id-sorted posting list, the d-gaps (first gap from a
+    -1 sentinel, so gap = doc_id + 1), the MINIMAL binary width of
+    each gap (``length(bin(gap))`` — identical on both engines, no
+    log2 float seam), and the per-term ledger against 64-bit fixed
+    encoding: delta bits, fixed bits, bits saved, compression
+    ratio. Top-15 terms by absolute bits saved — which is exactly
+    the stopword head, because dense posting lists have gap ~1 and
+    compress ~64x: the quantitative argument for why every real
+    inverted index (and the positional index in this repo's
+    production story) delta-encodes.
+
+    Engine shape: explode -> distinct (token, doc_id) postings ->
+    ONE token-partitioned LAG window (the shuffle the index build
+    already pays — postings arrive grouped by term) -> token hash
+    aggregate -> TakeOrderedAndProject top-15. Gap arithmetic and
+    bit widths are exact integers end to end; the single float
+    division happens after aggregation. At 100 TB the cost is the
+    index-build shuffle and nothing else.
+
+    Reference parity: extends B2 indexer (mrapps/indexer.go:14-30
+    stores raw document lists, no encoding); north-star §2D
+    indexing depth.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = (docs.select("doc_id", F.explode(tokens()).alias("token"))
+         .distinct())
+    w = Window.partitionBy("token").orderBy("doc_id")
+    g = p.select(
+        "token",
+        F.coalesce(F.col("doc_id") - F.lag("doc_id").over(w),
+                   F.col("doc_id") + 1).alias("gap"))
+    per = (g.groupBy("token")
+           .agg(F.count(F.lit(1)).alias("df"),
+                F.sum(F.length(F.bin("gap"))).alias("delta_bits"))
+           .withColumn("fixed_bits", 64 * F.col("df"))
+           .withColumn("bits_saved",
+                       F.col("fixed_bits") - F.col("delta_bits"))
+           .withColumn("compression",
+                       F.round(F.lit(1.0)
+                               - F.col("delta_bits").cast("double")
+                               / F.col("fixed_bits"), 6)))
+    w_rank = Window.orderBy(F.col("bits_saved").desc(), "token")
+    return (per.select("token", "df", "delta_bits", "fixed_bits",
+                       "bits_saved", "compression")
+            .orderBy(F.col("bits_saved").desc(), "token").limit(_GAP_TOP)
+            .withColumn("rnk", F.row_number().over(w_rank).cast("bigint")))

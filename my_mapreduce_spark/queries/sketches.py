@@ -188,3 +188,135 @@ def q_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_days")))
     return (counts.join(F.broadcast(days), "event_type")
             .select("event_type", "n_days", "exact_users"))
+
+
+_BLOOM_M = 131072          # bits (2^17) — sized so sf0.1's ~10k keys
+_BLOOM_K = 3               # hash functions (md5-salted, cross-engine)
+
+
+@register(
+    "q_bloom_filter_fpr",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    kpos AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(j || '|' || key), 1, 8))
+                    AS BIGINT) % {_BLOOM_M} AS pos
+        FROM keys CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS j)),
+    nbits AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM kpos),
+    probes AS (SELECT c_custkey AS key FROM customer
+               UNION ALL
+               SELECT c_custkey + 10000000000 FROM customer),
+    ppos AS (
+        SELECT key, j,
+               CAST(('0x' || substr(md5(j || '|' || key), 1, 8))
+                    AS BIGINT) % {_BLOOM_M} AS pos
+        FROM probes CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS j)),
+    hits AS (
+        SELECT p.key, COUNT(*) AS n_hit
+        FROM ppos p JOIN kpos b ON p.pos = b.pos
+        GROUP BY p.key),
+    verdicts AS (
+        SELECT pr.key,
+               COALESCE(h.n_hit, 0) = {_BLOOM_K} AS bloom_pass,
+               k.key IS NOT NULL AS actual
+        FROM probes pr
+        LEFT JOIN hits h ON h.key = pr.key
+        LEFT JOIN keys k ON k.key = pr.key),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keys,
+               CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_bloom_pass,
+               CAST(SUM(CASE WHEN bloom_pass AND NOT actual
+                    THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+               CAST(SUM(CASE WHEN NOT actual THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_negatives
+        FROM verdicts)
+    SELECT n_probes, n_keys, bits_set, n_bloom_pass, false_pos,
+           n_negatives,
+           ROUND(CAST(false_pos AS DOUBLE) / NULLIF(n_negatives, 0), 6)
+               AS fpr_measured,
+           ROUND(CAST(bits_set * bits_set * bits_set AS DOUBLE)
+                 / ({_BLOOM_M}::BIGINT * {_BLOOM_M} * {_BLOOM_M}), 6)
+               AS fpr_uniform
+    FROM agg CROSS JOIN nbits
+    """,
+    tags=("sketch", "bloom", "join-pruning"),
+)
+def q_bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a REAL Bloom filter (m=131072 bits, k=3 md5-salted
+    hashes) over the distinct buyer keys in orders, probe it with
+    every customer key, and measure it: bits set, pass count,
+    false positives against the exact anti-join truth, measured FPR
+    on the true negatives, and the uniform-fill FPR estimate
+    (fill_fraction^k, computed as an exact integer cube over m^3 —
+    no transcendental seam). The probe set is every customer key
+    PLUS every key shifted by 10^10 — the shifted half is
+    guaranteed absent (this fixture gives every customer at least
+    one order), so the negative path is genuinely exercised and
+    every bloom pass there is a measured false positive.
+
+    This is the runtime-filter idiom measured end-to-end: at 100 TB
+    the filter's bit-position set (<= m rows, m fixed) is
+    BROADCAST to prune a huge probe-side scan before the real join
+    — the declarative cousin of Spark's own runtime bloom pruning
+    (which q_runtime_bloom's test asserts at plan level); here the
+    filter is explicit data, so its precision is auditable. Both
+    relations shuffle only key-sized rows; the only pair-shaped
+    work is probe-position x set-position equi-join, bounded by
+    k * probes.
+
+    The md5 hash family makes every bit position identical on both
+    engines, so the whole pipeline — including the measured FPR —
+    is oracle-exact, the same trick q_countmin_tokens plays with
+    its cell family.
+
+    Reference parity: none; north-star §2D sketch depth.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+    pos = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.col("j"), F.col("key"))), 1, 8), 16, 10)
+        .cast("bigint") % _BLOOM_M).alias("pos")
+    keys = orders.select(F.col("o_custkey").alias("key")).distinct()
+    kpos = keys.select("key", js).select(pos).distinct()
+    nbits = kpos.agg(F.count(F.lit(1)).alias("bits_set"))
+    probes = (cust.select(F.col("c_custkey").alias("key"))
+              .unionAll(cust.select(
+                  (F.col("c_custkey") + F.lit(10_000_000_000))
+                  .alias("key"))))
+    ppos = probes.select("key", js).select("key", pos)
+    hits = (ppos.join(F.broadcast(kpos), "pos")
+            .groupBy("key").agg(F.count(F.lit(1)).alias("n_hit")))
+    verdicts = (probes
+                .join(hits, "key", "left")
+                .join(keys.withColumn("actual", F.lit(True)),
+                      "key", "left")
+                .select(
+                    (F.coalesce(F.col("n_hit"), F.lit(0)) == _BLOOM_K)
+                    .alias("bloom_pass"),
+                    F.coalesce(F.col("actual"), F.lit(False))
+                    .alias("actual")))
+    agg = verdicts.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0)).alias("n_keys"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("actual"), 1)
+              .otherwise(0)).alias("false_pos"),
+        F.sum(F.when(~F.col("actual"), 1).otherwise(0))
+        .alias("n_negatives"))
+    m3 = float(_BLOOM_M) ** 3
+    return (agg.crossJoin(F.broadcast(nbits))
+            .select("n_probes", "n_keys", "bits_set", "n_bloom_pass",
+                    "false_pos", "n_negatives",
+                    F.round(F.try_divide(
+                        F.col("false_pos").cast("double"),
+                        F.col("n_negatives")), 6)
+                    .alias("fpr_measured"),
+                    F.round((F.col("bits_set") * F.col("bits_set")
+                             * F.col("bits_set")).cast("double")
+                            / F.lit(m3), 6).alias("fpr_uniform")))

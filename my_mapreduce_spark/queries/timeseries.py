@@ -631,3 +631,76 @@ def q_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("value", 4).alias("last_value"),
                     F.expr(f"round(({num_sql}) / ({den_sql}), 6)")
                     .alias("ewma")))
+
+
+_CUSUM_TOP = 5
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH hx AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS t
+            FROM hx),
+    c AS (
+        SELECT h, x,
+               ROW_NUMBER() OVER (ORDER BY h) AS i,
+               CAST(SUM(x) OVER (ORDER BY h
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+        FROM hx),
+    d AS (
+        SELECT strftime(h, '%Y-%m-%d %H:%M') AS hour, x AS n_events,
+               CAST(abs(tot.n * s - i * tot.t) AS BIGINT) AS cusum_stat
+        FROM c CROSS JOIN tot)
+    SELECT hour, n_events, cusum_stat,
+           ROW_NUMBER() OVER (ORDER BY cusum_stat DESC, hour) AS rnk
+    FROM d QUALIFY rnk <= {_CUSUM_TOP}
+    """,
+    tags=("timeseries", "changepoint", "cusum", "anomaly"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the hourly event-rate series: for
+    each hour i of n, the statistic |n*S_i - i*S_n| — the
+    cumulative deviation between observed volume and a perfectly
+    uniform rate, scaled by n so it stays EXACT bigint arithmetic
+    (the float form |S_i - (i/n)S_n| times n) — and the top-5 hours
+    by that statistic, which bracket where the rate most plausibly
+    shifted. This is the classic offline CUSUM/changepoint screen a
+    pipeline runs over ingest volume before trusting a day's data.
+
+    Engine shape: one hash aggregate to the O(hours) series, one
+    1-row scalar broadcast (n, total) crossed back, one cumulative
+    window over the hour ordering — GLOBAL by construction but over
+    a calendar-bounded relation (720 rows per month of data;
+    documented in tools/explain_audit.py's whitelist), then
+    TakeOrderedAndProject for the top-5. Nothing row-scale crosses
+    a window; every float seam is designed out by the integer
+    scaling. Hours are emitted as formatted strings on both engines
+    (the date-serialization contract).
+
+    Reference parity: none; north-star §2D timeseries/anomaly
+    depth.
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    hx = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+          .agg(F.count(F.lit(1)).alias("x")))
+    tot = hx.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("t"))
+    w_cum = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    w_i = Window.orderBy("h")
+    c = hx.select(
+        "h", "x",
+        F.row_number().over(w_i).alias("i"),
+        F.sum("x").over(w_cum).alias("s"))
+    d = (c.crossJoin(F.broadcast(tot))
+         .select(F.date_format("h", "yyyy-MM-dd HH:mm").alias("hour"),
+                 F.col("x").alias("n_events"),
+                 F.abs(F.col("n") * F.col("s") - F.col("i") * F.col("t"))
+                 .alias("cusum_stat")))
+    w_rank = Window.orderBy(F.col("cusum_stat").desc(), "hour")
+    return (d.orderBy(F.col("cusum_stat").desc(), "hour")
+            .limit(_CUSUM_TOP)
+            .withColumn("rnk", F.row_number().over(w_rank).cast("bigint")))

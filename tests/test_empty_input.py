@@ -29,6 +29,10 @@ SPREAD = [
     "q_bpe_encode", "q_hits_hub_authority", "q_kcore_peel",
     "q_tokenizer_fertility", "q_mixture_temperature",
     "q_dedup_prefix_filter",
+    # second round-4 batch: driver-scalar seams (zonemap bounds,
+    # bloom division) and iterative/window shapes on zero rows
+    "q_zonemap_skipping", "q_bloom_filter_fpr", "q_label_propagation",
+    "q_cusum_changepoint", "q_doc_repetition", "q_posting_gap_bits",
 ]
 
 
@@ -50,6 +54,6 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
     assert df.count() == 0 or name in (
         # global summaries legitimately emit one all-zero/NULL row
         # (or, for the k-core trajectory, one zero row per round)
-        "q_dedup_exact", "q_kcore_peel")
+        "q_dedup_exact", "q_kcore_peel", "q_bloom_filter_fpr")
     assert df.schema.fields, "schema must survive the empty path"
     spark.catalog.clearCache()

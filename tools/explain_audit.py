@@ -57,6 +57,12 @@ _ALLOW_NESTED_LOOP = {
                                  # 1-row power-sum normalizer)), same
                                  # scalar-subquery shape over O(sources)
                                  # rows
+    "q_bloom_filter_fpr",        # crossJoin(broadcast(1-row bits_set
+                                 # count)) onto the 1-row verdict
+                                 # aggregate, same scalar-subquery shape
+    "q_cusum_changepoint",       # crossJoin(broadcast(1-row (n, total)))
+                                 # onto the O(hours) series, same
+                                 # scalar-subquery shape
     "q_heavy_hitters",           # crossJoin(broadcast(1-row token total)),
                                  # same scalar-subquery shape
     "q_bm25_search",             # crossJoin(broadcast(1-row N/avgdl
@@ -170,6 +176,9 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_ngram_novelty_curve": "cumulative sum over ingest-bucket rows "
                              "(corpus size / bucket width — curve "
                              "resolution, orders below doc count)",
+    "q_cusum_changepoint": "cumulative sum over the hourly series — "
+                           "calendar-bounded (720 rows/month), orders "
+                           "below event count (docstring)",
 }
 
 _WIDE = 8  # a scan reading >= this many columns must be pruning something
