@@ -739,3 +739,97 @@ def q_posting_gap_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "bits_saved", "compression")
             .orderBy(F.col("bits_saved").desc(), "token").limit(_GAP_TOP)
             .withColumn("rnk", F.row_number().over(w_rank).cast("bigint")))
+
+
+# md5-derived 60-bit integer of a doc id — the per-posting unit of
+# the XOR checksum (15 hex chars => always positive in a BIGINT).
+_CK_SQL = ("CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) "
+           "AS BIGINT)")
+
+
+@register(
+    "q_index_delta_merge",
+    oracle=f"""
+    WITH p AS (
+        SELECT DISTINCT token, doc_id FROM (
+            SELECT doc_id, UNNEST(list_filter(
+                regexp_split_to_array(text, '[^a-z0-9]+'),
+                x -> x <> '')) AS token
+            FROM documents)),
+    base AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df_base
+        FROM p WHERE doc_id % 10 < 8 GROUP BY token),
+    delta AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df_delta
+        FROM p WHERE doc_id % 10 >= 8 GROUP BY token),
+    full_ AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+               bit_xor({_CK_SQL}) AS postings_ck
+        FROM p GROUP BY token)
+    SELECT f.token,
+           COALESCE(b.df_base, 0) AS df_base,
+           COALESCE(d.df_delta, 0) AS df_delta,
+           f.df, f.postings_ck
+    FROM full_ f
+    LEFT JOIN base b ON b.token = f.token
+    LEFT JOIN delta d ON d.token = f.token
+    """,
+    tags=("indexing", "incremental", "ivm"),
+)
+def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance, checked against a
+    full rebuild: the corpus is split into a BASE segment (doc_id
+    mod 10 < 8) and a DELTA of newly arrived docs (mod >= 8); each
+    side builds per-term mergeable partials — document frequency
+    plus an order-insensitive XOR checksum of md5-hashed posting
+    ids — and the merged index is the full-outer join of the two
+    partial relations with df added and checksums XORed (identity
+    0). The ORACLE is the from-scratch rebuild over the whole
+    corpus: value-identical df and checksum per term proves the
+    merge lossless without ever materializing a posting list as a
+    row value.
+
+    This is the incremental-view-maintenance shape that actually
+    scales: when the delta arrives, ONLY delta documents are
+    scanned and only terms present in the delta do any work — the
+    base partials are carried over untouched, which is the entire
+    point at 100 TB where re-signing the historical corpus per
+    ingest batch is the cost being designed away
+    (q_dedup_incremental plays the same game for signatures; this
+    is the index-side twin). XOR is commutative/associative with
+    no overflow, so checksum partials merge in any order and any
+    grouping — segment, shard, or executor — and a production
+    segmented index would keep exactly these two numbers per term
+    as its integrity state.
+
+    Engine shape: one explode -> distinct postings relation, two
+    disjoint-filter aggregates (one scan each; partition-prunable
+    on a real lake where base/delta are separate files), one
+    token-keyed full-outer join of O(vocab) rows. Reference
+    parity: extends B2 indexer (mrapps/indexer.go:14-30 rebuilds
+    from scratch every run — precisely what this avoids).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    p = (docs.select("doc_id", F.explode(tokens()).alias("token"))
+         .distinct())
+    ck = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                             1, 15), 16, 10).cast("bigint"))
+    parts = (p.withColumn("is_delta", (F.col("doc_id") % 10 >= 8))
+             .groupBy("token", "is_delta")
+             .agg(F.count(F.lit(1)).alias("df"),
+                  F.bit_xor(ck).alias("ck")))
+    base = (parts.where(~F.col("is_delta"))
+            .select("token", F.col("df").alias("df_base"),
+                    F.col("ck").alias("ck_base")))
+    delta = (parts.where(F.col("is_delta"))
+             .select("token", F.col("df").alias("df_delta"),
+                     F.col("ck").alias("ck_delta")))
+    return (base.join(delta, "token", "full")
+            .select("token",
+                    F.coalesce("df_base", F.lit(0)).alias("df_base"),
+                    F.coalesce("df_delta", F.lit(0)).alias("df_delta"),
+                    (F.coalesce("df_base", F.lit(0))
+                     + F.coalesce("df_delta", F.lit(0))).alias("df"),
+                    (F.coalesce("ck_base", F.lit(0))
+                     .bitwiseXOR(F.coalesce("ck_delta", F.lit(0))))
+                    .alias("postings_ck")))

@@ -704,3 +704,94 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.orderBy(F.col("cusum_stat").desc(), "hour")
             .limit(_CUSUM_TOP)
             .withColumn("rnk", F.row_number().over(w_rank).cast("bigint")))
+
+
+@register(
+    "q_groupwise_ols",
+    oracle="""
+    WITH b AS (SELECT MIN(epoch_us(ts) // 3600000000) AS h0 FROM events),
+    p AS (
+        SELECT event_type,
+               (epoch_us(ts) // 3600000000) - h0 AS x,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events CROSS JOIN b),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM p GROUP BY event_type),
+    fit AS (
+        SELECT event_type, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx) AS slope_c,
+               sx, sy, sxx, sxy, syy
+        FROM m WHERE n * sxx - sx * sx <> 0)
+    SELECT event_type, n,
+           ROUND(slope_c / 100, 6) AS slope_per_hour,
+           ROUND((sy - slope_c * sx) / n / 100, 6) AS intercept,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM fit
+    """,
+    tags=("timeseries", "regression", "stats"),
+)
+def q_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ordinary least squares of value against time
+    (hours since the corpus start): slope, intercept, and R² —
+    the grouped trend fit every metrics pipeline runs, computed so
+    it is ORACLE-EXACT despite being a floating-point regression:
+    x is integer hours, y is integer cents (value has 2-decimal
+    ticks; ROUND(value*100) reconstructs them exactly on both
+    engines), so all five moment sums are exact bigints, and the
+    only float work is the final closed-form divisions — identical
+    IEEE expressions on identical integers, no accumulation-order
+    seam anywhere (the reason this does NOT use the built-in
+    regr_slope/regr_intercept aggregates, whose double partial
+    sums are merge-order-dependent).
+
+    Engine shape: one scalar min (driver literal is avoided — the
+    1-row bound broadcasts via cross join, the whitelisted
+    scalar-subquery shape), one map-side-combined 6-moment hash
+    aggregate to O(event_types) rows, then per-row arithmetic.
+    This is the canonical "aggregate-of-products" trick: at 100 TB
+    a grouped regression costs exactly one pass and one tiny
+    shuffle, like any sum. Degenerate groups (all events in one
+    hour: zero x-variance) are excluded on both engines.
+
+    Reference parity: none; north-star §2D analytics depth.
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type",
+                                                    "value")
+    hours = F.expr("unix_micros(ts) DIV 3600000000")
+    b = ev.agg(F.min(hours).alias("h0"))
+    p = (ev.crossJoin(F.broadcast(b))
+         .select("event_type",
+                 (hours - F.col("h0")).alias("x"),
+                 F.round(F.col("value") * 100).cast("bigint").alias("y")))
+    m = (p.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = (m.where(den != 0)
+           .withColumn("slope_c", num.cast("double") / den))
+    return fit.select(
+        "event_type", "n",
+        F.round(F.col("slope_c") / 100, 6).alias("slope_per_hour"),
+        F.round((F.col("sy") - F.col("slope_c") * F.col("sx"))
+                / F.col("n") / 100, 6).alias("intercept"),
+        F.round(num.cast("double") * num.cast("double")
+                / (den.cast("double")
+                   * (F.col("n") * F.col("syy")
+                      - F.col("sy") * F.col("sy")).cast("double")), 6)
+        .alias("r2"))

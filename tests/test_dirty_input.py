@@ -30,7 +30,7 @@ SPREAD = [
     "q_quality_filter_rules", "q_pack_sequences", "q_bm25_search",
     "q_bpe_encode", "q_wilson_ctr", "q_tokenizer_fertility",
     "q_mixture_temperature", "q_dedup_prefix_filter",
-    "q_doc_repetition", "q_posting_gap_bits",
+    "q_doc_repetition", "q_posting_gap_bits", "q_index_delta_merge",
 ]
 
 

@@ -33,6 +33,7 @@ SPREAD = [
     # bloom division) and iterative/window shapes on zero rows
     "q_zonemap_skipping", "q_bloom_filter_fpr", "q_label_propagation",
     "q_cusum_changepoint", "q_doc_repetition", "q_posting_gap_bits",
+    "q_groupwise_ols", "q_index_delta_merge",
 ]
 
 

@@ -63,6 +63,8 @@ _ALLOW_NESTED_LOOP = {
     "q_cusum_changepoint",       # crossJoin(broadcast(1-row (n, total)))
                                  # onto the O(hours) series, same
                                  # scalar-subquery shape
+    "q_groupwise_ols",           # crossJoin(broadcast(1-row min-hour
+                                 # origin)), same scalar-subquery shape
     "q_heavy_hitters",           # crossJoin(broadcast(1-row token total)),
                                  # same scalar-subquery shape
     "q_bm25_search",             # crossJoin(broadcast(1-row N/avgdl
