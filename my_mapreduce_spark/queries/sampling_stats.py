@@ -515,3 +515,111 @@ def q_recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ("lineitem", "orders"))
     return spark.sql(_RECURSIVE_SQL)
+
+
+# Key-consistent sampling predicate: first hex digit of md5(key) in
+# 0-3 => a deterministic, engine-portable 25% universe sample.
+_HS_DIGITS = "('0', '1', '2', '3')"
+
+
+def _hs_sql(key: str) -> str:
+    return (f"substr(md5(CAST({key} AS VARCHAR)), 1, 1) "
+            f"IN {_HS_DIGITS}")
+
+
+@register(
+    "q_hash_sample_join",
+    oracle=f"""
+    WITH f AS (
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_full
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1),
+    ks AS (
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_key
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE {_hs_sql('c.c_custkey')}
+        GROUP BY 1),
+    rs AS (
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_row
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE {_hs_sql('c.c_custkey')} AND {_hs_sql('o.o_orderkey')}
+        GROUP BY 1)
+    SELECT n.n_name,
+           f.n_full,
+           COALESCE(ks.n_key, 0) AS n_key_sample,
+           COALESCE(ks.n_key, 0) * 4 AS est_key,
+           ROUND((COALESCE(ks.n_key, 0) * 4 - f.n_full)
+                 * 1.0 / f.n_full, 6) AS err_key,
+           COALESCE(rs.n_row, 0) AS n_row_sample,
+           COALESCE(rs.n_row, 0) * 4 AS est_row,
+           ROUND((COALESCE(rs.n_row, 0) * 4 - f.n_full)
+                 * 1.0 / f.n_full, 6) AS err_row
+    FROM f
+    JOIN nation n ON n.n_nationkey = f.c_nationkey
+    LEFT JOIN ks ON ks.c_nationkey = f.c_nationkey
+    LEFT JOIN rs ON rs.c_nationkey = f.c_nationkey
+    """,
+    tags=("sampling", "join", "approximate", "universe-sample"),
+)
+def q_hash_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-consistent (universe) sampling across TABLES, measured:
+    sample customers AND orders with the SAME deterministic 25%
+    predicate on the join key (first md5 hex digit of custkey in
+    0-3), join the samples, and scale counts by 4 — versus the
+    broken "sample each table independently on its own key"
+    estimator, which keeps only ~25% x 25% of join pairs and
+    under-estimates by ~75%. Per nation: full join count, both
+    sample counts, both scaled estimates, both relative errors —
+    the key-sample error hovers near zero, the row-sample error
+    near -0.75, which is the entire lesson of universe sampling
+    (sample the KEY's hash universe, and the join of samples IS
+    the sample of the join, because a sampled customer brings all
+    its orders deterministically).
+
+    At 100 TB this is how you debug a petabyte join on a laptop
+    budget: both sides prune to the same key universe AT THE SCAN
+    (the predicate pushes down; no coordination, no join needed to
+    sample), and every engine/run/cluster-size reproduces the same
+    sample — the reproducibility q_sample_stratified establishes
+    for rows, lifted to multi-table consistency.
+
+    All counts are exact integers; the relative errors are single
+    divisions of exact integers — no float seam. Engine shape:
+    three filtered variants of the same broadcast-dim join, each a
+    map-side-combined count to O(nations) rows.
+
+    Reference parity: none; north-star §2D sampling depth.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+
+    def smp(col):
+        return F.substring(F.md5(col.cast("string")), 1, 1).isin(
+            "0", "1", "2", "3")
+
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    f = j.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_full"))
+    ks = (j.where(smp(F.col("c_custkey")))
+          .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_key")))
+    rs = (j.where(smp(F.col("c_custkey")) & smp(F.col("o_orderkey")))
+          .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_row")))
+    out = (f.join(ks, "c_nationkey", "left")
+           .join(rs, "c_nationkey", "left")
+           .join(F.broadcast(nation),
+                 F.col("c_nationkey") == F.col("n_nationkey")))
+    n_key = F.coalesce("n_key", F.lit(0))
+    n_row = F.coalesce("n_row", F.lit(0))
+    return out.select(
+        "n_name", "n_full",
+        n_key.alias("n_key_sample"),
+        (n_key * 4).alias("est_key"),
+        F.round((n_key * 4 - F.col("n_full")).cast("double")
+                / F.col("n_full"), 6).alias("err_key"),
+        n_row.alias("n_row_sample"),
+        (n_row * 4).alias("est_row"),
+        F.round((n_row * 4 - F.col("n_full")).cast("double")
+                / F.col("n_full"), 6).alias("err_row"))

@@ -844,3 +844,105 @@ def q_streaming_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as q_streaming_dedup (the two APIs must agree on replayed
     input)."""
     return run_dedup_within_wm_stream(spark, sf_dir)
+
+
+def run_full_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join — the last cell of
+    the streaming join matrix (inner, left-outer, full-outer):
+    every click with its purchase(s) within the next
+    {_OUTER_WINDOW_MIN} minutes, PLUS a null-extended row for every
+    purchase no click preceded. Both outer sides emit on state
+    eviction, so BOTH streams are pre-filtered to rows the
+    watermark fully resolves before the source drains (the same
+    finite-source cutoff argument as run_left_outer_join_stream —
+    on an infinite stream no filter exists); the emitted relation
+    is then EXACTLY the batch full join and the oracle a
+    full-value check.
+
+    The cutoffs on the two sides are deliberately expressed over
+    DIFFERENT columns (``ts_us`` long vs the ``ts`` timestamp
+    itself, same instant): when both branches filter with the
+    IDENTICAL predicate, Catalyst hoists the common filter below
+    the shared EventTimeWatermark operator, the watermark then
+    never sees any event past the cutoff, final wm =
+    cutoff - delay, and the last watermark+window of kept rows can
+    NEVER evict — the join silently under-emits its outer rows
+    (observed: 16 rows short at sf0.01). Structurally distinct
+    predicates are not recognized as common, stay above the
+    watermark, and the wm advances on the full source like the
+    left-outer case (whose single-side filter was never pushable
+    to the shared node in the first place)."""
+    max_us = (load_table(spark, sf_dir, "events")
+              .agg(F.max(F.unix_micros("ts"))).collect()[0][0])
+    if max_us is None:  # empty source: typed empty result, not a crash
+        return spark.createDataFrame(
+            [], "user_id long, click_id long, purchase_id long, "
+                "lag_us long, matched int")
+    cutoff_us = (
+        max_us
+        - (_OUTER_WATERMARK_H * 3600 + _OUTER_WINDOW_MIN * 60) * 1_000_000
+        - _OUTER_MARGIN_US
+    )
+    ev = _event_stream(spark, sf_dir).withWatermark(
+        "ts", f"{_OUTER_WATERMARK_H} hours")
+    clicks = (ev.where((F.col("event_type") == "click")
+                       & (F.col("ts_us") < cutoff_us))
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("ts_us").alias("c_ts_us")))
+    purchases = (ev.where((F.col("event_type") == "purchase")
+                          & (F.col("ts") < F.timestamp_micros(
+                              F.lit(cutoff_us))))
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("ts_us").alias("p_ts_us")))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(
+            f"INTERVAL {_OUTER_WINDOW_MIN} MINUTES")),
+        "fullOuter")
+    out = joined.select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id", "purchase_id",
+        (F.col("p_ts_us") - F.col("c_ts_us")).alias("lag_us"),
+        (F.col("click_id").isNotNull()
+         & F.col("purchase_id").isNotNull()).cast("int").alias("matched"))
+    return _run_to_memory(spark, out, "fouter", "append")
+
+
+@register(
+    "q_streaming_full_outer_join",
+    oracle=f"""
+    WITH cutoff AS (
+        SELECT MAX(epoch_us(ts))
+               - {(_OUTER_WATERMARK_H * 3600 + _OUTER_WINDOW_MIN * 60)
+                  * 1_000_000 + _OUTER_MARGIN_US} AS us
+        FROM events),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'
+            AND epoch_us(ts) < (SELECT us FROM cutoff)),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_us(ts) < (SELECT us FROM cutoff))
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+           CAST(c.event_id IS NOT NULL AND p.event_id IS NOT NULL
+                AS INT) AS matched
+    FROM c FULL JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {_OUTER_WINDOW_MIN} MINUTE
+    """,
+    tags=("streaming", "join", "stream-stream", "outer", "events"),
+)
+def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER time-range join, gated by the exact
+    batch full join (see run_full_outer_join_stream for the
+    two-sided cutoff that makes the equality exact)."""
+    return run_full_outer_join_stream(spark, sf_dir)

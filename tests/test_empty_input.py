@@ -34,6 +34,7 @@ SPREAD = [
     "q_zonemap_skipping", "q_bloom_filter_fpr", "q_label_propagation",
     "q_cusum_changepoint", "q_doc_repetition", "q_posting_gap_bits",
     "q_groupwise_ols", "q_index_delta_merge",
+    "q_hash_sample_join", "q_streaming_full_outer_join",
 ]
 
 
