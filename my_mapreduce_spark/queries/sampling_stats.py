@@ -623,3 +623,107 @@ def q_hash_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_row * 4).alias("est_row"),
         F.round((n_row * 4 - F.col("n_full")).cast("double")
                 / F.col("n_full"), 6).alias("err_row"))
+
+
+_EM_BUCKETS = 1024
+
+
+@register(
+    "q_exact_median_twopass",
+    oracle="""
+    WITH r AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY ROUND(l_extendedprice * 100)) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY l_returnflag)
+                   AS BIGINT) AS n
+        FROM lineitem)
+    SELECT l_returnflag, n,
+           ROUND(cents / 100.0, 2) AS median
+    FROM r WHERE rk = (n - 1) // 2 + 1
+    """,
+    tags=("stats", "quantile", "exact", "two-pass"),
+)
+def q_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median (lower median, k = (n-1) DIV 2 + 1)
+    of l_extendedprice WITHOUT a global sort — the distributed
+    histogram-narrowing plan: pass 0 collects per-group (count,
+    min, max) (O(groups) driver rows); pass 1 buckets every row
+    into 1024 equal-width integer-cent bins per group and collects
+    the O(groups x 1024) histogram, from which the driver finds the
+    bin holding the k-th value and the residual rank k' inside it;
+    pass 2 re-scans ONLY rows in each group's target bin
+    (a pushed-down range filter) and picks the k'-th smallest with
+    a group-partitioned window over ~n/1024 rows per group.
+    Prices are exact integer cents (the q_groupwise_ols trick), so
+    bucket arithmetic and ranks have no float seam, and the k-th
+    VALUE is deterministic under ties regardless of row order.
+
+    The oracle computes the same k-th value the monolithic way (one
+    rank window). That contrast is the point: percentile_approx
+    trades exactness for one pass; a naive exact median sorts the
+    world into one task (what the audit's global-window gate
+    exists to catch); this plan is exact AND distributed — two
+    scans, one bounded histogram, a window over a 1/1024 sliver.
+    All-equal groups (min = max) short-circuit at pass 0. At 100 TB
+    the driver holds groups x 1024 longs and the window's partition
+    is n/1024 expected (pathological single-cent pileups would
+    recurse another level; documented, not needed at any tested
+    SF). Reference parity: none; north-star scale-first analytics.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("cents"))
+    stats = (li.groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("cents").alias("lo"),
+                  F.max("cents").alias("hi"))
+             .collect())  # O(groups) rows — bounded driver traffic
+    if not stats:  # empty table: typed empty result, not a crash
+        return spark.createDataFrame(
+            [], "l_returnflag string, n bigint, median double")
+    direct = [(s.l_returnflag, s.n, s.lo / 100.0)
+              for s in stats if s.lo == s.hi]
+    search = [s for s in stats if s.lo != s.hi]
+    out_direct = spark.createDataFrame(
+        direct, "l_returnflag string, n bigint, median double") \
+        if direct else None
+    if not search:
+        return out_direct
+    meta = spark.createDataFrame(
+        [(s.l_returnflag, s.lo, s.hi - s.lo + 1) for s in search],
+        "l_returnflag string, lo bigint, width bigint")
+    bucketed = (li.join(F.broadcast(meta), "l_returnflag")
+                .withColumn("bucket",
+                            ((F.col("cents") - F.col("lo"))
+                             * _EM_BUCKETS).cast("bigint")
+                            / F.col("width"))
+                .withColumn("bucket", F.col("bucket").cast("bigint")))
+    hist = (bucketed.groupBy("l_returnflag", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect())  # O(groups x 1024) rows — bounded by B
+    by_flag: dict = {}
+    for h in hist:
+        by_flag.setdefault(h.l_returnflag, []).append((h.bucket, h.c))
+    targets = []
+    for s in search:
+        k = (s.n - 1) // 2 + 1
+        cum = 0
+        for b, c in sorted(by_flag[s.l_returnflag]):
+            if cum + c >= k:
+                targets.append((s.l_returnflag, s.n, b, k - cum))
+                break
+            cum += c
+    tdf = spark.createDataFrame(
+        targets, "l_returnflag string, n bigint, tb bigint, kp bigint")
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    found = (bucketed.join(F.broadcast(tdf), "l_returnflag")
+             .where(F.col("bucket") == F.col("tb"))
+             .withColumn("r", F.row_number().over(w))
+             .where(F.col("r") == F.col("kp"))
+             .select("l_returnflag", "n",
+                     F.round(F.col("cents") / 100.0, 2).alias("median")))
+    return found.unionAll(out_direct) if out_direct is not None else found
