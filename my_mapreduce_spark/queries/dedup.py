@@ -1362,11 +1362,16 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _shingle_rows(spark, sf_dir).withColumnRenamed(
         "shingle", "token")
     sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    df_ = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # df and set size attach as WINDOW counts, not agg+join-back:
+    # one token-keyed shuffle then one doc-keyed shuffle total (the
+    # join form pays the token shuffle twice)
+    w_df = Window.partitionBy("token")
+    w_doc = Window.partitionBy("doc_id")
     w = Window.partitionBy("doc_id").orderBy("df", "token")
-    ranked = (toks.join(df_, "token")
-              .select("doc_id", "token", F.row_number().over(w).alias("rn"))
-              .join(sz, "doc_id")
+    ranked = (toks
+              .withColumn("df", F.count(F.lit(1)).over(w_df))
+              .withColumn("n", F.count(F.lit(1)).over(w_doc))
+              .withColumn("rn", F.row_number().over(w))
               .where(F.col("rn") <=
                      F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1)
               .select("doc_id", "token", "n"))
