@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.io import (_ensure_runtime_confs, load_table,
@@ -946,3 +946,140 @@ def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch full join (see run_full_outer_join_stream for the
     two-sided cutoff that makes the equality exact)."""
     return run_full_outer_join_stream(spark, sf_dir)
+
+
+def run_cdc_upsert_stream(spark: SparkSession, sf_dir: str):
+    """Maintain a per-user PROFILE table from an event stream by CDC
+    upsert — the foreachBatch-merge production pattern: each
+    micro-batch reduces to one row per user seen in the batch (its
+    latest event by (ts, event_id) plus a batch event count), and
+    the merge full-outer-joins that partial into the persisted
+    state, summing counts and keeping the lexicographically latest
+    (ts_us, event_id) version. The merge is associative and
+    commutative across batches (argmax + sum), so batch boundaries
+    (here: 4 hash-split files via maxFilesPerTrigger=1) cannot
+    change the final state — which is exactly what the batch oracle
+    asserts.
+
+    State is O(users) rows; each batch rewrites it with an
+    O(batch-users) partial. On a lake the rewrite is a keyed MERGE
+    INTO (Delta/Iceberg); the parquet overwrite here is the
+    sandbox stand-in, with the same merge relation driving either
+    sink. Returns (profile_summary_df, n_batches).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    _ensure_runtime_confs(spark)
+    work = tempfile.mkdtemp(prefix="mmr_cdc_stream_")
+    src = os.path.join(work, "src")
+    state = os.path.join(work, "state")
+    try:
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(4).write.mode("overwrite").parquet(src))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .option("maxFilesPerTrigger", 1).load(src))
+        from my_mapreduce_spark.io import normalize_event_ts
+        n_batches = []
+
+        def merge_batch(batch_df, epoch_id):
+            sess = batch_df.sparkSession
+            ev = normalize_event_ts(batch_df).select(
+                "user_id", "event_id", "event_type",
+                F.expr("ts_ns DIV 1000").alias("ts_us"))
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("ts_us").desc(), F.col("event_id").desc())
+            partial = (ev
+                       .withColumn("rn", F.row_number().over(w))
+                       .withColumn("n", F.count(F.lit(1)).over(
+                           Window.partitionBy("user_id")))
+                       .where(F.col("rn") == 1)
+                       .select("user_id",
+                               F.col("event_type").alias("last_type"),
+                               F.col("ts_us").alias("last_ts_us"),
+                               F.col("event_id").alias("last_eid"),
+                               F.col("n").alias("n_events")))
+            if glob.glob(os.path.join(state, "*.parquet")):
+                prev = sess.read.parquet(state)
+                b, p = partial.alias("b"), prev.alias("p")
+                newer = (
+                    F.col("p.user_id").isNull()
+                    | (F.col("b.last_ts_us") > F.col("p.last_ts_us"))
+                    | ((F.col("b.last_ts_us") == F.col("p.last_ts_us"))
+                       & (F.col("b.last_eid") > F.col("p.last_eid"))))
+                take_b = F.col("b.user_id").isNotNull() & newer
+                merged = (b.join(p, F.col("b.user_id")
+                                 == F.col("p.user_id"), "full")
+                          .select(
+                              F.coalesce("b.user_id", "p.user_id")
+                              .alias("user_id"),
+                              F.when(take_b, F.col("b.last_type"))
+                              .otherwise(F.col("p.last_type"))
+                              .alias("last_type"),
+                              F.when(take_b, F.col("b.last_ts_us"))
+                              .otherwise(F.col("p.last_ts_us"))
+                              .alias("last_ts_us"),
+                              F.when(take_b, F.col("b.last_eid"))
+                              .otherwise(F.col("p.last_eid"))
+                              .alias("last_eid"),
+                              (F.coalesce("b.n_events", F.lit(0))
+                               + F.coalesce("p.n_events", F.lit(0)))
+                              .alias("n_events")))
+            else:
+                merged = partial
+            pdf = merged.toPandas()
+            sess.createDataFrame(pdf, merged.schema) \
+                .write.mode("overwrite").parquet(state)
+            n_batches.append(epoch_id)
+
+        q = (stream.writeStream.foreachBatch(merge_batch)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        if not glob.glob(os.path.join(state, "*.parquet")):
+            return (spark.createDataFrame(
+                [], "last_type string, n_users bigint, n_events bigint, "
+                    "max_last_ts_us bigint"), 0)
+        out = (spark.read.parquet(state)
+               .groupBy("last_type")
+               .agg(F.count(F.lit(1)).alias("n_users"),
+                    F.sum("n_events").alias("n_events"),
+                    F.max("last_ts_us").alias("max_last_ts_us")))
+        # materialize before the temp state dir is removed
+        pdf = out.toPandas()
+        return (spark.createDataFrame(pdf, out.schema),
+                len(n_batches))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_streaming_cdc_upsert",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) AS ts_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+        FROM events)
+    SELECT event_type AS last_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(ts_us) AS BIGINT) AS max_last_ts_us
+    FROM r WHERE rn = 1
+    GROUP BY event_type
+    """,
+    tags=("streaming", "cdc", "upsert", "foreachBatch", "events"),
+)
+def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert stream into a per-user profile table, summarized
+    per latest event type and gated by the batch argmax oracle (see
+    run_cdc_upsert_stream: the merge is associative+commutative, so
+    the 4-batch streaming result must equal the one-shot batch
+    answer exactly)."""
+    out, _ = run_cdc_upsert_stream(spark, sf_dir)
+    return out
