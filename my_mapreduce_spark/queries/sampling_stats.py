@@ -727,3 +727,71 @@ def q_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("l_returnflag", "n",
                      F.round(F.col("cents") / 100.0, 2).alias("median")))
     return found.unionAll(out_direct) if out_direct is not None else found
+
+
+# log10(1 + 1/d) to 6dp, pinned as literals on BOTH engines so the
+# expected shares carry no transcendental cross-engine seam.
+_BENFORD = {1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910,
+            5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153,
+            9: 0.045757}
+
+
+@register(
+    "q_benford_screen",
+    oracle=f"""
+    WITH e(digit, expected) AS (VALUES
+        {", ".join(f"({d}, {p})" for d, p in _BENFORD.items())}),
+    x AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS
+                   BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+          FROM x GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.digit, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+           e.expected,
+           ROUND((c.n - t.total * e.expected)
+                 * (c.n - t.total * e.expected)
+                 / (t.total * e.expected), 6) AS chi2_term
+    FROM c JOIN e ON e.digit = c.digit CROSS JOIN t
+    """,
+    tags=("quality", "benford", "stats", "fraud"),
+)
+def q_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals — the classic
+    fabricated-data / broken-generator detector a DQ pipeline runs
+    on any monetary column: observed first-significant-digit counts
+    and shares against the Benford expectation log10(1 + 1/d), with
+    each digit's chi-square contribution (a large term on one digit
+    is the actionable signal; the total is their sum). Expected
+    shares are pinned 6dp LITERALS on both engines — the one
+    transcendental in the method never computes at query time, so
+    the whole screen is oracle-exact (digit extraction runs on
+    exact integer cents, counts are exact, and the chi-square
+    arithmetic is the same IEEE expression over identical inputs).
+
+    Engine shape: one scan -> 9-row hash aggregate -> broadcast of
+    the 9-row expectation table and the 1-row total (whitelisted
+    scalar-subquery shape). At 100 TB the cost is the scan,
+    full stop. Reference parity: none; north-star §2D data-quality
+    depth.
+    """
+    exp_df = spark.createDataFrame(
+        list(_BENFORD.items()), "digit bigint, expected double")
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    x = orders.select(
+        F.substring(F.round(F.col("o_totalprice") * 100).cast("bigint")
+                    .cast("string"), 1, 1).cast("bigint").alias("digit"))
+    c = x.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    dev = F.col("n") - F.col("total") * F.col("expected")
+    return (c.join(F.broadcast(exp_df), "digit")
+            .crossJoin(F.broadcast(t))
+            .select("digit", "n",
+                    F.round(F.col("n").cast("double")
+                            / F.col("total"), 6).alias("share"),
+                    "expected",
+                    F.round(dev * dev
+                            / (F.col("total") * F.col("expected")), 6)
+                    .alias("chi2_term")))

@@ -35,7 +35,7 @@ SPREAD = [
     "q_cusum_changepoint", "q_doc_repetition", "q_posting_gap_bits",
     "q_groupwise_ols", "q_index_delta_merge",
     "q_hash_sample_join", "q_streaming_full_outer_join",
-    "q_exact_median_twopass",
+    "q_exact_median_twopass", "q_benford_screen",
 ]
 
 

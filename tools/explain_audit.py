@@ -65,6 +65,9 @@ _ALLOW_NESTED_LOOP = {
                                  # scalar-subquery shape
     "q_groupwise_ols",           # crossJoin(broadcast(1-row min-hour
                                  # origin)), same scalar-subquery shape
+    "q_benford_screen",          # crossJoin(broadcast(1-row digit
+                                 # total)) onto the 9-row digit table,
+                                 # same scalar-subquery shape
     "q_heavy_hitters",           # crossJoin(broadcast(1-row token total)),
                                  # same scalar-subquery shape
     "q_bm25_search",             # crossJoin(broadcast(1-row N/avgdl
