@@ -1352,31 +1352,38 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate docs' shingle sets. Prefix length uses integer
     arithmetic ((3n + 4) DIV 5) — no float ceil seam.
 
-    Engine shape: shingle df agg -> doc-partitioned window rank ->
-    prefix equi-join with integer length filter ->
-    candidate-restricted intersection counts. Everything is keyed
-    shuffles; the only pair-shaped relation is collision-sized.
+    Engine shape: token-df agg (combiner-reduced — only DISTINCT
+    shingles shuffle, with partial counts) -> df join-back -> ONE
+    doc-keyed agg that builds each document's df-ordered token
+    array AND its prefix slice in the same pass (array_sort over
+    collected (df, token) structs — no window-sort machinery) ->
+    prefix-explode equi-join with the integer length filter ->
+    exact intersection per candidate pair via JVM
+    ``array_intersect`` on the two token arrays. The full shingle
+    relation shuffles exactly twice (df join, doc agg); after that
+    every relation is doc-count- or collision-sized, and the
+    intersection is a per-row hash-set op instead of a pair×shingle
+    explode-join-regroup. Token arrays travel only on candidate
+    pairs, which prefix filtering keeps rare-collision-bounded.
     Reference parity: extends q_dedup_ngram_jaccard (the declared
     brute-force verifier) with the production candidate generator.
     """
     toks = _shingle_rows(spark, sf_dir).withColumnRenamed(
         "shingle", "token")
-    sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # df and set size attach as WINDOW counts, not agg+join-back:
-    # one token-keyed shuffle then one doc-keyed shuffle total (the
-    # join form pays the token shuffle twice)
-    w_df = Window.partitionBy("token")
-    w_doc = Window.partitionBy("doc_id")
-    w = Window.partitionBy("doc_id").orderBy("df", "token")
-    ranked = (toks
-              .withColumn("df", F.count(F.lit(1)).over(w_df))
-              .withColumn("n", F.count(F.lit(1)).over(w_doc))
-              .withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") <=
-                     F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1)
-              .select("doc_id", "token", "n"))
-    cand = (ranked.alias("a")
-            .join(ranked.alias("b"),
+    dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    sets = (toks.join(dfc, "token")
+            .groupBy("doc_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("df", "token"))).alias("st"))
+            .withColumn("n", F.size("st"))
+            .withColumn("toks", F.col("st.token"))
+            .withColumn("prefix", F.slice(
+                "toks", 1,
+                F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1))
+            .select("doc_id", "n", "toks", "prefix"))
+    pref = sets.select("doc_id", "n", F.explode("prefix").alias("token"))
+    cand = (pref.alias("a")
+            .join(pref.alias("b"),
                   (F.col("a.token") == F.col("b.token"))
                   & (F.col("a.doc_id") < F.col("b.doc_id"))
                   & (5 * F.col("a.n") >= 3 * F.col("b.n"))
@@ -1384,21 +1391,14 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    cdocs = (cand.select(F.col("doc_a").alias("doc_id"))
-             .union(cand.select("doc_b")).distinct())
-    toks_c = toks.join(cdocs, "doc_id")
-    inter = (cand
-             .join(toks_c.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-             .join(toks_c.alias("y"),
-                   (F.col("doc_b") == F.col("y.doc_id"))
-                   & (F.col("x.token") == F.col("y.token")))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("n_common")))
-    j = (inter
-         .join(sz.select(F.col("doc_id").alias("doc_a"),
-                         F.col("n").alias("na")), "doc_a")
-         .join(sz.select(F.col("doc_id").alias("doc_b"),
-                         F.col("n").alias("nb")), "doc_b")
+    j = (cand
+         .join(sets.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n").alias("na"),
+                           F.col("toks").alias("ta")), "doc_a")
+         .join(sets.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb"),
+                           F.col("toks").alias("tb")), "doc_b")
+         .withColumn("n_common", F.size(F.array_intersect("ta", "tb")))
          .withColumn("jac", F.col("n_common").cast("double")
                      / (F.col("na") + F.col("nb") - F.col("n_common"))))
     return (j.where(F.col("jac") >= _PF_THRESHOLD)
