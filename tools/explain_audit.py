@@ -70,6 +70,10 @@ _ALLOW_NESTED_LOOP = {
                                  # same scalar-subquery shape
     "q_heavy_hitters",           # crossJoin(broadcast(1-row token total)),
                                  # same scalar-subquery shape
+    "q_kcore_peel",              # per-round crossJoin of TWO 1-row count
+                                 # aggregates (n_nodes x n_edges), fused
+                                 # into one lazy stats union — same
+                                 # scalar-subquery 1-row BNLJ shape
     "q_bm25_search",             # crossJoin(broadcast(1-row N/avgdl
                                  # stats)), same scalar-subquery shape
     "q_hybrid_retrieval",        # crossJoin(broadcast(1-row max-score +
