@@ -326,3 +326,76 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.p_name").alias("name_a"),
                     F.col("b.p_name").alias("name_b"),
                     dist.cast("bigint").alias("edit_dist")))
+
+
+_ED1_TOP = 500
+
+
+@register(
+    "q_editdist1_join",
+    oracle=f"""
+    WITH n AS (SELECT DISTINCT c_name FROM customer),
+    pairs AS (
+        SELECT a.c_name AS name_a, b.c_name AS name_b
+        FROM n a JOIN n b ON a.c_name < b.c_name
+        WHERE levenshtein(a.c_name, b.c_name) = 1)
+    SELECT name_a, name_b,
+           CASE WHEN length(name_a) = length(name_b)
+                THEN 'sub' ELSE 'indel' END AS kind
+    FROM pairs ORDER BY name_a, name_b LIMIT {_ED1_TOP}
+    """,
+    tags=("text", "fuzzy", "entity-resolution", "editdist"),
+)
+def q_editdist1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 self-join on customer names via the DELETION
+    NEIGHBORHOOD: each name emits itself plus every
+    single-character-deletion variant; two names are within edit
+    distance 1 iff their variant sets intersect (substitution:
+    deleting the differing position from both yields the same
+    string; insertion/deletion: the shorter name IS a variant of
+    the longer), so grouping by variant is a LOSSLESS candidate
+    generator — unlike q_fuzzy_name_match's blocking key, which is
+    a recall heuristic — and the final ``levenshtein = 1`` check
+    removes the false positives (variant collisions from different
+    delete positions). First 500 pairs in name order, classified
+    sub vs indel.
+
+    Scale shape: fan-out is length+1 variants per name (bounded by
+    the name-length cap; array_distinct stops repeated characters
+    double-emitting), then ONE variant-keyed shuffle groups
+    colliding names and the candidate pairs generate ARRAY-LOCALLY
+    inside each group (combination explode — groups are
+    names-agreeing-everywhere-but-one-position, collision-sized,
+    never all-pairs), so no self-join ever materializes; the
+    quadratic levenshtein runs only on candidates and the output
+    is TakeOrderedAndProject-bounded. This is the FastSS /
+    SymSpell single-error scheme as one keyed shuffle plus a
+    distinct. Reference parity: none; north-star §2D
+    entity-resolution depth.
+    """
+    names = (load_table(spark, sf_dir, "customer")
+             .select("c_name").distinct())
+    var = names.select(
+        "c_name",
+        F.explode(F.array_distinct(F.concat(
+            F.array(F.col("c_name")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("c_name")),
+                lambda i: F.concat(
+                    F.col("c_name").substr(F.lit(1), i - 1),
+                    F.col("c_name").substr(i + 1, F.length("c_name"))))))
+        ).alias("v"))
+    grp = (var.groupBy("v")
+           .agg(F.array_sort(F.collect_set("c_name")).alias("ns"))
+           .where(F.size("ns") >= 2))
+    cand = (grp.select(F.explode(F.expr("""
+        flatten(transform(ns, (x, i) ->
+          transform(slice(ns, i + 2, size(ns)), y ->
+            struct(x AS name_a, y AS name_b))))""")).alias("p"))
+            .select("p.*").distinct())
+    hits = cand.where(F.levenshtein("name_a", "name_b") == 1)
+    return (hits
+            .select("name_a", "name_b",
+                    F.when(F.length("name_a") == F.length("name_b"),
+                           "sub").otherwise("indel").alias("kind"))
+            .orderBy("name_a", "name_b").limit(_ED1_TOP))

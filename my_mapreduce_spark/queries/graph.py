@@ -558,3 +558,91 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.orderBy(F.col("size").desc(), "community")
     return (sz.orderBy(F.col("size").desc(), "community").limit(_LPA_TOP)
             .withColumn("rnk", F.row_number().over(w_rank).cast("bigint")))
+
+
+_LP_MAX_DEG = 40     # hub cap: customers linked to > 40 suppliers carry
+                     # ~no signal (1/deg tiny) but deg^2 pair fan-out
+_LP_TOP = 50
+_LP_SCALE = 1_000_000
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+    WITH cs AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    deg AS (SELECT cust, CAST(COUNT(*) AS BIGINT) AS d
+            FROM cs GROUP BY cust),
+    mid AS (SELECT cs.cust, cs.supp, deg.d FROM cs
+            JOIN deg ON cs.cust = deg.cust
+            WHERE deg.d BETWEEN 2 AND {_LP_MAX_DEG}),
+    pairs AS (
+        SELECT a.supp AS supp_a, b.supp AS supp_b,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM({_LP_SCALE} // a.d) AS BIGINT) AS ra_score_scaled
+        FROM mid a JOIN mid b
+          ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY 1, 2)
+    SELECT supp_a, supp_b, common_neighbors, ra_score_scaled,
+           ROW_NUMBER() OVER (ORDER BY ra_score_scaled DESC,
+                              supp_a, supp_b) AS rnk
+    FROM pairs
+    QUALIFY rnk <= {_LP_TOP}
+    """
+
+
+@register(
+    "q_linkpred_resource_alloc",
+    oracle=_linkpred_oracle(),
+    tags=("graph", "link-prediction", "bipartite"),
+)
+def q_linkpred_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the bipartite customer->supplier trade
+    graph: for every supplier pair sharing at least one customer,
+    the Resource-Allocation index (Zhou/Lu/Zhang 2009, the
+    strongest of the classic local similarity indices) =
+    sum over shared customers z of 1/deg(z) — here INTEGER-SCALED
+    as sum(1000000 DIV deg) so the distributed sum is exact
+    integer arithmetic with no float accumulation-order seam —
+    plus the raw common-neighbor count. Top-50 predicted links by
+    score. 'Suppliers who share low-degree (selective) customers
+    are likely substitutes/competitors' is the recommendation and
+    assortment-planning signal.
+
+    Scale shape: the pair generation fans out per customer as
+    deg^2, so customers above the hub cap (deg > 40) are DROPPED
+    before the self-join — the standard production guard: hubs
+    contribute ~nothing to the score (1/deg -> 0) but dominate the
+    fan-out; the cap makes per-key work bounded and the whole
+    relation collision-sized rather than |customers| x max-deg^2.
+    Degree attaches via one combiner-reduced agg + equi-join; the
+    final top-50 is TakeOrderedAndProject (rank window runs on the
+    50-row bounded relation only). Reference parity: none;
+    north-star §2D graph depth.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    cs = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.col("o_custkey").alias("cust"),
+                  F.col("l_suppkey").alias("supp"))
+          .distinct())
+    deg = (cs.groupBy("cust").agg(F.count(F.lit(1)).alias("d"))
+           .where(F.col("d").between(2, _LP_MAX_DEG)))
+    mid = cs.join(deg, "cust")
+    pairs = (mid.alias("a")
+             .join(mid.alias("b"),
+                   (F.col("a.cust") == F.col("b.cust"))
+                   & (F.col("a.supp") < F.col("b.supp")))
+             .groupBy(F.col("a.supp").alias("supp_a"),
+                      F.col("b.supp").alias("supp_b"))
+             .agg(F.count(F.lit(1)).alias("common_neighbors"),
+                  F.sum(F.expr(f"{_LP_SCALE} DIV a.d")).alias(
+                      "ra_score_scaled")))
+    top = pairs.orderBy(F.col("ra_score_scaled").desc(),
+                        "supp_a", "supp_b").limit(_LP_TOP)
+    w = Window.orderBy(F.col("ra_score_scaled").desc(), "supp_a", "supp_b")
+    return top.select("supp_a", "supp_b", "common_neighbors",
+                      "ra_score_scaled",
+                      F.row_number().over(w).cast("bigint").alias("rnk"))

@@ -482,3 +482,124 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.when(2 * F.col("cum_w") >= F.col("total_w"),
                               F.col("l_extendedprice")))
                  .alias("weighted_median")))
+
+
+_AP_MINSUP_FLOOR = 5
+_AP_MINSUP_DENOM = 15000  # minsup = max(5, n_baskets DIV 15000): support
+                          # tracks corpus size, so the threshold is the
+                          # same FRACTION of baskets at every sf
+
+
+def _apriori_oracle() -> str:
+    return f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey,
+               p.p_brand || '/' || p.p_type AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    thr AS (SELECT GREATEST({_AP_MINSUP_FLOOR},
+                            COUNT(DISTINCT okey) // {_AP_MINSUP_DENOM})
+                   AS minsup FROM ob),
+    t AS (
+        SELECT a.item AS item_a, x.item AS item_b, y.item AS item_c,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM ob a
+        JOIN ob x ON a.okey = x.okey AND a.item < x.item
+        JOIN ob y ON a.okey = y.okey AND x.item < y.item
+        GROUP BY 1, 2, 3)
+    SELECT item_a, item_b, item_c, n_orders
+    FROM t, thr WHERE n_orders >= thr.minsup
+    """
+
+
+@register(
+    "q_itemsets_apriori",
+    oracle=_apriori_oracle(),
+    tags=("relational", "basket", "itemsets", "apriori"),
+)
+def q_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over (brand/type) order baskets with
+    A-PRIORI candidate pruning (Agrawal/Srikant 1994): frequent
+    items (L1) -> frequent pairs (L2) -> triples counted ONLY where
+    all three sub-pairs are L2-frequent (anti-monotonicity: a
+    triple cannot beat minsup if any sub-pair misses it). minsup is
+    RELATIVE — max(5, baskets DIV 15000) — so the semantics and the
+    pruning power are sf-invariant. The oracle is the brute-force
+    triple self-join with the same HAVING, proving per run that
+    the pruning is lossless.
+
+    Scale shape: baskets build with ONE combiner-reduced shuffle
+    (collect_set deduplicates in the agg, no separate distinct);
+    the L1 prune is an array_intersect against the collected
+    frequent-item vocabulary (bounded by the catalog, 150 here —
+    the same bounded-collect contract as the PQ codebooks); pair
+    and triple INSTANCES generate array-locally inside each basket
+    row (zero shuffle — combination explode over arrays bounded by
+    basket size), and the three L2 membership checks are BROADCAST
+    left-semi joins applied BEFORE the triple aggregate, so the
+    only triple-shaped shuffle is already candidate-pruned. At
+    100 TB the cubic term never touches the network except where
+    every sub-pair clears minsup — the classic candidate-
+    generation cut that makes market-basket mining feasible on
+    full order histories. Reference parity: none; north-star §2D
+    mining depth next to q_basket_brand_affinity's pair tier.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand",
+                                                    "p_type")
+    b = (li.join(part, li.l_partkey == part.p_partkey)
+         .select(F.col("l_orderkey").alias("okey"),
+                 F.concat_ws("/", "p_brand", "p_type").alias("item"))
+         .groupBy("okey")
+         .agg(F.array_sort(F.collect_set("item")).alias("items"))
+         .persist())
+    try:
+        minsup = b.agg(F.greatest(
+            F.lit(_AP_MINSUP_FLOOR),
+            F.expr(f"count(1) DIV {_AP_MINSUP_DENOM}"))).collect()[0][0]
+        l1 = [r[0] for r in
+              (b.select(F.explode("items").alias("item"))
+               .groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+               .where(F.col("n") >= minsup).select("item").collect())]
+        if not l1:  # zero-row / all-infrequent input: typed empty result
+            return spark.createDataFrame(
+                [], "item_a string, item_b string, item_c string, "
+                    "n_orders long")
+        bf = (b.select("okey",
+                       F.array_intersect("items", F.lit(l1)).alias("items"))
+              .where(F.size("items") >= 2))
+        pr = bf.select(F.explode(F.expr("""
+            flatten(transform(items, (x, i) ->
+              transform(slice(items, i + 2, size(items)), y ->
+                struct(x AS i1, y AS i2))))""")).alias("p"))
+        l2 = (pr.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+              .where(F.col("n") >= minsup).select("p.i1", "p.i2"))
+        tr = (bf.where(F.size("items") >= 3)
+              .select(F.explode(F.expr("""
+                flatten(flatten(transform(items, (x, i) ->
+                  transform(slice(items, i + 2, size(items)), (y, j) ->
+                    transform(slice(items, i + j + 3, size(items)), z ->
+                      struct(x AS i1, y AS i2, z AS i3))))))"""))
+                      .alias("t")))
+        trip = (tr.join(F.broadcast(l2),
+                        (F.col("t.i1") == F.col("i1"))
+                        & (F.col("t.i2") == F.col("i2")), "leftsemi")
+                .join(F.broadcast(l2.select(F.col("i1").alias("j1"),
+                                            F.col("i2").alias("j2"))),
+                      (F.col("t.i2") == F.col("j1"))
+                      & (F.col("t.i3") == F.col("j2")), "leftsemi")
+                .join(F.broadcast(l2.select(F.col("i1").alias("k1"),
+                                            F.col("i2").alias("k2"))),
+                      (F.col("t.i1") == F.col("k1"))
+                      & (F.col("t.i3") == F.col("k2")), "leftsemi")
+                .groupBy(F.col("t.i1").alias("item_a"),
+                         F.col("t.i2").alias("item_b"),
+                         F.col("t.i3").alias("item_c"))
+                .agg(F.count(F.lit(1)).alias("n_orders"))
+                .where(F.col("n_orders") >= minsup))
+        rows = trip.collect()
+        return spark.createDataFrame(
+            rows, "item_a string, item_b string, item_c string, "
+                  "n_orders long")
+    finally:
+        b.unpersist()

@@ -36,6 +36,9 @@ SPREAD = [
     "q_groupwise_ols", "q_index_delta_merge",
     "q_hash_sample_join", "q_streaming_full_outer_join",
     "q_exact_median_twopass", "q_benford_screen",
+    # third round-4 batch: apriori's L1-vocabulary collect seam, the
+    # deletion-neighborhood group explode, the linkpred degree cap
+    "q_itemsets_apriori", "q_editdist1_join", "q_linkpred_resource_alloc",
 ]
 
 
