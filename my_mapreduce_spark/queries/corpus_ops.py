@@ -960,3 +960,69 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(0)).alias("n_rep_flagged"),
                  F.sum(F.when(10 * F.col("maxwc") > 3 * F.col("chars"), 1)
                        .otherwise(0)).alias("n_topword_flagged")))
+
+
+_CR_SCHEMA = ("doc_id long, raw_bytes long, zlib_bytes long, "
+              "ratio double, repetitive boolean")
+_CR_LEVEL = 6          # zlib default; fixed so results are reproducible
+_CR_REPETITIVE = 0.3   # ratio below this = heavily self-repeating text
+
+
+def _compression_batches(batches):
+    """Arrow-batch worker for q_compression_ratio: zlib-compress each
+    document's UTF-8 bytes and report the size ratio. Module-level so
+    tests drive it directly and executors import it by reference
+    (no closure pickling)."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        raw = pdf["text"].str.encode("utf-8")
+        raw_len = raw.str.len().astype("int64")
+        comp_len = raw.map(
+            lambda b: len(zlib.compress(b, _CR_LEVEL))).astype("int64")
+        ratio = (comp_len / raw_len).round(6)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "raw_bytes": raw_len,
+            "zlib_bytes": comp_len,
+            "ratio": ratio,
+            "repetitive": ratio < _CR_REPETITIVE,
+        })
+
+
+@register(
+    "q_compression_ratio",
+    oracle=None,  # no zlib in SQL engines; determinism + monotonicity
+                  # are pinned by tests/test_compression_ratio.py
+    tags=("corpus", "quality", "compression", "pandas-udf"),
+)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the classic cheap
+    redundancy signal for corpus curation (RefinedWeb/MassiveText
+    style): highly compressible text is boilerplate, template spam,
+    or degenerate repetition; nearly incompressible text at natural-
+    language lengths is often binary junk or ciphertext. Emits raw
+    vs compressed byte sizes, their ratio, and a repetitive flag at
+    the 0.3 threshold (fixed level-6 zlib, so every run is
+    bit-reproducible).
+
+    No SQL engine exposes zlib, so this is an honest no-oracle
+    query: the driver records a rows-only check, and
+    tests/test_compression_ratio.py pins determinism across runs,
+    the monotonicity property (repeated text < shuffled text <
+    ratio 1), and the exact flag rule.
+
+    Scale shape: pure ``mapInPandas`` — Arrow-batched, partition-
+    local, zero shuffle, zero state; compression cost is linear in
+    corpus bytes and embarrassingly parallel, the same posture as
+    the multimodal decode pipeline (multimodal.py) with a real
+    codec instead of a stubbed one. Null/empty text is filtered at
+    ingestion (the dirty-tier hygiene contract). Reference parity:
+    none; north-star §2D corpus-hygiene depth.
+    """
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .where(F.col("text").isNotNull() & (F.length("text") > 0)))
+    return docs.mapInPandas(_compression_batches, schema=_CR_SCHEMA)

@@ -338,3 +338,65 @@ def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max(F.when(F.col("rn_d") == 1, F.col("value")))
                  .alias("close"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+@register(
+    "q_sequence_pattern_match",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'c[^p]*p')) AS BIGINT)
+               AS n_click_conversions,
+           CAST(len(regexp_extract_all(seq, 'v[^c]*c')) AS BIGINT)
+               AS n_view_to_click,
+           CAST(len(regexp_extract_all(seq, 'e+')) AS BIGINT)
+               AS n_error_bursts
+    FROM s
+    """,
+    tags=("events", "sequence", "pattern", "funnel"),
+)
+def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence mining: each user's event
+    history collapses to an ordered initial string (c=click,
+    p=purchase, v=view, e=error, s=signup; ties broken by event_id
+    so the string is fully deterministic), then regex counting
+    answers pattern questions Spark has no native operator for —
+    non-overlapping click->eventual-purchase conversions
+    (``c[^p]*p``), view->next-click legs (``v[^c]*c``), and maximal
+    error bursts (``e+``). Every pattern is of the unambiguous
+    ``X[^Y]*Y`` / maximal-run form, where leftmost-first (Java) and
+    leftmost-longest (RE2/DuckDB) match semantics provably agree —
+    the seam that would otherwise make cross-engine regex counting
+    unsafe.
+
+    Scale shape: ONE user-keyed shuffle (collect_list with map-side
+    partials), per-user strings bounded by per-user event counts
+    (the sessionize family's skew posture), regex evaluation
+    array-local — the whole query never materializes a pair or
+    window relation. The reference's closest surface is wc's
+    per-key token stream (mr/worker.go:109); this is the stateful
+    sequence analogue. North-star §2D events depth.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("c"))
+    s = (ev.groupBy("user_id")
+         .agg(F.array_join(
+             F.transform(
+                 F.array_sort(F.collect_list(F.struct("ts", "event_id",
+                                                      "c"))),
+                 lambda r: r["c"]), "").alias("seq")))
+    return s.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.size(F.regexp_extract_all("seq", F.lit("c[^p]*p"), F.lit(0)))
+        .cast("bigint").alias("n_click_conversions"),
+        F.size(F.regexp_extract_all("seq", F.lit("v[^c]*c"), F.lit(0)))
+        .cast("bigint").alias("n_view_to_click"),
+        F.size(F.regexp_extract_all("seq", F.lit("e+"), F.lit(0)))
+        .cast("bigint").alias("n_error_bursts"))

@@ -833,3 +833,56 @@ def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.coalesce("ck_base", F.lit(0))
                      .bitwiseXOR(F.coalesce("ck_delta", F.lit(0))))
                     .alias("postings_ck")))
+
+
+_FH_DIM = 64
+
+
+@register(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH t AS (
+        SELECT d.source, u.x AS token
+        FROM documents d,
+        UNNEST(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '')) AS u(x)),
+    b AS (
+        SELECT source,
+               CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+                   % {_FH_DIM} AS bucket,
+               token
+        FROM t)
+    SELECT source, bucket,
+           CAST(COUNT(*) AS BIGINT) AS total_tf,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("text", "vectorizer", "feature-hashing"),
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (HashingTF, Weinberger et al. 2009)
+    at corpus granularity: every token maps to one of 64 fixed
+    buckets via the md5-prefix hash (the engine-portable uniform
+    hash used by the whole sketch family), giving each source a
+    64-dimensional hashed bag-of-words signature — total term
+    frequency and distinct-token (collision) count per bucket. The
+    hashing trick is how production pipelines vectorize unbounded
+    vocabularies with ZERO vocabulary state: no dictionary build,
+    no OOV path, memory fixed at the bucket count.
+
+    Scale shape: explode -> one (source, bucket)-keyed hash agg
+    with map-side partials; output is sources x 64 rows regardless
+    of corpus size, and no vocabulary relation ever exists (vs
+    q_tfidf_top_terms, which carries one deliberately). All counts
+    exact integers. Reference parity: extends wc's token counting
+    (mrapps/wc.go:23) to fixed-dimension feature space; north-star
+    §2D text depth.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    t = docs.select("source", F.explode(tokens()).alias("token"))
+    bucket = (F.conv(F.substring(F.md5("token"), 1, 8), 16, 10)
+              .cast("bigint") % _FH_DIM)
+    return (t.withColumn("bucket", bucket)
+            .groupBy("source", "bucket")
+            .agg(F.count(F.lit(1)).alias("total_tf"),
+                 F.countDistinct("token").alias("n_distinct_tokens")))

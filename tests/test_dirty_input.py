@@ -32,6 +32,7 @@ SPREAD = [
     "q_mixture_temperature", "q_dedup_prefix_filter",
     "q_doc_repetition", "q_posting_gap_bits", "q_index_delta_merge",
     "q_itemsets_apriori", "q_editdist1_join", "q_linkpred_resource_alloc",
+    "q_sequence_pattern_match", "q_feature_hashing", "q_compression_ratio",
 ]
 
 

@@ -39,6 +39,7 @@ SPREAD = [
     # third round-4 batch: apriori's L1-vocabulary collect seam, the
     # deletion-neighborhood group explode, the linkpred degree cap
     "q_itemsets_apriori", "q_editdist1_join", "q_linkpred_resource_alloc",
+    "q_sequence_pattern_match", "q_feature_hashing", "q_compression_ratio",
 ]
 
 
