@@ -795,3 +795,125 @@ def q_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(dev * dev
                             / (F.col("total") * F.col("expected")), 6)
                     .alias("chi2_term")))
+
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+    WITH vc AS (
+        SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+    cum AS (
+        SELECT source, n_chars, c,
+               COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum_before,
+               SUM(c) OVER (PARTITION BY source) AS n_source
+        FROM vc),
+    dec AS (
+        SELECT source, n_chars, c,
+               CAST((10 * cum_before) // n_source + 1 AS INT) AS decile
+        FROM cum)
+    SELECT source, decile,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS lo, MAX(n_chars) AS hi
+    FROM dec GROUP BY 1, 2
+    """,
+    tags=("stats", "quantile", "calibration", "normalize"),
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization: every document's raw
+    ``n_chars`` maps to its WITHIN-SOURCE decile, making length
+    scores comparable across sources whose raw distributions differ
+    — the standard calibration step before mixing heterogeneous
+    quality signals into one curation rule (a '2000-char' doc can
+    be p30 in one crawl and p95 in another). Ties are cohesive:
+    equal values land in the same decile via the lower-cumulative
+    rule ``decile = (10 * count_below) DIV n + 1``, all exact
+    integer arithmetic with no interpolation seam.
+
+    Scale shape: the corpus collapses FIRST to (source, value)
+    counts — one combiner-reduced shuffle — and every window runs
+    over that value-cardinality-bounded relation (distinct doc
+    lengths, bounded by the length cap), never over the documents
+    themselves: the grouped twin of q_equidepth_histogram's
+    boundary trick, and the opposite of the source-sized-window
+    shape the plan audit forbids. Output is sources × 10 rows
+    regardless of corpus size. Reference parity: none; north-star
+    §2D curation depth.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source",
+                                                         "n_chars")
+    vc = (docs.groupBy("source", "n_chars")
+          .agg(F.count(F.lit(1)).alias("c")))
+    w_cum = (Window.partitionBy("source").orderBy("n_chars")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.partitionBy("source")
+    dec = (vc
+           .withColumn("cum_before",
+                       F.coalesce(F.sum("c").over(w_cum), F.lit(0)))
+           .withColumn("n_source", F.sum("c").over(w_all))
+           .withColumn("decile",
+                       F.expr("CAST((10 * cum_before) DIV n_source + 1"
+                              " AS INT)")))
+    return (dec.groupBy("source", "decile")
+            .agg(F.sum("c").alias("n_docs"),
+                 F.min("n_chars").alias("lo"),
+                 F.max("n_chars").alias("hi")))
+
+
+@register(
+    "q_selfjoin_size_stats",
+    oracle="""
+    WITH kc AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c * c) AS BIGINT) AS predicted_rows,
+               MAX(c) AS max_fanout,
+               (SELECT l_partkey FROM kc
+                ORDER BY c DESC, l_partkey DESC LIMIT 1) AS hottest_key
+        FROM kc),
+    actual AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey)
+    SELECT n_keys, predicted_rows, max_fanout, hottest_key, actual_rows
+    FROM stats, actual
+    """,
+    tags=("stats", "join-planning", "skew", "f2"),
+)
+def q_selfjoin_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size prediction from key statistics: the exact output
+    cardinality of the lineitem-lineitem self-equi-join on
+    ``l_partkey`` computed WITHOUT running the join — sum(c²) over
+    the per-key count histogram (the second frequency moment F2,
+    the quantity AMS sketches estimate), plus the max fanout and
+    the hottest key, i.e. the skew census a production engineer
+    runs BEFORE a co-purchase/self-join job to decide between
+    plain, salted, or AQE-skew-split execution. The materialized
+    join is verifier-role: the oracle (and this query) also COUNT
+    the real join, proving predicted_rows == actual_rows per run —
+    at 100 TB only the O(distinct keys) stats side runs.
+
+    Scale shape: one combiner-reduced key agg, then a 1-row
+    aggregate (the hottest-key argmax is ``max(struct(c, key))`` —
+    exact deterministic tie-break, no sort); the verifier join's
+    cost is the predicted F2 itself, which is exactly why you
+    compute the cheap side first. Reference parity: none;
+    north-star planning/observability depth next to q_data_card
+    and q_profile_columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    kc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    stats = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).alias("predicted_rows"),
+        F.max("c").alias("max_fanout"),
+        F.max(F.struct(F.col("c"), F.col("l_partkey")))["l_partkey"]
+        .alias("hottest_key"))
+    actual = (li.alias("a")
+              .join(li.alias("b"),
+                    F.col("a.l_partkey") == F.col("b.l_partkey"))
+              .agg(F.count(F.lit(1)).alias("actual_rows")))
+    return stats.crossJoin(F.broadcast(actual))

@@ -33,6 +33,7 @@ SPREAD = [
     "q_doc_repetition", "q_posting_gap_bits", "q_index_delta_merge",
     "q_itemsets_apriori", "q_editdist1_join", "q_linkpred_resource_alloc",
     "q_sequence_pattern_match", "q_feature_hashing", "q_compression_ratio",
+    "q_quantile_normalize", "q_selfjoin_size_stats",
 ]
 
 

@@ -40,6 +40,7 @@ SPREAD = [
     # deletion-neighborhood group explode, the linkpred degree cap
     "q_itemsets_apriori", "q_editdist1_join", "q_linkpred_resource_alloc",
     "q_sequence_pattern_match", "q_feature_hashing", "q_compression_ratio",
+    "q_quantile_normalize", "q_selfjoin_size_stats",
 ]
 
 
@@ -61,6 +62,7 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
     assert df.count() == 0 or name in (
         # global summaries legitimately emit one all-zero/NULL row
         # (or, for the k-core trajectory, one zero row per round)
-        "q_dedup_exact", "q_kcore_peel", "q_bloom_filter_fpr")
+        "q_dedup_exact", "q_kcore_peel", "q_bloom_filter_fpr",
+        "q_selfjoin_size_stats")
     assert df.schema.fields, "schema must survive the empty path"
     spark.catalog.clearCache()

@@ -74,6 +74,9 @@ _ALLOW_NESTED_LOOP = {
                                  # aggregates (n_nodes x n_edges), fused
                                  # into one lazy stats union — same
                                  # scalar-subquery 1-row BNLJ shape
+    "q_selfjoin_size_stats",     # crossJoin of the 1-row stats aggregate
+                                 # with the 1-row verifier count, same
+                                 # scalar-subquery 1-row BNLJ shape
     "q_bm25_search",             # crossJoin(broadcast(1-row N/avgdl
                                  # stats)), same scalar-subquery shape
     "q_hybrid_retrieval",        # crossJoin(broadcast(1-row max-score +
