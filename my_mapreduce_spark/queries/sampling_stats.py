@@ -917,3 +917,125 @@ def q_selfjoin_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("a.l_partkey") == F.col("b.l_partkey"))
               .agg(F.count(F.lit(1)).alias("actual_rows")))
     return stats.crossJoin(F.broadcast(actual))
+
+
+_BOOT_B = 32
+_BOOT_STREAMS = 8            # md5 digests per row; each yields 4 uniforms
+_BOOT_BITS = 15              # bits per uniform (60-bit digest prefix / 4)
+# Poisson(1) CDF quantized to 15 bits: floor(P(X <= k) * 32768) for
+# k = 0..5. weight = #(thresholds <= v), capping replicate
+# multiplicity at 6 (P(X > 6) ~ 0.008%); the quantization and the cap
+# are part of the contract and identical literals in both engines.
+_BOOT_CDF_Q = (12054, 24109, 30136, 32145, 32648, 32748)
+
+
+def _bootstrap_oracle() -> str:
+    terms_w, terms_wx = [], []
+    for b in range(_BOOT_B):
+        j, p = divmod(b, 4)
+        chunk = f"((z{j} // {32768 ** p}) % 32768)"
+        w = " + ".join(
+            f"CASE WHEN {chunk} >= {t} THEN 1 ELSE 0 END"
+            for t in _BOOT_CDF_Q)
+        terms_w.append(f"SUM({w}) AS w{b}")
+        terms_wx.append(f"SUM(({w}) * x) AS wx{b}")
+    zs = ",\n               ".join(
+        f"CAST(('0x' || substr(md5('{j}|' || k), 1, 15)) AS BIGINT) AS z{j}"
+        for j in range(_BOOT_STREAMS))
+    means = ", ".join(f"wx{b} * 1.0 / w{b}" for b in range(_BOOT_B))
+    return f"""
+    WITH t AS (
+        SELECT CAST(l_orderkey AS VARCHAR) || '-'
+               || CAST(l_linenumber AS VARCHAR) AS k,
+               l_quantity AS x
+        FROM lineitem),
+    z AS (
+        SELECT x,
+               {zs}
+        FROM t),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               SUM(x) AS sum_x,
+               {", ".join(terms_w)},
+               {", ".join(terms_wx)}
+        FROM z),
+    m AS (SELECT n_rows, sum_x,
+                 list_sort([{means}]) AS ms FROM agg)
+    SELECT n_rows,
+           ROUND(sum_x / n_rows, 6) AS point_mean,
+           ROUND(ms[1] * 0.225 + ms[2] * 0.775, 6) AS ci_lo,
+           ROUND(ms[31] * 0.775 + ms[32] * 0.225, 6) AS ci_hi
+    FROM m
+    """
+
+
+@register(
+    "q_poisson_bootstrap_ci",
+    oracle=_bootstrap_oracle(),
+    tags=("stats", "bootstrap", "uncertainty", "sampling"),
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for mean(l_quantity) via the
+    POISSON BOOTSTRAP — the one-pass resampling scheme for massive
+    data (each row enters replica b with Poisson(1) multiplicity, so
+    no replica ever materializes and no global N is needed up
+    front; Chamandy et al., "Estimating Uncertainty for Massive
+    Data Streams", 2012). All randomness is md5-derived and
+    BIT-BUDGETED: 8 digests per row each supply four 15-bit
+    uniforms (integer DIV/mod extraction from the 60-bit digest
+    prefix), mapped through the 15-bit-quantized Poisson CDF
+    literals to replicate weights 0..6 — so both engines draw
+    bit-identical weights from ~10x less hashing than one digest
+    per (row, replica). Weighted sums stay in exact arithmetic
+    (integer weights x integer-valued quantities, far inside the
+    2^53 exact-double range), so replica means carry no
+    accumulation-order seam; rows sharing the (orderkey,
+    linenumber) key draw the same weights (exact-duplicate rows
+    resample together — documented, deterministic).
+
+    Scale shape: the ENTIRE query is one scan + one 66-column
+    aggregate (sum of w_b and w_b*x per replica, plus n and sum x)
+    — per-partition state is O(B) scalars, there is NO explode, NO
+    shuffle beyond the 1-row aggregate merge, and NO join; the CI
+    interpolates closed-form over the sorted 32-element mean array
+    inside that single row (the exact (n-1)*q rule both engines
+    share). This is why the Poisson bootstrap is THE uncertainty
+    method at 100 TB: B=32 resamples for one pass and 64 longs of
+    state. Reference parity: none; north-star §2D statistics depth
+    next to q_aqp_estimate and q_weighted_sample.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(F.col("l_orderkey").cast("string"), F.lit("-"),
+                 F.col("l_linenumber").cast("string")).alias("k"),
+        F.col("l_quantity").alias("x"))
+    z = li.select(
+        "x", *[F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("k"))), 1, 15),
+            16, 10).cast("bigint").alias(f"z{j}")
+            for j in range(_BOOT_STREAMS)])
+
+    def weight(b: int):
+        j, p = divmod(b, 4)
+        chunk = F.expr(f"(z{j} DIV {32768 ** p}) % 32768")
+        w = sum(F.when(chunk >= t, 1).otherwise(0) for t in _BOOT_CDF_Q)
+        return w
+
+    aggs = [F.count(F.lit(1)).alias("n_rows"),
+            F.sum("x").alias("sum_x")]
+    for b in range(_BOOT_B):
+        w = weight(b)
+        aggs.append(F.sum(w).alias(f"w{b}"))
+        aggs.append(F.sum(w * F.col("x")).alias(f"wx{b}"))
+    agg = z.agg(*aggs)
+    ms = F.array_sort(F.array(
+        *[F.col(f"wx{b}") / F.col(f"w{b}") for b in range(_BOOT_B)]))
+    return (agg.select("n_rows", "sum_x", ms.alias("ms"))
+            .select(
+                "n_rows",
+                F.round(F.col("sum_x") / F.col("n_rows"), 6)
+                .alias("point_mean"),
+                F.round(F.element_at("ms", 1) * 0.225
+                        + F.element_at("ms", 2) * 0.775, 6).alias("ci_lo"),
+                F.round(F.element_at("ms", 31) * 0.775
+                        + F.element_at("ms", 32) * 0.225, 6)
+                .alias("ci_hi")))

@@ -41,6 +41,7 @@ SPREAD = [
     "q_itemsets_apriori", "q_editdist1_join", "q_linkpred_resource_alloc",
     "q_sequence_pattern_match", "q_feature_hashing", "q_compression_ratio",
     "q_quantile_normalize", "q_selfjoin_size_stats",
+    "q_poisson_bootstrap_ci",
 ]
 
 
@@ -63,6 +64,6 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
         # global summaries legitimately emit one all-zero/NULL row
         # (or, for the k-core trajectory, one zero row per round)
         "q_dedup_exact", "q_kcore_peel", "q_bloom_filter_fpr",
-        "q_selfjoin_size_stats")
+        "q_selfjoin_size_stats", "q_poisson_bootstrap_ci")
     assert df.schema.fields, "schema must survive the empty path"
     spark.catalog.clearCache()
