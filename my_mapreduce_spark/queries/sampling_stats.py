@@ -1039,3 +1039,157 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.element_at("ms", 31) * 0.775
                         + F.element_at("ms", 32) * 0.225, 6)
                 .alias("ci_hi")))
+
+
+@register(
+    "q_roc_auc",
+    oracle="""
+    WITH vc AS (
+        SELECT source, n_chars,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS neg
+        FROM documents GROUP BY 1, 2),
+    r AS (
+        SELECT source, pos, neg,
+               COALESCE(SUM(pos + neg) OVER (
+                   PARTITION BY source ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+        FROM vc),
+    agg AS (
+        SELECT source,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(neg) AS BIGINT) AS n_neg,
+               CAST(SUM(pos * (2 * cum_before + pos + neg + 1))
+                    AS BIGINT) AS pos_2ranks
+        FROM r GROUP BY source)
+    SELECT source, n_pos, n_neg,
+           ROUND((pos_2ranks - n_pos * (n_pos + 1))
+                 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM agg WHERE n_pos > 0 AND n_neg > 0
+    """,
+    tags=("stats", "ml-eval", "auc", "ranking"),
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed ROC-AUC per source for the score n_chars
+    predicting lang = 'en', via the Mann-Whitney U identity
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with
+    tie-AVERAGED ranks — the textbook estimator, computed without
+    ever ranking individual rows: the corpus collapses to
+    (source, score-value) positive/negative counts, and a tie
+    group's average rank is cum_before + (c+1)/2, carried in
+    HALF-UNITS (2*avg = 2*cum_before + c + 1) so every intermediate
+    stays an exact integer — no float accumulation seam, bit-equal
+    across engines and cluster layouts.
+
+    Scale shape: one combiner-reduced (source, value) agg, then
+    windows over the value-cardinality-bounded relation (same
+    posture as q_quantile_normalize — never a window over rows),
+    then a per-source 3-integer aggregate. At 100 TB, AUC costs one
+    corpus scan plus vocabulary-sized state: the reason ranking
+    metrics are computable on full production traffic instead of
+    samples. Degenerate single-class sources are excluded (AUC
+    undefined), matching the oracle. Reference parity: none;
+    north-star §2D ML-eval depth next to q_ndcg_eval.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+    vc = (docs.groupBy("source", "n_chars")
+          .agg(F.sum("y").alias("pos"),
+               F.sum(1 - F.col("y")).alias("neg")))
+    w = (Window.partitionBy("source").orderBy("n_chars")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    r = vc.withColumn(
+        "cum_before",
+        F.coalesce(F.sum(F.col("pos") + F.col("neg")).over(w), F.lit(0)))
+    agg = (r.groupBy("source")
+           .agg(F.sum("pos").alias("n_pos"),
+                F.sum("neg").alias("n_neg"),
+                F.sum(F.col("pos") * (2 * F.col("cum_before")
+                                      + F.col("pos") + F.col("neg") + 1))
+                .alias("pos_2ranks")))
+    return (agg.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .select("source", "n_pos", "n_neg",
+                    F.round((F.col("pos_2ranks")
+                             - F.col("n_pos") * (F.col("n_pos") + 1))
+                            / (2.0 * F.col("n_pos") * F.col("n_neg")), 6)
+                    .alias("auc")))
+
+
+@register(
+    "q_gains_table",
+    oracle="""
+    WITH d AS (
+        SELECT n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+    vc AS (
+        SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM d GROUP BY 1),
+    cum AS (
+        SELECT n_chars, c, pos,
+               COALESCE(SUM(c) OVER (ORDER BY n_chars DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cum_before,
+               SUM(c) OVER () AS n,
+               SUM(pos) OVER () AS total_pos
+        FROM vc),
+    dec AS (
+        SELECT CAST((10 * cum_before) // n + 1 AS INT) AS decile,
+               c, pos, n, total_pos
+        FROM cum)
+    SELECT decile,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           ROUND(SUM(pos) * 1.0 / SUM(c), 6) AS rate,
+           ROUND(SUM(pos) * 1.0 * MAX(n)
+                 / (SUM(c) * MAX(total_pos)), 6) AS lift
+    FROM dec GROUP BY 1
+    """,
+    tags=("stats", "ml-eval", "lift", "calibration"),
+)
+def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table for the score n_chars against the
+    label lang = 'en' — the model-eval staple behind 'top-decile
+    lift': rank the population by score DESCENDING, cut into
+    tie-cohesive deciles (lower-cumulative rule, exact integers),
+    and report per-decile positive rate and lift over the base
+    rate. Lift is computed as the exact rational
+    pos_d * N / (n_d * total_pos) before one final rounding — no
+    chained float division.
+
+    Scale shape: identical to q_quantile_normalize — the population
+    collapses to score-value counts first, all windows run over the
+    value-cardinality-bounded relation (the global windows are over
+    distinct score values, bounded by the length cap, and the
+    audit's documented-bound contract), output is exactly 10 rows.
+    Reference parity: none; north-star §2D ML-eval depth.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+    vc = (docs.groupBy("n_chars")
+          .agg(F.count(F.lit(1)).alias("c"), F.sum("y").alias("pos")))
+    w_cum = (Window.orderBy(F.col("n_chars").desc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.orderBy(F.lit(1))
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    dec = (vc
+           .withColumn("cum_before",
+                       F.coalesce(F.sum("c").over(w_cum), F.lit(0)))
+           .withColumn("n", F.sum("c").over(w_all))
+           .withColumn("total_pos", F.sum("pos").over(w_all))
+           .withColumn("decile",
+                       F.expr("CAST((10 * cum_before) DIV n + 1 AS INT)")))
+    return (dec.groupBy("decile")
+            .agg(F.sum("c").alias("n_docs"),
+                 F.sum("pos").alias("n_pos"),
+                 F.round(F.sum("pos") / F.sum("c"), 6).alias("rate"),
+                 F.round(F.sum("pos") * F.max("n")
+                         / (F.sum("c") * F.max("total_pos")), 6)
+                 .alias("lift")))

@@ -34,7 +34,7 @@ SPREAD = [
     "q_itemsets_apriori", "q_editdist1_join", "q_linkpred_resource_alloc",
     "q_sequence_pattern_match", "q_feature_hashing", "q_compression_ratio",
     "q_quantile_normalize", "q_selfjoin_size_stats",
-    "q_poisson_bootstrap_ci",
+    "q_poisson_bootstrap_ci", "q_roc_auc", "q_gains_table",
 ]
 
 

@@ -194,6 +194,11 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_cusum_changepoint": "cumulative sum over the hourly series — "
                            "calendar-bounded (720 rows/month), orders "
                            "below event count (docstring)",
+    "q_gains_table": "cumulative/total windows over DISTINCT score "
+                     "values (value-cardinality bounded by the "
+                     "n_chars length cap, never over documents — "
+                     "docstring; the grouped twin q_quantile_"
+                     "normalize partitions by source)",
 }
 
 _WIDE = 8  # a scan reading >= this many columns must be pruning something
