@@ -1193,3 +1193,148 @@ def q_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("pos") * F.max("n")
                          / (F.sum("c") * F.max("total_pos")), 6)
                  .alias("lift")))
+
+
+_WELCH_SCALE = 1000  # value -> floor(value*1000): the sums become
+                     # exact integers (bounded ~2.5e16 << 2^63), so
+                     # the t statistic is a deterministic function of
+                     # six exact integers — no accumulation-order seam
+
+
+@register(
+    "q_ab_test_welch",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type AS grp,
+               CAST(FLOOR(value * {_WELCH_SCALE}) AS BIGINT) AS y
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND isfinite(value)),
+    s AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM g GROUP BY grp),
+    m AS (
+        SELECT grp, n, sy * 1.0 / n AS mean,
+               (syy - sy * (sy * 1.0 / n)) / (n - 1) AS var
+        FROM s),
+    w AS (
+        SELECT a.n AS n_click, b.n AS n_purchase,
+               a.mean AS m_click, b.mean AS m_purchase,
+               a.var / a.n + b.var / b.n AS se2,
+               POW(a.var / a.n + b.var / b.n, 2)
+                   / (POW(a.var / a.n, 2) / (a.n - 1)
+                      + POW(b.var / b.n, 2) / (b.n - 1)) AS df
+        FROM m a JOIN m b ON a.grp = 'click' AND b.grp = 'purchase')
+    SELECT n_click, n_purchase,
+           ROUND(m_click / {_WELCH_SCALE}, 6) AS mean_click,
+           ROUND(m_purchase / {_WELCH_SCALE}, 6) AS mean_purchase,
+           ROUND((m_click - m_purchase) / SQRT(se2), 6) AS t_stat,
+           ROUND(df, 6) AS welch_df
+    FROM w
+    """,
+    tags=("stats", "ab-test", "hypothesis", "welch"),
+)
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean event value
+    between the click and purchase populations — the A/B-test
+    statistic (with the Welch–Satterthwaite degrees of freedom)
+    computed as ONE pass of six exact integers: values are
+    integer-scaled (floor(value*1000)), so per-group n, sum, and
+    sum-of-squares are exact bigints and the t statistic is a
+    deterministic closed form of them — the same
+    no-accumulation-seam discipline as q_groupwise_ols, which is
+    what makes a test statistic reproducible across cluster
+    layouts (a float-summed variance is not). Non-finite values are
+    filtered at ingestion (the dirty-tier hygiene contract).
+
+    Scale shape: one scan, one 2-group aggregate with map-side
+    partials, a 2×2 self-join of the 2-row stats relation —
+    everything after the scan is O(groups). At 100 TB an A/B read
+    costs exactly one pass, which is why experimentation platforms
+    compute moments, not samples. Reference parity: none;
+    north-star §2D statistics depth next to q_poisson_bootstrap_ci.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "purchase")
+                 & ~F.isnan("value")
+                 & (F.abs("value") != float("inf")))
+          .select(F.col("event_type").alias("grp"),
+                  F.floor(F.col("value") * _WELCH_SCALE).alias("y")))
+    s = (ev.groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    m = s.select(
+        "grp", "n", (F.col("sy") / F.col("n")).alias("mean"),
+        ((F.col("syy") - F.col("sy") * (F.col("sy") / F.col("n")))
+         / (F.col("n") - 1)).alias("var"))
+    a = m.where(F.col("grp") == "click").alias("a")
+    b = m.where(F.col("grp") == "purchase").alias("b")
+    se2 = F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+    df_num = F.pow(se2, 2)
+    df_den = (F.pow(F.col("a.var") / F.col("a.n"), 2) / (F.col("a.n") - 1)
+              + F.pow(F.col("b.var") / F.col("b.n"), 2)
+              / (F.col("b.n") - 1))
+    return (a.crossJoin(F.broadcast(b))
+            .select(F.col("a.n").alias("n_click"),
+                    F.col("b.n").alias("n_purchase"),
+                    F.round(F.col("a.mean") / _WELCH_SCALE, 6)
+                    .alias("mean_click"),
+                    F.round(F.col("b.mean") / _WELCH_SCALE, 6)
+                    .alias("mean_purchase"),
+                    F.round((F.col("a.mean") - F.col("b.mean"))
+                            / F.sqrt(se2), 6).alias("t_stat"),
+                    F.round(df_num / df_den, 6).alias("welch_df")))
+
+
+@register(
+    "q_chisq_independence",
+    oracle="""
+    WITH o AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM documents GROUP BY 1, 2),
+    rt AS (SELECT source, CAST(SUM(observed) AS BIGINT) AS row_n
+           FROM o GROUP BY 1),
+    ct AS (SELECT lang, CAST(SUM(observed) AS BIGINT) AS col_n
+           FROM o GROUP BY 1),
+    n AS (SELECT CAST(SUM(observed) AS BIGINT) AS total FROM o)
+    SELECT o.source, o.lang, observed,
+           ROUND(row_n * col_n * 1.0 / total, 6) AS expected,
+           ROUND(POW(observed - row_n * col_n * 1.0 / total, 2)
+                 / (row_n * col_n * 1.0 / total), 6) AS contrib
+    FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
+    """,
+    tags=("stats", "chi-square", "independence", "contingency"),
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen over the source × lang
+    contingency table: per-cell observed count, expected count
+    under independence (row_total × col_total / N, an exact
+    rational of three integers), and the cell's chi² contribution —
+    the drill-down form of the test, which names WHICH
+    source/language pairs deviate instead of burying them in one
+    statistic (the total is a float sum over cells whose
+    accumulation order clusters may disagree on; per-cell values
+    are each deterministic, so the output is bit-stable — the same
+    reasoning as q_benford_screen's per-digit terms).
+
+    Scale shape: one (source, lang) count agg; marginals re-aggregate
+    from the CELL relation (categories² rows, never the corpus) and
+    attach via broadcast-sized joins plus the whitelisted 1-row
+    total. Output is |sources| × |langs| rows regardless of data
+    size. Reference parity: none; north-star §2D statistics depth.
+    """
+    o = (load_table(spark, sf_dir, "documents")
+         .groupBy("source", "lang")
+         .agg(F.count(F.lit(1)).alias("observed")))
+    rt = o.groupBy("source").agg(F.sum("observed").alias("row_n"))
+    ct = o.groupBy("lang").agg(F.sum("observed").alias("col_n"))
+    n = o.agg(F.sum("observed").alias("total"))
+    e = F.col("row_n") * F.col("col_n") / F.col("total")
+    return (o.join(F.broadcast(rt), "source")
+            .join(F.broadcast(ct), "lang")
+            .crossJoin(F.broadcast(n))
+            .select("source", "lang", "observed",
+                    F.round(e, 6).alias("expected"),
+                    F.round(F.pow(F.col("observed") - e, 2) / e, 6)
+                    .alias("contrib")))

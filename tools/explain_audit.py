@@ -77,6 +77,12 @@ _ALLOW_NESTED_LOOP = {
     "q_selfjoin_size_stats",     # crossJoin of the 1-row stats aggregate
                                  # with the 1-row verifier count, same
                                  # scalar-subquery 1-row BNLJ shape
+    "q_ab_test_welch",           # crossJoin of the two 1-row group-stat
+                                 # relations (click x purchase), same
+                                 # scalar-subquery 1-row BNLJ shape
+    "q_chisq_independence",      # crossJoin(broadcast(1-row N)) onto the
+                                 # categories^2 cell relation, same
+                                 # scalar-subquery shape
     "q_bm25_search",             # crossJoin(broadcast(1-row N/avgdl
                                  # stats)), same scalar-subquery shape
     "q_hybrid_retrieval",        # crossJoin(broadcast(1-row max-score +
