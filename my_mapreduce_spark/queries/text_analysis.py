@@ -499,3 +499,102 @@ def q_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") == 1)
             .groupBy("lang", F.col("clang").alias("predicted"))
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+@register(
+    "q_classifier_metrics",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '') AS w
+        FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+               len(list_filter(w, x -> list_contains(['the','a','of','to','and','in','is'], x))) AS s_en,
+               len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+               len(list_filter(w, x -> list_contains(['le','la','les','et','est','un'], x)))     AS s_fr,
+               len(list_filter(w, x -> list_contains(['el','la','los','y','es','un'], x)))       AS s_es
+        FROM t),
+    p AS (
+        SELECT lang,
+               CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS predicted
+        FROM s),
+    cm AS (SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+           FROM p GROUP BY 1, 2),
+    classes AS (SELECT DISTINCT lang AS cls FROM cm
+                UNION SELECT DISTINCT predicted FROM cm),
+    rs AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS r
+           FROM cm GROUP BY 1),
+    cs AS (SELECT predicted AS cls, CAST(SUM(n) AS BIGINT) AS c
+           FROM cm GROUP BY 1),
+    dg AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS tp
+           FROM cm WHERE lang = predicted GROUP BY 1),
+    j AS (
+        SELECT classes.cls,
+               COALESCE(dg.tp, 0) AS tp,
+               COALESCE(cs.c, 0) - COALESCE(dg.tp, 0) AS fp,
+               COALESCE(rs.r, 0) - COALESCE(dg.tp, 0) AS fn
+        FROM classes
+        LEFT JOIN dg ON classes.cls = dg.cls
+        LEFT JOIN rs ON classes.cls = rs.cls
+        LEFT JOIN cs ON classes.cls = cs.cls)
+    SELECT cls, tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN ROUND(tp * 1.0 / (tp + fp), 6) END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN ROUND(tp * 1.0 / (tp + fn), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN ROUND(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+    FROM j
+    """,
+    tags=("text", "ml-eval", "classifier", "confusion"),
+)
+def q_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 for the stopword language
+    classifier, derived from q_lang_id's confusion matrix (reused
+    directly — the composition contract, like q_leakage_free_split
+    over q_dedup_clusters): tp from the diagonal, fp/fn from the
+    prediction/label marginals, F1 as the single-formula
+    2tp/(2tp+fp+fn); undefined metrics (zero denominators — e.g.
+    'zh', which the 4-language classifier can never predict) are
+    NULL, not 0, so a silent never-predicted class is visible. All
+    inputs are exact integer counts; every ratio rounds once.
+
+    Scale shape: everything downstream of the classifier runs on
+    the confusion matrix — a classes² relation, broadcast-sized at
+    any corpus scale; the corpus itself is touched exactly once by
+    the reused classifier scan. This is the standard eval harness
+    shape: metrics cost O(classes²), not O(data). Reference parity:
+    none; north-star §2D ML-eval depth closing the loop with
+    q_roc_auc (ranking) and q_gains_table (calibration).
+    """
+    cm = q_lang_id(spark, sf_dir).withColumnRenamed("n_docs", "n")
+    classes = (cm.select(F.col("lang").alias("cls"))
+               .union(cm.select("predicted")).distinct())
+    rs = cm.groupBy(F.col("lang").alias("cls")).agg(F.sum("n").alias("r"))
+    cs = (cm.groupBy(F.col("predicted").alias("cls"))
+          .agg(F.sum("n").alias("c")))
+    dg = (cm.where(F.col("lang") == F.col("predicted"))
+          .groupBy(F.col("lang").alias("cls"))
+          .agg(F.sum("n").alias("tp")))
+    j = (classes
+         .join(F.broadcast(dg), "cls", "left")
+         .join(F.broadcast(rs), "cls", "left")
+         .join(F.broadcast(cs), "cls", "left")
+         .select("cls",
+                 F.coalesce("tp", F.lit(0)).alias("tp"),
+                 (F.coalesce("c", F.lit(0))
+                  - F.coalesce("tp", F.lit(0))).alias("fp"),
+                 (F.coalesce("r", F.lit(0))
+                  - F.coalesce("tp", F.lit(0))).alias("fn")))
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return j.select(
+        "cls", "tp", "fp", "fn",
+        F.when(tp + fp > 0, F.round(tp / (tp + fp), 6)).alias("precision"),
+        F.when(tp + fn > 0, F.round(tp / (tp + fn), 6)).alias("recall"),
+        F.when(2 * tp + fp + fn > 0,
+               F.round(2.0 * tp / (2 * tp + fp + fn), 6)).alias("f1"))

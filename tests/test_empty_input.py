@@ -42,7 +42,7 @@ SPREAD = [
     "q_sequence_pattern_match", "q_feature_hashing", "q_compression_ratio",
     "q_quantile_normalize", "q_selfjoin_size_stats",
     "q_poisson_bootstrap_ci", "q_roc_auc", "q_gains_table",
-    "q_ab_test_welch", "q_chisq_independence",
+    "q_ab_test_welch", "q_chisq_independence", "q_classifier_metrics",
 ]
 
 
