@@ -1338,3 +1338,161 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(e, 6).alias("expected"),
                     F.round(F.pow(F.col("observed") - e, 2) / e, 6)
                     .alias("contrib")))
+
+
+_WF_FOLDS = 4
+_WF_STEP_DAYS = 6
+
+
+@register(
+    "q_walk_forward_splits",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(date_diff('day',
+                    (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                    CAST(ts AS DATE)) AS BIGINT) AS idx
+        FROM events),
+    dc AS (SELECT idx, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+    folds AS (SELECT UNNEST(range(1, {_WF_FOLDS} + 1)) AS fold)
+    SELECT fold,
+           CAST(fold * {_WF_STEP_DAYS} AS BIGINT) AS train_days,
+           CAST(SUM(CASE WHEN idx < fold * {_WF_STEP_DAYS}
+                         THEN c ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN idx >= fold * {_WF_STEP_DAYS}
+                          AND idx < fold * {_WF_STEP_DAYS}
+                                    + {_WF_STEP_DAYS}
+                         THEN c ELSE 0 END) AS BIGINT) AS n_test
+    FROM dc CROSS JOIN folds
+    GROUP BY fold
+    """,
+    tags=("stats", "ml-eval", "temporal-split", "walk-forward"),
+)
+def q_walk_forward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (rolling-origin) validation splits over the event
+    stream: fold k trains on the first 6k days and tests on the next
+    6 — the TEMPORAL split discipline for anything with time
+    structure, where a random split leaks the future into training
+    (complementing q_leakage_free_split, which closes the
+    NEAR-DUPLICATE leak; production curation needs both). Emits per
+    fold the train horizon and exact train/test row counts anchored
+    on the corpus' own first day, so the split recipe is
+    reproducible on any time range.
+
+    Scale shape: the stream collapses to per-day counts first (one
+    calendar-bounded agg — same discipline as q_cusum_changepoint's
+    hourly series), and fold assignment is a tiny
+    days × folds literal cross (30×4 rows here, broadcast) — the
+    corpus is scanned once and nothing row-sized crosses a shuffle
+    after that. The min-date anchor is the whitelisted 1-row scalar.
+    Reference parity: none; north-star §2D curation depth.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"))
+    mind = ev.agg(F.min("day").alias("d0"))
+    dc = (ev.crossJoin(F.broadcast(mind))
+          .select(F.datediff("day", "d0").cast("bigint").alias("idx"))
+          .groupBy("idx").agg(F.count(F.lit(1)).alias("c")))
+    folds = spark.range(1, _WF_FOLDS + 1).select(
+        F.col("id").cast("int").alias("fold"))
+    lo = F.col("fold") * _WF_STEP_DAYS
+    return (dc.crossJoin(F.broadcast(folds))
+            .groupBy("fold")
+            .agg(F.max(lo).cast("bigint").alias("train_days"),
+                 F.sum(F.when(F.col("idx") < lo, F.col("c"))
+                       .otherwise(0)).alias("n_train"),
+                 F.sum(F.when((F.col("idx") >= lo)
+                              & (F.col("idx") < lo + _WF_STEP_DAYS),
+                              F.col("c")).otherwise(0)).alias("n_test")))
+
+
+_LC_FRACTIONS = (0.1, 0.25, 0.5, 1.0)
+
+
+def _learning_curve_oracle() -> str:
+    fr = ", ".join(repr(f) for f in _LC_FRACTIONS)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '') AS w
+        FROM documents),
+    s AS (
+        SELECT doc_id, lang,
+               len(list_filter(w, x -> list_contains(['the','a','of','to','and','in','is'], x))) AS s_en,
+               len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+               len(list_filter(w, x -> list_contains(['le','la','les','et','est','un'], x)))     AS s_fr,
+               len(list_filter(w, x -> list_contains(['el','la','los','y','es','un'], x)))       AS s_es
+        FROM t),
+    p AS (
+        SELECT doc_id, lang,
+               CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS predicted,
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000) / 1000000.0 AS u
+        FROM s),
+    fr AS (SELECT UNNEST([{fr}]) AS fraction)
+    SELECT fraction,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(CASE WHEN lang = predicted THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS accuracy
+    FROM p CROSS JOIN fr
+    WHERE u < fraction
+    GROUP BY fraction
+    """
+
+
+@register(
+    "q_learning_curve",
+    oracle=_learning_curve_oracle(),
+    tags=("stats", "ml-eval", "learning-curve", "ablation"),
+)
+def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-ablation learning curve: lang-id accuracy measured on
+    deterministic NESTED subsets of 10% / 25% / 50% / 100% of the
+    corpus — the 'how much data do we actually need' curve every
+    curation budget decision rests on. Subsets come from the
+    md5-fraction of doc_id (the q_leakage_free_split hash family),
+    so they are reproducible and nested by construction (the 10%
+    set is contained in the 25% set — the property that makes the
+    curve monotone-comparable, which independent samples lack).
+
+    Scale shape: ONE classifier scan; each doc's hash fraction is
+    computed once and the 4-row fraction table crosses as a
+    broadcast literal before a fractions-cardinality aggregate —
+    subsetting never rescans, and the whole curve costs one pass
+    regardless of how many budget points are probed. All counts
+    exact integers. Reference parity: none; north-star §2D
+    ML-eval/curation depth.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.col("text"), r"[^a-z0-9]+"), lambda x: x != "")
+
+    def score(words) -> object:
+        return F.size(F.filter(w, lambda x: F.array_contains(
+            F.array(*[F.lit(s) for s in words]), x)))
+
+    s_en = score(["the", "a", "of", "to", "and", "in", "is"])
+    s_de = score(["der", "die", "das", "und", "ist", "ein"])
+    s_fr = score(["le", "la", "les", "et", "est", "un"])
+    s_es = score(["el", "la", "los", "y", "es", "un"])
+    predicted = (
+        F.when((s_en == 0) & (s_de == 0) & (s_fr == 0) & (s_es == 0),
+               "unknown")
+        .when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es"))
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("bigint") % 1000000) / 1000000.0
+    p = docs.select("lang", predicted.alias("predicted"), u.alias("u"))
+    fr = spark.createDataFrame([(f,) for f in _LC_FRACTIONS],
+                               "fraction double")
+    return (p.crossJoin(F.broadcast(fr))
+            .where(F.col("u") < F.col("fraction"))
+            .groupBy("fraction")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum(F.when(F.col("lang") == F.col("predicted"),
+                                      1).otherwise(0))
+                         / F.count(F.lit(1)), 6).alias("accuracy")))

@@ -83,6 +83,13 @@ _ALLOW_NESTED_LOOP = {
     "q_chisq_independence",      # crossJoin(broadcast(1-row N)) onto the
                                  # categories^2 cell relation, same
                                  # scalar-subquery shape
+    "q_walk_forward_splits",     # 1-row min-date scalar onto the per-day
+                                 # relation, then the 4-row fold literal
+                                 # crossed with ~30 day rows — both the
+                                 # whitelisted tiny-broadcast shapes
+    "q_learning_curve",          # 4-row fraction literal broadcast
+                                 # crossed against the classifier scan
+                                 # (the q_dedup_threshold_sweep shape)
     "q_bm25_search",             # crossJoin(broadcast(1-row N/avgdl
                                  # stats)), same scalar-subquery shape
     "q_hybrid_retrieval",        # crossJoin(broadcast(1-row max-score +
