@@ -1496,3 +1496,80 @@ def q_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.when(F.col("lang") == F.col("predicted"),
                                       1).otherwise(0))
                          / F.count(F.lit(1)), 6).alias("accuracy")))
+
+
+_HRW_FROM = 8    # shard counts before/after the resize
+_HRW_TO = 9
+
+
+def _hrw_oracle() -> str:
+    def pick(n: int, alias: str) -> str:
+        return (f"""(SELECT s FROM (SELECT UNNEST(range({n})) AS s) sh
+               ORDER BY md5(CAST(sh.s AS VARCHAR) || '#' ||
+                            CAST(c_custkey AS VARCHAR)) DESC, sh.s
+               LIMIT 1) AS {alias}""")
+    return f"""
+    WITH a AS (
+        SELECT c_custkey,
+               {pick(_HRW_FROM, "shard_before")},
+               {pick(_HRW_TO, "shard_after")}
+        FROM customer)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN shard_before <> shard_after
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           ROUND(SUM(CASE WHEN shard_before <> shard_after
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS moved_frac,
+           CAST(COUNT(DISTINCT shard_after) AS BIGINT) AS shards_after
+    FROM a
+    """
+
+
+@register(
+    "q_rendezvous_sharding",
+    oracle=_hrw_oracle(),
+    tags=("infra", "sharding", "consistent-hashing", "rendezvous"),
+)
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding of customer keys,
+    measured across a shard-count resize 8 → 9: each key lands on
+    the shard whose md5(shard#key) weight is highest, and the
+    consistent-hashing guarantee — ONLY keys whose new shard wins
+    move, an expected 1/9 ≈ 0.111 of them, vs 8/9 for mod-N — is
+    verified as data (n_moved / n_keys). This is the assignment
+    discipline behind stateful shard resizing (state stores,
+    streaming keyed state, distributed caches): a resize reshuffles
+    a 1/N sliver, not the world.
+
+    Scale shape: the per-key argmax evaluates ARRAY-LOCALLY —
+    ``array_max`` over an N-element literal-seeded struct array
+    inside the row projection (ties broken toward the lower shard
+    id via the struct's descending-weight/ascending-id order), no
+    explode, no join, one corpus scan into a 1-row aggregate. Cost
+    is O(rows × shards) hashes with nothing crossing a shuffle.
+    Reference parity: the reference's ihash(key) % nReduce
+    (mr/worker.go:41) is exactly the mod-N scheme whose resize
+    moves (N-1)/N of all keys; this is its production replacement.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def pick(n: int):
+        weights = F.array(*[
+            F.struct(
+                F.md5(F.concat(F.lit(f"{s}#"),
+                               F.col("c_custkey").cast("string")))
+                .alias("w"),
+                F.lit(-s).cast("int").alias("neg_s"))
+            for s in range(n)])
+        best = F.array_max(weights)
+        return (-best["neg_s"]).cast("bigint")
+
+    a = cust.select(pick(_HRW_FROM).alias("shard_before"),
+                    pick(_HRW_TO).alias("shard_after"))
+    moved = F.when(F.col("shard_before") != F.col("shard_after"),
+                   1).otherwise(0)
+    return a.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(moved).alias("n_moved"),
+        F.round(F.sum(moved) / F.count(F.lit(1)), 6).alias("moved_frac"),
+        F.countDistinct("shard_after").alias("shards_after"))

@@ -43,7 +43,7 @@ SPREAD = [
     "q_quantile_normalize", "q_selfjoin_size_stats",
     "q_poisson_bootstrap_ci", "q_roc_auc", "q_gains_table",
     "q_ab_test_welch", "q_chisq_independence", "q_classifier_metrics",
-    "q_walk_forward_splits", "q_learning_curve",
+    "q_walk_forward_splits", "q_learning_curve", "q_rendezvous_sharding",
 ]
 
 
@@ -66,6 +66,7 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
         # global summaries legitimately emit one all-zero/NULL row
         # (or, for the k-core trajectory, one zero row per round)
         "q_dedup_exact", "q_kcore_peel", "q_bloom_filter_fpr",
-        "q_selfjoin_size_stats", "q_poisson_bootstrap_ci")
+        "q_selfjoin_size_stats", "q_poisson_bootstrap_ci",
+        "q_rendezvous_sharding")
     assert df.schema.fields, "schema must survive the empty path"
     spark.catalog.clearCache()
