@@ -1573,3 +1573,55 @@ def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(moved).alias("n_moved"),
         F.round(F.sum(moved) / F.count(F.lit(1)), 6).alias("moved_frac"),
         F.countDistinct("shard_after").alias("shards_after"))
+
+
+_KANON_K = 5
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                        WHEN c_acctbal < 5000 THEN 'low'
+                                        ELSE 'high' END) AS BIGINT)
+                   AS l_diversity
+        FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, group_size, l_diversity,
+           group_size >= {_KANON_K} AS k_anonymous
+    FROM g
+    """,
+    tags=("privacy", "k-anonymity", "l-diversity", "audit"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit of the customer table before release: for every
+    quasi-identifier combination (nation × market segment), the
+    equivalence-class size (k-anonymity: a group smaller than k = 5
+    re-identifies its members) and the l-diversity of the sensitive
+    attribute (distinct account-balance bands inside the group — a
+    k-anonymous group where everyone shares one sensitive value
+    still leaks it). Flagging, not suppressing: the release
+    pipeline drops or generalizes the flagged rows, and this query
+    is the audit artifact attached to the release.
+
+    Scale shape: one combiner-reduced QI-keyed aggregate (the
+    distinct-count is over a 3-value band vocabulary, constant
+    state per group); output is |QI-combinations| rows regardless
+    of table size. At 100 TB the audit costs one scan — which is
+    why k-anonymity screening runs on every release, not samples.
+    All values exact integers/booleans. Reference parity: none;
+    north-star §2D governance depth next to q_pii_scrub and
+    q_data_card.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    band = (F.when(F.col("c_acctbal") < 0, "neg")
+            .when(F.col("c_acctbal") < 5000, "low").otherwise("high"))
+    return (cust.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("group_size"),
+                 F.countDistinct(band).alias("l_diversity"))
+            .select("c_nationkey", "c_mktsegment", "group_size",
+                    "l_diversity",
+                    (F.col("group_size") >= _KANON_K)
+                    .alias("k_anonymous")))

@@ -37,6 +37,7 @@ SPREAD = [
     "q_poisson_bootstrap_ci", "q_roc_auc", "q_gains_table",
     "q_ab_test_welch", "q_chisq_independence", "q_classifier_metrics",
     "q_walk_forward_splits", "q_learning_curve", "q_rendezvous_sharding",
+    "q_k_anonymity",
 ]
 
 
