@@ -1625,3 +1625,173 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "l_diversity",
                     (F.col("group_size") >= _KANON_K)
                     .alias("k_anonymous")))
+
+
+@register(
+    "q_ks_test",
+    oracle="""
+    WITH vc AS (
+        SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+    vals AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS c_all FROM vc GROUP BY 1),
+    cum_all AS (
+        SELECT v, SUM(c_all) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum_a,
+               SUM(c_all) OVER () AS n
+        FROM vals),
+    srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+             FROM vc GROUP BY 1),
+    grid AS (
+        SELECT s.source, s.n_s, a.v, a.cum_a, a.n,
+               SUM(COALESCE(vc.c, 0)) OVER (
+                   PARTITION BY s.source ORDER BY a.v
+                   ROWS UNBOUNDED PRECEDING) AS cum_s
+        FROM srcs s CROSS JOIN cum_all a
+        LEFT JOIN vc ON vc.source = s.source AND vc.v = a.v),
+    d AS (
+        SELECT source, n_s, n - n_s AS n_r, v,
+               ABS(cum_s * (n - n_s) - (cum_a - cum_s) * n_s) AS d2
+        FROM grid),
+    mx AS (SELECT source, MAX(d2) AS mx2 FROM d GROUP BY 1)
+    SELECT d.source,
+           CAST(d.n_s AS BIGINT) AS n_source,
+           CAST(d.n_r AS BIGINT) AS n_rest,
+           ROUND(mx.mx2 * 1.0 / (d.n_s * d.n_r), 6) AS ks_d,
+           CAST(MIN(d.v) AS BIGINT) AS at_value
+    FROM d JOIN mx ON mx.source = d.source AND d.d2 = mx.mx2
+    GROUP BY d.source, d.n_s, d.n_r, mx.mx2
+    """,
+    tags=("stats", "distribution-test", "drift", "governance"),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic per source:
+    D = sup_x |F_source(x) - F_rest(x)| for the n_chars length
+    distribution of each source against the rest of the corpus —
+    the nonparametric ingest-drift screen that needs no binning
+    choice (unlike chi-square) and no moment assumptions (unlike
+    Welch). Both ECDFs are step functions whose jumps all sit at
+    corpus values, so the supremum is attained at one of the
+    distinct values; D is carried as the exact INTEGER
+    |cum_s*n_r - cum_r*n_s| and divided once at the end — no float
+    accumulation seam, bit-equal across engines. Ties broken to the
+    smallest attaining value.
+
+    Scale shape: the corpus collapses to (source, value) counts in
+    one combiner-reduced aggregate; every window after that runs
+    over the value-cardinality-bounded grid (|sources| x |distinct
+    values| rows — for continuous columns, pre-bucket to make this
+    bounded, same contract as q_quantile_normalize / q_roc_auc).
+    At 100 TB: one scan plus vocabulary-sized state — full-traffic
+    distribution testing, not samples. Reference parity: none;
+    north-star §2D statistics depth next to q_ab_test_welch
+    (moments) and q_chisq_independence (categories).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (docs.groupBy("source", F.col("n_chars").alias("v"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    vals = vc.groupBy("v").agg(F.sum("c").alias("c_all"))
+    w_all = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_all = vals.select(
+        "v", F.sum("c_all").over(w_all).alias("cum_a"),
+        F.sum("c_all").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding,
+                Window.unboundedFollowing)).alias("n"))
+    srcs = vc.groupBy("source").agg(F.sum("c").alias("n_s"))
+    w_s = (Window.partitionBy("source").orderBy("v")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    grid = (F.broadcast(srcs).crossJoin(cum_all)
+            .join(vc, ["source", "v"], "left")
+            .select("source", "n_s", "v", "cum_a", "n",
+                    F.sum(F.coalesce(F.col("c"), F.lit(0)))
+                    .over(w_s).alias("cum_s")))
+    d = grid.select(
+        "source", "n_s", (F.col("n") - F.col("n_s")).alias("n_r"), "v",
+        F.abs(F.col("cum_s") * (F.col("n") - F.col("n_s"))
+              - (F.col("cum_a") - F.col("cum_s")) * F.col("n_s"))
+        .alias("d2"))
+    mx = (d.groupBy("source").agg(F.max("d2").alias("mx2"))
+          .withColumnRenamed("source", "msource"))
+    return (d.join(F.broadcast(mx),
+                   (F.col("source") == F.col("msource"))
+                   & (F.col("d2") == F.col("mx2")))
+            .groupBy("source", "n_s", "n_r", "mx2")
+            .agg(F.min("v").cast("bigint").alias("at_value"))
+            .select("source",
+                    F.col("n_s").cast("bigint").alias("n_source"),
+                    F.col("n_r").cast("bigint").alias("n_rest"),
+                    F.round(F.col("mx2") / (F.col("n_s") * F.col("n_r")
+                                            ).cast("double"), 6)
+                    .alias("ks_d"),
+                    "at_value"))
+
+
+# Truncated discrete-Laplace (two-sided geometric) CDF for epsilon=1,
+# sensitivity-1 counts, support [-8, 8], quantized to 15 bits:
+# floor(P(K <= k) * 32768) for k = -8..7. noise = -8 + #(u >= t).
+# The truncation (tail mass ~e^-8 per side) and the quantization are
+# part of the mechanism's contract and identical literals in both
+# engines, so the draw is bit-exact cross-engine.
+_DP_CDF_Q = (5, 18, 56, 158, 435, 1189, 3239, 8811, 23956, 29528,
+             31578, 32332, 32609, 32711, 32749, 32762)
+
+
+def _dp_noise_sql(u: str) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in _DP_CDF_Q)
+    return f"(-8 + {terms})"
+
+
+@register(
+    "q_dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_true
+        FROM documents GROUP BY 1, 2),
+    u AS (
+        SELECT source, lang, n_true,
+               CAST(('0x' || substr(md5('dp|' || source || '|' || lang),
+                     1, 4)) AS INTEGER) % 32768 AS u15
+        FROM g)
+    SELECT source, lang, n_true,
+           CAST({_dp_noise_sql('u15')} AS BIGINT) AS noise,
+           CAST(n_true + {_dp_noise_sql('u15')} AS BIGINT) AS n_noisy
+    FROM u
+    """,
+    tags=("privacy", "governance", "dp", "sketch-free"),
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release counts: per-(source, lang)
+    document counts with two-sided-geometric (discrete Laplace)
+    noise at epsilon = 1 — the mechanism behind every DP count
+    release (Ghosh-Roughgarden-Sundararajan: the geometric mechanism
+    is universally utility-optimal for counts). The noise draw is
+    DETERMINISTIC here: a 15-bit uniform extracted from
+    md5('dp|source|lang') mapped through the quantized CDF literals
+    in _DP_CDF_Q (same table both engines), which makes the
+    mechanism fully oracle-checkable; a production release would
+    swap the md5 seed for a secret per-release nonce and DROP the
+    n_true/noise columns — kept here so the oracle pins the exact
+    arithmetic. Truncation at +/-8 (tail mass ~3e-4) is part of the
+    declared mechanism, as in bounded-geometric DP deployments.
+
+    Scale shape: one combiner-reduced aggregate, then O(groups)
+    pure-expression work — the noise addition costs nothing at any
+    scale, the audit twin of q_k_anonymity: that query flags what
+    is unsafe to release exactly; this one makes the release safe.
+    Reference parity: none; north-star §2D governance depth.
+    """
+    g = (load_table(spark, sf_dir, "documents")
+         .groupBy("source", "lang")
+         .agg(F.count(F.lit(1)).alias("n_true")))
+    u15 = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("dp|"), F.col("source"), F.lit("|"),
+                       F.col("lang"))), 1, 4), 16, 10)
+        .cast("int") % 32768)
+    noise = (F.lit(-8)
+             + sum((u15 >= t).cast("int") for t in _DP_CDF_Q))
+    return g.select(
+        "source", "lang", "n_true",
+        noise.cast("bigint").alias("noise"),
+        (F.col("n_true") + noise).cast("bigint").alias("n_noisy"))

@@ -45,6 +45,9 @@ SPREAD = [
     "q_ab_test_welch", "q_chisq_independence", "q_classifier_metrics",
     "q_walk_forward_splits", "q_learning_curve", "q_rendezvous_sharding",
     "q_k_anonymity",
+    # fourth round-4 batch: the ECDF grid cross-join and the
+    # DP noise expression on zero/null groups
+    "q_ks_test", "q_dp_noisy_counts",
 ]
 
 

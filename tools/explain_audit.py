@@ -80,6 +80,10 @@ _ALLOW_NESTED_LOOP = {
     "q_ab_test_welch",           # crossJoin of the two 1-row group-stat
                                  # relations (click x purchase), same
                                  # scalar-subquery 1-row BNLJ shape
+    "q_ks_test",                 # broadcast(|sources| rows) x the
+                                 # distinct-value relation = the declared
+                                 # ECDF evaluation grid (both sides
+                                 # vocabulary-bounded, docstring)
     "q_chisq_independence",      # crossJoin(broadcast(1-row N)) onto the
                                  # categories^2 cell relation, same
                                  # scalar-subquery shape
@@ -207,6 +211,10 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_cusum_changepoint": "cumulative sum over the hourly series — "
                            "calendar-bounded (720 rows/month), orders "
                            "below event count (docstring)",
+    "q_ks_test": "cumulative/total windows over the DISTINCT n_chars "
+                 "value relation (value-cardinality bounded; continuous "
+                 "columns must pre-bucket — docstring contract shared "
+                 "with q_quantile_normalize / q_roc_auc)",
     "q_gains_table": "cumulative/total windows over DISTINCT score "
                      "values (value-cardinality bounded by the "
                      "n_chars length cap, never over documents — "
