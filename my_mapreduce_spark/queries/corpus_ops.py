@@ -1026,3 +1026,107 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text")
             .where(F.col("text").isNotNull() & (F.length("text") > 0)))
     return docs.mapInPandas(_compression_batches, schema=_CR_SCHEMA)
+
+
+_SPAN_N = 5  # substring-dedup shingle width (tokens)
+
+
+@register(
+    "q_substring_dedup_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    p AS (
+        SELECT doc_id, i,
+               array_to_string(w[i:i+{_SPAN_N - 1}], ' ') AS sh,
+               len(w) AS n_tokens
+        FROM t, UNNEST(range(1, len(w) - {_SPAN_N - 2})) AS u(i)
+        WHERE len(w) >= {_SPAN_N}),
+    df AS (
+        SELECT sh, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY sh),
+    dup AS (
+        SELECT p.doc_id, p.i, p.n_tokens
+        FROM p JOIN df ON df.sh = p.sh
+        WHERE df.df >= 2),
+    marked AS (
+        SELECT doc_id, i, n_tokens,
+               CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                    <= {_SPAN_N} THEN 0 ELSE 1 END AS new_span
+        FROM dup),
+    sp AS (
+        SELECT doc_id, i, n_tokens,
+               SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM marked),
+    spans AS (
+        SELECT doc_id, span_id,
+               MAX(n_tokens) AS n_tokens,
+               MAX(i) - MIN(i) + {_SPAN_N} AS span_len
+        FROM sp GROUP BY doc_id, span_id)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+           CAST(MAX(span_len) AS BIGINT) AS longest_span,
+           ROUND(SUM(span_len) * 1.0 / MAX(n_tokens), 6) AS dup_frac
+    FROM spans GROUP BY doc_id
+    """,
+    tags=("corpus", "dedup", "substring", "quality"),
+)
+def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup report (the span-level sibling of
+    q_dup_ngram_fraction, after Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": remove repeated
+    SPANS, not whole near-dup docs): every token position starting
+    a 5-gram that also appears in ANOTHER document is a duplicated
+    position; runs of duplicated positions closer than the shingle
+    width merge into MAXIMAL duplicated spans (two hits at starts
+    i, j with j - i <= 5 overlap or touch, so they fuse). Per doc:
+    span count, duplicated-token total, longest span, duplicated
+    fraction — exactly what a substring-dedup pass would excise.
+    The suffix-array construction in the paper finds the same spans;
+    shingle-df + island-merge is the shuffle-native equivalent.
+
+    Scale shape: positions are generated ARRAY-LOCALLY (posexplode
+    of the in-row shingle array — no join builds them); df is one
+    combiner-reduced count over distinct (doc, shingle) pairs; the
+    df >= 2 filter happens ON the shingle-keyed join so only
+    duplicated positions flow into the window; the island-merge
+    window partitions BY DOC (state bounded by doc length, never
+    corpus-sized). At 100 TB: two shingle-keyed shuffles + one
+    doc-keyed shuffle, all combiner-friendly — the plan of every
+    production substring-dedup (the df relation IS the "duplicate
+    index" that incremental runs reuse). Reference parity: none;
+    north-star §2D dedup depth.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    withw = (docs.select("doc_id", tokens().alias("w"))
+             .where(F.size("w") >= _SPAN_N))
+    p = withw.select(
+        "doc_id", F.size("w").alias("n_tokens"),
+        F.posexplode(shingles(F.col("w"), _SPAN_N)).alias("i0", "sh"))
+    dfrel = (p.select("doc_id", "sh").distinct()
+             .groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+             .where(F.col("df") >= 2))
+    dup = (p.join(dfrel, "sh")
+           .select("doc_id", (F.col("i0") + 1).alias("i"), "n_tokens"))
+    w_lag = Window.partitionBy("doc_id").orderBy("i")
+    marked = dup.withColumn(
+        "new_span",
+        F.when(F.col("i") - F.lag("i").over(w_lag) <= _SPAN_N, 0)
+        .otherwise(1))
+    w_cum = (Window.partitionBy("doc_id").orderBy("i")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    sp = marked.withColumn("span_id", F.sum("new_span").over(w_cum))
+    spans = (sp.groupBy("doc_id", "span_id")
+             .agg(F.max("n_tokens").alias("n_tokens"),
+                  (F.max("i") - F.min("i") + _SPAN_N).alias("span_len")))
+    return (spans.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum("span_len").alias("dup_tokens"),
+                 F.max("span_len").alias("longest_span"),
+                 F.round(F.sum("span_len")
+                         / F.max("n_tokens").cast("double"), 6)
+                 .alias("dup_frac")))

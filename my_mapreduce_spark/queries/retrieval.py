@@ -360,3 +360,90 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") <= _MINE_K)
             .select("query_id", "kind", "neighbor_id",
                     F.round("cos", 6).alias("cosine"), "rnk"))
+
+
+@register(
+    "q_retrieval_recall_mrr",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE {_NDCG_QUERY_FILTER}),
+    ranked AS (
+        SELECT q.vec_id AS query_id, q.label AS qlabel,
+               CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                            DESC, c.vec_id) AS rnk
+        FROM q JOIN n c ON q.vec_id <> c.vec_id),
+    firstrel AS (
+        SELECT query_id, qlabel,
+               MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel_rank,
+               CAST(SUM(CASE WHEN rnk <= {_NDCG_K} THEN rel ELSE 0 END)
+                    AS BIGINT) AS n_rel_topk
+        FROM ranked GROUP BY query_id, qlabel),
+    lbl AS (SELECT label, COUNT(*) AS cnt FROM n GROUP BY label)
+    SELECT f.query_id,
+           CAST(f.first_rel_rank AS BIGINT) AS first_rel_rank,
+           ROUND(1.0 / f.first_rel_rank, 6) AS rr,
+           f.n_rel_topk,
+           ROUND(f.n_rel_topk * 1.0
+                 / least({_NDCG_K}, lbl.cnt - 1), 6) AS recall_at_k
+    FROM firstrel f JOIN lbl ON lbl.label = f.qlabel
+    """,
+    tags=("retrieval", "eval", "knn"),
+)
+def q_retrieval_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank and recall@10 of exact cosine retrieval
+    (relevance = label match) per query — the two retrieval-eval
+    numbers NDCG does not give: HOW DEEP the first relevant hit
+    sits (RR; its mean over queries is MRR) and what fraction of
+    the attainable relevant set the cutoff captured (recall@k,
+    normalized by min(k, |relevant|) so fully-satisfiable queries
+    score 1.0). Completes the eval tier next to q_ndcg_eval
+    (graded gain) and q_hard_negatives (training-pair mining).
+
+    Plan: same funnel as q_ndcg_eval — the query set broadcasts
+    onto ONE corpus scan, the per-query ranking window moves only
+    that query's scored rows, and first_rel_rank / n_rel_topk
+    reduce per query BEFORE the label-count broadcast join; output
+    is |queries| rows. The full ranking (not top-k-truncated) is
+    required by RR's unbounded rank, but it never materializes — it
+    is one window pass over each query's partition. At 100 TB, swap
+    the exact scorer for the IVF/PQ shortlist and this becomes the
+    recall-vs-exact harness those indexes are tuned with.
+    Reference parity: none; north-star §2D ML-eval depth.
+    """
+    from my_mapreduce_spark.queries.similarity import _normed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = _normed(emb, "label")
+    q = e.where(F.expr(_NDCG_QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"), F.col("label").alias("qlabel"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    ranked = (e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+              .select("query_id", "qlabel", "vec_id",
+                      (F.col("label") == F.col("qlabel")).cast("int")
+                      .alias("rel"), cos.alias("cos"))
+              .withColumn("rnk", F.row_number().over(w)))
+    firstrel = (ranked.groupBy("query_id", "qlabel")
+                .agg(F.min(F.when(F.col("rel") == 1, F.col("rnk")))
+                     .alias("first_rel_rank"),
+                     F.sum(F.when(F.col("rnk") <= _NDCG_K, F.col("rel"))
+                           .otherwise(0)).cast("long").alias("n_rel_topk")))
+    lbl = e.groupBy("label").agg(F.count("*").alias("cnt"))
+    return (firstrel.join(F.broadcast(lbl),
+                          firstrel.qlabel == lbl.label)
+            .select("query_id",
+                    F.col("first_rel_rank").cast("bigint")
+                    .alias("first_rel_rank"),
+                    F.round(1.0 / F.col("first_rel_rank"), 6).alias("rr"),
+                    "n_rel_topk",
+                    F.round(F.col("n_rel_topk")
+                            / F.least(F.lit(_NDCG_K), F.col("cnt") - 1)
+                            .cast("double"), 6).alias("recall_at_k")))

@@ -269,3 +269,84 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(take_b, F.col("pb.event_id"))
          .when(f_ok, F.col("pf.event_id")).alias("nearest_purchase_id"),
         F.when(take_b, -dtb).when(f_ok, dtf).alias("dt_us"))
+
+
+_IVL_BUCKET_US = 5 * 3600 * 1_000_000  # bucket width == max interval len
+_IVL_DUR_SQL = "(1 + event_id % 5) * 3600000000"  # 1..5 h, from event_id
+
+
+@register(
+    "q_interval_overlap_join",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS s,
+               epoch_us(ts) + {_IVL_DUR_SQL} AS en
+        FROM events),
+    a AS (SELECT * FROM e WHERE event_type = 'click'),
+    b AS (SELECT * FROM e WHERE event_type = 'view'),
+    p AS (
+        SELECT a.user_id,
+               LEAST(a.en, b.en) - GREATEST(a.s, b.s) AS overlap_us
+        FROM a JOIN b ON b.user_id = a.user_id
+                     AND a.s <= b.en AND b.s <= a.en)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(overlap_us) AS BIGINT) AS sum_overlap_us,
+           CAST(MAX(overlap_us) AS BIGINT) AS max_overlap_us
+    FROM p GROUP BY 1
+    """,
+    tags=("join", "interval", "events", "bucketed"),
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join per user — click activity
+    intervals against view intervals (each event holds an interval
+    of 1..5 hours derived deterministically from event_id), with
+    per-user overlap-pair counts and total/max overlap duration.
+    The remaining temporal-join shape after as-of (point-to-point)
+    and range (point-to-interval): BOTH sides are intervals, the
+    session-vs-session / downtime-vs-deploy collision query.
+
+    Scale plan — stripe the probe side, key the build side ONCE:
+    with bucket width = the declared max interval length, each view
+    interval registers at exactly ONE bucket (its start bucket),
+    and each click explodes to the <= 3 buckets that can hold an
+    overlapping view start ([floor((a_s - maxdur)/W),
+    floor(a_e/W)]). The (user, bucket) equi-join then applies the
+    exact closed-interval predicate a_s <= b_e AND b_s <= a_e —
+    every qualifying pair is found in exactly one bucket, so there
+    is NO distinct/dedup pass, and the theta join the oracle runs
+    (O(clicks x views) per user) never materializes. Fan-out is
+    bounded by bucket occupancy; overlap lengths are exact integer
+    microseconds. The max-length contract is the declared knob:
+    long-tailed interval data is split into <= maxdur segments
+    first (the standard decomposition). Reference parity: none
+    (the reference has no joins at all, SURVEY §2C); north-star
+    temporal-join completion next to q_asof_join /
+    q_range_join_follow.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("s"))
+    ev = ev.withColumn(
+        "en", F.col("s") + (1 + F.col("event_id") % 5) * 3_600_000_000)
+    wdt = _IVL_BUCKET_US
+    a = (ev.where(F.col("event_type") == "click")
+         .select("user_id", F.col("s").alias("a_s"),
+                 F.col("en").alias("a_e"),
+                 F.explode(F.sequence(
+                     F.expr(f"(s - {wdt}) DIV {wdt}"),
+                     F.expr(f"en DIV {wdt}"))).alias("bkt")))
+    b = (ev.where(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("b_user"),
+                 F.col("s").alias("b_s"), F.col("en").alias("b_e"),
+                 F.expr(f"s DIV {wdt}").alias("b_bkt")))
+    pairs = a.join(
+        b, (F.col("user_id") == F.col("b_user"))
+        & (F.col("bkt") == F.col("b_bkt"))
+        & (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e")))
+    overlap = (F.least("a_e", "b_e") - F.greatest("a_s", "b_s"))
+    return (pairs.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(overlap).alias("sum_overlap_us"),
+                 F.max(overlap).alias("max_overlap_us")))

@@ -48,6 +48,8 @@ SPREAD = [
     # fourth round-4 batch: the ECDF grid cross-join and the
     # DP noise expression on zero/null groups
     "q_ks_test", "q_dp_noisy_counts",
+    "q_interval_overlap_join", "q_substring_dedup_spans",
+    "q_retrieval_recall_mrr",
 ]
 
 

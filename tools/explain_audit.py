@@ -104,6 +104,9 @@ _ALLOW_NESTED_LOOP = {
                                  # != condition — same declared shape as
                                  # q_knn_bruteforce (the ranking IS exact)
     "q_hard_negatives",          # same broadcast-query != shape
+    "q_retrieval_recall_mrr",    # same broadcast-query != shape (exact
+                                 # scorer; the IVF/PQ funnels replace it
+                                 # at scale — docstring)
     "q_aqp_estimate",            # crossJoin(broadcast(1-row exact stats)),
                                  # same scalar-subquery shape
     "q_keyset_pagination",       # crossJoin(broadcast(1-row cursor
