@@ -11,7 +11,7 @@ partial aggregation and recombines in a second, tiny shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.io import load_table
@@ -434,3 +434,109 @@ def q_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_hat"),
         F.expr(f"round({wilson}, 6)").alias("wilson_lb"))
         .orderBy(F.col("wilson_lb").desc(), "hour_of_day"))
+
+
+_SURV_GAP_US = 1800 * 1_000_000   # session split: 30 min inactivity
+_SURV_MIN_US = 60 * 1_000_000     # life-table granularity: minutes
+
+
+@register(
+    "q_survival_life_table",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    g AS (
+        SELECT user_id, t,
+               CASE WHEN LAG(t) OVER w IS NULL
+                         OR t - LAG(t) OVER w > {_SURV_GAP_US}
+                    THEN 1 ELSE 0 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    s AS (
+        SELECT user_id, t,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g),
+    mx AS (SELECT MAX(t) AS corpus_end FROM e),
+    lt AS (
+        SELECT (MAX(s.t) - MIN(s.t)) // {_SURV_MIN_US} AS dur_min,
+               CASE WHEN MAX(s.t) < mx.corpus_end - {_SURV_GAP_US}
+                    THEN 1 ELSE 0 END AS ended
+        FROM s CROSS JOIN mx
+        GROUP BY s.user_id, s.sid, mx.corpus_end),
+    byd AS (
+        SELECT dur_min AS minute,
+               CAST(SUM(ended) AS BIGINT) AS n_ended,
+               CAST(SUM(1 - ended) AS BIGINT) AS n_censored
+        FROM lt GROUP BY 1),
+    risk AS (
+        SELECT minute, n_ended, n_censored,
+               SUM(n_ended + n_censored) OVER (
+                   ORDER BY minute DESC ROWS UNBOUNDED PRECEDING)
+                   AS n_at_risk
+        FROM byd)
+    SELECT CAST(minute AS BIGINT) AS minute,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk, n_ended, n_censored,
+           ROUND(n_ended * 1.0 / n_at_risk, 6) AS hazard
+    FROM risk
+    """,
+    tags=("analytics", "survival", "sessions", "stats"),
+)
+def q_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier-style life table of SESSION durations: sessions
+    are 30-min-inactivity episodes per user, a session's lifetime is
+    last-minus-first event in whole minutes, and sessions whose last
+    event falls within one gap width of the corpus end are CENSORED
+    (they may still be open — dropping them is the classic
+    duration-analysis bias, truncating them deflates long sessions).
+    Per duration minute: the at-risk count (sessions lasting at
+    least that long), completed-session exits, censored exits, and
+    the discrete hazard d/n_at_risk — the probability a session
+    ends at minute k given it reached k. The KM survival curve is
+    the running product of (1 - hazard); the table ships exact
+    integers and ONE final division so the cross-engine contract
+    stays bit-stable (a float product chain would not).
+
+    Scale shape: sessionization is one user-partitioned window (the
+    same shape as q_streaming_sessionize's batch oracle), the
+    session collapse is a combiner-reduced (user, session) agg, the
+    corpus-end scalar is a 1-row broadcast, and the at-risk suffix
+    sum runs over the DURATION-MINUTE relation (gap-bounded: at
+    most gap-width/granularity + tail rows, independent of corpus
+    size). At 100 TB: one scan + one user shuffle — survival
+    analytics on full traffic. Reference parity: none; north-star
+    §2D analytics depth next to q_cohort_retention (calendar
+    cohorts; this is relative-duration with censoring).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.unix_micros("ts").alias("t"))
+    w_u = Window.partitionBy("user_id").orderBy("t")
+    g = e.withColumn(
+        "ns",
+        F.when(F.lag("t").over(w_u).isNull()
+               | (F.col("t") - F.lag("t").over(w_u) > _SURV_GAP_US), 1)
+        .otherwise(0))
+    s = g.withColumn(
+        "sid", F.sum("ns").over(
+            w_u.rowsBetween(Window.unboundedPreceding, 0)))
+    mx = e.agg(F.max("t").alias("corpus_end"))
+    lt = (s.crossJoin(F.broadcast(mx))
+          .groupBy("user_id", "sid", "corpus_end")
+          .agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+          .select(
+              F.expr(f"(t1 - t0) DIV {_SURV_MIN_US}").alias("dur_min"),
+              F.when(F.col("t1") < F.col("corpus_end") - _SURV_GAP_US, 1)
+              .otherwise(0).alias("ended")))
+    byd = (lt.groupBy(F.col("dur_min").alias("minute"))
+           .agg(F.sum("ended").alias("n_ended"),
+                F.sum(1 - F.col("ended")).alias("n_censored")))
+    w = (Window.orderBy(F.col("minute").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (byd.withColumn(
+        "n_at_risk",
+        F.sum(F.col("n_ended") + F.col("n_censored")).over(w))
+        .select(F.col("minute").cast("bigint").alias("minute"),
+                F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+                F.col("n_ended").cast("bigint").alias("n_ended"),
+                F.col("n_censored").cast("bigint").alias("n_censored"),
+                F.round(F.col("n_ended")
+                        / F.col("n_at_risk").cast("double"), 6)
+                .alias("hazard")))

@@ -1795,3 +1795,87 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "lang", "n_true",
         noise.cast("bigint").alias("noise"),
         (F.col("n_true") + noise).cast("bigint").alias("n_noisy"))
+
+
+_JSE_BUCKETS = 16
+
+
+@register(
+    "q_join_size_estimate",
+    oracle=f"""
+    WITH hc AS (
+        SELECT c_custkey AS k, c_custkey % {_JSE_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS a
+        FROM customer GROUP BY 1, 2),
+    ho AS (
+        SELECT o_custkey AS k, o_custkey % {_JSE_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS b
+        FROM orders GROUP BY 1, 2),
+    j AS (
+        SELECT hc.bucket, hc.k, hc.a, ho.b
+        FROM hc JOIN ho ON ho.k = hc.k),
+    act AS (
+        SELECT bucket, CAST(SUM(a * b) AS BIGINT) AS actual_rows
+        FROM j GROUP BY 1),
+    sa AS (SELECT bucket, CAST(SUM(a) AS BIGINT) AS rows_cust,
+                  CAST(COUNT(*) AS BIGINT) AS v_cust
+           FROM hc GROUP BY 1),
+    sb AS (SELECT bucket, CAST(SUM(b) AS BIGINT) AS rows_ord,
+                  CAST(COUNT(*) AS BIGINT) AS v_ord
+           FROM ho GROUP BY 1)
+    SELECT sa.bucket, sa.rows_cust, sb.rows_ord, sa.v_cust, sb.v_ord,
+           ROUND(sa.rows_cust * sb.rows_ord * 1.0
+                 / GREATEST(sa.v_cust, sb.v_ord), 2) AS est_rows,
+           COALESCE(act.actual_rows, 0) AS actual_rows
+    FROM sa JOIN sb ON sb.bucket = sa.bucket
+    LEFT JOIN act ON act.bucket = sa.bucket
+    """,
+    tags=("stats", "cbo", "cardinality", "join"),
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation, the decision every cost-based
+    optimizer makes before picking a join strategy: per key-hash
+    bucket, the Selinger uniformity estimate
+    |A_b| * |B_b| / max(V(A_b), V(B_b)) for customer JOIN orders ON
+    custkey, next to the EXACT answer from the key-histogram product
+    sum(a_k * b_k) — so the output IS the estimator's error profile
+    (where key-frequency skew breaks the uniformity assumption).
+    The cross-table sibling of q_selfjoin_size_stats (the F2
+    self-join census): same histogram machinery, two relations.
+
+    Scale shape: the join itself NEVER runs — both sides collapse
+    to combiner-reduced per-key histograms (one scan each), the
+    exact product joins histograms (|keys| rows, not |A ⋈ B|), and
+    bucket rollups are {_JSE_BUCKETS} rows. Per-row arithmetic is
+    integer except one division per bucket. At 100 TB this is how
+    you KNOW the fact-fact join is 10^14 rows before paying for it
+    — the ANALYZE-side twin of the CBO plan-flip demo
+    (tests/test_cbo_stats.py). Reference parity: none; north-star
+    engine-infrastructure depth.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    hc = (cust.groupBy(F.col("c_custkey").alias("k"),
+                       (F.col("c_custkey") % _JSE_BUCKETS).alias("bucket"))
+          .agg(F.count(F.lit(1)).alias("a")))
+    ho = (orders.groupBy(F.col("o_custkey").alias("k2"),
+                         (F.col("o_custkey") % _JSE_BUCKETS)
+                         .alias("bucket2"))
+          .agg(F.count(F.lit(1)).alias("b")))
+    act = (hc.join(ho, F.col("k2") == F.col("k"))
+           .groupBy("bucket")
+           .agg(F.sum(F.col("a") * F.col("b")).alias("actual_rows")))
+    sa = (hc.groupBy("bucket")
+          .agg(F.sum("a").alias("rows_cust"),
+               F.count(F.lit(1)).alias("v_cust")))
+    sb = (ho.groupBy(F.col("bucket2").alias("bucket"))
+          .agg(F.sum("b").alias("rows_ord"),
+               F.count(F.lit(1)).alias("v_ord")))
+    return (sa.join(sb, "bucket")
+            .join(F.broadcast(act), "bucket", "left")
+            .select("bucket", "rows_cust", "rows_ord", "v_cust", "v_ord",
+                    F.round(F.col("rows_cust") * F.col("rows_ord")
+                            / F.greatest("v_cust", "v_ord")
+                            .cast("double"), 2).alias("est_rows"),
+                    F.coalesce(F.col("actual_rows"), F.lit(0))
+                    .cast("bigint").alias("actual_rows")))

@@ -782,3 +782,105 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", F.round("eigenvalue", 6).alias("eigenvalue"),
              F.round("explained", 6).alias("explained"),
              F.round("cum_explained", 6).alias("cum_explained"))
+
+
+_JL_K = 8  # JL target dimensionality (64 -> 8)
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic +/-1 sign matrix for the JL projection, derived
+    from md5 parity so it is a fixed literal shared by both engines
+    (Achlioptas 2003: a Rademacher sign matrix satisfies the JL
+    lemma — no Gaussian sampling needed)."""
+    import hashlib
+
+    return [[1 if hashlib.md5(f"jl|{i}|{j}".encode()).digest()[0] % 2
+             else -1 for i in range(_DIM)] for j in range(_JL_K)]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    projs = []
+    for j, row in enumerate(signs):
+        chain = " + ".join(
+            f"v[{i + 1}] * ({s}.0)" for i, s in enumerate(row))
+        projs.append(f"({chain}) AS p{j}")
+    num = " + ".join(f"p{j} * p{j}" for j in range(_JL_K))
+    den = " + ".join(f"v[{i + 1}] * v[{i + 1}]" for i in range(_DIM))
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE len(embedding) = {_DIM}),
+    p AS (
+        SELECT vec_id, label, {", ".join(projs)},
+               ({den}) AS nrm2
+        FROM e)
+    SELECT vec_id, label,
+           ROUND(({_DIM}.0 / {_JL_K}) * ({num}) / nrm2, 6)
+               AS norm_ratio
+    FROM p WHERE nrm2 > 0
+    """
+
+
+@register(
+    "q_jl_projection",
+    oracle=_jl_oracle(),
+    tags=("embedding", "dimensionality", "jl", "similarity"),
+)
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-sign projection 64 -> 8 dims
+    with the per-vector norm-distortion report: norm_ratio =
+    (d/k) * ||Pv||^2 / ||v||^2, whose concentration around 1.0 IS
+    the JL guarantee (Achlioptas 2003 shows Rademacher +/-1 entries
+    suffice — no Gaussians). The 8x compression path BEFORE the
+    trained reductions (q_embedding_pca needs a covariance pass and
+    an eigensolve; JL needs nothing but a seed), used to cheapen
+    LSH/clustering distance work while provably preserving
+    geometry. The sign matrix is a FIXED md5-derived literal
+    (_jl_signs) compiled into both engines' expressions, and every
+    dot product / norm is an explicit left-to-right chain in the
+    SAME term order, so the doubles are bit-identical cross-engine
+    (the q_ewma_events fixed-order contract).
+
+    Scale shape: ZERO shuffle — k fixed-order dot products per row
+    against a broadcast-free literal matrix, pure map-side
+    expression work inside whole-stage codegen; output is one row
+    per vector. At 100 TB this is the cheapest of the embedding
+    operators — the matrix never moves because it lives in the
+    plan. Reference parity: none; north-star §2D embedding depth
+    next to q_embedding_pca (trained twin) and
+    q_embedding_quantize (precision twin).
+    """
+    signs = _jl_signs()
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = (emb.where(F.size("embedding") == _DIM)
+         .select("vec_id", "label", _as_double("embedding").alias("v")))
+
+    def chain(terms: list[Column]) -> Column:
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    # try_element_at, not element_at: Catalyst merges the width
+    # filter with the downstream nrm2 > 0 filter and subexpression
+    # elimination evaluates the chain before the width conjunct can
+    # short-circuit — on a dirty (empty-array) row plain element_at
+    # throws inside the fused predicate. NULL-safe access keeps the
+    # valid-row arithmetic bit-identical and lets nrm2 > 0 drop the
+    # NULLs. (Caught by tests/test_dirty_input.py.)
+    def el(i: int) -> Column:
+        return F.try_element_at("v", F.lit(i))
+
+    projs = [chain([el(i + 1) * float(s)
+                    for i, s in enumerate(row)]).alias(f"p{j}")
+             for j, row in enumerate(signs)]
+    den = chain([el(i + 1) * el(i + 1)
+                 for i in range(_DIM)]).alias("nrm2")
+    p = e.select("vec_id", "label", *projs, den)
+    num = chain([F.col(f"p{j}") * F.col(f"p{j}") for j in range(_JL_K)])
+    return (p.where(F.col("nrm2") > 0)
+            .select("vec_id", "label",
+                    F.round((float(_DIM) / _JL_K) * num / F.col("nrm2"),
+                            6).alias("norm_ratio")))

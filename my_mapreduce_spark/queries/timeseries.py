@@ -795,3 +795,71 @@ def q_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * (F.col("n") * F.col("syy")
                       - F.col("sy") * F.col("sy")).cast("double")), 6)
         .alias("r2"))
+
+
+@register(
+    "q_mann_kendall",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    p AS (
+        SELECT a.event_type,
+               CASE WHEN b.c > a.c THEN 1
+                    WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+        FROM d a JOIN d b ON b.event_type = a.event_type
+                         AND b.day > a.day),
+    s AS (
+        SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM p GROUP BY 1),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM d
+          GROUP BY 1)
+    SELECT s.event_type, n.n_days, s.s_stat,
+           ROUND(s.s_stat * 2.0 / (n.n_days * (n.n_days - 1)), 6)
+               AS kendall_tau
+    FROM s JOIN n ON n.event_type = s.event_type
+    """,
+    tags=("timeseries", "trend", "stats"),
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type over the daily count
+    series: S = sum over ordered day pairs (i < j) of
+    sign(c_j - c_i), with Kendall's tau-a = 2S / (n(n-1)) as the
+    normalized trend strength — the nonparametric monotonic-trend
+    detector (no linearity assumption, tie- and outlier-robust)
+    that complements q_zipf_slope's OLS and q_cusum_changepoint's
+    level-shift detector. S and the pair count are exact integers;
+    one final division.
+
+    Scale shape: the corpus collapses to the (type, day) daily
+    aggregate FIRST (combiner-reduced; the only corpus-sized pass),
+    and the O(n^2) pair comparison runs on the CALENDAR-BOUNDED
+    series — 30 days => 435 pairs per type, a month of days at any
+    data scale, keyed by type so it shuffles once and never leaves
+    the reducer. The textbook formulation IS the plan precisely
+    because n is the number of days, not rows. Reference parity:
+    none; north-star §2D timeseries depth.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (ev.groupBy("event_type",
+                    F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")
+                    .alias("day"))
+         .agg(F.count(F.lit(1)).alias("c")))
+    b = d.select(F.col("event_type").alias("b_type"),
+                 F.col("day").alias("b_day"), F.col("c").alias("b_c"))
+    p = d.join(b, (F.col("b_type") == F.col("event_type"))
+               & (F.col("b_day") > F.col("day")))
+    sgn = (F.when(F.col("b_c") > F.col("c"), 1)
+           .when(F.col("b_c") < F.col("c"), -1).otherwise(0))
+    s = (p.groupBy("event_type")
+         .agg(F.sum(sgn).alias("s_stat"),
+              F.count(F.lit(1)).alias("n_pairs")))
+    n = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return (s.join(F.broadcast(n), "event_type")
+            .select("event_type", "n_days",
+                    F.col("s_stat").cast("bigint").alias("s_stat"),
+                    F.round(F.col("s_stat") * 2.0
+                            / (F.col("n_days") * (F.col("n_days") - 1)),
+                            6).alias("kendall_tau")))

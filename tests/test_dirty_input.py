@@ -43,6 +43,8 @@ SPREAD = [
     "q_ks_test", "q_dp_noisy_counts",
     "q_interval_overlap_join", "q_substring_dedup_spans",
     "q_retrieval_recall_mrr",
+    "q_survival_life_table", "q_mann_kendall",
+    "q_join_size_estimate", "q_jl_projection",
 ]
 
 

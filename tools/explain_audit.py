@@ -80,6 +80,8 @@ _ALLOW_NESTED_LOOP = {
     "q_ab_test_welch",           # crossJoin of the two 1-row group-stat
                                  # relations (click x purchase), same
                                  # scalar-subquery 1-row BNLJ shape
+    "q_survival_life_table",     # crossJoin(broadcast(1-row corpus-end
+                                 # scalar)), same scalar-subquery shape
     "q_ks_test",                 # broadcast(|sources| rows) x the
                                  # distinct-value relation = the declared
                                  # ECDF evaluation grid (both sides
@@ -214,6 +216,10 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_cusum_changepoint": "cumulative sum over the hourly series — "
                            "calendar-bounded (720 rows/month), orders "
                            "below event count (docstring)",
+    "q_survival_life_table": "suffix sum over the duration-minute "
+                             "relation (gap-bounded: <= gap-width/"
+                             "granularity + tail rows, independent of "
+                             "corpus size — docstring)",
     "q_ks_test": "cumulative/total windows over the DISTINCT n_chars "
                  "value relation (value-cardinality bounded; continuous "
                  "columns must pre-bucket — docstring contract shared "
