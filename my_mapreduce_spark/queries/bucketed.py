@@ -316,3 +316,86 @@ def q_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.when(skipped, F.col("n_rows"))
                                .otherwise(0)).cast("double")
                          / F.sum("n_rows"), 6).alias("row_skip_frac")))
+
+
+_SNAP_BUCKETS = 8
+_SNAP_HOT = 3          # the one bucket v2 rewrites
+_SNAP_ROOT = os.path.join(tempfile.gettempdir(), "mmr_snapshots")
+
+
+@register(
+    "q_snapshot_time_travel",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT 1 AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(o_totalprice), 4) AS sum_totalprice
+        FROM orders),
+    v2 AS (
+        SELECT 2 AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(SUM(CASE WHEN o_orderkey % {_SNAP_BUCKETS}
+                                   = {_SNAP_HOT}
+                              AND o_orderkey % 2 = 1
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END), 4)
+                   AS sum_totalprice
+        FROM orders)
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+    tags=("storage", "snapshot", "time-travel", "mvcc"),
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a manifest-based MVCC table
+    (my_mapreduce_spark/snapshots.py): v1 commits orders bucketed 8
+    ways on o_orderkey; v2 is a COPY-ON-WRITE update (doubling
+    o_totalprice for odd keys of bucket {_SNAP_HOT}) that rewrites
+    ONLY that bucket's files — the other 7 paths are carried into
+    the v2 manifest byte-identical, and v1 stays readable forever
+    because data files are immutable and a version is just a JSON
+    manifest published atomically (temp-write + os.replace). The
+    query time-travel-reads BOTH versions and aggregates each; the
+    oracle recomputes both states from the source table, so the
+    match proves the store round-trips every row through the
+    rewrite. File-level guarantees (7/8 shared paths, v1 bytes
+    untouched, atomic publish) are pinned in
+    tests/test_snapshots.py.
+
+    Scale shape: the commit writes are one partitionBy pass (v1)
+    and one single-bucket pass (v2) — copy-on-write cost tracks the
+    UPDATE size, not the table size, which is the entire point of
+    manifest MVCC at 100 TB (the alternative, in-place truncation,
+    is the reference's O_TRUNC rewrite at mr/worker.go:132 — one
+    version, destroyed on crash). Reads are plain parquet scans of
+    the manifest's paths — all pushdown/pruning applies. Reference
+    parity: upgrade of mr/worker.go:190-207's overwrite-only sink;
+    north-star storage depth next to q_zorder_layout and
+    q_zonemap_skipping.
+    """
+    from my_mapreduce_spark.snapshots import SnapshotStore
+
+    orders = load_table(spark, sf_dir, "orders")
+    if orders.limit(1).count() == 0:
+        return spark.createDataFrame(
+            [], "version int, n_rows bigint, sum_totalprice double")
+    root = os.path.join(
+        _SNAP_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    store = SnapshotStore(root)
+    bucketed = orders.withColumn(
+        "o_bucket", (F.col("o_orderkey") % _SNAP_BUCKETS).cast("int"))
+    store.commit_full(bucketed, 1, "o_bucket")
+    updated = bucketed.withColumn(
+        "o_totalprice",
+        F.when((F.col("o_bucket") == _SNAP_HOT)
+               & (F.col("o_orderkey") % 2 == 1),
+               F.col("o_totalprice") * 2).otherwise(F.col("o_totalprice")))
+    store.commit_rewrite(updated, 2, 1, "o_bucket", [_SNAP_HOT])
+    outs = []
+    for v in (1, 2):
+        outs.append(
+            store.read(spark, v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 4)
+                .alias("sum_totalprice")))
+    return outs[0].unionByName(outs[1])

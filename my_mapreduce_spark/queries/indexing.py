@@ -886,3 +886,74 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source", "bucket")
             .agg(F.count(F.lit(1)).alias("total_tf"),
                  F.countDistinct("token").alias("n_distinct_tokens")))
+
+
+_AC_MAX_PREFIX = 3
+_AC_TOP = 3
+_AC_MIN_FREQ = 5
+
+
+@register(
+    "q_autocomplete_prefix_index",
+    oracle=f"""
+    WITH t AS (
+        SELECT list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    v AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM t, UNNEST(w) AS u(tok)
+        GROUP BY tok
+        HAVING COUNT(*) >= {_AC_MIN_FREQ}),
+    p AS (
+        SELECT substr(tok, 1, n) AS prefix, tok, freq
+        FROM v, UNNEST(range(1, {_AC_MAX_PREFIX} + 1)) AS r(n)
+        WHERE len(tok) >= n),
+    ranked AS (
+        SELECT prefix, tok, freq,
+               ROW_NUMBER() OVER (PARTITION BY prefix
+                                  ORDER BY freq DESC, tok) AS rnk
+        FROM p)
+    SELECT prefix, rnk, tok AS completion, freq
+    FROM ranked WHERE rnk <= {_AC_TOP}
+    """,
+    tags=("index", "autocomplete", "text", "topk"),
+)
+def q_autocomplete_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete index build: for every 1..3-character prefix,
+    the top-3 completions by corpus frequency (ties broken
+    alphabetically) over the min-count-5 vocabulary — the batch
+    artifact behind every search-box type-ahead (the online side is
+    a point lookup on prefix). The materialized-trie-level
+    formulation: rather than a trie structure, the index IS the
+    (prefix -> ranked completions) relation, which is what serving
+    systems actually store.
+
+    Scale shape: the corpus collapses to the min-count VOCABULARY
+    first (combiner-reduced token counts + HAVING floor — the
+    q_vocab_min_count contract), so everything downstream is
+    vocabulary-sized: prefixes are generated ARRAY-FREE as 3
+    substrings per token, and the top-k window partitions BY PREFIX
+    (per-partition state = one prefix's candidate list, bounded by
+    the vocabulary, never the corpus). At 100 TB: one corpus scan +
+    two vocabulary-sized shuffles. Reference parity: the indexer
+    plugin (mrapps/indexer.go) maps tokens to posting lists;
+    this maps prefixes to ranked completions — same shape, ranked
+    and truncated. North-star §2D retrieval depth.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    v = (docs.select(F.explode(tokens()).alias("tok"))
+         .groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+         .where(F.col("freq") >= _AC_MIN_FREQ))
+    p = (v.select("tok", "freq",
+                  F.explode(F.sequence(
+                      F.lit(1),
+                      F.least(F.lit(_AC_MAX_PREFIX), F.length("tok"))))
+                  .alias("n"))
+         .select(F.expr("substr(tok, 1, n)").alias("prefix"),
+                 "tok", "freq"))
+    w = Window.partitionBy("prefix").orderBy(F.col("freq").desc(), "tok")
+    return (p.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _AC_TOP)
+            .select("prefix", "rnk", F.col("tok").alias("completion"),
+                    "freq"))

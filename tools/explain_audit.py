@@ -80,6 +80,10 @@ _ALLOW_NESTED_LOOP = {
     "q_ab_test_welch",           # crossJoin of the two 1-row group-stat
                                  # relations (click x purchase), same
                                  # scalar-subquery 1-row BNLJ shape
+    "q_kmv_sketch_intersect",    # |types| x |types| sketch-pair join with
+                                 # a > condition — both sides are
+                                 # k-element-array relations of
+                                 # |event types| rows (docstring)
     "q_survival_life_table",     # crossJoin(broadcast(1-row corpus-end
                                  # scalar)), same scalar-subquery shape
     "q_ks_test",                 # broadcast(|sources| rows) x the
