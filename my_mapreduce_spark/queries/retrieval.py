@@ -447,3 +447,90 @@ def q_retrieval_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_rel_topk")
                             / F.least(F.lit(_NDCG_K), F.col("cnt") - 1)
                             .cast("double"), 6).alias("recall_at_k")))
+
+
+_ECE_BINS = 10
+
+
+@register(
+    "q_calibration_ece",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    top1 AS (
+        SELECT q.vec_id, q.label AS qlabel, c.label AS plabel,
+               ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)
+                   AS conf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                            DESC, c.vec_id) AS rnk
+        FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+    scored AS (
+        SELECT LEAST(CAST(FLOOR(GREATEST(conf, 0.0) * {_ECE_BINS})
+                          AS BIGINT), {_ECE_BINS - 1}) AS bin,
+               conf,
+               CASE WHEN plabel = qlabel THEN 1 ELSE 0 END AS correct
+        FROM top1 WHERE rnk = 1)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(conf), 4) AS avg_conf,
+           ROUND(SUM(correct) * 1.0 / COUNT(*), 6) AS accuracy
+    FROM scored GROUP BY bin
+    """,
+    tags=("retrieval", "eval", "calibration", "knn"),
+)
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit (the reliability-diagram table behind
+    Expected Calibration Error) for the nearest-neighbor label
+    classifier: each vector's top-1 cosine neighbor predicts its
+    label with the cosine as CONFIDENCE; confidences bucket into 10
+    equal-width bins and each bin reports mean confidence next to
+    realized accuracy — the gap per bin, count-weighted, is ECE
+    (Guo et al. 2017). A well-calibrated scorer has avg_conf ~
+    accuracy in every bin; embedding cosines typically don't, which
+    is why retrieval cutoffs tuned on raw cosine thresholds drift
+    across corpora — this table is the artifact that catches it.
+    Cosines are rounded to 6dp BEFORE binning/averaging on both
+    engines (the q_lang_id_trigram stability contract).
+
+    Plan: the all-pairs top-1 is the q_knn_bruteforce funnel (corpus
+    scan x corpus as broadcast-free self-join with a != condition,
+    per-vector rank-1 window); everything after is a 10-row
+    aggregate. At 100 TB the exact scorer swaps for the IVF/PQ
+    shortlist exactly as in q_retrieval_recall_mrr — the
+    calibration table is scorer-agnostic. Reference parity: none;
+    north-star §2D ML-eval depth completing the tier: ranking
+    (NDCG/MRR), discrimination (AUC), lift (gains), CALIBRATION
+    (this).
+    """
+    from my_mapreduce_spark.queries.similarity import _normed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = _normed(emb, "label")
+    q = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qnrm"), F.col("label").alias("qlabel"))
+    cos = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.col("rawcos").desc(), "vec_id")
+    top1 = (e.join(q, F.col("q_id") != F.col("vec_id"))
+            .select("q_id", "qlabel", "vec_id", "label",
+                    (_dot(F.col("qv"), F.col("v"))
+                     / (F.col("qnrm") * F.col("nrm"))).alias("rawcos"),
+                    cos.alias("conf"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1))
+    binned = top1.select(
+        F.least(F.floor(F.greatest(F.col("conf"), F.lit(0.0))
+                        * _ECE_BINS).cast("bigint"),
+                F.lit(_ECE_BINS - 1)).alias("bin"),
+        "conf",
+        (F.col("label") == F.col("qlabel")).cast("int").alias("correct"))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("conf"), 4).alias("avg_conf"),
+                 F.round(F.sum("correct") / F.count(F.lit(1))
+                         .cast("double"), 6).alias("accuracy")))

@@ -46,7 +46,7 @@ SPREAD = [
     "q_survival_life_table", "q_mann_kendall",
     "q_join_size_estimate", "q_jl_projection",
     "q_snapshot_time_travel", "q_autocomplete_prefix_index",
-    "q_kmv_sketch_intersect",
+    "q_kmv_sketch_intersect", "q_calibration_ece",
 ]
 
 
