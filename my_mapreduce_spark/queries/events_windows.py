@@ -400,3 +400,89 @@ def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_view_to_click"),
         F.size(F.regexp_extract_all("seq", F.lit("e+"), F.lit(0)))
         .cast("bigint").alias("n_error_bursts"))
+
+
+_FUN3_STEP_US = 3600 * 1_000_000  # each step must follow within 1h
+
+
+@register(
+    "q_funnel_ordered_3step",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    v AS (SELECT user_id, MIN(t) AS v_t FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+        SELECT e.user_id, MIN(e.t) AS c_t
+        FROM e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND e.t >= v.v_t AND e.t <= v.v_t + {_FUN3_STEP_US}
+        GROUP BY 1),
+    p AS (
+        SELECT e.user_id, MIN(e.t) AS p_t
+        FROM e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.t >= c.c_t AND e.t <= c.c_t + {_FUN3_STEP_US}
+        GROUP BY 1),
+    j AS (
+        SELECT v.user_id, v.v_t, c.c_t, p.p_t
+        FROM v LEFT JOIN c ON c.user_id = v.user_id
+               LEFT JOIN p ON p.user_id = v.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_view_users,
+           CAST(COUNT(c_t) AS BIGINT) AS n_clicked,
+           CAST(COUNT(p_t) AS BIGINT) AS n_completed,
+           ROUND(COUNT(p_t) * 1.0 / COUNT(*), 6) AS completion_rate,
+           CAST(CASE WHEN COUNT(p_t) > 0
+                     THEN SUM(p_t - v_t) // COUNT(p_t) END AS BIGINT)
+               AS avg_completion_us
+    FROM j
+    """,
+    tags=("events", "funnel", "sequence", "asof"),
+)
+def q_funnel_ordered_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICTLY-ORDERED 3-step funnel with per-step time bounds
+    (ClickHouse windowFunnel semantics, earliest-chain variant):
+    per user, the FIRST view, then the first click within 1h AFTER
+    that view, then the first purchase within 1h after THAT click —
+    each step anchored to the previous step's realized time, not to
+    the funnel start. Reports per-step survivors, completion rate,
+    and mean completion latency (exact integer microsecond sum over
+    completers, one division). The ordered complement of
+    q_funnel_conversion (any-click-to-any-purchase conversion) and
+    q_sequence_pattern_match (regex counting without time bounds).
+
+    Plan shape: three user-keyed conditional MIN aggregates chained
+    by broadcast-joinable per-user anchor relations — every join is
+    a user equi-join of the fact against a |users|-row relation,
+    every aggregate is combiner-reduced, and nothing is ever
+    per-pair (the oracle's joins are the same shape). The chain
+    depth equals the funnel length; at 100 TB each step is one
+    user-keyed shuffle reusing the same partitioning — AQE folds
+    them onto one exchange. Reference parity: none; north-star §2D
+    sequence-analytics depth.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    v = (e.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("t").alias("v_t")))
+    c = (e.join(v.withColumnRenamed("user_id", "vu"),
+                (F.col("vu") == F.col("user_id"))
+                & (F.col("event_type") == "click")
+                & (F.col("t") >= F.col("v_t"))
+                & (F.col("t") <= F.col("v_t") + _FUN3_STEP_US))
+         .groupBy("user_id").agg(F.min("t").alias("c_t")))
+    p = (e.join(c.withColumnRenamed("user_id", "cu"),
+                (F.col("cu") == F.col("user_id"))
+                & (F.col("event_type") == "purchase")
+                & (F.col("t") >= F.col("c_t"))
+                & (F.col("t") <= F.col("c_t") + _FUN3_STEP_US))
+         .groupBy("user_id").agg(F.min("t").alias("p_t")))
+    j = (v.join(c, "user_id", "left").join(p, "user_id", "left"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_view_users"),
+        F.count("c_t").alias("n_clicked"),
+        F.count("p_t").alias("n_completed"),
+        F.round(F.count("p_t") / F.count(F.lit(1)).cast("double"), 6)
+        .alias("completion_rate"),
+        F.when(F.count("p_t") > 0,
+               F.expr("sum(p_t - v_t) DIV count(p_t)"))
+        .cast("bigint").alias("avg_completion_us"))

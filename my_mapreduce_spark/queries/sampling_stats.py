@@ -1879,3 +1879,47 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                             .cast("double"), 2).alias("est_rows"),
                     F.coalesce(F.col("actual_rows"), F.lit(0))
                     .cast("bigint").alias("actual_rows")))
+
+
+# ONE ANSI SQL text executed verbatim by BOTH engines — the named-
+# WINDOW-clause sibling of _PIPELINE_SQL: two named windows sharing a
+# partition spec, referenced by RANK and a windowed total.
+_NAMED_WINDOW_SQL = """
+    WITH g AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(SUM(l_quantity) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2)
+    SELECT rf, ls, qty,
+           RANK() OVER w_ord AS qty_rank,
+           ROUND(CAST(qty AS DOUBLE) / SUM(qty) OVER w_all, 6)
+               AS qty_share
+    FROM g
+    WINDOW w_ord AS (PARTITION BY rf ORDER BY qty DESC, ls),
+           w_all AS (PARTITION BY rf)
+"""
+
+
+@register(
+    "q_sql_named_window",
+    oracle=_NAMED_WINDOW_SQL,
+    tags=("sql-surface", "window", "relational"),
+)
+def q_sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-window SQL surface: one ANSI text with a WINDOW clause
+    declaring two named windows over a shared partition spec
+    (ranking + windowed total), run VERBATIM by ``spark.sql`` and
+    as the identical DuckDB oracle string — the same
+    parse-parity contract as q_sql_cte_pipeline, extended to the
+    WINDOW-clause grammar (the surface ad-hoc analysts reach for
+    first when a query has three windows over one spec). Quantities
+    are exact integers; the share divides once and rounds.
+
+    Catalyst folds both named windows into one Window operator over
+    one rf-keyed exchange (they share the partition spec by
+    construction), running over the |rf x ls| aggregate relation —
+    group-cardinality-bounded, never over lineitem rows. Reference
+    parity: none (no SQL surface in the reference, SURVEY §2C).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem")
+    return spark.sql(_NAMED_WINDOW_SQL)

@@ -863,3 +863,65 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("s_stat") * 2.0
                             / (F.col("n_days") * (F.col("n_days") - 1)),
                             6).alias("kendall_tau")))
+
+
+@register(
+    "q_calendar_spine",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        FROM events),
+    spine AS (
+        SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))
+                    AS DATE) AS day
+        FROM bounds),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1)
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(date_diff('day', DATE '2024-01-01', s.day) % 7
+                AS BIGINT) AS weekday_idx,
+           date_diff('day', DATE '2024-01-01', s.day) % 7 >= 5
+               AS is_weekend,
+           COALESCE(d.n, 0) AS n_events,
+           d.n IS NULL AS is_gap_day
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+    tags=("timeseries", "calendar", "spine", "dimension"),
+)
+def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine build + coverage audit: generate EVERY day
+    between the corpus's first and last event (whether or not data
+    exists for it), attach weekday attributes, and left-join the
+    daily event counts so silent gap days surface as explicit rows
+    — the date-dimension construction every warehouse needs before
+    any day-over-day comparison is trustworthy (a missing ingest
+    day otherwise just vanishes from GROUP BY results, which is how
+    gaps hide; cf. q_gap_fill_ffill, which repairs value series
+    where this repairs the AXIS). Weekday arithmetic is pure
+    day-diff math from the Monday anchor 2024-01-01 — no
+    engine-specific dow() numbering (Spark counts Sunday=1, DuckDB
+    Sunday=0; the anchor-mod-7 form sidesteps the seam).
+
+    Scale shape: bounds are a 2-scalar aggregate; the spine is a
+    driver-side sequence of |days| rows (calendar-bounded) joined
+    BROADCAST onto the combiner-reduced daily aggregate — the
+    corpus is scanned once. At 100 TB the spine is still ~365 rows
+    a year. Reference parity: none; north-star warehouse-hygiene
+    depth next to q_dq_checks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    bounds = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"),
+                    F.max(F.col("ts").cast("date")).alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    widx = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date")) % 7
+    return (spine.join(daily, "day", "left")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    widx.cast("bigint").alias("weekday_idx"),
+                    (widx >= 5).alias("is_weekend"),
+                    F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+                    .alias("n_events"),
+                    F.col("n").isNull().alias("is_gap_day")))

@@ -47,6 +47,8 @@ SPREAD = [
     "q_join_size_estimate", "q_jl_projection",
     "q_snapshot_time_travel", "q_autocomplete_prefix_index",
     "q_kmv_sketch_intersect", "q_calibration_ece",
+    "q_funnel_ordered_3step", "q_sql_named_window",
+    "q_calendar_spine",
 ]
 
 

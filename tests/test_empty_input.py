@@ -54,6 +54,8 @@ SPREAD = [
     "q_join_size_estimate", "q_jl_projection",
     "q_snapshot_time_travel", "q_autocomplete_prefix_index",
     "q_kmv_sketch_intersect", "q_calibration_ece",
+    "q_funnel_ordered_3step", "q_sql_named_window",
+    "q_calendar_spine",
 ]
 
 
@@ -76,6 +78,7 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
         # global summaries legitimately emit one all-zero/NULL row
         # (or, for the k-core trajectory, one zero row per round)
         "q_dedup_exact", "q_kcore_peel", "q_bloom_filter_fpr",
+        "q_funnel_ordered_3step",
         "q_selfjoin_size_stats", "q_poisson_bootstrap_ci",
         "q_rendezvous_sharding")
     assert df.schema.fields, "schema must survive the empty path"
