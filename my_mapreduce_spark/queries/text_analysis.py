@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import pandas as pd
+
 from my_mapreduce_spark.io import load_table
 from my_mapreduce_spark.registry import register
 
@@ -598,3 +600,68 @@ def q_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(tp + fn > 0, F.round(tp / (tp + fn), 6)).alias("recall"),
         F.when(2 * tp + fp + fn > 0,
                F.round(2.0 * tp / (2 * tp + fp + fn), 6)).alias("f1"))
+
+
+def _byte_entropy_udf():
+    """Vectorized scalar pandas_udf: per-string Shannon entropy over
+    UTF-8 bytes, in bits/byte [0, 8]. The numpy path (one bincount +
+    one log2 per row, Arrow-batched) is ~100x a row-at-a-time Python
+    UDF and is the engine's scalar-pandas_udf surface pin — the one
+    UDF tier not exercised by mapInPandas (multimodal, compression)
+    or applyInPandas (tiled cosine) elsewhere. Kept module-level so
+    tests import the same function object the query uses."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def byte_entropy(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts))
+        for i, t in enumerate(texts):
+            if t is None or len(t) == 0:
+                out[i] = float("nan") if t is None else 0.0
+                continue
+            counts = np.bincount(
+                np.frombuffer(t.encode("utf-8"), dtype=np.uint8))
+            p = counts[counts > 0] / counts.sum()
+            out[i] = float(-(p * np.log2(p)).sum())
+        return pd.Series(out)
+
+    return byte_entropy
+
+
+@register(
+    "q_byte_entropy_vectorized",
+    oracle=None,  # float log2 sums have no cross-engine bit contract;
+    # the invariants + Arrow-plan pins live in tests/test_byte_entropy.py
+    tags=("text", "quality", "pandas-udf", "no-oracle"),
+)
+def q_byte_entropy_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document byte-level Shannon entropy (bits/byte) via a
+    VECTORIZED scalar pandas_udf, rolled up per source as a
+    binary-garbage/encoding-health screen: natural-language text
+    sits ~4-4.8 bits/byte, base64/compressed/binary junk pushes
+    toward 8, and repeated-filler spam drops toward 0 — the cheap
+    complement to q_compression_ratio (zlib measures REDUNDANCY
+    including cross-byte structure; entropy here is the
+    order-free distribution bound, and the GAP between them is the
+    structure signal). No oracle by design: the log2 term sum has
+    no cross-engine bit contract (same reason q_compression_ratio
+    is no-oracle); instead tests/test_byte_entropy.py pins exact
+    closed-form cases (uniform alphabet = log2 k, single-char = 0),
+    bounds, batch-size/partitioning invariance, and that the plan
+    runs ArrowEvalPython (the vectorized path), not row-at-a-time
+    BatchEvalPython.
+
+    Scale shape: embarrassingly parallel — one Arrow-batched scan,
+    zero shuffle before the per-source rollup; per-row cost is one
+    256-bin bincount. Reference parity: none; north-star §2D
+    text-quality depth.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ent = _byte_entropy_udf()(F.col("text")).alias("h")
+    per_doc = docs.select("source", ent)
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("h"), 4).alias("avg_entropy"),
+                 F.round(F.min("h"), 4).alias("min_entropy"),
+                 F.round(F.max("h"), 4).alias("max_entropy")))

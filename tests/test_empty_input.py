@@ -55,7 +55,7 @@ SPREAD = [
     "q_snapshot_time_travel", "q_autocomplete_prefix_index",
     "q_kmv_sketch_intersect", "q_calibration_ece",
     "q_funnel_ordered_3step", "q_sql_named_window",
-    "q_calendar_spine",
+    "q_calendar_spine", "q_byte_entropy_vectorized",
 ]
 
 
