@@ -24,6 +24,40 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def distributed_prefix_sum(df: DataFrame, order: list[Column],
+                           value: Column, out: str = "cumsum") -> DataFrame:
+    """Append a global inclusive running sum of ``value`` in
+    ``order`` without any data-sized single-partition window — the
+    prefix-sum sibling of :func:`distributed_row_number`, same
+    two-pass shape: (1) ``repartitionByRange`` on the order, local
+    running sums within each range partition are shuffle-parallel;
+    (2) per-partition TOTALS (≤ ``spark.sql.shuffle.partitions``
+    rows) are prefix-summed into broadcast base offsets; global
+    cumsum = partition base + local running sum. ``order`` must be
+    a total order (include a unique key) for a deterministic result.
+
+    The primitive behind byte/token-budgeted shard packing
+    (q_shard_pack_cumsum): Spark's own
+    ``sum() OVER (ORDER BY ...)`` with no partition spec drags the
+    relation through one task — the exact smell
+    tools/explain_audit.py flags."""
+    ranged = (df.repartitionByRange(*order)
+              .withColumn("__pid", F.spark_partition_id()))
+    local_w = (Window.partitionBy("__pid").orderBy(*order)
+               .rowsBetween(Window.unboundedPreceding, 0))
+    local = ranged.withColumn("__lsum", F.sum(value).over(local_w))
+    pid_sums = ranged.groupBy("__pid").agg(F.sum(value).alias("__s"))
+    prior = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    base = pid_sums.select(
+        "__pid",
+        F.coalesce(F.sum("__s").over(prior),
+                   F.lit(0).cast("long")).alias("__base"))
+    return (local.join(F.broadcast(base), "__pid")
+            .withColumn(out, F.col("__base") + F.col("__lsum"))
+            .drop("__pid", "__lsum", "__base"))
+
+
 def distributed_row_number(df: DataFrame, order: list[Column],
                            out: str = "rank",
                            total_col: str | None = None) -> DataFrame:

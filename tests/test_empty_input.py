@@ -56,6 +56,11 @@ SPREAD = [
     "q_kmv_sketch_intersect", "q_calibration_ece",
     "q_funnel_ordered_3step", "q_sql_named_window",
     "q_calendar_spine", "q_byte_entropy_vectorized",
+    # fifth round-4 batch: the two distributed-rank moment queries
+    # and kappa emit one all-NULL summary row; PSI's grid, the shard
+    # packer, and the lag join collapse to zero rows
+    "q_spearman_corr", "q_cohens_kappa", "q_gini_concentration",
+    "q_psi_drift", "q_shard_pack_cumsum", "q_crosscorr_leadlag",
 ]
 
 
@@ -80,6 +85,7 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
         "q_dedup_exact", "q_kcore_peel", "q_bloom_filter_fpr",
         "q_funnel_ordered_3step",
         "q_selfjoin_size_stats", "q_poisson_bootstrap_ci",
-        "q_rendezvous_sharding")
+        "q_rendezvous_sharding",
+        "q_spearman_corr", "q_cohens_kappa", "q_gini_concentration")
     assert df.schema.fields, "schema must survive the empty path"
     spark.catalog.clearCache()

@@ -140,6 +140,23 @@ _ALLOW_NESTED_LOOP = {
                                  # container-cardinality signature rows
                                  # (~#sources², not #docs²) — tiny by
                                  # construction, broadcast NLJ is right
+    "q_cohens_kappa",            # crossJoin of three 1-row aggregates
+                                 # (N x diagonal x marginal product) —
+                                 # same scalar-subquery shape
+    "q_gini_concentration",      # crossJoin(broadcast(1-row total
+                                 # count)) in the two-pass prefix-
+                                 # offset rank, same scalar-subquery
+                                 # shape (the q_window_ntile pattern)
+    "q_psi_drift",               # 1-row reference-bounds broadcast onto
+                                 # the scan + the |sources| x 10-bin
+                                 # completion grid — both whitelisted
+                                 # tiny-broadcast shapes
+    "q_spearman_corr",           # crossJoin(broadcast(1-row totals))
+                                 # inside distributed_row_number (x2),
+                                 # same scalar-subquery shape
+    "q_crosscorr_leadlag",       # broadcast 7-row lag literal crossed
+                                 # against the hour-bounded count
+                                 # series, same tiny-broadcast shape
 }
 _SKIP = {
     "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
@@ -209,6 +226,12 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
                              "shuffle.partitions rows by construction",
     "q_window_ntile": "same prefix-offset machinery: window input is "
                       "the per-partition count relation, conf-bounded",
+    "q_spearman_corr": "two distributed_row_number passes: windows over "
+                       "per-partition counts, conf-bounded",
+    "q_gini_concentration": "distributed_row_number: window over "
+                            "per-partition counts, conf-bounded",
+    "q_shard_pack_cumsum": "distributed_prefix_sum: window over "
+                           "per-partition TOTALS, conf-bounded",
     "q_pack_sequences": "window over bucket counts, <= 65536 rows "
                         "by the bounded second level (corpus_ops.py)",
     # vocabulary-bounded: input already aggregated to a token/bucket
