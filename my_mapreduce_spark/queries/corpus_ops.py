@@ -1130,3 +1130,96 @@ def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("span_len")
                          / F.max("n_tokens").cast("double"), 6)
                  .alias("dup_frac")))
+
+
+_CDC_W = 8           # rolling-window width (chars)
+_CDC_MASK = 64       # boundary when window-hash % 64 == 0 (~64-char chunks)
+
+
+@register(
+    "q_cdc_chunks",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        FROM documents WHERE length(text) > 0),
+    pos AS (
+        SELECT doc_id, CAST(UNNEST(range({_CDC_W}, n + 1)) AS BIGINT) AS p,
+               text
+        FROM base),
+    bnd AS (
+        SELECT doc_id, p
+        FROM pos
+        WHERE CAST(('0x' || substr(md5(substr(text,
+                       CAST(p AS INT) - {_CDC_W - 1}, {_CDC_W})), 1, 8))
+                   AS UBIGINT) % {_CDC_MASK} = 0),
+    allb AS (
+        SELECT DISTINCT doc_id, p
+        FROM (SELECT doc_id, p FROM bnd
+              UNION ALL SELECT doc_id, n AS p FROM base)),
+    ch AS (
+        SELECT doc_id,
+               p - COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p),
+                            0) AS clen
+        FROM allb)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(MIN(clen) AS BIGINT) AS min_chunk,
+           CAST(MAX(clen) AS BIGINT) AS max_chunk,
+           CAST(SUM(clen) AS BIGINT) AS total_chars
+    FROM ch GROUP BY doc_id
+    """,
+    tags=("pipeline", "chunking", "cdc", "dedup"),
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking census: per document, chunk
+    boundaries fall AFTER any position whose trailing 8-char window
+    hashes to 0 mod 64 (md5-derived 32-bit value — the declarative
+    stand-in for a gear/Rabin rolling hash; expected chunk ≈ 64
+    chars), plus a forced boundary at end-of-doc. Reported per doc:
+    chunk count, min/max chunk length, and the total (= doc length,
+    the conservation check). CDC is THE storage/backup dedup
+    primitive — identical content shifted by an insertion re-aligns
+    on the same content-local boundaries, which fixed-width
+    chunking (q_doc_chunking) cannot do — and chunk-hash dedup is
+    its training-corpus application.
+
+    Determinism: boundaries are pure integer arithmetic on md5 hex
+    (cross-engine md5/substring parity is pinned by
+    tests/test_unicode_tokenizer_parity.py) — fully oracle-exact.
+    Scale shape: the per-position window relation is the
+    q_lang_id_trigram cost class (corpus-chars rows, array-local
+    generation, no cross-doc state); boundary rows collapse to
+    ~n_chars/64 per doc before the only per-doc window (LAG over
+    boundary rows, bounded by doc length / 64); output is one row
+    per doc. A production deployment swaps the explode for a
+    gear-hash mapInPandas over the same schema (the multimodal.py
+    tier); the RELATIONAL contract — boundaries, conservation,
+    chunk stats — is what this query pins.
+    """
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text",
+                    F.length("text").cast("bigint").alias("n"))
+            .where(F.col("n") > 0))
+    wins = (docs.select(
+                "doc_id", "n",
+                F.explode(F.expr(
+                    f"transform(sequence({_CDC_W}, length(text)), "
+                    f"p -> struct(CAST(p AS BIGINT) AS p, "
+                    f"substring(text, p - {_CDC_W - 1}, {_CDC_W}) AS w))"))
+                .alias("x"))
+            .select("doc_id", F.col("x.p").alias("p"), F.col("x.w").alias("w")))
+    bnd = (wins.where(
+               F.expr(f"CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"
+                      f" % {_CDC_MASK} = 0"))
+           .select("doc_id", "p"))
+    ends = docs.select("doc_id", F.col("n").alias("p"))
+    allb = bnd.union(ends).distinct()
+    w_lag = Window.partitionBy("doc_id").orderBy("p")
+    ch = allb.select(
+        "doc_id",
+        (F.col("p") - F.coalesce(F.lag("p").over(w_lag),
+                                 F.lit(0).cast("bigint"))).alias("clen"))
+    return (ch.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.min("clen").alias("min_chunk"),
+                 F.max("clen").alias("max_chunk"),
+                 F.sum("clen").cast("bigint").alias("total_chars")))

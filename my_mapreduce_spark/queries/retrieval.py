@@ -534,3 +534,99 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("conf"), 4).alias("avg_conf"),
                  F.round(F.sum("correct") / F.count(F.lit(1))
                          .cast("double"), 6).alias("accuracy")))
+
+
+_RRF_K = 60          # the standard RRF smoothing constant
+_RRF_LIST = 20       # depth of each input ranking
+_RRF_TOP = 10
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    la AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id)
+                   AS ra
+        FROM scored QUALIFY ra <= {_RRF_LIST}),
+    e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    qv AS (SELECT v AS qvec FROM e WHERE vec_id = {_QVEC_ID}),
+    cos AS (
+        SELECT vec_id AS doc_id,
+               ROUND(list_dot_product(v, qvec)
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product(qvec, qvec))), 6) AS c
+        FROM e CROSS JOIN qv),
+    lb AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS rb
+        FROM cos QUALIFY rb <= {_RRF_LIST}),
+    f AS (
+        SELECT COALESCE(la.doc_id, lb.doc_id) AS doc_id,
+               CAST(la.ra AS BIGINT) AS ra, CAST(lb.rb AS BIGINT) AS rb,
+               COALESCE(1.0 / ({_RRF_K} + la.ra), 0)
+               + COALESCE(1.0 / ({_RRF_K} + lb.rb), 0) AS rrf
+        FROM la FULL JOIN lb ON la.doc_id = lb.doc_id)
+    SELECT doc_id, ra, rb, ROUND(rrf, 6) AS rrf,
+           ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+    FROM f QUALIFY rnk <= {_RRF_TOP}
+    """,
+    tags=("retrieval", "fusion", "rrf", "hybrid"),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-20 and the exact-cosine
+    top-20 (query embedding vec_id=0): RRF(d) = Σ_lists 1/(60 + rank)
+    with absent-from-list contributing 0 — the rank-space alternative
+    to q_hybrid_retrieval's score-space mix, and the production
+    default for fusing heterogeneous scorers precisely because it
+    needs NO score normalization (ranks are scale-free, so a BM25 in
+    [0, 12] and a cosine in [-1, 1] fuse without calibration).
+
+    Determinism: both input scores are rounded to 6dp BEFORE ranking
+    (the q_lang_id_trigram idiom — last-ulp cross-engine float
+    differences collapse before they can flip a rank), ties break on
+    doc_id, and the fused score is then an exact function of two
+    integer ranks. Scale shape: each list is sort+limit
+    (TakeOrderedAndProject partial top-k, never a global-window
+    rank over the corpus); the fusion full-outer join and final
+    rank run on ≤ 2×20 rows; the 1-row query vector is a
+    whitelisted broadcast. At 100 TB the cost is the two scans the
+    input rankings already pay.
+    """
+    # list A: lexical
+    wa = Window.orderBy(F.col("s6").desc(), "doc_id")
+    la = (_bm25_scored(spark, sf_dir)
+          .select("doc_id", F.round("score", 6).alias("s6"))
+          .orderBy(F.col("s6").desc(), "doc_id").limit(_RRF_LIST)
+          .withColumn("ra", F.row_number().over(wa))
+          .select("doc_id", "ra"))
+    # list B: vector
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    qv = (e.where(F.col("vec_id") == _QVEC_ID)
+          .select(F.col("v").alias("qvec")))
+    cosine = (_dot(F.col("v"), F.col("qvec"))
+              / (F.sqrt(_dot(F.col("v"), F.col("v")))
+                 * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))))
+    wb = Window.orderBy(F.col("c").desc(), "doc_id")
+    lb = (e.crossJoin(F.broadcast(qv))
+          .select(F.col("vec_id").alias("doc_id"),
+                  F.round(cosine, 6).alias("c"))
+          .orderBy(F.col("c").desc(), "doc_id").limit(_RRF_LIST)
+          .withColumn("rb", F.row_number().over(wb))
+          .select("doc_id", "rb"))
+    f = (la.join(lb, "doc_id", "full")
+         .select("doc_id",
+                 F.col("ra").cast("bigint").alias("ra"),
+                 F.col("rb").cast("bigint").alias("rb"),
+                 (F.coalesce(1.0 / (_RRF_K + F.col("ra")), F.lit(0.0))
+                  + F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0)))
+                 .alias("rrf")))
+    wf = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (f.withColumn("rnk", F.row_number().over(wf))
+            .where(F.col("rnk") <= _RRF_TOP)
+            .select("doc_id", "ra", "rb",
+                    F.round("rrf", 6).alias("rrf"), "rnk"))

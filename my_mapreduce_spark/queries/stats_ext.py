@@ -523,3 +523,122 @@ def q_crosscorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n * sxy - sx * sy) * 1.0
                 / F.sqrt((n * sxx - sx * sx) * 1.0
                          * (n * syy - sy * sy)), 6).alias("xcorr"))
+
+
+_PERM_R = 32                 # permutation replicas
+_PERM_SCALE = 1000           # integer scaling (the q_ab_test_welch knob)
+
+# per-replica SUM pairs for the oracle, generated once (the
+# q_poisson_bootstrap_ci wide-aggregate idiom)
+_PERM_SUMS_SQL = ",\n           ".join(
+    f"CAST(SUM(((h >> {r}) % 2) * y) AS BIGINT) AS s1_{r}, "
+    f"CAST(SUM((h >> {r}) % 2) AS BIGINT) AS n1_{r}"
+    for r in range(_PERM_R))
+_PERM_DIFF_SQL = "\n             + ".join(
+    f"(CASE WHEN ABS(s1_{r} * 1.0 / n1_{r}"
+    f" - (s - s1_{r}) * 1.0 / (n - n1_{r}))"
+    f" >= ABS(sa * 1.0 / na - sb * 1.0 / nb)"
+    f" THEN 1 ELSE 0 END)"
+    for r in range(_PERM_R))
+
+
+@register(
+    "q_permutation_test",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type,
+               CAST(FLOOR(value * {_PERM_SCALE}) AS BIGINT) AS y,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) AS h
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+          AND NOT isnan(value) AND NOT isinf(value)),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN y END)
+                    AS BIGINT) AS sa,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN y END)
+                    AS BIGINT) AS sb,
+           {_PERM_SUMS_SQL}
+        FROM e),
+    x AS (
+        SELECT n, na, nb,
+               sa * 1.0 / na - sb * 1.0 / nb AS obs,
+               {_PERM_DIFF_SQL} AS n_extreme
+        FROM m)
+    SELECT n AS n_events,
+           ROUND(obs / {_PERM_SCALE}, 6) AS obs_diff,
+           CAST({_PERM_R} AS BIGINT) AS n_perms,
+           CAST(n_extreme AS BIGINT) AS n_extreme,
+           ROUND((1 + n_extreme) * 1.0 / (1 + {_PERM_R}), 6) AS p_value
+    FROM x
+    """,
+    tags=("stats", "permutation-test", "ab-test", "significance"),
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-relabeling permutation test for the click-vs-purchase
+    mean difference: 32 deterministic pseudo-relabelings (bit r of
+    a per-event md5-derived 32-bit value assigns the event to a
+    pseudo-group) each recompute the group mean difference on the
+    POOLED values; the p-value is the add-one fraction of replicas
+    at least as extreme as the observed difference — the
+    distribution-free significance check beside q_ab_test_welch
+    (which assumes approximate normality; the permutation test does
+    not). Bernoulli relabeling (not fixed-size resampling) keeps it
+    one-pass and stateless — the same design trade as
+    q_poisson_bootstrap_ci's Poissonized draws.
+
+    Values are integer-scaled (the welch knob), every replica's
+    sums are exact bigints in ONE 70-column aggregate with map-side
+    partials (no explode, no join, no second scan), and each
+    replica mean/compare is a deterministic double closed form —
+    bit-stable across engines and cluster layouts. Scale shape: one
+    scan, one 1-row aggregate; replica count widens COLUMNS, never
+    rows. The md5 bit family is the engine's pinned randomness
+    idiom (q_weighted_sample, q_hash_sample_join).
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .where(F.col("event_type").isin("click", "purchase")
+                 & ~F.isnan("value")
+                 & (F.abs("value") != float("inf")))
+          .select("event_type",
+                  F.floor(F.col("value") * _PERM_SCALE).alias("y"),
+                  F.expr("CAST(conv(substring(md5(CAST(event_id AS STRING)),"
+                         " 1, 8), 16, 10) AS BIGINT)").alias("h")))
+    bit = [F.expr(f"shiftright(h, {r}) % 2") for r in range(_PERM_R)]
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("s"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .alias("na"),
+            F.sum(F.when(F.col("event_type") == "click", F.col("y")))
+            .alias("sa"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .alias("nb"),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("y")))
+            .alias("sb")]
+    for r in range(_PERM_R):
+        aggs.append(F.sum(bit[r] * F.col("y")).cast("long")
+                    .alias(f"s1_{r}"))
+        aggs.append(F.sum(bit[r]).cast("long").alias(f"n1_{r}"))
+    m = ev.agg(*aggs)
+    obs = F.col("sa") * 1.0 / F.col("na") - F.col("sb") * 1.0 / F.col("nb")
+    extreme = None
+    for r in range(_PERM_R):
+        d = (F.col(f"s1_{r}") * 1.0 / F.col(f"n1_{r}")
+             - (F.col("s") - F.col(f"s1_{r}")) * 1.0
+             / (F.col("n") - F.col(f"n1_{r}")))
+        term = F.when(F.abs(d) >= F.abs(obs), 1).otherwise(0)
+        extreme = term if extreme is None else extreme + term
+    x = m.select("n", obs.alias("obs"), extreme.alias("n_extreme"))
+    return x.select(
+        F.col("n").alias("n_events"),
+        F.round(F.col("obs") / _PERM_SCALE, 6).alias("obs_diff"),
+        F.lit(_PERM_R).cast("bigint").alias("n_perms"),
+        F.col("n_extreme").cast("bigint").alias("n_extreme"),
+        F.round((1 + F.col("n_extreme")) * 1.0 / (1 + _PERM_R), 6)
+        .alias("p_value"))

@@ -665,3 +665,100 @@ def q_byte_entropy_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("h"), 4).alias("avg_entropy"),
                  F.round(F.min("h"), 4).alias("min_entropy"),
                  F.round(F.max("h"), 4).alias("max_entropy")))
+
+
+@register(
+    "q_sentence_centrality",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    pos AS (
+        SELECT doc_id, CAST(UNNEST(range(1, len(w) + 1)) AS BIGINT) AS p, w
+        FROM toks),
+    tok AS (
+        SELECT DISTINCT doc_id,
+               CAST((p - 1) // 8 + 1 AS BIGINT) AS sid,
+               w[CAST(p AS INT)] AS t
+        FROM pos),
+    edge AS (
+        SELECT DISTINCT a.doc_id, a.sid AS i, b.sid AS j
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND a.t = b.t AND a.sid < b.sid),
+    sym AS (SELECT doc_id, i, j FROM edge
+            UNION ALL SELECT doc_id, j AS i, i AS j FROM edge),
+    deg AS (SELECT doc_id, i, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY 1, 2),
+    c2 AS (
+        SELECT s.doc_id, s.i, CAST(SUM(d.deg) AS BIGINT) AS c2
+        FROM sym s
+        JOIN deg d ON s.doc_id = d.doc_id AND s.j = d.i
+        GROUP BY 1, 2),
+    r AS (
+        SELECT deg.doc_id, deg.i AS sid, deg.deg, c2.c2,
+               ROW_NUMBER() OVER (PARTITION BY deg.doc_id
+                   ORDER BY c2.c2 DESC, deg.deg DESC, deg.i) AS rnk
+        FROM deg JOIN c2 ON deg.doc_id = c2.doc_id AND deg.i = c2.i)
+    SELECT doc_id, sid, deg, c2, rnk FROM r WHERE rnk <= 3
+    """,
+    tags=("text", "summarization", "centrality", "graph"),
+)
+def q_sentence_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive-summary candidate ranking: per document, segments
+    are nodes (fixed-width 8-token pseudo-sentences — the synthetic
+    corpus carries no sentence punctuation, so segmentation is
+    positional; with punctuated text the split expression changes
+    and NOTHING else does), an edge connects two segments sharing
+    ≥ 1 token, and
+    each sentence is scored by 2-hop degree centrality (deg = how
+    many segments it overlaps; c2 = Σ neighbor degrees — the
+    integer-exact second power-iteration step of TextRank on the
+    unweighted graph, before normalization turns scores into
+    floats). The top-3 per doc are the summary candidates. Every
+    score is an exact integer, so the ranking is bit-stable — no
+    damping-factor float fixpoint to diverge across engines.
+
+    Scale shape: segmentation is array-local positional arithmetic
+    (one corpus scan, no cross-doc state); the edge
+    join is keyed (doc_id, token) — candidate pairs only within a
+    document sharing a token, never a doc × doc product; deg/c2 are
+    hash aggregates on edge rows; the final top-3 window partitions
+    by doc_id (bounded by sentences-per-doc). Memory per key is
+    O(sentence pairs within one doc). Reference parity: none —
+    north-star §2D text depth (the summarization precursor next to
+    q_tfidf_top_terms).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (docs.select(
+               "doc_id",
+               F.posexplode(F.filter(
+                   F.split(F.lower("text"), "[^a-z0-9]+"),
+                   lambda x: x != "")).alias("pos", "t"))
+           .select("doc_id",
+                   (F.floor(F.col("pos") / 8) + 1).cast("bigint")
+                   .alias("sid"), "t")
+           .distinct())
+    a, b = tok.alias("a"), tok.alias("b")
+    edge = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                   & (F.col("a.t") == F.col("b.t"))
+                   & (F.col("a.sid") < F.col("b.sid")))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("a.sid").alias("i"), F.col("b.sid").alias("j"))
+            .distinct())
+    sym = edge.union(edge.select("doc_id", F.col("j").alias("i"),
+                                 F.col("i").alias("j")))
+    deg = sym.groupBy("doc_id", "i").agg(F.count(F.lit(1)).alias("deg"))
+    c2 = (sym.join(deg.select(F.col("doc_id").alias("dd"),
+                              F.col("i").alias("jj"),
+                              F.col("deg").alias("dj")),
+                   (F.col("doc_id") == F.col("dd"))
+                   & (F.col("j") == F.col("jj")))
+          .groupBy("doc_id", "i").agg(F.sum("dj").alias("c2")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c2").desc(), F.col("deg").desc(), "i")
+    return (deg.join(c2, ["doc_id", "i"])
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("doc_id", F.col("i").alias("sid"), "deg", "c2", "rnk"))

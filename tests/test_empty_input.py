@@ -61,6 +61,10 @@ SPREAD = [
     # packer, and the lag join collapse to zero rows
     "q_spearman_corr", "q_cohens_kappa", "q_gini_concentration",
     "q_psi_drift", "q_shard_pack_cumsum", "q_crosscorr_leadlag",
+    # sixth batch: rank fusion's two empty lists, the segment graph,
+    # the CDC boundary windows, the 70-column permutation aggregate
+    "q_rrf_fusion", "q_sentence_centrality", "q_cdc_chunks",
+    "q_permutation_test",
 ]
 
 
@@ -86,6 +90,7 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
         "q_funnel_ordered_3step",
         "q_selfjoin_size_stats", "q_poisson_bootstrap_ci",
         "q_rendezvous_sharding",
-        "q_spearman_corr", "q_cohens_kappa", "q_gini_concentration")
+        "q_spearman_corr", "q_cohens_kappa", "q_gini_concentration",
+        "q_permutation_test")
     assert df.schema.fields, "schema must survive the empty path"
     spark.catalog.clearCache()

@@ -154,6 +154,10 @@ _ALLOW_NESTED_LOOP = {
     "q_spearman_corr",           # crossJoin(broadcast(1-row totals))
                                  # inside distributed_row_number (x2),
                                  # same scalar-subquery shape
+    "q_rrf_fusion",              # crossJoin(broadcast(1-row query
+                                 # vector)) for the cosine list, same
+                                 # scalar-subquery shape (the
+                                 # q_hybrid_retrieval pattern)
     "q_crosscorr_leadlag",       # broadcast 7-row lag literal crossed
                                  # against the hour-bounded count
                                  # series, same tiny-broadcast shape
