@@ -957,3 +957,64 @@ def q_autocomplete_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") <= _AC_TOP)
             .select("prefix", "rnk", F.col("tok").alias("completion"),
                     "freq"))
+
+
+_NTS_MIN = 5         # bigram count floor
+_NTS_TOP = 3         # suggestions per context token
+
+
+@register(
+    "q_next_token_suggest",
+    oracle=f"""
+    WITH t AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    b AS (
+        SELECT w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+        FROM t, UNNEST(range(1, len(w))) AS u(i)
+        WHERE len(w) >= 2),
+    c AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b GROUP BY 1, 2 HAVING COUNT(*) >= {_NTS_MIN}),
+    r AS (
+        SELECT w1, w2, n,
+               ROW_NUMBER() OVER (PARTITION BY w1
+                                  ORDER BY n DESC, w2) AS rnk
+        FROM c)
+    SELECT w1, w2, n, rnk FROM r WHERE rnk <= {_NTS_TOP}
+    """,
+    tags=("index", "ngram", "language-model", "suggest"),
+)
+def q_next_token_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-token suggestion table: for every context token, the
+    top-3 following tokens by bigram count (floor 5) — the
+    bigram-LM argmax surface that powers type-ahead / query
+    completion, and the NEXT-token complement to
+    q_autocomplete_prefix_index (which completes the CURRENT
+    token). All counts integer, ranking (n desc, w2) deterministic.
+
+    Scale shape: bigram generation is array-local (the shingles
+    expression, no positional self-join); ONE map-side-combined
+    count shuffle keyed by (w1, w2); the HAVING floor cuts the tail
+    before the rank window, which partitions by w1 over a
+    vocabulary-bounded relation (≤ |vocab| keys, each with few
+    qualifying successors). At 100 TB the cost is the token scan +
+    one bigram-keyed exchange — the same cost class as
+    q_top_bigrams, producing the complete suggestion index instead
+    of a top-10.
+    """
+    from my_mapreduce_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    withw = (docs.select(tokens().alias("w"))
+             .where(F.size("w") >= 2))
+    c = (withw.select(F.explode(shingles(F.col("w"), n=2)).alias("bg"))
+         .select(F.split("bg", " ")[0].alias("w1"),
+                 F.split("bg", " ")[1].alias("w2"))
+         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+         .where(F.col("n") >= _NTS_MIN))
+    w = Window.partitionBy("w1").orderBy(F.col("n").desc(), "w2")
+    return (c.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _NTS_TOP)
+            .select("w1", "w2", "n", "rnk"))

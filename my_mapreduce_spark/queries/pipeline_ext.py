@@ -1029,3 +1029,78 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionAll(c)
     return out
+
+
+_COV_PCTS = (50, 80, 90, 95, 99)
+
+
+@register(
+    "q_vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKEN_SPLIT_SQL}) AS token FROM documents),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+          FROM tok GROUP BY 1),
+    r AS (
+        SELECT n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token)
+                    AS BIGINT) AS vocab_size,
+               CAST(SUM(n) OVER (ORDER BY n DESC, token
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM c),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    p AS (SELECT CAST(UNNEST([{', '.join(str(p) for p in _COV_PCTS)}])
+                      AS BIGINT) AS pct)
+    SELECT pct, CAST(MIN(vocab_size) AS BIGINT) AS vocab_size,
+           CAST(MIN(cum) AS BIGINT) AS covered_tokens,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           ROUND(MIN(cum) * 1.0 / MAX(total), 6) AS coverage
+    FROM r CROSS JOIN t CROSS JOIN p
+    WHERE cum * 100 >= pct * total
+    GROUP BY pct
+    """,
+    tags=("pipeline", "vocabulary", "coverage", "distributed-rank"),
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-coverage curve for vocabulary sizing: the smallest
+    frequency-ranked vocabulary that covers {50, 80, 90, 95, 99}%
+    of all token OCCURRENCES — the tokenizer-design question
+    ("how big must the vocab be before <unk> is rare?") answered
+    exactly. Crossings are integer comparisons (cum·100 ≥ pct·total)
+    so the reported sizes are exact, not float-threshold artifacts;
+    cum is strictly increasing, so MIN(vocab_size) and MIN(cum)
+    name the same boundary row.
+
+    Scale shape: the count relation is vocabulary-bounded; BOTH
+    global-order passes over it ride the two-pass machinery —
+    distributed_prefix_sum for the running coverage,
+    distributed_row_number for the rank — so even a billion-type
+    vocabulary never crosses one task (windows touch only the
+    conf-bounded per-partition summaries). The 5-row threshold
+    literal and 1-row total are whitelisted tiny broadcasts.
+    """
+    from my_mapreduce_spark.functions.ranking import (
+        distributed_prefix_sum,
+        distributed_row_number,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(_tokens()).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    order = [F.col("n").desc(), F.col("token")]
+    cum = distributed_prefix_sum(counts, order, F.col("n"), out="cum")
+    ranked = distributed_row_number(cum, order, out="vocab_size")
+    total = counts.agg(F.sum("n").cast("long").alias("total"))
+    pcts = (spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in _COV_PCTS])).alias("p0"))
+        .select(F.col("p0").cast("long").alias("pct")))
+    j = (ranked.crossJoin(F.broadcast(total))
+         .crossJoin(F.broadcast(pcts))
+         .where(F.col("cum") * 100 >= F.col("pct") * F.col("total")))
+    return (j.groupBy("pct")
+            .agg(F.min("vocab_size").cast("bigint").alias("vocab_size"),
+                 F.min("cum").cast("bigint").alias("covered_tokens"),
+                 F.max("total").cast("bigint").alias("total_tokens"),
+                 F.round(F.min("cum") * 1.0 / F.max("total"), 6)
+                 .alias("coverage")))

@@ -884,3 +884,79 @@ def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label",
                     F.round((float(_DIM) / _JL_K) * num / F.col("nrm2"),
                             6).alias("norm_ratio")))
+
+
+@register(
+    "q_mutual_best_match",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+    a AS (SELECT vec_id AS a_id, v FROM e WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS b_id, v FROM e WHERE vec_id % 2 = 1),
+    j AS (
+        SELECT a_id, b_id,
+               ROUND(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS c
+        FROM a CROSS JOIN b),
+    ab AS (
+        SELECT a_id, b_id, c FROM (
+            SELECT a_id, b_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY a_id
+                                      ORDER BY c DESC, b_id) AS rn
+            FROM j) WHERE rn = 1),
+    ba AS (
+        SELECT a_id, b_id, c FROM (
+            SELECT a_id, b_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY b_id
+                                      ORDER BY c DESC, a_id) AS rn
+            FROM j) WHERE rn = 1)
+    SELECT ab.a_id, ab.b_id, ab.c AS cosine
+    FROM ab JOIN ba ON ab.a_id = ba.a_id AND ab.b_id = ba.b_id
+    """,
+    tags=("similarity", "embedding", "mutual-knn", "alignment"),
+)
+def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual best-match pairs between the even- and odd-id halves
+    of the embedding table: (a, b) survives iff b is a's single
+    best cosine match AND a is b's — the reciprocal-nearest-
+    neighbor criterion used for parallel-corpus / bitext mining and
+    cross-snapshot entity alignment, where one-directional best
+    matches are noisy but mutual ones are high-precision.
+
+    Determinism: cosines round to 6dp BEFORE the per-side argmax
+    (the q_lang_id_trigram idiom), ties break on the partner id,
+    and each side's best is a hash-aggregate argmax
+    (max(struct(cos, -partner))) — map-side partials, no
+    data-sized window. Scale shape: the A×B score join is the
+    declared brute-force verifier (whitelisted, the
+    q_knn_bruteforce role); at 100 TB the IVF/LSH funnels
+    (q_knn_ivf / q_knn_lsh_buckets) generate the candidate pairs
+    and this query's argmax+reciprocal JOIN SHAPE runs unchanged on
+    their output. The mutual join moves only two best-per-key
+    relations (≤ |A| + |B| rows).
+    """
+    e = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", _as_double("embedding").alias("v")))
+    a = (e.where(F.col("vec_id") % 2 == 0)
+         .select(F.col("vec_id").alias("a_id"), F.col("v").alias("va")))
+    b = (e.where(F.col("vec_id") % 2 == 1)
+         .select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb")))
+    cos = (_dot(F.col("va"), F.col("vb"))
+           / (F.sqrt(_dot(F.col("va"), F.col("va")))
+              * F.sqrt(_dot(F.col("vb"), F.col("vb")))))
+    j = (a.crossJoin(b)
+         .select("a_id", "b_id", F.round(cos, 6).alias("c")))
+    ab = (j.groupBy("a_id")
+          .agg(F.max(F.struct(F.col("c"),
+                              (-F.col("b_id")).alias("nb"))).alias("m"))
+          .select("a_id", (-F.col("m.nb")).cast("bigint").alias("b_id"),
+                  F.col("m.c").alias("c")))
+    ba = (j.groupBy("b_id")
+          .agg(F.max(F.struct(F.col("c"),
+                              (-F.col("a_id")).alias("na"))).alias("m"))
+          .select("b_id", (-F.col("m.na")).cast("bigint").alias("a_id")))
+    return (ab.join(ba, ["a_id", "b_id"])
+            .select("a_id", "b_id", F.col("c").alias("cosine")))

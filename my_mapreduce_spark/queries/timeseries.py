@@ -925,3 +925,84 @@ def q_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
                     .alias("n_events"),
                     F.col("n").isNull().alias("is_gap_day")))
+
+
+_DAY_US = 86_400_000_000
+_DECAY_DAYS = 30      # look-back window; weight = 2^-(days_old) halvings
+_DECAY_TOP = 20
+
+
+@register(
+    "q_decay_weighted_engagement",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS y,
+               CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day
+        FROM events
+        WHERE NOT isnan(value) AND NOT isinf(value)),
+    mx AS (SELECT MAX(day) AS max_day FROM e),
+    w AS (
+        SELECT user_id, y,
+               (CAST(1 AS BIGINT) << CAST({_DECAY_DAYS} - 1
+                    - (max_day - day) AS INT)) AS wt
+        FROM e CROSS JOIN mx
+        WHERE max_day - day < {_DECAY_DAYS}),
+    s AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(y * wt) AS BIGINT) AS score_int
+        FROM w GROUP BY 1),
+    r AS (
+        SELECT user_id, n_events, score_int,
+               ROW_NUMBER() OVER (ORDER BY score_int DESC, user_id) AS rnk
+        FROM s)
+    SELECT user_id, n_events,
+           ROUND(score_int / {float(2 ** (_DECAY_DAYS - 1))} / 1000.0, 6)
+               AS score,
+           rnk
+    FROM r WHERE rnk <= {_DECAY_TOP}
+    """,
+    tags=("timeseries", "decay", "feature-store", "engagement"),
+)
+def q_decay_weighted_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user (half-life =
+    1 day over a 30-day look-back): score = Σ value · 2^−days_old —
+    the standard recency-weighted feature-store aggregate (recent
+    activity dominates, old activity fades geometrically). Top-20
+    users reported with their event counts.
+
+    The decay trick that keeps it EXACT: weights are powers of two,
+    values integer-scaled, and each contribution is computed as
+    y · 2^(29 − days_old) — a pure BIGINT product — so the per-user
+    sum is an exact integer and the ranking orders on bigints,
+    never floats (a float Σ y·2^−d has an accumulation order;
+    this does not). The single float division happens once per
+    OUTPUT row. Scale shape: one scan, a 1-row max-day broadcast
+    (whitelisted scalar-subquery shape), one user-keyed
+    map-side-combined aggregate, TakeOrderedAndProject top-20.
+    Cross-engine exact: tests nothing subtler than integer shifts.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .where(~F.isnan("value") & (F.abs("value") != float("inf")))
+          .select("user_id",
+                  F.floor(F.col("value") * 1000).alias("y"),
+                  F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day")))
+    mx = ev.agg(F.max("day").alias("max_day"))
+    w = (ev.crossJoin(F.broadcast(mx))
+         .where(F.col("max_day") - F.col("day") < _DECAY_DAYS)
+         .select("user_id", "y",
+                 F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST({_DECAY_DAYS} - 1 - (max_day - day) AS INT))"
+                        f" AS BIGINT)").alias("wt")))
+    s = (w.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.sum(F.col("y") * F.col("wt")).cast("bigint")
+              .alias("score_int")))
+    wr = Window.orderBy(F.col("score_int").desc(), "user_id")
+    return (s.orderBy(F.col("score_int").desc(), "user_id")
+            .limit(_DECAY_TOP)
+            .withColumn("rnk", F.row_number().over(wr))
+            .select("user_id", "n_events",
+                    F.round(F.col("score_int")
+                            / float(2 ** (_DECAY_DAYS - 1)) / 1000.0, 6)
+                    .alias("score"), "rnk"))

@@ -65,6 +65,10 @@ SPREAD = [
     # the CDC boundary windows, the 70-column permutation aggregate
     "q_rrf_fusion", "q_sentence_centrality", "q_cdc_chunks",
     "q_permutation_test",
+    # seventh batch: suggestion index, decay feature, coverage
+    # crossings, reciprocal-match argmax on zero rows
+    "q_next_token_suggest", "q_decay_weighted_engagement",
+    "q_vocab_coverage_curve", "q_mutual_best_match",
 ]
 
 

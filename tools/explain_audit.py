@@ -154,6 +154,17 @@ _ALLOW_NESTED_LOOP = {
     "q_spearman_corr",           # crossJoin(broadcast(1-row totals))
                                  # inside distributed_row_number (x2),
                                  # same scalar-subquery shape
+    "q_mutual_best_match",       # A x B cosine score join — declared
+                                 # brute-force verifier (the
+                                 # q_knn_bruteforce role; IVF/LSH
+                                 # funnels feed it at scale, docstring)
+    "q_decay_weighted_engagement",  # crossJoin(broadcast(1-row
+                                 # max-day)), same scalar-subquery
+                                 # shape
+    "q_vocab_coverage_curve",    # 1-row token total + 5-row threshold
+                                 # literal onto the vocabulary-bounded
+                                 # rank relation — whitelisted
+                                 # tiny-broadcast shapes
     "q_rrf_fusion",              # crossJoin(broadcast(1-row query
                                  # vector)) for the cosine list, same
                                  # scalar-subquery shape (the
@@ -236,6 +247,9 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
                             "per-partition counts, conf-bounded",
     "q_shard_pack_cumsum": "distributed_prefix_sum: window over "
                            "per-partition TOTALS, conf-bounded",
+    "q_vocab_coverage_curve": "both rank and cumsum ride the two-pass "
+                              "machinery: windows over per-partition "
+                              "summaries, conf-bounded",
     "q_pack_sequences": "window over bucket counts, <= 65536 rows "
                         "by the bounded second level (corpus_ops.py)",
     # vocabulary-bounded: input already aggregated to a token/bucket
