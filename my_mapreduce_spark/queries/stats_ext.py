@@ -114,10 +114,13 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (orders.groupBy("o_custkey")
            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
                 .cast("decimal(18,2)").alias("rev")))
+    # persisted (caller-released): both rank passes range-shuffle the
+    # SAME materialized relation instead of re-running the join
     b = (cust.join(rev, cust.c_custkey == rev.o_custkey, "left")
          .select("c_custkey", "c_acctbal",
                  F.coalesce("rev", F.lit(0).cast("decimal(18,2)"))
-                 .alias("rev")))
+                 .alias("rev"))
+         .persist())
     rx = distributed_row_number(
         b.select("c_custkey", "c_acctbal"),
         [F.col("c_acctbal"), F.col("c_custkey")],

@@ -154,10 +154,6 @@ _ALLOW_NESTED_LOOP = {
     "q_spearman_corr",           # crossJoin(broadcast(1-row totals))
                                  # inside distributed_row_number (x2),
                                  # same scalar-subquery shape
-    "q_mutual_best_match",       # A x B cosine score join — declared
-                                 # brute-force verifier (the
-                                 # q_knn_bruteforce role; IVF/LSH
-                                 # funnels feed it at scale, docstring)
     "q_decay_weighted_engagement",  # crossJoin(broadcast(1-row
                                  # max-day)), same scalar-subquery
                                  # shape
