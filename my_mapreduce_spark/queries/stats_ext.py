@@ -308,9 +308,7 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("top_decile_share"))
 
 
-@register(
-    "q_psi_drift",
-    oracle=f"""
+_PSI_ORACLE = f"""
     WITH ref AS (
         SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx,
                CAST(COUNT(*) AS BIGINT) AS n_ref
@@ -344,7 +342,12 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN pbin p ON g.bin = p.bin
     JOIN tot t ON g.source = t.source
     CROSS JOIN ref r
-    """,
+    """
+
+
+@register(
+    "q_psi_drift",
+    oracle=_PSI_ORACLE,
     tags=("stats", "drift", "psi", "pipeline"),
 )
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,6 +385,18 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .cast("long").alias("bin")))
     c = (binned.groupBy("source", "bin")
          .agg(F.count(F.lit(1)).alias("c")).persist())
+    return psi_terms_from_counts(spark, c)
+
+
+def psi_terms_from_counts(spark: SparkSession, c: DataFrame) -> DataFrame:
+    """Finish the PSI computation from a (source, bin, c) count
+    relation: completion grid, reference bins, source totals, and
+    the per-bin (q−p)·ln(q/p) terms. Every input derives from the
+    count relation itself (the reference total is its src0 slice),
+    so the caller decides HOW the counters were produced — one
+    batch pass (q_psi_drift) or a streaming aggregation
+    (streaming/jobs.q_streaming_psi_drift) — and the drift math is
+    shared, which is what keeps the two surfaces provably equal."""
     tot = c.groupBy("source").agg(F.sum("c").cast("long").alias("n_src"))
     pbin = (c.where(F.col("source") == _PSI_REF)
             .select("bin", F.col("c").alias("p_c")))

@@ -1083,3 +1083,82 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer exactly)."""
     out, _ = run_cdc_upsert_stream(spark, sf_dir)
     return out
+
+
+def run_psi_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: documents arrive as a stream, the
+    per-(source, bin) drift COUNTERS are a streaming aggregation
+    (complete mode — exactly the counter table a continuous monitor
+    keeps hot), and the PSI closed form runs on the materialized
+    counter relation after the trigger — the shared
+    stats_ext.psi_terms_from_counts, so the streaming monitor and
+    the batch q_psi_drift are the same math over the same counters
+    by construction.
+
+    The reference bin bounds come from a calibration snapshot (the
+    static src0 slice) as two driver scalars — the documented
+    1-row-bounded collect shape (jobs.py streaming cutoff) — which
+    is also the production contract: drift is measured against a
+    FROZEN reference, so its bounds are calibration constants, not
+    stream state. At scale the streaming agg holds |sources| × 10
+    counter rows of state, watermark-free (counters never expire).
+    """
+    from my_mapreduce_spark.queries.stats_ext import (
+        _PSI_BINS,
+        _PSI_REF,
+        psi_terms_from_counts,
+    )
+
+    _ensure_runtime_confs(spark)
+    ref = (load_table(spark, sf_dir, "documents")
+           .where(F.col("source") == _PSI_REF)
+           .agg(F.min("n_chars").alias("mn"),
+                F.max("n_chars").alias("mx")).first())
+    # empty calibration slice: bounds degenerate to [0, 0] (the
+    # stream is empty too, so no row ever evaluates the expression)
+    mn = int(ref["mn"]) if ref["mn"] is not None else 0
+    mx = int(ref["mx"]) if ref["mx"] is not None else 0
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(schema)
+              .format("parquet")
+              .option("pathGlobFilter", "documents.parquet")
+              .load(sf_dir)
+              .select("source", "n_chars"))
+    # the literal-inlined twin of the batch q_psi_drift bin: same
+    # exact integer DIV arithmetic, bounds as calibration constants
+    binned = stream.select(
+        "source",
+        F.expr(f"CAST(LEAST({_PSI_BINS - 1}, "
+               f"((LEAST({mx}, GREATEST({mn}, n_chars)) - {mn})"
+               f" * {_PSI_BINS}) DIV ({mx} - {mn} + 1)) AS BIGINT)")
+        .alias("bin"))
+    counts = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("c"))
+    c = _run_to_memory(spark, counts, "psi_counts", "complete")
+    return psi_terms_from_counts(spark, c)
+
+
+@register(
+    "q_streaming_psi_drift",
+    oracle=None,  # set below to the batch twin's oracle
+    tags=("streaming", "drift", "psi", "monitoring"),
+)
+def q_streaming_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor, gated by the SAME oracle as the
+    batch q_psi_drift — proof the counter-table streaming shape and
+    the batch pass produce identical drift terms."""
+    return run_psi_drift_stream(spark, sf_dir)
+
+
+# the twin's oracle IS this query's oracle (shared constant)
+def _wire_psi_oracle() -> None:
+    from dataclasses import replace
+
+    from my_mapreduce_spark.queries.stats_ext import _PSI_ORACLE
+    from my_mapreduce_spark.registry import REGISTRY
+
+    spec = REGISTRY["q_streaming_psi_drift"]
+    REGISTRY["q_streaming_psi_drift"] = replace(spec, oracle=_PSI_ORACLE)
+
+
+_wire_psi_oracle()

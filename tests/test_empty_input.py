@@ -69,6 +69,8 @@ SPREAD = [
     # crossings, reciprocal-match argmax on zero rows
     "q_next_token_suggest", "q_decay_weighted_engagement",
     "q_vocab_coverage_curve", "q_mutual_best_match",
+    # streaming drift monitor: empty calibration slice + empty stream
+    "q_streaming_psi_drift",
 ]
 
 

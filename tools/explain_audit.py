@@ -181,6 +181,9 @@ _SKIP = {
     "q_streaming_dedup_within_wm",  # micro-batch exec (materialized sink)
     "q_streaming_near_dup",  # foreachBatch LSH-index merge loop,
                              # micro-batch exec (materialized state)
+    "q_streaming_psi_drift",  # micro-batch exec (materialized counter
+                              # table; the batch finishing math is
+                              # audited via q_psi_drift)
     "q_dedup_clusters",  # returns the converged cached relation; the
                          # per-round join+agg plans (which do codegen)
                          # already executed inside the driver loop
