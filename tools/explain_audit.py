@@ -113,10 +113,6 @@ _ALLOW_NESTED_LOOP = {
     "q_retrieval_recall_mrr",    # same broadcast-query != shape (exact
                                  # scorer; the IVF/PQ funnels replace it
                                  # at scale — docstring)
-    "q_calibration_ece",         # same != self-join shape as
-                                 # q_knn_bruteforce (every vector is a
-                                 # query; ANN shortlist swaps in at
-                                 # scale — docstring)
     "q_aqp_estimate",            # crossJoin(broadcast(1-row exact stats)),
                                  # same scalar-subquery shape
     "q_keyset_pagination",       # crossJoin(broadcast(1-row cursor
