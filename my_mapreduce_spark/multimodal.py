@@ -239,3 +239,78 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_bytes").alias("total_bytes"),
                  F.round(F.avg("width"), 4).alias("avg_width"),
                  F.round(F.avg("feat_norm"), 6).alias("avg_feat_norm")))
+
+
+@register(
+    "q_multimodal_phash",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n,
+               GREATEST(1, CAST(ceil(length(text) / {_THUMB_PIXELS}.0)
+                                AS BIGINT)) AS stride,
+               CAST(ceil(length(text)
+                    / GREATEST(1.0, ceil(length(text) / {_THUMB_PIXELS}.0)))
+                    AS BIGINT) AS l
+        FROM documents WHERE text IS NOT NULL),
+    h AS (
+        SELECT doc_id,
+               array_to_string(list_transform(range(0, l - 1), i ->
+                   CASE WHEN substr(text, CAST(1 + i * stride AS INT), 1)
+                             < substr(text,
+                                      CAST(1 + (i + 1) * stride AS INT), 1)
+                        THEN '1' ELSE '0' END), '') AS phash
+        FROM base)
+    SELECT doc_id, phash,
+           CAST(length(phash) - length(replace(phash, '1', ''))
+                AS BIGINT) AS popcount,
+           substr(phash, 1, 14) AS b0, substr(phash, 15, 14) AS b1,
+           substr(phash, 29, 14) AS b2, substr(phash, 43, 14) AS b3
+    FROM h
+    """,
+    tags=("multimodal", "phash", "fingerprint", "dedup"),
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual fingerprint (dHash) over binary payloads: each
+    asset's 8×8 stride-sampled thumbnail (the q_multimodal_resize
+    bytes) becomes a ≤63-bit gradient hash — bit i is 1 iff
+    thumb[i] < thumb[i+1] — plus four 14-bit LSH band keys, the
+    join-ready surface for perceptual near-dup (equal band → Ham-
+    ming candidates, exactly the q_dedup_simhash pigeonhole shape;
+    dHash is robust to re-encode/resize where the exact sha256 of
+    q_multimodal_meta breaks). A real pipeline swaps the byte
+    stride for decode + grayscale downsample (decode_image is the
+    documented stub) and the gradient-bit/banding plumbing — the
+    part Spark owns — is identical.
+
+    One scan, one mapInPandas, no shuffle; only (id, 63-bit hash,
+    band keys) rows flow downstream, so the banded self-join at
+    100 TB moves fingerprints, never payloads. The corpus is pure
+    ASCII, so the DuckDB oracle reproduces the byte comparisons
+    with substr arithmetic bit-for-bit.
+    """
+    assets = build_asset_table(spark, sf_dir)
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {"doc_id": [], "phash": [], "popcount": [],
+               "b0": [], "b1": [], "b2": [], "b3": []}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                stride = max(1, -(-len(p) // _THUMB_PIXELS))
+                t = p[::stride]
+                bits = "".join(
+                    "1" if t[i] < t[i + 1] else "0"
+                    for i in range(len(t) - 1))
+                out["doc_id"].append(doc_id)
+                out["phash"].append(bits)
+                out["popcount"].append(bits.count("1"))
+                out["b0"].append(bits[0:14])
+                out["b1"].append(bits[14:28])
+                out["b2"].append(bits[28:42])
+                out["b3"].append(bits[42:56])
+        yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        phash, schema="doc_id bigint, phash string, popcount bigint, "
+                      "b0 string, b1 string, b2 string, b3 string")

@@ -1006,3 +1006,136 @@ def q_decay_weighted_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("score_int")
                             / float(2 ** (_DECAY_DAYS - 1)) / 1000.0, 6)
                     .alias("score"), "rnk"))
+
+
+@register(
+    "q_theil_sen_slope",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    p AS (
+        SELECT a.event_type,
+               (b.c - a.c) * 1.0 / (b.day - a.day) AS slope
+        FROM d a JOIN d b
+          ON a.event_type = b.event_type AND b.day > a.day)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 6) AS ts_slope
+    FROM p GROUP BY event_type
+    """,
+    tags=("timeseries", "trend", "robust", "theil-sen"),
+)
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimator per event type: the MEDIAN
+    of all pairwise slopes (c_j − c_i)/(day_j − day_i) over the
+    daily count series — the robust complement to q_mann_kendall
+    (which TESTS for a trend; this ESTIMATES it, with a 29%
+    breakdown point where least squares is broken by one bad day).
+
+    Every slope is one deterministic double from three exact
+    bigints, the pair set is identical on both engines, and the
+    exact median (linear interpolation at 0.5 on the sorted bounded
+    set) matches DuckDB's quantile_cont. Scale shape: the stream
+    collapses to the (type, day) relation FIRST (calendar-bounded:
+    ~30 rows/type/month), so the pairwise join is days²-bounded per
+    type — never events² — and the per-type median runs over that
+    bounded set; at any corpus size the cost after the scan is
+    O(types · days²). Same boundedness argument as
+    q_survival_life_table's duration relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = (ev.select("event_type",
+                   F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day"))
+         .groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("c")))
+    a, b = d.alias("a"), d.alias("b")
+    p = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                & (F.col("b.day") > F.col("a.day")))
+         .select(F.col("a.event_type").alias("event_type"),
+                 ((F.col("b.c") - F.col("a.c")) * 1.0
+                  / (F.col("b.day") - F.col("a.day"))).alias("slope")))
+    return (p.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.expr("percentile(slope, 0.5)"), 6)
+                 .alias("ts_slope")))
+
+
+_ANOM_Z = 2.0        # seasonal z-score flag threshold
+
+
+@register(
+    "q_seasonal_anomaly",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {_HOUR_US} AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    hb AS (SELECT event_type, hour, c, hour % 24 AS hod FROM h),
+    base AS (
+        SELECT event_type, hod,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS ss
+        FROM hb GROUP BY 1, 2),
+    z AS (
+        SELECT hb.event_type, hb.hour, hb.c,
+               (hb.c - base.s * 1.0 / base.n)
+               / SQRT((base.ss - base.s * (base.s * 1.0 / base.n))
+                      * 1.0 / (base.n - 1)) AS z
+        FROM hb JOIN base
+          ON hb.event_type = base.event_type AND hb.hod = base.hod
+        WHERE base.n > 1 AND base.n * base.ss > base.s * base.s)
+    SELECT event_type, hour, c AS n_events, ROUND(z, 6) AS z
+    FROM z WHERE ABS(z) >= {_ANOM_Z}
+    """,
+    tags=("timeseries", "anomaly", "seasonal", "monitoring"),
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly screen: each (event_type, hour)
+    count is z-scored against the baseline of its OWN hour-of-day
+    cohort (the 3am spike is judged against other 3am hours, not
+    the daily mean — the fix for the false positives a flat
+    threshold throws at diurnal traffic), and hours with |z| ≥ 2
+    are flagged. Complements q_mad_outliers (value-level robust
+    outliers) and q_cusum_changepoint (level shifts) with the
+    SEASONAL lens.
+
+    The cohort moments (n, Σc, Σc²) are exact bigints and each z is
+    one deterministic double expression of them — bit-stable, the
+    q_ab_test_welch discipline. Scale shape: the stream collapses
+    to the hour relation first (calendar-bounded), cohort moments
+    are a types × 24 relation, and the z join is broadcast-sized;
+    output is only the flagged rows. One scan, everything after is
+    calendar-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.select("event_type",
+                   F.expr(f"unix_micros(ts) DIV {_HOUR_US}").alias("hour"))
+         .groupBy("event_type", "hour").agg(F.count(F.lit(1)).alias("c")))
+    hb = h.withColumn("hod", F.col("hour") % 24)
+    base = (hb.groupBy("event_type", "hod")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("c").alias("s"),
+                 F.sum(F.col("c") * F.col("c")).alias("ss")))
+    mean = F.col("s") * 1.0 / F.col("n")
+    var = (F.col("ss") - F.col("s") * mean) * 1.0 / (F.col("n") - 1)
+    z = (F.col("c") - mean) / F.sqrt(var)
+    # filter on the RAW z (like the oracle), round only on output —
+    # filtering the rounded value would diverge at the 1.9999996
+    # boundary (the ADVICE round-3 divergence class)
+    # zero-variance cohorts cannot be z-scored — the exact integer
+    # guard n*ss > s*s excludes them on BOTH engines (a float var>0
+    # test could disagree at the boundary; ANSI Spark would throw on
+    # the division where DuckDB yields inf)
+    return (hb.join(F.broadcast(base.where(
+                (F.col("n") > 1)
+                & (F.col("n") * F.col("ss") > F.col("s") * F.col("s")))),
+                    ["event_type", "hod"])
+            .select("event_type", "hour",
+                    F.col("c").alias("n_events"), z.alias("zraw"))
+            .where(F.abs(F.col("zraw")) >= _ANOM_Z)
+            .select("event_type", "hour", "n_events",
+                    F.round("zraw", 6).alias("z")))

@@ -56,6 +56,7 @@ SPREAD = [
     "q_cdc_chunks", "q_permutation_test", "q_next_token_suggest",
     "q_decay_weighted_engagement", "q_mutual_best_match",
     "q_rrf_fusion", "q_vocab_coverage_curve",
+    "q_theil_sen_slope", "q_seasonal_anomaly", "q_multimodal_phash",
 ]
 
 

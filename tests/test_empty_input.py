@@ -71,6 +71,8 @@ SPREAD = [
     "q_vocab_coverage_curve", "q_mutual_best_match",
     # streaming drift monitor: empty calibration slice + empty stream
     "q_streaming_psi_drift",
+    # ninth batch: bounded pair join, cohort moments, byte fingerprints
+    "q_theil_sen_slope", "q_seasonal_anomaly", "q_multimodal_phash",
 ]
 
 
