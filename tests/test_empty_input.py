@@ -73,6 +73,9 @@ SPREAD = [
     "q_streaming_psi_drift",
     # ninth batch: bounded pair join, cohort moments, byte fingerprints
     "q_theil_sen_slope", "q_seasonal_anomaly", "q_multimodal_phash",
+    # experimentation tier: 1-row guardrail/moment summaries and the
+    # PAV minimax joins over an empty bin relation
+    "q_srm_check", "q_cuped_adjustment", "q_isotonic_calibration",
 ]
 
 
@@ -99,6 +102,6 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
         "q_selfjoin_size_stats", "q_poisson_bootstrap_ci",
         "q_rendezvous_sharding",
         "q_spearman_corr", "q_cohens_kappa", "q_gini_concentration",
-        "q_permutation_test")
+        "q_permutation_test", "q_srm_check")
     assert df.schema.fields, "schema must survive the empty path"
     spark.catalog.clearCache()

@@ -36,6 +36,11 @@ from my_mapreduce_spark.session import get_spark  # noqa: E402
 _ALLOW_NESTED_LOOP = {
     "q_theta_join_price_band",   # non-equi price band join (declared)
     "q_scalar_subquery",         # scalar subquery = 1-row broadcast NLJ
+    "q_cuped_adjustment",        # crossJoin(broadcast(1-row theta/mean
+                                 # moments)), the scalar-subquery shape
+    "q_isotonic_calibration",    # PAV minimax range joins over the <=10-row
+                                 # reliability-bin relation — conf-bounded
+                                 # (bins are a constant), never data-sized
     "q_dedup_ngram_jaccard",     # pair join carries a < on doc_id
     "q_dedup_exact_pairs",
     "q_knn_bruteforce",          # declared O(n^2) verifier
