@@ -16,7 +16,8 @@ for _mod in ("reference_parity", "relational_ext", "windows", "scalar_funcs",
              "events_windows", "temporal_joins", "tpch_more", "analytics_ext",
              "coverage_ext", "bucketed", "pipeline_ext", "corpus_ops",
              "sketches", "retrieval", "graph", "indexing",
-             "sampling_stats", "timeseries", "stats_ext", "experiment_ext"):
+             "sampling_stats", "timeseries", "stats_ext", "experiment_ext",
+             "lexical_ext"):
     __import__(f"my_mapreduce_spark.queries.{_mod}")
 del _mod
 

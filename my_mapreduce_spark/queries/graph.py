@@ -646,3 +646,176 @@ def q_linkpred_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("supp_a", "supp_b", "common_neighbors",
                       "ra_score_scaled",
                       F.row_number().over(w).cast("bigint").alias("rnk"))
+
+
+@register(
+    "q_clustering_coefficient",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    s AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM t, UNNEST(range(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 3),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    p0 AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM p0
+        JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE n_common * 1.0 / (x.n + y.n - n_common) >= 0.6),
+    sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tn AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (SELECT a AS u FROM tri UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY u)
+    SELECT deg.u AS doc_id, deg.deg,
+           COALESCE(tn.n_tri, 0) AS n_tri,
+           ROUND(2.0 * COALESCE(tn.n_tri, 0) / (deg.deg * (deg.deg - 1)), 6)
+               AS lcc
+    FROM deg LEFT JOIN tn ON deg.u = tn.u
+    WHERE deg.deg >= 2
+    """,
+    tags=("graph", "clustering-coefficient", "dedup", "triangles"),
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the near-duplicate graph:
+    for each document with >= 2 near-dup neighbors, the fraction of
+    its neighbor pairs that are ALSO near-dups — lcc = 2*tri /
+    (deg*(deg-1)). This is the cluster-cohesion audit that decides
+    whether a dedup component is a tight clique (lcc ~ 1, safe to
+    collapse to one survivor) or a borderline chain (lcc ~ 0,
+    collapsing merges documents that never matched each other) —
+    the per-NODE refinement of q_dedup_triangles' global census.
+
+    Plan: edges come from the already-thresholded Jaccard pair join
+    (reused as a subroutine and cached once; caller releases);
+    triangles are the same a<b<c oriented double self-join as
+    q_dedup_triangles, exploded to their three corners for a
+    per-node hash-agg; degrees are one hash-agg over the
+    symmetrized edge list. Everything is pairs-sized, never
+    corpus-sized — at 100 TB the near-dup graph is orders of
+    magnitude smaller than the corpus (that is the point of
+    dedup), and the oriented join bounds the enumeration fan-out.
+    Reference parity: none; north-star §2D graph/dedup depth.
+    """
+    from my_mapreduce_spark.queries.dedup import q_dedup_ngram_jaccard
+
+    e = (q_dedup_ngram_jaccard(spark, sf_dir)
+         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+         .cache())
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+           .join(e3, (F.col("e3.a") == F.col("e1.a"))
+                 & (F.col("e3.b") == F.col("e2.b")))
+           .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+                   F.col("e2.b").alias("c")))
+    tn = (tri.select(F.col("a").alias("u"))
+          .unionAll(tri.select(F.col("b").alias("u")))
+          .unionAll(tri.select(F.col("c").alias("u")))
+          .groupBy("u").agg(F.count(F.lit(1)).alias("n_tri")))
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return (deg.join(tn, "u", "left")
+            .where(F.col("deg") >= 2)
+            .select(F.col("u").alias("doc_id"), "deg",
+                    n_tri.alias("n_tri"),
+                    F.round(2.0 * n_tri
+                            / (F.col("deg") * (F.col("deg") - 1)), 6)
+                    .alias("lcc")))
+
+
+@register(
+    "q_graph_assortativity",
+    oracle="""
+    WITH el AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT src, dst FROM el
+              UNION ALL SELECT dst AS src, src AS dst FROM el),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    ex AS (
+        SELECT dx.d AS x, dy.d AS y
+        FROM edges e JOIN deg dx ON e.src = dx.node
+                     JOIN deg dy ON e.dst = dy.node),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM ex)
+    SELECT (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(m // 2 AS BIGINT) AS n_edges,
+           ROUND((m * 1.0 * sxy - sx * 1.0 * sy)
+                 / sqrt((m * 1.0 * sxx - sx * 1.0 * sx)
+                        * (m * 1.0 * syy - sy * 1.0 * sy)), 6)
+               AS assortativity
+    FROM m
+    """,
+    tags=("graph", "assortativity", "degree"),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the customer–supplier
+    trade graph: the Pearson correlation of endpoint degrees over
+    all directed edge orientations. Negative r = disassortative
+    (hubs attach to leaves — typical of bipartite commerce and web
+    graphs), positive = assortative (hubs cluster — social graphs);
+    the single number that says which sampling and partitioning
+    strategies will see skew amplified vs damped.
+
+    Exactness: degrees are bigints, so the six moments (m, Sx, Sy,
+    Sxx, Syy, Sxy) are exact integer sums; r is one final closed
+    form — the q_ab_test_welch no-accumulation-seam discipline
+    applied to graph structure.
+
+    Plan: one distinct edge derivation (fact-fact join), one degree
+    hash-agg, two degree joins back onto edges (both sides shuffle
+    on node id — co-located), one 6-number global aggregate.
+    Linear in edges at 100 TB; no window, no iteration.
+    Reference parity: none; north-star §2D graph depth.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    el = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .distinct())
+    edges = el.unionAll(el.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d"))
+    ex = (edges.join(deg.select(F.col("node").alias("src"),
+                                F.col("d").alias("x")), "src")
+          .join(deg.select(F.col("node").alias("dst"),
+                           F.col("d").alias("y")), "dst"))
+    m = ex.agg(F.count(F.lit(1)).alias("m"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"),
+               F.sum(F.col("y") * F.col("y")).alias("syy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    num = F.col("m") * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
+    den = F.sqrt(
+        (F.col("m") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
+        * (F.col("m") * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy")))
+    return (m.crossJoin(F.broadcast(n_nodes))
+            .select("n_nodes",
+                    (F.col("m") / 2).cast("bigint").alias("n_edges"),
+                    F.round(num / den, 6).alias("assortativity")))

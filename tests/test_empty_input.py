@@ -76,6 +76,10 @@ SPREAD = [
     # experimentation tier: 1-row guardrail/moment summaries and the
     # PAV minimax joins over an empty bin relation
     "q_srm_check", "q_cuped_adjustment", "q_isotonic_calibration",
+    # lexical/graph batch: KN's four count relations, the richness
+    # log ratio, the triangle joins, the assortativity moments
+    "q_kneser_ney_bigram", "q_lexical_richness",
+    "q_clustering_coefficient", "q_graph_assortativity",
 ]
 
 
@@ -102,6 +106,6 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
         "q_selfjoin_size_stats", "q_poisson_bootstrap_ci",
         "q_rendezvous_sharding",
         "q_spearman_corr", "q_cohens_kappa", "q_gini_concentration",
-        "q_permutation_test", "q_srm_check")
+        "q_permutation_test", "q_srm_check", "q_graph_assortativity")
     assert df.schema.fields, "schema must survive the empty path"
     spark.catalog.clearCache()

@@ -38,6 +38,11 @@ _ALLOW_NESTED_LOOP = {
     "q_scalar_subquery",         # scalar subquery = 1-row broadcast NLJ
     "q_cuped_adjustment",        # crossJoin(broadcast(1-row theta/mean
                                  # moments)), the scalar-subquery shape
+    "q_kneser_ney_bigram",       # crossJoin(broadcast(1-row bigram-type
+                                 # total)), same scalar-subquery shape
+    "q_graph_assortativity",     # crossJoin(broadcast(1-row node count))
+                                 # onto the 1-row moment relation, same
+                                 # scalar-subquery shape
     "q_isotonic_calibration",    # PAV minimax range joins over the <=10-row
                                  # reliability-bin relation — conf-bounded
                                  # (bins are a constant), never data-sized
