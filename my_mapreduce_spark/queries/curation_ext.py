@@ -1,0 +1,374 @@
+"""Dataset-curation depth: label-noise screening, diversity
+re-ranking, and budgeted source allocation — round-4 continuation
+batch (SURVEY §2D training-data-pipeline tier).
+
+- ``q_label_noise_screen``: per-label centroid-distance outlier
+  audit over the embedding table — the cheap first pass of
+  Confident-Learning-style label cleaning, EXACT via integer-scaled
+  coordinates (no float accumulation anywhere).
+- ``q_mmr_diversify``: Maximal Marginal Relevance (Carbonell &
+  Goldstein 1998) top-5 selection from each query's cosine top-20 —
+  the diversity-aware re-ranker used for dedup-aware retrieval and
+  for picking representative documents out of a near-dup cluster.
+  The greedy loop is UNROLLED into 5 deterministic rank steps over
+  query-bounded relations, so the exact semantics are expressible
+  on both engines (the same iteration-unrolling trick as the
+  pagerank oracle).
+- ``q_mixture_budget_alloc``: greedy quality-first source
+  allocation under a global token budget — "fill the training mix
+  from the richest sources until the budget runs out", the
+  budgeted counterpart of q_dataset_mixture's fixed proportions.
+
+Scale shape (100 TB): the noise screen is two corpus-linear
+hash-aggs over (label, dim) keys — d-bounded shuffles; MMR runs
+entirely on broadcast query×top-k relations after the audited
+top-k scorer; the allocator's window runs over the source-bounded
+relation (|sources|, not data). Reference parity: none —
+north-star §2D curation depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+_NOISE_SCALE = 1000          # coordinate -> floor(x*1000): exact bigints
+_MMR_LAMBDA = 0.7            # relevance weight; 1-lambda penalizes redundancy
+_MMR_CAND = 20               # candidate pool per query (cosine top-20)
+_MMR_K = 5                   # picks per query
+_ALLOC_BUDGET_SHARE = 0.4    # fraction of total corpus chars to fill
+
+
+@register(
+    "q_label_noise_screen",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0),
+    x AS (
+        SELECT vec_id, label, pos,
+               CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * {_NOISE_SCALE})
+                    AS BIGINT) AS xi
+        FROM e, UNNEST(range(1, len(embedding) + 1)) AS t(pos)),
+    n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY label),
+    s AS (SELECT label, pos, CAST(SUM(xi) AS BIGINT) AS s
+          FROM x GROUP BY 1, 2),
+    d AS (
+        SELECT x.vec_id, x.label,
+               CAST(SUM((n.n * xi - s.s) * (n.n * xi - s.s)) AS BIGINT) AS d2
+        FROM x JOIN s ON x.label = s.label AND x.pos = s.pos
+               JOIN n ON x.label = n.label
+        GROUP BY 1, 2),
+    t AS (SELECT label, CAST(SUM(d2) AS BIGINT) AS tot FROM d GROUP BY label)
+    SELECT d.label, n.n,
+           CAST(SUM(CASE WHEN n.n * d.d2 > 4 * t.tot THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           ROUND(SQRT(t.tot * 1.0 / (n.n * n.n * n.n)) / {_NOISE_SCALE}, 6)
+               AS rms_dist
+    FROM d JOIN t ON d.label = t.label JOIN n ON d.label = n.label
+    GROUP BY d.label, n.n, t.tot
+    """,
+    tags=("curation", "label-noise", "embedding", "outlier"),
+)
+def q_label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen: for each label, count the embeddings
+    whose distance to their OWN label centroid exceeds 2x the
+    label's RMS distance — the points most likely mislabeled (their
+    vector sits far from the class it claims), the cheap first pass
+    a Confident-Learning pipeline runs before any model-based
+    cleaning.
+
+    Exactness: coordinates are integer-scaled (floor(x*1000)), and
+    with s = per-dim label sum, n = label count, each point's
+    squared centroid distance scales to the exact bigint
+    d2 = sum_dims (n*x - s)^2 (= n^2 * dist^2); the 2x-RMS flag
+    becomes the exact integer comparison n*d2 > 4*sum(d2) — no
+    float enters until the display column. (At petabyte label
+    sizes the bigint headroom shrinks as n^2; production would
+    bucket to DECIMAL(38) or double — documented seam, exact at
+    every fixture SF.)
+
+    Plan: one posexplode -> (label, dim)-keyed hash-agg for
+    centroid sums (d-bounded shuffle), join back (broadcast: the
+    (label x dim) relation is tiny), per-point hash-agg, per-label
+    finishing — corpus-linear, two shuffles, no windows.
+    """
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .where(F.col("embedding").isNotNull()
+                  & (F.size("embedding") > 0))
+           .select("vec_id", "label", "embedding"))
+    x = (emb.select("vec_id", "label",
+                    F.posexplode("embedding").alias("pos0", "xf"))
+         .select("vec_id", "label", (F.col("pos0") + 1).alias("pos"),
+                 F.floor(F.col("xf").cast("double") * _NOISE_SCALE)
+                 .alias("xi")))
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    s = x.groupBy("label", "pos").agg(F.sum("xi").alias("s"))
+    term = F.col("n") * F.col("xi") - F.col("s")
+    d = (x.join(F.broadcast(s), ["label", "pos"])
+         .join(F.broadcast(n), "label")
+         .groupBy("vec_id", "label")
+         .agg(F.sum(term * term).alias("d2")))
+    t = d.groupBy("label").agg(F.sum("d2").alias("tot"))
+    return (d.join(F.broadcast(t), "label").join(F.broadcast(n), "label")
+            .groupBy("label", "n", "tot")
+            .agg(F.sum(F.when(F.col("n") * F.col("d2")
+                              > 4 * F.col("tot"), 1).otherwise(0))
+                 .alias("n_flagged"))
+            .select("label", "n", "n_flagged",
+                    F.round(F.sqrt(F.col("tot") * 1.0
+                                   / (F.col("n") * F.col("n") * F.col("n")))
+                            / _NOISE_SCALE, 6).alias("rms_dist")))
+
+
+def _mmr_oracle() -> str:
+    """Unrolled-greedy MMR oracle (the pagerank iteration-unrolling
+    trick): 5 chained argmax steps over the query-bounded candidate
+    relation. Scores live in exact integer tenth-micro units
+    (7*rel6 - 3*ms6 with rel6/ms6 = 6dp cosines x 1e6), so ranking
+    and the displayed score never round a float composite — the
+    1-ulp ROUND() divergence class cannot fire."""
+    steps = []
+    for i in range(2, _MMR_K + 1):
+        p = i - 1
+        steps.append(f""",
+    rem{i} AS (
+        SELECT c.query_id, c.vec_id, c.rel6 FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM sel{p} s
+                          WHERE s.query_id = c.query_id
+                            AND s.vec_id = c.vec_id)),
+    sim{i} AS (
+        SELECT r.query_id, r.vec_id, r.rel6,
+               CAST(MAX(cc.cos6) AS BIGINT) AS ms6
+        FROM rem{i} r JOIN sel{p} s ON s.query_id = r.query_id
+             JOIN cc ON cc.query_id = r.query_id
+                    AND cc.a = r.vec_id AND cc.b = s.vec_id
+        GROUP BY 1, 2, 3),
+    pick{i} AS (
+        SELECT query_id, vec_id, {i} AS pick_rank,
+               (7 * rel6 - 3 * ms6) / 10000000.0 AS mmr_score
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY 7 * rel6 - 3 * ms6 DESC, vec_id) AS rnk
+              FROM sim{i})
+        WHERE rnk = 1),
+    sel{i} AS (SELECT query_id, vec_id FROM sel{p}
+               UNION ALL SELECT query_id, vec_id FROM pick{i})""")
+    picks = " UNION ALL ".join(
+        ["SELECT query_id, vec_id, pick_rank, mmr_score FROM pick1"]
+        + [f"SELECT query_id, vec_id, pick_rank, mmr_score FROM pick{i}"
+           for i in range(2, _MMR_K + 1)])
+    return f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    nr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM nr WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id, c.v,
+               CAST(ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                          * 1000000) AS BIGINT) AS rel6
+        FROM q JOIN nr c ON q.vec_id <> c.vec_id),
+    cand AS (
+        SELECT query_id, vec_id, v, rel6 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel6 DESC, vec_id) AS rnk
+            FROM scored)
+        WHERE rnk <= {_MMR_CAND}),
+    cc AS (
+        SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+               CAST(ROUND(list_dot_product(a.v, b.v)
+                          / (sqrt(list_dot_product(a.v, a.v))
+                             * sqrt(list_dot_product(b.v, b.v)))
+                          * 1000000) AS BIGINT) AS cos6
+        FROM cand a JOIN cand b
+             ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+    pick1 AS (
+        SELECT query_id, vec_id, 1 AS pick_rank,
+               rel6 / 1000000.0 AS mmr_score
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY rel6 DESC, vec_id) AS rnk
+              FROM cand)
+        WHERE rnk = 1),
+    sel1 AS (SELECT query_id, vec_id FROM pick1){"".join(steps)}
+    SELECT query_id, vec_id, CAST(pick_rank AS BIGINT) AS pick_rank,
+           mmr_score
+    FROM ({picks})
+    """
+
+
+@register(
+    "q_mmr_diversify",
+    oracle=_mmr_oracle(),
+    tags=("curation", "retrieval", "mmr", "diversity", "rerank"),
+)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from each query's
+    cosine top-20, greedily pick 5 results maximizing
+    0.7*relevance - 0.3*max-similarity-to-already-picked — the
+    classic redundancy-penalized selection (Carbonell & Goldstein
+    1998) that keeps a near-dup cluster from monopolizing a result
+    page, and that corpus curation reuses to pick DIVERSE exemplars
+    per topic. Greedy selection is inherently sequential, but its
+    depth is the OUTPUT size k=5, not the data — so the loop
+    unrolls into 5 deterministic rank steps (the pagerank-oracle
+    unrolling trick), each an anti-join + max-sim aggregate +
+    argmax over query-bounded broadcast relations. Cosines are
+    6dp-rounded into exact integer micro-units, so the composite
+    score 7*rel6 - 3*ms6 is an exact bigint — every argmax ranks
+    integers (ties by vec_id) and the displayed score is one final
+    division, leaving no float-rounding seam for engines to
+    disagree on.
+
+    Plan: the only corpus-sized work is the audited broadcast
+    top-20 scorer (q_knn_bruteforce shape); everything after runs
+    on |queries| x 20 rows. At 100 TB the candidate generator swaps
+    for the IVF/PQ shortlist exactly as in q_retrieval_recall_mrr —
+    MMR itself is scorer-agnostic.
+    """
+    from my_mapreduce_spark.queries.similarity import _dot, _normed
+
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    q = e.where(F.expr("vec_id % 100 = 0")).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"))
+    rel6 = F.round(_dot(F.col("qv"), F.col("v"))
+                   / (F.col("qnrm") * F.col("nrm"))
+                   * 1000000).cast("bigint")
+    w = Window.partitionBy("query_id").orderBy(F.col("rel6").desc(),
+                                               "vec_id")
+    cand = (e.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+            .select("query_id", "vec_id", "v", rel6.alias("rel6"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _MMR_CAND)
+            .select("query_id", "vec_id", "v", "rel6")
+            .cache())
+    a, b = cand.alias("a"), cand.alias("b")
+    cos6 = F.round(
+        _dot(F.col("a.v"), F.col("b.v"))
+        / (F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
+           * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))) * 1000000) \
+        .cast("bigint")
+    cc = (a.join(b, (F.col("a.query_id") == F.col("b.query_id"))
+                 & (F.col("a.vec_id") != F.col("b.vec_id")))
+          .select(F.col("a.query_id").alias("query_id"),
+                  F.col("a.vec_id").alias("ca"),
+                  F.col("b.vec_id").alias("cb"), cos6.alias("cos6"))
+          .cache())
+    pick = (cand.withColumn(
+        "rnk", F.row_number().over(w)).where(F.col("rnk") == 1)
+        .select("query_id", "vec_id", F.lit(1).alias("pick_rank"),
+                (F.col("rel6") / 1000000.0).alias("mmr_score")))
+    sel = pick.select("query_id", "vec_id")
+    picks = [pick]
+    for i in range(2, _MMR_K + 1):
+        rem = cand.join(sel, ["query_id", "vec_id"], "left_anti")
+        sim = (rem.join(sel.select("query_id",
+                                   F.col("vec_id").alias("cb")),
+                        "query_id")
+               .join(cc.select("query_id", F.col("ca").alias("vec_id"),
+                               "cb", "cos6"), ["query_id", "vec_id", "cb"])
+               .groupBy("query_id", "vec_id", "rel6")
+               .agg(F.max("cos6").alias("ms6")))
+        mmr_i = 7 * F.col("rel6") - 3 * F.col("ms6")
+        wi = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_i").desc(), "vec_id")
+        p_i = (sim.select("query_id", "vec_id", mmr_i.alias("mmr_i"))
+               .withColumn("rnk", F.row_number().over(wi))
+               .where(F.col("rnk") == 1)
+               .select("query_id", "vec_id",
+                       F.lit(i).alias("pick_rank"),
+                       (F.col("mmr_i") / 10000000.0).alias("mmr_score")))
+        picks.append(p_i)
+        sel = sel.unionAll(p_i.select("query_id", "vec_id"))
+    out = picks[0]
+    for p_i in picks[1:]:
+        out = out.unionAll(p_i)
+    return out.select("query_id", "vec_id",
+                      F.col("pick_rank").cast("bigint").alias("pick_rank"),
+                      "mmr_score")
+
+
+@register(
+    "q_mixture_budget_alloc",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    tok AS (SELECT source, UNNEST(ws) AS w FROM t),
+    wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    rich AS (
+        SELECT source,
+               ROUND(COUNT(*) * 1.0 / SUM(c), 6) AS ttr
+        FROM wc GROUP BY source),
+    sz AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars
+           FROM documents GROUP BY source),
+    budget AS (
+        SELECT CAST(FLOOR(SUM(chars) * {_ALLOC_BUDGET_SHARE}) AS BIGINT)
+            AS b FROM sz),
+    ranked AS (
+        SELECT sz.source, sz.chars, rich.ttr,
+               ROW_NUMBER() OVER (ORDER BY rich.ttr DESC, sz.source)
+                   AS quality_rank,
+               COALESCE(SUM(sz.chars) OVER (
+                   ORDER BY rich.ttr DESC, sz.source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM sz JOIN rich USING (source))
+    SELECT source, CAST(quality_rank AS BIGINT) AS quality_rank, ttr, chars,
+           CAST(GREATEST(LEAST(chars, b - cum_before), 0) AS BIGINT)
+               AS alloc_chars
+    FROM ranked CROSS JOIN budget
+    """,
+    tags=("curation", "mixture", "budget", "allocation"),
+)
+def q_mixture_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted quality-first mixture allocation: rank sources by
+    lexical richness (type-token ratio — the q_lexical_richness
+    signal), then fill a global char budget (40% of the corpus)
+    greedily from the richest source down, truncating the source
+    that straddles the boundary — "spend the training budget on the
+    best data first", the budget-constrained counterpart of
+    q_dataset_mixture's fixed target shares. alloc_chars is the
+    exact integer water-filling allocation: min(source size,
+    remaining budget), floored at zero.
+
+    Plan: one token scan for TTR (vocabulary-bounded aggs), one
+    n_chars aggregate, then ALL allocation logic — rank, running
+    sum, clamp — runs on the |sources|-row relation, so the global
+    window is source-bounded (documented in the audit whitelist),
+    never data-sized; the 1-row budget broadcasts (scalar-subquery
+    shape). At 100 TB the mix planner's cost is the two scans; the
+    plan itself is O(sources).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from my_mapreduce_spark.functions.text import tokens
+
+    wc = (docs.select("source", F.explode(tokens()).alias("w"))
+          .groupBy("source", "w").agg(F.count(F.lit(1)).alias("c")))
+    rich = wc.groupBy("source").agg(
+        F.round(F.count(F.lit(1)) * 1.0 / F.sum("c"), 6).alias("ttr"))
+    sz = docs.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    budget = sz.agg(F.floor(F.sum("chars") * _ALLOC_BUDGET_SHARE)
+                    .cast("bigint").alias("b"))
+    w = Window.orderBy(F.col("ttr").desc(), "source")
+    ranked = (sz.join(rich, "source")
+              .select("source", "chars", "ttr",
+                      F.row_number().over(w).cast("bigint")
+                      .alias("quality_rank"),
+                      F.coalesce(
+                          F.sum("chars").over(
+                              w.rowsBetween(Window.unboundedPreceding, -1)),
+                          F.lit(0)).alias("cum_before")))
+    return (ranked.crossJoin(F.broadcast(budget))
+            .select("source", "quality_rank", "ttr", "chars",
+                    F.greatest(
+                        F.least(F.col("chars"),
+                                F.col("b") - F.col("cum_before")),
+                        F.lit(0)).cast("bigint").alias("alloc_chars")))

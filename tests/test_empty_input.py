@@ -80,6 +80,9 @@ SPREAD = [
     # log ratio, the triangle joins, the assortativity moments
     "q_kneser_ney_bigram", "q_lexical_richness",
     "q_clustering_coefficient", "q_graph_assortativity",
+    # curation batch: the (label,dim) centroid join, the unrolled
+    # MMR anti-join chain, the budget scalar on zero sources
+    "q_label_noise_screen", "q_mmr_diversify", "q_mixture_budget_alloc",
 ]
 
 

@@ -43,6 +43,12 @@ _ALLOW_NESTED_LOOP = {
     "q_graph_assortativity",     # crossJoin(broadcast(1-row node count))
                                  # onto the 1-row moment relation, same
                                  # scalar-subquery shape
+    "q_mmr_diversify",           # query != candidate broadcast join (the
+                                 # whitelisted q_knn_bruteforce shape) +
+                                 # candidate-pair joins over the
+                                 # |queries| x 20 bounded pool
+    "q_mixture_budget_alloc",    # crossJoin(broadcast(1-row char
+                                 # budget)), the scalar-subquery shape
     "q_isotonic_calibration",    # PAV minimax range joins over the <=10-row
                                  # reliability-bin relation — conf-bounded
                                  # (bins are a constant), never data-sized
@@ -257,6 +263,9 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
                               "summaries, conf-bounded",
     "q_pack_sequences": "window over bucket counts, <= 65536 rows "
                         "by the bounded second level (corpus_ops.py)",
+    "q_mixture_budget_alloc": "rank/cumsum windows over the per-SOURCE "
+                              "relation (|sources| rows at any data "
+                              "scale), never document-sized",
     # vocabulary-bounded: input already aggregated to a token/bucket
     # vocabulary with a documented HAVING/min-count floor
     "q_vocab_min_count": "window over the min-count vocabulary "
