@@ -213,23 +213,30 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     1998) that keeps a near-dup cluster from monopolizing a result
     page, and that corpus curation reuses to pick DIVERSE exemplars
     per topic. Greedy selection is inherently sequential, but its
-    depth is the OUTPUT size k=5, not the data — so the loop
-    unrolls into 5 deterministic rank steps (the pagerank-oracle
-    unrolling trick), each an anti-join + max-sim aggregate +
-    argmax over query-bounded broadcast relations. Cosines are
-    6dp-rounded into exact integer micro-units, so the composite
-    score 7*rel6 - 3*ms6 is an exact bigint — every argmax ranks
-    integers (ties by vec_id) and the displayed score is one final
-    division, leaving no float-rounding seam for engines to
-    disagree on.
+    depth is the OUTPUT size k=5 and its scope is ONE query's
+    candidate pool — so each query's greedy runs independently in
+    an Arrow-batched applyInPandas over its 20 candidates
+    (embarrassingly parallel across queries), while the DuckDB
+    oracle unrolls the same 5 steps into chained argmax CTEs (the
+    pagerank-oracle unrolling trick). Cosines are 6dp-rounded into
+    exact integer micro-units, so the composite score
+    7*rel6 - 3*ms6 is an exact int64 — every argmax ranks integers
+    (ties by vec_id) and the displayed score is one final division,
+    leaving no float-rounding seam for engines to disagree on.
+    (A first cut built the 5 steps as chained DataFrame anti-joins;
+    correct, but 4 rounds of tiny-relation shuffles cost 10.5 s at
+    sf0.1 in stage overhead vs ~2 s for this single-exchange plan.)
 
     Plan: the only corpus-sized work is the audited broadcast
-    top-20 scorer (q_knn_bruteforce shape); everything after runs
-    on |queries| x 20 rows. At 100 TB the candidate generator swaps
-    for the IVF/PQ shortlist exactly as in q_retrieval_recall_mrr —
-    MMR itself is scorer-agnostic.
+    top-20 scorer (q_knn_bruteforce shape); the greedy shuffles
+    |queries| x 20 rows once. At 100 TB the candidate generator
+    swaps for the IVF/PQ shortlist exactly as in
+    q_retrieval_recall_mrr — MMR itself is scorer-agnostic.
     """
     from my_mapreduce_spark.queries.similarity import _dot, _normed
+
+    import numpy as np
+    import pandas as pd
 
     e = _normed(load_table(spark, sf_dir, "embeddings"))
     q = e.where(F.expr("vec_id % 100 = 0")).select(
@@ -244,52 +251,40 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "vec_id", "v", rel6.alias("rel6"))
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= _MMR_CAND)
-            .select("query_id", "vec_id", "v", "rel6")
-            .cache())
-    a, b = cand.alias("a"), cand.alias("b")
-    cos6 = F.round(
-        _dot(F.col("a.v"), F.col("b.v"))
-        / (F.sqrt(_dot(F.col("a.v"), F.col("a.v")))
-           * F.sqrt(_dot(F.col("b.v"), F.col("b.v")))) * 1000000) \
-        .cast("bigint")
-    cc = (a.join(b, (F.col("a.query_id") == F.col("b.query_id"))
-                 & (F.col("a.vec_id") != F.col("b.vec_id")))
-          .select(F.col("a.query_id").alias("query_id"),
-                  F.col("a.vec_id").alias("ca"),
-                  F.col("b.vec_id").alias("cb"), cos6.alias("cos6"))
-          .cache())
-    pick = (cand.withColumn(
-        "rnk", F.row_number().over(w)).where(F.col("rnk") == 1)
-        .select("query_id", "vec_id", F.lit(1).alias("pick_rank"),
-                (F.col("rel6") / 1000000.0).alias("mmr_score")))
-    sel = pick.select("query_id", "vec_id")
-    picks = [pick]
-    for i in range(2, _MMR_K + 1):
-        rem = cand.join(sel, ["query_id", "vec_id"], "left_anti")
-        sim = (rem.join(sel.select("query_id",
-                                   F.col("vec_id").alias("cb")),
-                        "query_id")
-               .join(cc.select("query_id", F.col("ca").alias("vec_id"),
-                               "cb", "cos6"), ["query_id", "vec_id", "cb"])
-               .groupBy("query_id", "vec_id", "rel6")
-               .agg(F.max("cos6").alias("ms6")))
-        mmr_i = 7 * F.col("rel6") - 3 * F.col("ms6")
-        wi = Window.partitionBy("query_id").orderBy(
-            F.col("mmr_i").desc(), "vec_id")
-        p_i = (sim.select("query_id", "vec_id", mmr_i.alias("mmr_i"))
-               .withColumn("rnk", F.row_number().over(wi))
-               .where(F.col("rnk") == 1)
-               .select("query_id", "vec_id",
-                       F.lit(i).alias("pick_rank"),
-                       (F.col("mmr_i") / 10000000.0).alias("mmr_score")))
-        picks.append(p_i)
-        sel = sel.unionAll(p_i.select("query_id", "vec_id"))
-    out = picks[0]
-    for p_i in picks[1:]:
-        out = out.unionAll(p_i)
-    return out.select("query_id", "vec_id",
-                      F.col("pick_rank").cast("bigint").alias("pick_rank"),
-                      "mmr_score")
+            .select("query_id", "vec_id", "v", "rel6"))
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["vec_id"]).reset_index(drop=True)
+        vm = np.stack(pdf["v"].to_numpy())
+        dots = vm @ vm.T
+        nrm = np.sqrt(np.diag(dots))
+        cos6 = np.round(dots / np.outer(nrm, nrm) * 1e6).astype(np.int64)
+        rel = pdf["rel6"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        n = len(pdf)
+        # step 1: pure relevance argmax (ties by vec_id: ids sorted)
+        first = int(np.lexsort((ids, -rel))[0])
+        selected = [first]
+        rows = [(int(pdf["query_id"].iloc[0]), int(ids[first]), 1,
+                 rel[first] / 1e6)]
+        for step in range(2, min(_MMR_K, n) + 1):
+            mask = np.ones(n, bool)
+            mask[selected] = False
+            ms6 = cos6[:, selected].max(axis=1)
+            score = 7 * rel - 3 * ms6
+            # sentinel must stay negatable (lexsort uses -score;
+            # -int64.min wraps back to itself and would sort FIRST)
+            score[~mask] = -(10 ** 15)
+            pick = int(np.lexsort((ids, -score))[0])
+            selected.append(pick)
+            rows.append((int(pdf["query_id"].iloc[0]), int(ids[pick]),
+                         step, score[pick] / 1e7))
+        return pd.DataFrame(rows, columns=["query_id", "vec_id",
+                                           "pick_rank", "mmr_score"])
+
+    return cand.groupBy("query_id").applyInPandas(
+        greedy,
+        "query_id long, vec_id long, pick_rank long, mmr_score double")
 
 
 @register(

@@ -286,9 +286,12 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accuracy: n < 10^5 per bin keeps n*accuracy within 0.05 of the
     # integer, so round() is exact recovery. (At production scale
     # the reliability table would carry the bigint directly.)
+    # cache: the bin relation is referenced four times below; without
+    # it each alias re-executes the tiled all-pairs scorer upstream
+    # (caller releases, caching.py contract)
     b = ece.select("bin", "n",
                    F.round(F.col("accuracy") * F.col("n"))
-                   .cast("bigint").alias("correct"))
+                   .cast("bigint").alias("correct")).cache()
     j, k, m, i = b.alias("j"), b.alias("k"), b.alias("m"), b.alias("i")
     pairs = (j.join(F.broadcast(k), F.col("j.bin") <= F.col("k.bin"))
              .join(F.broadcast(m), (F.col("m.bin") >= F.col("j.bin"))
