@@ -399,3 +399,155 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.sum("o_totalprice"), 4)
                 .alias("sum_totalprice")))
     return outs[0].unionByName(outs[1])
+
+
+_H_BITS = 8                      # Hilbert grid: 8 bits per dimension
+_H_BUCKET_SHIFT = 2 * _H_BITS - 8  # top-8 curve bits = 256 buckets
+
+
+def _hilbert_steps():
+    """The xy2d Hilbert walk (Wikipedia's canonical loop) unrolled
+    over the 8 grid bits, highest first: per step, quadrant digit
+    (3*rx XOR ry) appends to d, then the (flip, swap) rotation
+    renormalizes the frame. Returned as (s, ...) step list shared by
+    the SQL generator and the Column generator so both engines run
+    the LITERAL same recurrence."""
+    return [1 << i for i in range(_H_BITS - 1, -1, -1)]
+
+
+def _hilbert_sql(x: str, y: str) -> str:
+    """Chained-CTE-free single-expression unroll: nested CASE terms
+    via LATERAL-style reuse is overkill at 8 steps — instead emit
+    one flat SELECT chain of step CTEs."""
+    steps = []
+    px, py, pd = x, y, "0"
+    for i, s in enumerate(_hilbert_steps()):
+        rx = f"(CASE WHEN ({px} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({py} & {s}) > 0 THEN 1 ELSE 0 END)"
+        steps.append(
+            f"h{i} AS (SELECT *, "
+            f"{rx} AS rx{i}, {ry} AS ry{i}, "
+            f"{pd} + {s * s} * xor(3 * {rx}, {ry}) AS d{i}, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - {py} ELSE {py} END) ELSE {px} END AS x{i}, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - {px} ELSE {px} END) ELSE {py} END AS y{i} "
+            f"FROM h{i - 1})" if i else
+            f"h0 AS (SELECT *, "
+            f"{rx} AS rx0, {ry} AS ry0, "
+            f"{s * s} * xor(3 * {rx}, {ry}) AS d0, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - {py} ELSE {py} END) ELSE {px} END AS x0, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - {px} ELSE {px} END) ELSE {py} END AS y0 "
+            f"FROM g)")
+        px, py, pd = f"x{i}", f"y{i}", f"d{i}"
+    return ", ".join(steps), pd
+
+
+def _hilbert_frame(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
+    """The same unrolled recurrence as a chain of NAMED projections
+    (one select per step, mirroring the oracle's CTE chain). Naming
+    each step's (x, y, d) matters: substituting the x/y expressions
+    symbolically doubles the tree per step — the first cut did, and
+    the 2^8 codegen blowup cost ~170 s where this runs in ~2 s.
+    Still pure whole-stage-codegen arithmetic; no UDF."""
+    df = df.withColumn("_hd", F.lit(0).cast("long"))
+    x, y, d = xcol, ycol, "_hd"
+    for i, s in enumerate(_hilbert_steps()):
+        rx = F.when(F.col(x).bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        ry = F.when(F.col(y).bitwiseAND(F.lit(s)) > 0, 1).otherwise(0)
+        df = df.withColumns({f"_rx{i}": rx, f"_ry{i}": ry})
+        rxc, ryc = F.col(f"_rx{i}"), F.col(f"_ry{i}")
+        df = df.withColumns({
+            f"_hd{i}": F.col(d) + F.lit(s * s)
+            * (rxc * 3).bitwiseXOR(ryc),
+            f"_hx{i}": F.when(ryc == 0,
+                              F.when(rxc == 1, F.lit(s - 1) - F.col(y))
+                              .otherwise(F.col(y))).otherwise(F.col(x)),
+            f"_hy{i}": F.when(ryc == 0,
+                              F.when(rxc == 1, F.lit(s - 1) - F.col(x))
+                              .otherwise(F.col(x))).otherwise(F.col(y)),
+        })
+        x, y, d = f"_hx{i}", f"_hy{i}", f"_hd{i}"
+    return df.withColumn("_hilbert", F.col(d))
+
+
+def _hilbert_oracle() -> str:
+    ctes, dfinal = _hilbert_sql("ga", "gb")
+    return f"""
+    WITH bounds AS (
+        SELECT CAST(MIN(l_orderkey) AS DOUBLE) AS lo_a,
+               CAST(MAX(l_orderkey) AS DOUBLE) AS hi_a,
+               CAST(MIN(l_partkey) AS DOUBLE) AS lo_b,
+               CAST(MAX(l_partkey) AS DOUBLE) AS hi_b
+        FROM lineitem),
+    g AS (
+        SELECT {_z_scale_sql("l_orderkey", "lo_a", "hi_a", _H_BITS)} AS ga,
+               {_z_scale_sql("l_partkey", "lo_b", "hi_b", _H_BITS)} AS gb
+        FROM lineitem CROSS JOIN bounds),
+    {ctes},
+    z AS (SELECT ga, gb, {dfinal} >> {_H_BUCKET_SHIFT} AS bucket
+          FROM h{_H_BITS - 1})
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(ga) AS min_a, MAX(ga) AS max_a,
+           MIN(gb) AS min_b, MAX(gb) AS max_b,
+           MAX(ga) - MIN(ga) AS span_a,
+           MAX(gb) - MIN(gb) AS span_b
+    FROM z GROUP BY bucket
+    """
+
+
+@register(
+    "q_hilbert_layout",
+    oracle=_hilbert_oracle(),
+    tags=("layout", "hilbert", "pruning", "physical"),
+)
+def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering audit over lineitem (l_orderkey,
+    l_partkey) — the same per-bucket footer-statistics readout as
+    q_zorder_layout, on the space-filling curve that Iceberg's
+    Hilbert clustering and Databricks liquid clustering prefer:
+    unlike Morton order, consecutive Hilbert positions are always
+    grid-adjacent (no diagonal jumps across the key space), so
+    bucket hyper-rectangles stay tighter and range filters skip
+    more files. Both keys scale onto an 8-bit grid; the canonical
+    xy2d recurrence (quadrant digit + frame rotation per bit,
+    highest bit first) is UNROLLED — 8 steps of pure CASE/bit
+    arithmetic inside whole-stage codegen on the Spark side and the
+    literally same steps as chained CTEs in the DuckDB oracle —
+    then one hash aggregate to the 256-bucket audit.
+
+    Engine shape: identical to q_zorder_layout — a 4-scalar bounds
+    aggregate, codegen arithmetic, one 256-row aggregate; no
+    shuffle wider than the result. Reference parity: none — layout
+    for scan pruning is north-star 100 TB efficiency work
+    (tests/test_hilbert.py asserts adjacency: consecutive curve
+    positions differ by exactly one grid step, the property Morton
+    lacks).
+    """
+    li = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_partkey")
+    lo_a, hi_a, lo_b, hi_b = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey")).first()
+    if lo_a is None:  # empty table: typed empty result, not a crash
+        return spark.createDataFrame(
+            [], "bucket long, n_rows long, min_a long, max_a long, "
+                "min_b long, max_b long, span_a long, span_b long")
+    from my_mapreduce_spark.layout import scale_to_bits
+
+    g = li.select(
+        scale_to_bits(F.col("l_orderkey"), lo_a, hi_a, _H_BITS).alias("ga"),
+        scale_to_bits(F.col("l_partkey"), lo_b, hi_b, _H_BITS).alias("gb"))
+    z = _hilbert_frame(g, "ga", "gb").select(
+        "ga", "gb",
+        F.shiftright(F.col("_hilbert"), _H_BUCKET_SHIFT).alias("bucket"))
+    return (z.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("ga").alias("min_a"), F.max("ga").alias("max_a"),
+                 F.min("gb").alias("min_b"), F.max("gb").alias("max_b"),
+                 (F.max("ga") - F.min("ga")).alias("span_a"),
+                 (F.max("gb") - F.min("gb")).alias("span_b")))
+
+

@@ -168,3 +168,62 @@ def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hapax_share"),
         F.round(F.log(F.col("n_types")) / F.log(F.col("n_tokens")), 6)
         .alias("herdan_c"))
+
+
+_NEG_TOP = 30          # report the 30 most frequent tokens
+_NEG_PER_M = 1_000_000  # allocation granularity: draws per million
+
+
+@register(
+    "q_negative_sampling_table",
+    oracle=f"""
+    WITH {_TOKENS_CTE},
+    tok AS (SELECT UNNEST(ws) AS w FROM t),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    wt AS (SELECT w, c,
+                  CAST(ROUND(POW(c, 0.75) * 1000) AS BIGINT) AS w3
+           FROM wc),
+    tot AS (SELECT CAST(SUM(w3) AS BIGINT) AS wsum FROM wt)
+    SELECT w, c,
+           CAST({_NEG_PER_M} * w3 // wsum AS BIGINT) AS alloc_per_million,
+           ROUND(w3 * 1.0 / wsum, 6) AS p_neg
+    FROM wt CROSS JOIN tot
+    ORDER BY c DESC, w LIMIT {_NEG_TOP}
+    """,
+    tags=("text", "language-model", "negative-sampling", "word2vec"),
+)
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: each token's draw
+    probability is proportional to count^0.75 (Mikolov et al. 2013
+    — the exponent that damps stopword dominance while keeping
+    frequent words frequent), materialized as an exact integer
+    allocation out of one million draws — the table a skip-gram
+    trainer (q_skipgram_cooc's consumer) samples negatives from.
+
+    Exactness: the damped weight is integer-milli-scaled ONCE per
+    token (round(c^0.75 * 1000) — pow on an exact integer, no
+    accumulation), so the normalizer is an exact bigint SUM and the
+    allocation is exact bigint division; p_neg is the same ratio
+    rounded for display. No float ever accumulates.
+
+    Plan: one token scan -> vocabulary-bounded count agg -> the
+    1-row weight total broadcast (scalar-subquery shape) -> the
+    TakeOrderedAndProject top-30. Linear in tokens at 100 TB; the
+    sampling table itself is vocabulary-sized and would be written
+    once, then broadcast to trainer workers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(tokens()).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    wt = wc.select("w", "c",
+                   F.round(F.pow(F.col("c"), 0.75) * 1000)
+                   .cast("bigint").alias("w3"))
+    tot = wt.agg(F.sum("w3").alias("wsum"))
+    return (wt.crossJoin(F.broadcast(tot))
+            .select("w", "c",
+                    (F.lit(_NEG_PER_M) * F.col("w3") / F.col("wsum"))
+                    .cast("bigint").alias("alloc_per_million"),
+                    F.round(F.col("w3") * 1.0 / F.col("wsum"), 6)
+                    .alias("p_neg"))
+            .orderBy(F.col("c").desc(), "w")
+            .limit(_NEG_TOP))

@@ -1139,3 +1139,107 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.abs(F.col("zraw")) >= _ANOM_Z)
             .select("event_type", "hour", "n_events",
                     F.round("zraw", 6).alias("z")))
+
+
+_SAX_BP = 0.6745  # N(0,1) quartile breakpoints: a|b|c|d at -bp, 0, +bp
+
+
+@register(
+    "q_sax_symbols",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day,
+               CAST((epoch_us(ts) // {_HOUR_US}) % 24 AS BIGINT) AS hod,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    spine AS (
+        SELECT d.day, g.hod, COALESCE(h.c, 0) AS c
+        FROM (SELECT DISTINCT day FROM h) d
+        CROSS JOIN (SELECT UNNEST(range(0, 24)) AS hod) g
+        LEFT JOIN h ON h.day = d.day AND h.hod = g.hod),
+    m AS (
+        SELECT day, CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM spine GROUP BY day),
+    z AS (
+        SELECT spine.day, spine.hod,
+               (spine.c - m.s1 / 24.0)
+                   / sqrt(GREATEST(m.s2 / 24.0
+                                   - (m.s1 / 24.0) * (m.s1 / 24.0), 0))
+                   AS zval,
+               m.s2 * 24 = m.s1 * m.s1 AS flat
+        FROM spine JOIN m USING (day)),
+    sym AS (
+        SELECT day, hod,
+               CASE WHEN flat THEN 'b'
+                    WHEN zval < -{_SAX_BP} THEN 'a'
+                    WHEN zval < 0 THEN 'b'
+                    WHEN zval < {_SAX_BP} THEN 'c'
+                    ELSE 'd' END AS s
+        FROM z)
+    SELECT day, string_agg(s, '' ORDER BY hod) AS sax_word
+    FROM sym GROUP BY day
+    """,
+    tags=("timeseries", "sax", "symbolization", "motif"),
+)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003) of each day's 24-hour
+    event-arrival profile: z-normalize the day's hourly counts and
+    map each hour to one of 4 symbols at the N(0,1) quartile
+    breakpoints (-0.6745, 0, 0.6745), yielding a 24-char word per
+    day — the discretization under which time-series motif
+    discovery, anomaly grammars, and whole-series indexing become
+    STRING problems (two days with the same word have provably
+    close profiles; distinct words lower-bound the distance). A
+    constant (flat) day z-normalizes to 0/0 and conventionally maps
+    to the all-'b' word, detected by the exact integer test
+    24*sum(c^2) == sum(c)^2.
+
+    Exactness: counts are exact bigints; mean/variance enter float
+    only in the IDENTICAL closed-form expression on both engines,
+    and the 4-way binning compares those identical doubles against
+    literal breakpoints — no accumulation seam. Hours with no
+    events are restored by a day x 24 spine (the q_calendar_spine
+    idiom) so every word has exactly 24 characters.
+
+    Plan: one scan -> (day, hour) hash-agg; the spine join, the
+    per-day moment agg, and the word assembly all run on day-
+    bounded relations (|days| x 24 rows regardless of data size) —
+    at 100 TB the only data-sized work is the first aggregate.
+    Word assembly is array-local: sort_array(collect_list) inside
+    a 24-row group, never a window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.select(
+            F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day"),
+            F.expr(f"(unix_micros(ts) DIV {_HOUR_US}) % 24").alias("hod"))
+         .groupBy("day", "hod").agg(F.count(F.lit(1)).alias("c")))
+    days = h.select("day").distinct()
+    hours = F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hod")
+    spine = (days.select("day", hours)
+             .join(h, ["day", "hod"], "left")
+             .select("day", "hod",
+                     F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    m = spine.groupBy("day").agg(F.sum("c").alias("s1"),
+                                 F.sum(F.col("c") * F.col("c"))
+                                 .alias("s2"))
+    mean = F.col("s1") / 24.0
+    z = (spine.join(F.broadcast(m), "day")
+         .select("day", "hod",
+                 ((F.col("c") - mean)
+                  / F.sqrt(F.greatest(F.col("s2") / 24.0 - mean * mean,
+                                      F.lit(0.0)))).alias("zval"),
+                 (F.col("s2") * 24 == F.col("s1") * F.col("s1"))
+                 .alias("flat")))
+    sym = z.select(
+        "day", "hod",
+        F.when(F.col("flat"), "b")
+        .when(F.col("zval") < -_SAX_BP, "a")
+        .when(F.col("zval") < 0, "b")
+        .when(F.col("zval") < _SAX_BP, "c")
+        .otherwise("d").alias("s"))
+    return (sym.groupBy("day")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hod", "s"))),
+                    lambda t: t.s), "").alias("sax_word")))

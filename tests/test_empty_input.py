@@ -83,6 +83,9 @@ SPREAD = [
     # curation batch: the (label,dim) centroid join, the unrolled
     # MMR anti-join chain, the budget scalar on zero sources
     "q_label_noise_screen", "q_mmr_diversify", "q_mixture_budget_alloc",
+    # layout/symbolization batch: hilbert's driver bounds seam, the
+    # day x 24 spine, the weight-total scalar
+    "q_hilbert_layout", "q_sax_symbols", "q_negative_sampling_table",
 ]
 
 

@@ -40,6 +40,8 @@ _ALLOW_NESTED_LOOP = {
                                  # moments)), the scalar-subquery shape
     "q_kneser_ney_bigram",       # crossJoin(broadcast(1-row bigram-type
                                  # total)), same scalar-subquery shape
+    "q_negative_sampling_table", # crossJoin(broadcast(1-row weight
+                                 # total)), same scalar-subquery shape
     "q_graph_assortativity",     # crossJoin(broadcast(1-row node count))
                                  # onto the 1-row moment relation, same
                                  # scalar-subquery shape
