@@ -819,3 +819,99 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_nodes",
                     (F.col("m") / 2).cast("bigint").alias("n_edges"),
                     F.round(num / den, 6).alias("assortativity")))
+
+
+_WALK_STEPS = 3
+_WALK_START_MOD = 100  # walkers start from c_custkey % 100 == 0
+
+
+def _walk_oracle() -> str:
+    """Chained argmin CTEs — one per walk step; DuckDB's arg_min on
+    the md5 draw mirrors Spark's min(struct(md5, node))."""
+    steps = []
+    for i in range(1, _WALK_STEPS + 1):
+        p = i - 1
+        steps.append(f""",
+    w{i} AS (
+        SELECT w.start_node, arg_min(e.dst,
+                   md5(w.n{p} || '|' || e.dst || '|{i}')) AS n{i}
+               {', ' + ', '.join(f'w.n{j}' for j in range(1, i))
+                if i > 1 else ''}
+        FROM w{p} w JOIN edges e ON e.src = w.n{p}
+        GROUP BY ALL)""")
+    cols = ", ".join(f"n{i}" for i in range(1, _WALK_STEPS + 1))
+    return f"""
+    WITH el AS (
+        SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT src, dst FROM el
+              UNION ALL SELECT dst AS src, src AS dst FROM el),
+    w0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS start_node,
+               'c' || o_custkey AS n0
+        FROM orders WHERE o_custkey % {_WALK_START_MOD} = 0){"".join(steps)}
+    SELECT start_node, {cols},
+           start_node || '>' || {" || '>' || ".join(
+               f"n{i}" for i in range(1, _WALK_STEPS + 1))} AS walk
+    FROM w{_WALK_STEPS}
+    """
+
+
+@register(
+    "q_random_walks",
+    oracle=_walk_oracle(),
+    tags=("graph", "random-walk", "node2vec", "embedding-prep"),
+)
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec-style walk corpus generation over the
+    customer–supplier graph: every 100th customer starts a 3-step
+    walk, and each step moves to the neighbor minimizing
+    md5(current || '|' || neighbor || '|' || step) — a DETERMINISTIC
+    pseudo-random draw (the md5-as-randomness contract every
+    sampling query here uses), so the walk corpus is reproducible
+    bit-for-bit across engines and cluster layouts, which is
+    exactly what you want when the walks feed a skip-gram trainer
+    (q_skipgram_cooc) and the run must be replayable. Walk length
+    is the unrolled constant 3; each step is one frontier-edges
+    join + one argmin hash-agg (min over a struct of (draw, node) —
+    ties impossible, md5 collisions aside, and broken by the draw
+    string itself).
+
+    Plan: the frontier stays |walkers| rows; each step shuffles
+    frontier x out-degree candidate rows, aggregated back to
+    |walkers| by the argmin — the same bounded-frontier shape as
+    q_recursive_cte_reachability. At 100 TB: walkers partition
+    freely, the edge relation is hash-partitioned once on src (the
+    q_pagerank discipline), and step count is a constant — walk
+    generation is embarrassingly parallel in walkers.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    el = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .distinct())
+    edges = el.unionAll(el.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"))) \
+        .repartition(F.col("src")).persist()
+    w = (o.select(F.concat(F.lit("c"), F.col("o_custkey"))
+                  .alias("start_node"))
+         .where(F.expr(f"o_custkey % {_WALK_START_MOD} = 0"))
+         .distinct()
+         .withColumn("n0", F.col("start_node")))
+    prev_cols = ["start_node"]
+    for i in range(1, _WALK_STEPS + 1):
+        draw = F.md5(F.concat(F.col(f"n{i-1}"), F.lit("|"),
+                              F.col("dst"), F.lit(f"|{i}")))
+        w = (w.join(edges, w[f"n{i-1}"] == edges.src)
+             .groupBy(*prev_cols, f"n{i-1}")
+             .agg(F.min(F.struct(draw.alias("d"),
+                                 F.col("dst").alias("v"))).alias("m"))
+             .select(*prev_cols, f"n{i-1}", F.col("m.v").alias(f"n{i}")))
+        prev_cols.append(f"n{i-1}")
+    step_cols = [f"n{i}" for i in range(1, _WALK_STEPS + 1)]
+    return w.select(
+        "start_node", *step_cols,
+        F.concat_ws(">", "start_node", *step_cols).alias("walk"))

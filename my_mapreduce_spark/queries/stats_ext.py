@@ -660,3 +660,59 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_extreme").cast("bigint").alias("n_extreme"),
         F.round((1 + F.col("n_extreme")) * 1.0 / (1 + _PERM_R), 6)
         .alias("p_value"))
+
+
+@register(
+    "q_diversity_indices",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+    t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS n_sources
+          FROM c GROUP BY lang)
+    SELECT c.lang, t.n_sources, t.tot AS n_docs,
+           ROUND(-SUM((c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot)), 6)
+               AS shannon_h,
+           ROUND(exp(-SUM((c.n * 1.0 / t.tot)
+                          * ln(c.n * 1.0 / t.tot))), 4)
+               AS effective_sources,
+           ROUND(1.0 - SUM(c.n * (c.n - 1.0))
+                       / (t.tot * (t.tot - 1.0)), 6) AS simpson_d
+    FROM c JOIN t USING (lang)
+    GROUP BY c.lang, t.n_sources, t.tot
+    """,
+    tags=("stats", "diversity", "entropy", "mixture"),
+)
+def q_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-diversity panel per language: Shannon entropy of the
+    source mix, its exponential (the EFFECTIVE number of sources —
+    "this language really draws from ~N sources", the number mix
+    designers reason in), and the unbiased Simpson index (the
+    probability two random docs of the language come from DIFFERENT
+    sources, computed with the n*(n-1) finite-population form, not
+    the plug-in p² estimate). A language whose effective-source
+    count collapses toward 1 is single-source — fragile to that
+    source's biases and a deduplication red flag — even when the
+    nominal source count looks healthy.
+
+    Plan: one scan -> (lang, source) hash-agg (grid-bounded), one
+    per-lang rollup, one finishing aggregate over the same grid.
+    The entropy sum is a float reduction over a SOURCE-bounded set
+    (~20 terms), rounded at 6dp — the q_source_kl_divergence
+    summation contract. At 100 TB everything after the first
+    aggregate is grid-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("lang").agg(F.sum("n").alias("tot"),
+                              F.count(F.lit(1)).alias("n_sources"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    h = -F.sum(p * F.log(p))
+    return (c.join(F.broadcast(t), "lang")
+            .groupBy("lang", "n_sources", F.col("tot").alias("n_docs"))
+            .agg(F.round(h, 6).alias("shannon_h"),
+                 F.round(F.exp(h), 4).alias("effective_sources"),
+                 F.round(1.0 - F.sum(F.col("n") * (F.col("n") - 1.0))
+                         / (F.col("n_docs") * (F.col("n_docs") - 1.0)), 6)
+                 .alias("simpson_d")))

@@ -1243,3 +1243,96 @@ def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("hod", "s"))),
                     lambda t: t.s), "").alias("sax_word")))
+
+
+@register(
+    "q_snaive_mase",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // {_HOUR_US} AS BIGINT) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    span AS (
+        SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM h GROUP BY event_type),
+    spine AS (
+        SELECT s.event_type, s.h0 + g.i AS hour
+        FROM span s, UNNEST(range(0, s.h1 - s.h0 + 1)) AS g(i)),
+    f AS (
+        SELECT spine.event_type, spine.hour, COALESCE(h.c, 0) AS c
+        FROM spine LEFT JOIN h USING (event_type, hour)),
+    lagged AS (
+        SELECT event_type, hour, c,
+               LAG(c, 24) OVER (PARTITION BY event_type ORDER BY hour)
+                   AS c24,
+               LAG(c, 1) OVER (PARTITION BY event_type ORDER BY hour)
+                   AS c1
+        FROM f),
+    err AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(ABS(c - c24)) AS BIGINT) AS ae24,
+               CAST(SUM(ABS(c - c1)) AS BIGINT) AS ae1
+        FROM lagged WHERE c24 IS NOT NULL
+        GROUP BY event_type)
+    SELECT event_type, n_hours,
+           ROUND(ae24 * 1.0 / n_hours, 6) AS mae_snaive,
+           ROUND(ae24 * 1.0 / ae1, 6) AS mase
+    FROM err
+    """,
+    tags=("timeseries", "forecast", "eval", "mase"),
+)
+def q_snaive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: predict each hour's event
+    count with the SAME HOUR YESTERDAY (the 24-lag seasonal-naive
+    baseline every forecasting benchmark starts from) and score it
+    with MASE (Hyndman & Koehler 2006) — the forecast's mean
+    absolute error scaled by the 1-lag naive walk's, the
+    scale-free skill score that lets load forecasts compare across
+    event types with wildly different volumes. MASE < 1 means the
+    daily-seasonality forecast beats the random walk — the
+    go/no-go gate before any fancier model earns its compute.
+
+    Exactness: counts and both absolute-error sums are exact
+    bigints (gap hours restored to true zeros by the per-type hour
+    spine, so lags never skip over missing hours); the two ratios
+    are final closed forms. The 1-lag window is evaluated over the
+    same spine rows where the 24-lag is defined, so numerator and
+    denominator cover the identical evaluation window.
+
+    Plan: one scan -> (type, hour) hash-agg; spine, lags, and the
+    final aggregate run on type x hours rows (time-bounded, not
+    data-bounded) with a per-type window — partitioned by
+    event_type, never global. At 100 TB only the first aggregate
+    sees the data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.select("event_type",
+                   F.expr(f"unix_micros(ts) DIV {_HOUR_US}").alias("hour"))
+         .groupBy("event_type", "hour").agg(F.count(F.lit(1)).alias("c")))
+    span = h.groupBy("event_type").agg(F.min("hour").alias("h0"),
+                                       F.max("hour").alias("h1"))
+    spine = (span.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.col("h1") - F.col("h0")))
+        .alias("i"), "h0")
+        .select("event_type", (F.col("h0") + F.col("i")).alias("hour")))
+    f = (spine.join(h, ["event_type", "hour"], "left")
+         .select("event_type", "hour",
+                 F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    lagged = f.select(
+        "event_type", "c",
+        F.lag("c", 24).over(w).alias("c24"),
+        F.lag("c", 1).over(w).alias("c1"))
+    err = (lagged.where(F.col("c24").isNotNull())
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n_hours"),
+                F.sum(F.abs(F.col("c") - F.col("c24"))).alias("ae24"),
+                F.sum(F.abs(F.col("c") - F.col("c1"))).alias("ae1")))
+    return err.select(
+        "event_type", "n_hours",
+        F.round(F.col("ae24") * 1.0 / F.col("n_hours"), 6)
+        .alias("mae_snaive"),
+        F.round(F.col("ae24") * 1.0 / F.col("ae1"), 6).alias("mase"))

@@ -86,6 +86,9 @@ SPREAD = [
     # layout/symbolization batch: hilbert's driver bounds seam, the
     # day x 24 spine, the weight-total scalar
     "q_hilbert_layout", "q_sax_symbols", "q_negative_sampling_table",
+    # walk/forecast/diversity batch: empty frontier joins, the
+    # per-type hour spine on zero rows, the entropy grid
+    "q_random_walks", "q_snaive_mase", "q_diversity_indices",
 ]
 
 
