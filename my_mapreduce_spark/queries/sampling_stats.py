@@ -1923,3 +1923,212 @@ def q_sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "lineitem")
     return spark.sql(_NAMED_WINDOW_SQL)
+
+
+_BH_PERMS = 32       # sign-flip permutations = bits of one md5 word
+_BH_ALPHA_INV = 20   # alpha = 1/20 = 0.05, kept integer for exact BH
+_HT_CAP = 20_000     # chars at which inclusion probability hits 1.0
+_HT_U = ("(CAST(('0x' || substr(md5('ht|' || CAST(doc_id AS VARCHAR)), "
+         "1, 13)) AS UBIGINT) + 0.5) / 4503599627370496.0")
+
+
+def _bh_sign_sums_sql() -> str:
+    """32 sign-flip sums as one aggregate's columns: perm j flips
+    doc i's deviation by bit j of its md5 word."""
+    return ", ".join(
+        f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN d ELSE -d END) "
+        f"AS BIGINT) AS p{j}" for j in range(_BH_PERMS))
+
+
+@register(
+    "q_bh_fdr_screen",
+    oracle=f"""
+    WITH g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n_chars) AS BIGINT) AS s
+        FROM documents),
+    d AS (
+        SELECT source,
+               g.n * n_chars - g.s AS d,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) AS h
+        FROM documents CROSS JOIN g),
+    per AS (
+        SELECT source,
+               CAST(SUM(d) AS BIGINT) AS obs,
+               {_bh_sign_sums_sql()}
+        FROM d GROUP BY source),
+    k AS (
+        SELECT source, obs,
+               CAST({" + ".join(
+                   f"CASE WHEN ABS(p{j}) >= ABS(obs) THEN 1 ELSE 0 END"
+                   for j in range(_BH_PERMS))} AS BIGINT) AS k_ge
+        FROM per),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM k),
+    ranked AS (
+        SELECT source, obs, k_ge, m.m,
+               ROW_NUMBER() OVER (ORDER BY k_ge, source) AS rnk
+        FROM k CROSS JOIN m),
+    thr AS (
+        SELECT COALESCE(MAX(CASE WHEN {_BH_ALPHA_INV} * k_ge * m
+                                      <= {_BH_PERMS} * rnk
+                                 THEN rnk END), 0) AS t
+        FROM ranked)
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, k_ge,
+           ROUND(k_ge * 1.0 / {_BH_PERMS}, 6) AS p_perm,
+           rnk <= thr.t AS bh_reject
+    FROM ranked CROSS JOIN thr
+    """,
+    tags=("stats", "fdr", "multiple-testing", "permutation"),
+)
+def q_bh_fdr_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR screen over EXACT permutation
+    p-values: for every source, a sign-flip permutation test of
+    "does this source's mean doc length differ from the corpus?"
+    (32 deterministic md5-bit sign flips of the exact integer
+    deviations N*x_i - S), then the BH step-up rule across all
+    sources at FDR 0.05 — the multiple-testing correction without
+    which a 20-source screen "finds" one spurious drift per run at
+    p<0.05. EVERYTHING is integer-exact: deviations, the 32
+    signed sums, the comparison counts k (p = k/32), and the BH
+    inequality itself, cross-multiplied to 20*k*m <= 32*i so no
+    division ever happens — the entire testing pipeline is
+    bit-stable across engines and cluster layouts.
+
+    Plan: one 2-scalar global aggregate (broadcast), one scan
+    computing 33 conditional sums per source in a SINGLE hash-agg
+    (the q_permutation_test wide-aggregate idiom — no 32x row
+    explosion), then rank/threshold logic on the |sources|-row
+    relation (bounded global window, whitelisted). At 100 TB: two
+    scans, map-side partials, O(sources) finishing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_chars").alias("s"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("long")
+    d = (docs.crossJoin(F.broadcast(g))
+         .select("source",
+                 (F.col("n") * F.col("n_chars") - F.col("s")).alias("d"),
+                 h.alias("h")))
+    sums = [F.sum("d").alias("obs")]
+    for j in range(_BH_PERMS):
+        sign = F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1,
+                      F.col("d")).otherwise(-F.col("d"))
+        sums.append(F.sum(sign).alias(f"p{j}"))
+    per = d.groupBy("source").agg(*sums)
+    k_ge = sum(
+        (F.when(F.abs(F.col(f"p{j}")) >= F.abs(F.col("obs")), 1)
+         .otherwise(0) for j in range(_BH_PERMS)),
+        start=F.lit(0)).cast("bigint")
+    # cache: k is re-read by m, thr, and the final projection; without
+    # it each re-derives the wide aggregate and re-scans documents
+    # (5 scans observed; 2 with the cache — caller releases)
+    k = per.select("source", "obs", k_ge.alias("k_ge")).cache()
+    m = k.agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy("k_ge", "source")
+    ranked = (k.crossJoin(F.broadcast(m))
+              .select("source", "k_ge", "m",
+                      F.row_number().over(w).cast("bigint").alias("rnk")))
+    thr = ranked.agg(F.coalesce(
+        F.max(F.when(_BH_ALPHA_INV * F.col("k_ge") * F.col("m")
+                     <= _BH_PERMS * F.col("rnk"), F.col("rnk"))),
+        F.lit(0)).alias("t"))
+    return (ranked.crossJoin(F.broadcast(thr))
+            .select("source", "rnk", "k_ge",
+                    F.round(F.col("k_ge") * 1.0 / _BH_PERMS, 6)
+                    .alias("p_perm"),
+                    (F.col("rnk") <= F.col("t")).alias("bh_reject")))
+
+
+@register(
+    "q_ht_estimator",
+    oracle=f"""
+    WITH p AS (
+        SELECT doc_id, n_chars,
+               LEAST(GREATEST(n_chars, 1) * 1.0 / {_HT_CAP}, 1.0) AS pi
+        FROM documents),
+    s AS (
+        SELECT n_chars,
+               CAST(ROUND(1000000.0 / pi) AS BIGINT) AS w
+        FROM p WHERE {_HT_U} < pi),
+    est AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+               CAST(SUM(w) AS BIGINT) AS w_docs,
+               CAST(SUM(w * n_chars) AS BIGINT) AS w_chars
+        FROM s),
+    exact AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS exact_chars
+        FROM documents)
+    SELECT n_sample,
+           CAST(ROUND(w_docs / 1000000.0, 0) AS BIGINT) AS est_docs,
+           exact_docs,
+           CAST(ROUND(w_chars / 1000000.0, 0) AS BIGINT) AS est_chars,
+           exact_chars,
+           ROUND(ABS(w_docs / 1000000.0 - exact_docs)
+                 * 1.0 / exact_docs, 6) AS rel_err_docs,
+           ROUND(ABS(w_chars / 1000000.0 - exact_chars)
+                 * 1.0 / exact_chars, 6) AS rel_err_chars
+    FROM est CROSS JOIN exact
+    """,
+    tags=("sampling", "horvitz-thompson", "unequal-probability", "aqp"),
+)
+def q_ht_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz–Thompson estimation under size-proportional sampling:
+    each document's inclusion probability is pi = min(n_chars /
+    20000, 1) — long docs always sampled, short docs rarely — and
+    the estimator reweights every sampled row by 1/pi, recovering
+    UNBIASED corpus totals from a biased sample (the estimator
+    behind every size-stratified data census; uniform-rate AQP is
+    q_aqp_estimate). Inclusion draws are the deterministic md5
+    52-bit uniform on a dedicated 'ht|' hash stream, so the sample
+    is reproducible and INDEPENDENT of every other sampling query's
+    stream.
+
+    Exactness: the HT weight is integer-micro-scaled once per row
+    (round(1e6/pi) — pi is a per-row closed form, no accumulation),
+    so both weighted totals are exact bigint sums and every
+    reported number derives from them — the float-sum
+    nondeterminism that plagues naive HT implementations at
+    cluster scale is designed out, not tolerated.
+
+    Plan: one scan with the filter pushed into it, one 3-scalar
+    aggregate over the sample, one 2-scalar exact aggregate, a
+    1-row cross join (scalar-subquery shape). At 100 TB this reads
+    the corpus twice (or once, if the exact side is served by
+    footer statistics) and shuffles six numbers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pi = F.least(F.greatest(F.col("n_chars"), F.lit(1)) * 1.0 / _HT_CAP,
+                 F.lit(1.0))
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit("ht|"),
+                                           F.col("doc_id").cast("string"))),
+                            1, 13), 16, 10).cast("long") + 0.5) \
+        / 4503599627370496.0
+    s = (docs.select("n_chars", pi.alias("pi"), u.alias("u"))
+         .where(F.col("u") < F.col("pi"))
+         .select("n_chars",
+                 F.round(1000000.0 / F.col("pi")).cast("bigint")
+                 .alias("w")))
+    est = s.agg(F.count(F.lit(1)).alias("n_sample"),
+                F.sum("w").alias("w_docs"),
+                F.sum(F.col("w") * F.col("n_chars")).alias("w_chars"))
+    exact = docs.agg(F.count(F.lit(1)).alias("exact_docs"),
+                     F.sum("n_chars").alias("exact_chars"))
+    return (est.crossJoin(F.broadcast(exact))
+            .select("n_sample",
+                    F.round(F.col("w_docs") / 1000000.0, 0).cast("bigint")
+                    .alias("est_docs"),
+                    "exact_docs",
+                    F.round(F.col("w_chars") / 1000000.0, 0).cast("bigint")
+                    .alias("est_chars"),
+                    "exact_chars",
+                    F.round(F.abs(F.col("w_docs") / 1000000.0
+                                  - F.col("exact_docs"))
+                            * 1.0 / F.col("exact_docs"), 6)
+                    .alias("rel_err_docs"),
+                    F.round(F.abs(F.col("w_chars") / 1000000.0
+                                  - F.col("exact_chars"))
+                            * 1.0 / F.col("exact_chars"), 6)
+                    .alias("rel_err_chars")))

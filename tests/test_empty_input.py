@@ -89,6 +89,9 @@ SPREAD = [
     # walk/forecast/diversity batch: empty frontier joins, the
     # per-type hour spine on zero rows, the entropy grid
     "q_random_walks", "q_snaive_mase", "q_diversity_indices",
+    # FDR/HT batch: wide sign-flip aggregate and HT weight scalar on
+    # zero rows
+    "q_bh_fdr_screen", "q_ht_estimator",
 ]
 
 
@@ -115,6 +118,7 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
         "q_selfjoin_size_stats", "q_poisson_bootstrap_ci",
         "q_rendezvous_sharding",
         "q_spearman_corr", "q_cohens_kappa", "q_gini_concentration",
-        "q_permutation_test", "q_srm_check", "q_graph_assortativity")
+        "q_permutation_test", "q_srm_check", "q_graph_assortativity",
+        "q_ht_estimator")
     assert df.schema.fields, "schema must survive the empty path"
     spark.catalog.clearCache()

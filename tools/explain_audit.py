@@ -42,6 +42,11 @@ _ALLOW_NESTED_LOOP = {
                                  # total)), same scalar-subquery shape
     "q_negative_sampling_table", # crossJoin(broadcast(1-row weight
                                  # total)), same scalar-subquery shape
+    "q_bh_fdr_screen",           # crossJoin(broadcast(1-row N/S moments,
+                                 # 1-row m, 1-row BH threshold)), the
+                                 # scalar-subquery shape three times
+    "q_ht_estimator",            # crossJoin(broadcast(1-row exact
+                                 # totals)), same scalar-subquery shape
     "q_graph_assortativity",     # crossJoin(broadcast(1-row node count))
                                  # onto the 1-row moment relation, same
                                  # scalar-subquery shape
@@ -268,6 +273,8 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_mixture_budget_alloc": "rank/cumsum windows over the per-SOURCE "
                               "relation (|sources| rows at any data "
                               "scale), never document-sized",
+    "q_bh_fdr_screen": "BH step-up rank over the per-SOURCE p-value "
+                       "relation (|sources| rows at any data scale)",
     # vocabulary-bounded: input already aggregated to a token/bucket
     # vocabulary with a documented HAVING/min-count floor
     "q_vocab_min_count": "window over the min-count vocabulary "
