@@ -691,3 +691,120 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") <= _RRF_TOP)
             .select("doc_id", "ra", "rb",
                     F.round("rrf", 6).alias("rrf"), "rnk"))
+
+
+@register(
+    "q_wand_upper_bounds",
+    oracle=f"""
+    WITH {_BM25_CTE},
+    impacts AS (
+        SELECT tf.term, tf.doc_id,
+               ROUND(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * ({_K1} + 1.0)
+                     / (tf.tf + {_K1} * (1.0 - {_B}
+                                         + {_B} * dl.dl / stats.avgdl)), 6)
+                   AS impact
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+             CROSS JOIN stats),
+    ub AS (SELECT term, MAX(impact) AS ub, COUNT(*) AS df
+           FROM impacts GROUP BY term),
+    theta AS (
+        SELECT MIN(score) AS theta FROM (
+            SELECT ROUND(SUM(impact), 6) AS score, doc_id
+            FROM impacts GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT {_TOP_N})),
+    doc_ub AS (
+        SELECT i.doc_id, SUM(ub.ub) AS ub_sum
+        FROM (SELECT DISTINCT term, doc_id FROM impacts) i
+        JOIN ub USING (term) GROUP BY i.doc_id),
+    prunable AS (
+        SELECT doc_id FROM doc_ub CROSS JOIN theta
+        WHERE ub_sum < theta)
+    SELECT ub.term, CAST(ub.df AS BIGINT) AS df,
+           ROUND(ub.ub, 6) AS max_impact,
+           CAST(COUNT(p.doc_id) AS BIGINT) AS n_prunable,
+           ROUND(COUNT(p.doc_id) * 1.0 / ub.df, 6) AS frac_prunable
+    FROM ub
+    LEFT JOIN (SELECT i.term, i.doc_id FROM impacts i
+               JOIN prunable USING (doc_id)) p USING (term)
+    GROUP BY ub.term, ub.df, ub.ub
+    """,
+    tags=("retrieval", "bm25", "wand", "pruning", "index"),
+)
+def q_wand_upper_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAND / max-score pruning metadata for the BM25 index: each
+    query term's MAX impact score (the per-term upper bound WAND
+    stores next to its posting list) and, against the current
+    top-10 threshold theta, how many of the term's postings sit in
+    documents whose summed upper bounds cannot reach theta — the
+    postings a max-score traversal provably never scores. This is
+    the index-side artifact that turns top-k retrieval from
+    "score every posting" into "score the few that could matter",
+    the difference between O(postings) and O(k log k)-ish at
+    100 TB index scale (Broder et al. 2003).
+
+    Per-row impacts round to 6dp BEFORE the max/sum (the ranking-
+    stability contract), theta is the rounded 10th score, and the
+    prunability test compares those rounded values on both engines
+    — no accumulation seam wider than the 3-term ub_sum.
+
+    Plan: reuses the audited BM25 relations (tf filtered BEFORE
+    exploding, vocabulary-bounded df, broadcast scalar stats); adds
+    one per-term max agg, one per-doc 3-term sum, one
+    TakeOrderedAndProject for theta, and a semi-join count — all
+    postings-sized or smaller, nothing driver-side beyond the
+    3-row term relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                 lambda x: x != "").alias("w"))
+    dl = toks.select("doc_id", F.size("w").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    terms = F.array(*[F.lit(t) for t in _QUERY_TERMS])
+    tf = (toks.select(
+        "doc_id",
+        F.explode(F.array_intersect(terms, F.col("w"))).alias("probe"),
+        "w")
+        .select("doc_id", F.col("probe").alias("term"),
+                F.size(F.filter(F.col("w"),
+                                lambda x: x == F.col("probe")))
+                .alias("tf")))
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    impact = F.round(
+        idf * F.col("tf") * (_K1 + 1.0)
+        / (F.col("tf") + _K1 * (1.0 - _B
+                                + _B * F.col("dl") / F.col("avgdl"))), 6)
+    impacts = (tf.join(F.broadcast(df), "term").join(dl, "doc_id")
+               .crossJoin(F.broadcast(stats))
+               .select("term", "doc_id", impact.alias("impact"))
+               .cache())
+    ub = impacts.groupBy("term").agg(F.max("impact").alias("ub"),
+                                     F.count(F.lit(1)).alias("df"))
+    # theta from the SAME cached impacts relation (summing the
+    # 6dp-rounded per-term impacts — the oracle does identically);
+    # re-deriving it via _bm25_scored re-scanned documents 5 more
+    # times for an equivalent number
+    theta = (impacts.groupBy("doc_id")
+             .agg(F.round(F.sum("impact"), 6).alias("score"))
+             .orderBy(F.col("score").desc(), "doc_id").limit(_TOP_N)
+             .agg(F.min("score").alias("theta")))
+    doc_ub = (impacts.join(F.broadcast(ub.select("term", "ub")), "term")
+              .groupBy("doc_id").agg(F.sum("ub").alias("ub_sum")))
+    prunable = (doc_ub.crossJoin(F.broadcast(theta))
+                .where(F.col("ub_sum") < F.col("theta"))
+                .select("doc_id"))
+    pruned_postings = impacts.join(prunable, "doc_id") \
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n_prunable"))
+    return (ub.join(pruned_postings, "term", "left")
+            .select("term", "df",
+                    F.round("ub", 6).alias("max_impact"),
+                    F.coalesce(F.col("n_prunable"), F.lit(0))
+                    .alias("n_prunable"),
+                    F.round(F.coalesce(F.col("n_prunable"), F.lit(0))
+                            * 1.0 / F.col("df"), 6)
+                    .alias("frac_prunable")))

@@ -1016,3 +1016,91 @@ def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("key").alias("b_id")))
     return (ab.join(ba, ["a_id", "b_id"])
             .select("a_id", "b_id", F.col("c").alias("cosine")))
+
+
+_DRIFT_SCALE = 1000  # coordinate milli-units: exact bigint sums
+
+
+@register(
+    "q_centroid_drift",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding, vec_id % 2 AS half
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0),
+    x AS (
+        SELECT label, half, pos,
+               CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * {_DRIFT_SCALE})
+                    AS BIGINT) AS xi
+        FROM e, UNNEST(range(1, len(embedding) + 1)) AS t(pos)),
+    s AS (
+        SELECT label, half, pos, CAST(SUM(xi) AS BIGINT) AS s
+        FROM x GROUP BY 1, 2, 3),
+    n AS (SELECT label, half, CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2),
+    d AS (
+        SELECT a.label, a.pos,
+               na.n AS n0, nb.n AS n1,
+               (a.s * nb.n - b.s * na.n)
+                   * (a.s * nb.n - b.s * na.n) AS num
+        FROM s a JOIN s b ON a.label = b.label AND a.pos = b.pos
+                         AND a.half = 0 AND b.half = 1
+             JOIN n na ON na.label = a.label AND na.half = 0
+             JOIN n nb ON nb.label = a.label AND nb.half = 1)
+    SELECT label, n0 AS n_a, n1 AS n_b,
+           ROUND(SQRT(SUM(num)) / (n0 * n1 * {_DRIFT_SCALE} * 1.0), 6)
+               AS centroid_l2_drift
+    FROM d GROUP BY label, n0, n1
+    """,
+    tags=("embedding", "drift", "centroid", "monitoring"),
+)
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two deterministic halves of
+    the embedding table (vec_id parity standing in for the
+    before/after snapshots of a re-embedding run): the L2 distance
+    between each label's half-A and half-B centroids — the
+    embedding-space drift monitor that catches a model or pipeline
+    change shifting a class's representation before any downstream
+    retrieval metric degrades (the embedding analogue of
+    q_psi_drift's histogram monitoring).
+
+    Exactness: the q_label_noise_screen integer-centroid algebra,
+    pairwise — with per-(label,half,dim) exact sums s and counts n,
+    the squared drift scales to sum_dims (s0*n1 - s1*n0)^2, an
+    exact bigint; one sqrt and one division at display. No float
+    accumulates anywhere.
+
+    Plan: one posexplode -> (label, half, dim) hash-agg (d-bounded
+    shuffle), a (label, dim)-keyed self-join of that tiny relation
+    (broadcast), one per-label finishing agg. Corpus-linear single
+    pass at 100 TB.
+    """
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .where(F.col("embedding").isNotNull()
+                  & (F.size("embedding") > 0))
+           .select("label", (F.col("vec_id") % 2).alias("half"),
+                   "embedding"))
+    x = (emb.select("label", "half",
+                    F.posexplode("embedding").alias("pos0", "xf"))
+         .select("label", "half", (F.col("pos0") + 1).alias("pos"),
+                 F.floor(F.col("xf").cast("double") * _DRIFT_SCALE)
+                 .alias("xi")))
+    s = x.groupBy("label", "half", "pos").agg(F.sum("xi").alias("s"))
+    n = emb.groupBy("label", "half").agg(F.count(F.lit(1)).alias("n"))
+    a = s.where(F.col("half") == 0).select("label", "pos",
+                                           F.col("s").alias("s0"))
+    b = s.where(F.col("half") == 1).select("label", "pos",
+                                           F.col("s").alias("s1"))
+    na = n.where(F.col("half") == 0).select("label", F.col("n").alias("n0"))
+    nb = n.where(F.col("half") == 1).select("label", F.col("n").alias("n1"))
+    num = ((F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0"))
+           * (F.col("s0") * F.col("n1") - F.col("s1") * F.col("n0")))
+    d = (a.join(b, ["label", "pos"])
+         .join(F.broadcast(na), "label").join(F.broadcast(nb), "label")
+         .select("label", "n0", "n1", num.alias("num")))
+    return (d.groupBy("label", F.col("n0").alias("n_a"),
+                      F.col("n1").alias("n_b"))
+            .agg(F.round(F.sqrt(F.sum("num"))
+                         / (F.col("n_a") * F.col("n_b")
+                            * float(_DRIFT_SCALE)), 6)
+                 .alias("centroid_l2_drift")))

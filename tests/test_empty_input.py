@@ -92,6 +92,9 @@ SPREAD = [
     # FDR/HT batch: wide sign-flip aggregate and HT weight scalar on
     # zero rows
     "q_bh_fdr_screen", "q_ht_estimator",
+    # retrieval/dedup/embedding batch: WAND's cached impacts on zero
+    # postings, the weighted pair join, the centroid half-join
+    "q_wand_upper_bounds", "q_dedup_weighted_jaccard", "q_centroid_drift",
 ]
 
 

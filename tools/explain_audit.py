@@ -47,6 +47,12 @@ _ALLOW_NESTED_LOOP = {
                                  # scalar-subquery shape three times
     "q_ht_estimator",            # crossJoin(broadcast(1-row exact
                                  # totals)), same scalar-subquery shape
+    "q_wand_upper_bounds",       # crossJoin(broadcast(1-row N/avgdl
+                                 # stats, 1-row theta)), same
+                                 # scalar-subquery shape
+    "q_dedup_weighted_jaccard",  # pair join carries a < on doc_id (the
+                                 # q_dedup_ngram_jaccard shape) +
+                                 # crossJoin(broadcast(1-row doc count))
     "q_graph_assortativity",     # crossJoin(broadcast(1-row node count))
                                  # onto the 1-row moment relation, same
                                  # scalar-subquery shape
