@@ -1,5 +1,5 @@
 """Experimentation platform tier — the eighth round-4 batch
-(SURVEY §2D statistics/eval depth): the three computations every
+(SURVEY §2D statistics/eval depth): the computations every
 A/B-test readout pipeline runs before anyone trusts a metric.
 
 - ``q_srm_check``: sample-ratio-mismatch guardrail — the chi-square
@@ -15,6 +15,12 @@ A/B-test readout pipeline runs before anyone trusts a metric.
   max-of-prefix-min-of-suffix closed form over the bounded bin
   relation, the monotone fit that turns q_calibration_ece's
   diagnosis into a correction.
+- ``q_diff_in_diff``: the parallel-trends causal estimator —
+  (treated post-pre change) minus (control post-pre change), four
+  exact group means and one closed form.
+- ``q_conformal_interval``: split-conformal prediction intervals
+  with their distribution-free coverage audit, all order
+  statistics exact via (group, value) count relations.
 
 Exactness discipline (the q_ab_test_welch contract): every sum is a
 bigint of integer-scaled values (floor(value*1000) per EVENT, never
@@ -34,7 +40,7 @@ Reference parity: none — north-star §2D experimentation depth.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.io import load_table
@@ -310,3 +316,202 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("correct") / F.col("n"), 6)
                     .alias("accuracy"),
                     F.round("iso_acc", 6).alias("iso_accuracy")))
+
+
+@register(
+    "q_diff_in_diff",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, ts,
+               CAST(FLOOR(value * {_SCALE}) AS BIGINT) AS y
+        FROM events WHERE isfinite(value)),
+    u AS (
+        SELECT user_id, {_ARM_SQL} AS arm,
+               CAST(SUM(CASE WHEN ts <  TIMESTAMP '{_CUPED_SPLIT}'
+                             THEN y ELSE 0 END) AS BIGINT) AS pre,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                             THEN y ELSE 0 END) AS BIGINT) AS post
+        FROM e GROUP BY user_id),
+    a AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               SUM(pre) * 1.0 / COUNT(*) AS m_pre,
+               SUM(post) * 1.0 / COUNT(*) AS m_post
+        FROM u GROUP BY arm)
+    SELECT ta.n_users AS n_treat, ca.n_users AS n_ctrl,
+           ROUND(ta.m_pre / {_SCALE}, 6) AS treat_pre,
+           ROUND(ta.m_post / {_SCALE}, 6) AS treat_post,
+           ROUND(ca.m_pre / {_SCALE}, 6) AS ctrl_pre,
+           ROUND(ca.m_post / {_SCALE}, 6) AS ctrl_post,
+           ROUND(((ta.m_post - ta.m_pre) - (ca.m_post - ca.m_pre))
+                 / {_SCALE}, 6) AS did
+    FROM a ta JOIN a ca ON ta.arm = 'B' AND ca.arm = 'A'
+    """,
+    tags=("stats", "causal", "diff-in-diff", "experiment"),
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: treatment effect as (treated
+    post - pre change) minus (control post - pre change) — the
+    parallel-trends estimator that nets out both time trends
+    (everyone's engagement drifts) and baseline group differences
+    (the arms never start equal), the workhorse causal readout
+    when a feature ships to one hash bucket first. Arms and the
+    pre/post boundary reuse the q_cuped_adjustment contract (md5
+    parity, Jan-16 split); per-user per-period sums are exact
+    bigints of per-event integer-scaled values, the four group
+    means and the DiD are one final closed form.
+
+    Plan: one scan -> per-user 2-conditional-sum hash-agg -> 2-row
+    per-arm aggregate -> 1x1 self-join. O(users) shuffle, O(1)
+    finishing — the one-pass-over-the-exposure-log posture of the
+    rest of the experimentation tier.
+    """
+    ev = (load_table(spark, sf_dir, "events")
+          .where(~F.isnan("value") & (F.abs("value") != float("inf")))
+          .select("user_id", "ts",
+                  F.floor(F.col("value") * _SCALE).alias("y")))
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    u = (ev.groupBy("user_id")
+         .agg(F.sum(F.when(F.col("ts") < split, F.col("y")).otherwise(0))
+              .alias("pre"),
+              F.sum(F.when(F.col("ts") >= split, F.col("y")).otherwise(0))
+              .alias("post"))
+         .select(_arm(F.col("user_id")).alias("arm"), "pre", "post"))
+    a = (u.groupBy("arm")
+         .agg(F.count(F.lit(1)).alias("n_users"),
+              (F.sum("pre") / F.count(F.lit(1))).alias("m_pre"),
+              (F.sum("post") / F.count(F.lit(1))).alias("m_post")))
+    t = a.where(F.col("arm") == "B").alias("ta")
+    c = a.where(F.col("arm") == "A").alias("ca")
+    did = ((F.col("ta.m_post") - F.col("ta.m_pre"))
+           - (F.col("ca.m_post") - F.col("ca.m_pre")))
+    return (t.crossJoin(F.broadcast(c))
+            .select(F.col("ta.n_users").alias("n_treat"),
+                    F.col("ca.n_users").alias("n_ctrl"),
+                    F.round(F.col("ta.m_pre") / _SCALE, 6)
+                    .alias("treat_pre"),
+                    F.round(F.col("ta.m_post") / _SCALE, 6)
+                    .alias("treat_post"),
+                    F.round(F.col("ca.m_pre") / _SCALE, 6)
+                    .alias("ctrl_pre"),
+                    F.round(F.col("ca.m_post") / _SCALE, 6)
+                    .alias("ctrl_post"),
+                    F.round(did / _SCALE, 6).alias("did")))
+
+
+_CONF_ALPHA_NUM = 9   # 1 - alpha = 9/10: 90% target coverage
+_CONF_U = ("(CAST(('0x' || substr(md5('cf|' || CAST(doc_id AS VARCHAR)), "
+           "1, 8)) AS BIGINT) % 2)")
+
+
+@register(
+    "q_conformal_interval",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x,
+               {_CONF_U} AS grp
+        FROM documents),
+    calv AS (
+        SELECT lang, x, CAST(COUNT(*) AS BIGINT) AS c
+        FROM d WHERE grp = 0 GROUP BY 1, 2),
+    caln AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_cal
+             FROM calv GROUP BY lang),
+    med AS (
+        SELECT lang, MIN(x) AS med FROM (
+            SELECT calv.lang, calv.x,
+                   SUM(c) OVER (PARTITION BY calv.lang ORDER BY calv.x)
+                       AS cum,
+                   caln.n_cal
+            FROM calv JOIN caln USING (lang))
+        WHERE cum >= (n_cal + 1) // 2 GROUP BY lang),
+    sc AS (
+        SELECT d.lang, ABS(d.x - med.med) AS s, CAST(COUNT(*) AS BIGINT)
+                   AS c
+        FROM d JOIN med USING (lang) WHERE grp = 0 GROUP BY 1, 2),
+    qhat AS (
+        SELECT lang, MIN(s) AS qhat FROM (
+            SELECT sc.lang, sc.s,
+                   SUM(c) OVER (PARTITION BY sc.lang ORDER BY sc.s)
+                       AS cum,
+                   caln.n_cal
+            FROM sc JOIN caln USING (lang))
+        WHERE cum >= LEAST(({_CONF_ALPHA_NUM} * (n_cal + 1) + 9) // 10,
+                           n_cal)
+        GROUP BY lang),
+    test AS (
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN ABS(d.x - med.med) <= qhat.qhat
+                             THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        FROM d JOIN med USING (lang) JOIN qhat USING (lang)
+        WHERE grp = 1 GROUP BY d.lang)
+    SELECT test.lang, caln.n_cal, test.n_test, med.med, qhat.qhat,
+           ROUND(covered * 1.0 / n_test, 6) AS coverage
+    FROM test JOIN caln USING (lang) JOIN med USING (lang)
+              JOIN qhat USING (lang)
+    """,
+    tags=("stats", "conformal", "uncertainty", "ml-eval"),
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. 2018)
+    for doc length by language: an md5-halved calibration split
+    fits the per-lang median, takes the ceil((n+1)*0.9)-th smallest
+    absolute residual as the conformal quantile q_hat, and the held
+    -out half then verifies the distribution-free guarantee —
+    coverage of [med ± q_hat] should be >= 90% regardless of the
+    length distribution's shape. This is the uncertainty
+    quantification a production scorer ships WITH its predictions,
+    and the coverage column is its audit.
+
+    Exactness: medians and conformal quantiles are ORDER STATISTICS
+    computed from (lang, value) count relations — rank thresholds
+    are exact integer ceilings (cross-multiplied, never divided) —
+    and coverage is an exact count ratio. Nothing floats until the
+    display column; the q_roc_auc discipline end to end.
+
+    Plan: one scan -> value-cardinality-bounded (lang, value)
+    aggs; the two order-statistic windows run over those BOUNDED
+    count relations (the q_roc_auc posture — never a window over
+    raw rows); the test pass is one broadcast join + count. At
+    100 TB: two scans, grid-sized state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grp = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("cf|"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 2)
+    d = docs.select("lang", F.col("n_chars").cast("long").alias("x"),
+                    grp.alias("grp"))
+    cal = d.where(F.col("grp") == 0)
+    calv = cal.groupBy("lang", "x").agg(F.count(F.lit(1)).alias("c"))
+    caln = calv.groupBy("lang").agg(F.sum("c").alias("n_cal"))
+    wv = Window.partitionBy("lang").orderBy("x")
+    med = (calv.join(F.broadcast(caln), "lang")
+           .select("lang", "x", F.sum("c").over(wv).alias("cum"), "n_cal")
+           .where(F.col("cum") >= F.expr("(n_cal + 1) DIV 2"))
+           .groupBy("lang").agg(F.min("x").alias("med")))
+    sc = (cal.join(F.broadcast(med), "lang")
+          .select("lang", F.abs(F.col("x") - F.col("med")).alias("s"))
+          .groupBy("lang", "s").agg(F.count(F.lit(1)).alias("c")))
+    ws = Window.partitionBy("lang").orderBy("s")
+    k_q = F.least(
+        F.floor((_CONF_ALPHA_NUM * (F.col("n_cal") + 1) + 9) / 10)
+        .cast("long"),
+        F.col("n_cal"))
+    qhat = (sc.join(F.broadcast(caln), "lang")
+            .select("lang", "s", F.sum("c").over(ws).alias("cum"),
+                    k_q.alias("k_q"))
+            .where(F.col("cum") >= F.col("k_q"))
+            .groupBy("lang").agg(F.min("s").alias("qhat")))
+    test = (d.where(F.col("grp") == 1)
+            .join(F.broadcast(med), "lang")
+            .join(F.broadcast(qhat), "lang")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_test"),
+                 F.sum(F.when(F.abs(F.col("x") - F.col("med"))
+                              <= F.col("qhat"), 1).otherwise(0))
+                 .alias("covered")))
+    return (test.join(F.broadcast(caln), "lang")
+            .join(F.broadcast(med), "lang")
+            .join(F.broadcast(qhat), "lang")
+            .select("lang", "n_cal", "n_test", "med", "qhat",
+                    F.round(F.col("covered") * 1.0 / F.col("n_test"), 6)
+                    .alias("coverage")))

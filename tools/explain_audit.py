@@ -38,6 +38,8 @@ _ALLOW_NESTED_LOOP = {
     "q_scalar_subquery",         # scalar subquery = 1-row broadcast NLJ
     "q_cuped_adjustment",        # crossJoin(broadcast(1-row theta/mean
                                  # moments)), the scalar-subquery shape
+    "q_diff_in_diff",            # crossJoin(broadcast(1-row control-arm
+                                 # means)), same scalar-subquery shape
     "q_kneser_ney_bigram",       # crossJoin(broadcast(1-row bigram-type
                                  # total)), same scalar-subquery shape
     "q_negative_sampling_table", # crossJoin(broadcast(1-row weight
