@@ -1,8 +1,15 @@
 """Benchmark harness: time every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly one JSON line:
+Prints exactly one COMPACT JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1...": sec, ...}, "sf": <sf>}
+     "queries": {<headline queries only>}, "n_queries": N, "sf": <sf>}
+
+The per-query map on stdout is restricted to the HEADLINE set (the
+reference-parity apps + TPC-H + one representative per major family)
+so the line stays well under the driver's capture window —
+BENCH_r03/BENCH_r04 recorded ``parsed: null`` because the full
+296-entry map overflowed the tail capture.  The complete per-query
+map is written to ``BENCH_LOCAL.json`` next to this script.
 
 Each query is materialized via a count-collapsing action (``.count``
 on the result, not ``collect`` — results can be wide). A warm-up of
@@ -67,21 +74,42 @@ def main() -> int:
         assert pinned_rdd_count(spark) == 0, \
             f"cache leak survived release after {name}"
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Headline subset kept on stdout: reference-parity apps, TPC-H, and
+    # one representative per major family.  Everything else lives in
+    # BENCH_LOCAL.json — the full 296-entry map on stdout is what made
+    # BENCH_r03/BENCH_r04 unparseable (`parsed: null`).
+    headline = [
+        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+        "q6_revenue_change", "q10_returned_items", "q18_large_orders",
+        "wc_word_count", "indexer_inverted_index", "early_exit_file_count",
+        "concat_agg",
+        "q_dedup_minhash_lsh_prod", "q_dedup_exact", "q_knn_bruteforce",
+        "q_lang_id", "q_bm25_search", "q_pagerank",
+        "q_streaming_sessionize", "q_window_running_sum",
+        "q_sql_cte_pipeline", "q_grouping_sets",
+    ]
     line = json.dumps({
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: timings[k] for k in headline if k in timings},
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
         "sf": sf,
     })
     print(line)
-    # Also persist the complete record next to the repo: the driver's
-    # capture has truncated before (BENCH_r02.json `parsed: null`), and
-    # this file is the untruncated fallback the judge can read.
+    full = json.dumps({
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": sf,
+    })
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json"), "w") as f:
-            f.write(line + "\n")
+            f.write(full + "\n")
     except OSError as exc:
         print(f"bench: could not write BENCH_LOCAL.json: {exc}", file=sys.stderr)
     return 0

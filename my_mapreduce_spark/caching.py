@@ -32,7 +32,17 @@ def pinned_rdd_count(spark: SparkSession) -> int:
 
 def release_caches(spark: SparkSession) -> int:
     """Release every cached relation; returns how many were pinned
-    beforehand (0 for the majority of queries that cache nothing)."""
+    beforehand (0 for the majority of queries that cache nothing).
+
+    Two layers: ``catalog.clearCache()`` drops SQL-level Dataset
+    caches; the explicit unpersist loop below drops RDD-level pins
+    that the catalog does not track — in this codebase that is the
+    ``localCheckpoint()`` blocks a handful of queries use to let a
+    bounded result outlive its inputs' unpersist (apriori, k-core).
+    Safe under the caller-owned contract: release runs only after the
+    caller has consumed the result."""
     n = pinned_rdd_count(spark)
     spark.catalog.clearCache()
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(False)
     return n

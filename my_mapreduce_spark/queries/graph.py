@@ -453,9 +453,10 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = stats[0]
         for s in stats[1:]:
             out = out.unionAll(s)
-        rows = out.collect()
-        return spark.createDataFrame(
-            rows, "round int, n_nodes long, n_edges long")
+        # localCheckpoint (not collect+createDataFrame): the 3-row
+        # result must outlive the unpersist below, but it should be
+        # materialized executor-side, not round-tripped via the driver.
+        return out.localCheckpoint(eager=True)
     finally:
         for df in pinned:
             df.unpersist()

@@ -597,9 +597,9 @@ def q_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("t.i3").alias("item_c"))
                 .agg(F.count(F.lit(1)).alias("n_orders"))
                 .where(F.col("n_orders") >= minsup))
-        rows = trip.collect()
-        return spark.createDataFrame(
-            rows, "item_a string, item_b string, item_c string, "
-                  "n_orders long")
+        # localCheckpoint materializes the result so it survives the
+        # unpersist of `b` below WITHOUT routing result bytes through
+        # the driver (the old collect+createDataFrame idiom).
+        return trip.localCheckpoint(eager=True)
     finally:
         b.unpersist()

@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import sys
 import time
 
@@ -120,6 +121,16 @@ def main() -> int:
     if failures:
         print("failed:", ", ".join(failures))
     if args.out:
+        # Incremental mode: when checking a SUBSET (names given) and the
+        # artifact already exists, merge — so a per-commit spot check can
+        # keep CORRECTNESS_LOCAL.json covering the whole registry without
+        # re-running all 296 queries.  Entries for queries no longer in
+        # the registry are dropped (the hygiene pytest rejects stale keys).
+        if args.names and os.path.exists(args.out):
+            with open(args.out) as f:
+                merged = json.load(f)
+            merged.update(record)
+            record = {k: v for k, v in merged.items() if k in REGISTRY}
         with open(args.out, "w") as f:
             json.dump(record, f, indent=1, sort_keys=True)
         print(f"wrote {args.out} ({len(record)} entries)")

