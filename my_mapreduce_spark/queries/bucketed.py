@@ -551,3 +551,57 @@ def q_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.max("gb") - F.min("gb")).alias("span_b")))
 
 
+
+
+_PART_ROOT = os.path.join(tempfile.gettempdir(), "mmr_partitioned")
+
+
+def partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table as a Hive-partitioned parquet layout
+    (``event_type=<v>/`` directories) once per sf dir and return its
+    path. Immutable fixtures → safe to reuse within a session (the
+    same amortization argument as bucketed_fixture)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_PART_ROOT, f"events_by_type_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        (load_table(spark, sf_dir, "events")
+         .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+         .write.mode("overwrite").partitionBy("event_type")
+         .parquet(path))
+    return path
+
+
+@register(
+    "q_partitioned_write_prune",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("sink", "partitioning", "pruning", "events"),
+)
+def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet SINK + partition-pruned read-back: events
+    are written once as a Hive layout partitioned by event_type; the
+    query then reads ONLY the ``event_type=purchase/`` directory —
+    the filter resolves at PLANNING time against the directory
+    listing (PartitionFilters, not data filters), so the scan never
+    opens the other types' files. The oracle aggregates the original
+    un-partitioned table — equality proves the sink round-trips
+    exactly.
+
+    This is the physical pattern behind every date/type-partitioned
+    production table at 100 TB: partition pruning turns a full-corpus
+    scan into an O(selected partitions) scan before a single row is
+    read. tests/test_partitioned_sink.py asserts the plan shows the
+    pruned PartitionFilters and a partitionCount of 1.
+    """
+    path = partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (ev.where(F.col("event_type") == "purchase")
+            .groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))

@@ -1104,3 +1104,46 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("total").cast("bigint").alias("total_tokens"),
                  F.round(F.min("cum") * 1.0 / F.max("total"), 6)
                  .alias("coverage")))
+
+
+_RESERVOIR_K = 5
+
+
+@register(
+    "q_group_sample_exact_k",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS sample_rank
+        FROM documents)
+    SELECT source, doc_id, n_chars, sample_rank
+    FROM keyed WHERE sample_rank <= {_RESERVOIR_K}
+    """,
+    tags=("pipeline", "sampling"),
+)
+def q_group_sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY k documents per source, deterministically: rank each
+    group by md5(doc_id) and keep the first k — the distributed,
+    engine-reproducible equivalent of per-group reservoir sampling
+    (a hash order is a fixed random permutation, so any prefix of it
+    IS a uniform k-sample, and re-runs / other engines / other
+    cluster sizes pick the identical rows).
+
+    Complements q_sample_stratified (Bernoulli RATE per stratum —
+    sample size varies) with the fixed-BUDGET shape training
+    pipelines need ("exactly 100k docs per source for the eval
+    slice"). One shuffle on source; the rank window never sees more
+    than one group per partition slot. At 100 TB with a large k,
+    swap the window for per-partition partial top-k (the
+    TakeOrderedAndProject trick q_topk_orders pins) — at k=5 the
+    window is already optimal.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (docs.select("source", "doc_id", "n_chars")
+            .withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= _RESERVOIR_K))

@@ -603,3 +603,41 @@ def q_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         return trip.localCheckpoint(eager=True)
     finally:
         b.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Lateral join — ONE SQL text, both engines
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n CROSS JOIN LATERAL (
+    SELECT c_name, c_acctbal FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+      AND c.c_acctbal > 0
+    ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+"""
+
+
+@register(
+    "q_lateral_topn",
+    oracle=_LATERAL_SQL,
+    tags=("sql-surface", "relational", "join", "lateral"),
+)
+def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per nation, its top-2 positive-
+    balance customers — ONE ANSI SQL text executed verbatim by
+    ``spark.sql`` AND as the DuckDB oracle (the q_sql_cte_pipeline
+    contract, extended to the lateral-join surface Spark added in
+    3.2; the reference has no SQL surface at all, SURVEY §2C).
+
+    Catalyst decorrelates the LATERAL into a partitioned rank window
+    over customer keyed by c_nationkey joined back to nation — i.e.
+    the same plan as the hand-written window top-n, NOT a per-row
+    re-execution of the subquery. One shuffle on nationkey; at 100 TB
+    the window partitions are nation-bounded and the nation side is
+    broadcast.
+    """
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)

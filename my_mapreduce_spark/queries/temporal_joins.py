@@ -350,3 +350,81 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.sum(overlap).alias("sum_overlap_us"),
                  F.max(overlap).alias("max_overlap_us")))
+
+
+_ASOF_TOL_US = 3_600_000_000  # 1-hour as-of tolerance
+
+
+@register(
+    "q_asof_cogroup",
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, event_type, ts,
+                      epoch_us(ts) AS ts_us FROM events),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM e WHERE event_type = 'view')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           v.event_id AS prior_view_id,
+           p.ts_us - v.ts_us AS gap_us
+    FROM p ASOF JOIN v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    WHERE p.ts_us - v.ts_us <= {_ASOF_TOL_US}
+    """,
+    tags=("join", "asof", "cogroup", "pandas-udf", "events"),
+)
+def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toleranced as-of join (each purchase ↔ most recent view by the
+    same user within the preceding hour) via the COGROUP surface:
+    ``views.groupBy(user).cogroup(purchases.groupBy(user))
+    .applyInPandas(merge_asof)`` — gated by DuckDB's native ASOF JOIN
+    as the oracle.
+
+    Strategy contrast with q_asof_join (union-then-window, pure
+    built-ins): cogroup ships both sides of each key to one Arrow
+    batch and runs pandas ``merge_asof`` there. Same single shuffle
+    on user_id; the trade is JVM-side window state vs per-key Python
+    vectorized merge. The cogroup form wins when the per-key logic
+    outgrows SQL (tolerances per row, many asof columns, custom
+    tie-breaks) — registered to pin the API surface and its exact
+    equality to the relational encoding.
+
+    Scale: one co-partitioned shuffle by user_id; each Arrow batch
+    holds one user's views+purchases (bounded by per-user activity,
+    the same bound the window variant carries). No driver traffic.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"))
+    views = ev.where(F.col("event_type") == "view") \
+        .select("user_id", "event_id", "ts_us")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "event_id", "ts_us")
+
+    def merge(views_pdf: pd.DataFrame, pur_pdf: pd.DataFrame) -> pd.DataFrame:
+        if pur_pdf.empty or views_pdf.empty:
+            return pd.DataFrame({"purchase_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "prior_view_id": pd.Series(dtype="int64"),
+                                 "gap_us": pd.Series(dtype="int64")})
+        v = views_pdf.sort_values(["ts_us", "event_id"]).rename(
+            columns={"event_id": "prior_view_id"})
+        p = pur_pdf.sort_values("ts_us").rename(
+            columns={"event_id": "purchase_id"})
+        m = pd.merge_asof(p[["purchase_id", "user_id", "ts_us"]],
+                          v[["prior_view_id", "ts_us"]],
+                          on="ts_us", direction="backward",
+                          tolerance=_ASOF_TOL_US)
+        m = m.dropna(subset=["prior_view_id"])
+        gap = (m["ts_us"]
+               - v.set_index("prior_view_id")["ts_us"]
+               .reindex(m["prior_view_id"]).to_numpy())
+        return pd.DataFrame({"purchase_id": m["purchase_id"].astype("int64"),
+                             "user_id": m["user_id"].astype("int64"),
+                             "prior_view_id":
+                                 m["prior_view_id"].astype("int64"),
+                             "gap_us": gap.astype("int64")})
+
+    return (views.groupBy("user_id").cogroup(purchases.groupBy("user_id"))
+            .applyInPandas(merge, "purchase_id long, user_id long, "
+                                  "prior_view_id long, gap_us long"))

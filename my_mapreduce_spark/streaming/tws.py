@@ -1,5 +1,13 @@
 """transformWithStateInPandas — Spark 4's arbitrary-stateful API.
 
+UNADVERTISED OPTIONAL EXTRA: the operator's Python↔state-server wire
+protocol requires protobuf, which this sandbox does not ship (and
+installs are off-limits), so the query has never executed here and is
+NOT claimed in SURVEY.md §2's operator surface. It registers only
+where the dependency exists; the advertised arbitrary-stateful
+operator is the ``applyInPandasWithState`` sessionization in
+``streaming/jobs.py``, which sweeps with a full oracle every round.
+
 The successor to ``applyInPandasWithState`` (which
 ``streaming/jobs.py:158`` uses for sessionization): typed state
 handles (value/list/map), per-key timers, TTL, and initial-state
