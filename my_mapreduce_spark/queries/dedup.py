@@ -1486,3 +1486,100 @@ def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", F.col("iw").alias("inter_w"),
                     F.round(F.col("iw") * 1.0 / union_w, 6)
                     .alias("weighted_jaccard")))
+
+
+_SC_SCALE = 100      # idf centi-units: weights stay exact bigints
+_SC_DF_CAP = 0.5     # drop terms appearing in > 50% of docs (stopword prune)
+_SC_THRESH_NUM, _SC_THRESH_DEN = 1, 2   # cosine >= 1/2
+
+
+@register(
+    "q_sparse_cosine_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    tf AS (
+        SELECT doc_id, u.tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM t, UNNEST(w) AS u(tok) GROUP BY 1, 2),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t),
+    idf AS (
+        SELECT tok,
+               CAST(ROUND(ln(nd.n * 1.0 / COUNT(*)) * {_SC_SCALE}) AS BIGINT)
+                   AS idf
+        FROM tf CROSS JOIN nd
+        GROUP BY tok, nd.n
+        HAVING COUNT(*) <= nd.n * {_SC_DF_CAP}),
+    v AS (
+        SELECT tf.doc_id, tf.tok, tf.tf * idf.idf AS w
+        FROM tf JOIN idf USING (tok)),
+    nrm AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+            FROM v GROUP BY 1),
+    dot AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+        FROM v a JOIN v b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(dot / (sqrt(x.n2) * sqrt(y.n2)), 6) AS cosine
+    FROM dot JOIN nrm x ON doc_a = x.doc_id
+             JOIN nrm y ON doc_b = y.doc_id
+    WHERE dot * dot * {_SC_THRESH_DEN * _SC_THRESH_DEN}
+          >= x.n2 * y.n2 * {_SC_THRESH_NUM * _SC_THRESH_NUM}
+    """,
+    tags=("dedup", "similarity", "tf-idf", "sparse", "near-dup"),
+)
+def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs over the TOKEN vector-space model
+    — the sparse-vector sibling of q_dedup_weighted_jaccard (set
+    overlap) and q_dedup_embedding_cosine (dense vectors): documents
+    are tf·idf vectors, similarity is the cosine computed by an
+    inverted-index join (sum of w_a·w_b over SHARED terms only — the
+    sparse dot product never materializes a vector).
+
+    Scale plan, in order of what it prunes:
+    - the df-cap (terms in > 50% of docs are dropped from every
+      vector) kills the quadratic pair fan-out boilerplate terms
+      would create — the standard stopword prune of sparse
+      similarity search, and the same role the prefix filter plays
+      in q_dedup_prefix_filter;
+    - the pair join is term-keyed (cost = sum over terms of df², after
+      the cap), never corpus²;
+    - weights are integer centi-idf × tf, so dot and norms are exact
+      bigints and the >= 1/2 cosine cut is the cross-multiplied
+      integer inequality dot²·4 >= ‖a‖²·‖b‖² — a bit-stable pair set
+      (the q_dedup_weighted_jaccard discipline); the reported cosine
+      is derived from those exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select("doc_id", F.explode(tokens()).alias("tok"))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    idf = (tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+           .crossJoin(F.broadcast(nd))
+           .where(F.col("df") <= F.col("n") * _SC_DF_CAP)
+           .select("tok",
+                   F.round(F.log(F.col("n") * 1.0 / F.col("df"))
+                           * _SC_SCALE).cast("bigint").alias("idf")))
+    v = (tf.join(idf, "tok")
+         .select("doc_id", "tok", (F.col("tf") * F.col("idf")).alias("w")))
+    nrm = v.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a, b = v.alias("a"), v.alias("b")
+    dot = (a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+           .groupBy(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+           .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot")))
+    t2n = _SC_THRESH_NUM * _SC_THRESH_NUM
+    t2d = _SC_THRESH_DEN * _SC_THRESH_DEN
+    return (dot
+            .join(nrm.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+            .join(nrm.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+            .where(F.col("dot") * F.col("dot") * t2d
+                   >= F.col("x.n2") * F.col("y.n2") * t2n)
+            .select("doc_a", "doc_b",
+                    F.round(F.col("dot")
+                            / (F.sqrt(F.col("x.n2")) * F.sqrt(F.col("y.n2"))),
+                            6).alias("cosine")))

@@ -762,3 +762,76 @@ def q_sentence_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rnk", F.row_number().over(w))
             .where(F.col("rnk") <= 3)
             .select("doc_id", F.col("i").alias("sid"), "deg", "c2", "rnk"))
+
+
+@register(
+    "q_token_stats_arrow",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w,
+               length(text) AS n_bytes
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_unique
+    FROM t
+    """,
+    tags=("text", "tokenize", "arrow", "map-in-arrow"),
+)
+def q_token_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token stats computed in ``mapInArrow`` with
+    pyarrow.compute kernels — zero pandas materialization, the
+    RecordBatch flows from Tungsten through Arrow C data straight
+    into vectorized C++ kernels and back.
+
+    Registered to pin the Arrow-NATIVE UDF surface: real tokenizers
+    (BPE/SentencePiece bindings) consume Arrow string buffers
+    directly, and this is their integration shape — batch in, batch
+    out, no row loop, no pandas copy (the multimodal decode stubs in
+    multimodal.py:50 sit behind the same plumbing one level up).
+    The oracle proves the Arrow path computes exactly what the SQL
+    tokenizer computes. Embarrassingly parallel: no shuffle at all —
+    the plan is scan → ArrowEvalPython(mapInArrow) → project.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            text = batch.column("text")
+            n_bytes = pc.binary_length(text)
+            toks = pc.split_pattern_regex(text, "[^a-z0-9]+")
+            # splitting may produce empty strings at the edges; drop
+            # them the same way the SQL's list_filter does
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "")
+            parents = pc.list_parent_indices(toks)
+            kept_parents = parents.filter(keep)
+            kept_vals = flat.filter(keep)
+            n_tokens = pa.table({"p": kept_parents}) \
+                .group_by("p").aggregate([("p", "count")])
+            uq = pa.table({"p": kept_parents, "v": kept_vals}) \
+                .group_by(["p", "v"]).aggregate([]) \
+                .group_by("p").aggregate([("p", "count")])
+            n = len(doc_id)
+            tok_counts = [0] * n
+            for p, c in zip(n_tokens.column("p").to_pylist(),
+                            n_tokens.column("p_count").to_pylist()):
+                tok_counts[p] = c
+            uq_counts = [0] * n
+            for p, c in zip(uq.column("p").to_pylist(),
+                            uq.column("p_count").to_pylist()):
+                uq_counts[p] = c
+            yield pa.RecordBatch.from_arrays(
+                [doc_id, pa.array(tok_counts, pa.int64()),
+                 n_bytes.cast(pa.int64()), pa.array(uq_counts, pa.int64())],
+                names=["doc_id", "n_tokens", "n_bytes", "n_unique"])
+
+    return docs.mapInArrow(
+        stats, "doc_id long, n_tokens long, n_bytes long, n_unique long")

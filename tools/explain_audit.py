@@ -55,6 +55,9 @@ _ALLOW_NESTED_LOOP = {
     "q_dedup_weighted_jaccard",  # pair join carries a < on doc_id (the
                                  # q_dedup_ngram_jaccard shape) +
                                  # crossJoin(broadcast(1-row doc count))
+    "q_sparse_cosine_pairs",     # same two shapes: term-keyed pair join
+                                 # with < on doc_id + crossJoin(
+                                 # broadcast(1-row doc count)) for idf
     "q_graph_assortativity",     # crossJoin(broadcast(1-row node count))
                                  # onto the 1-row moment relation, same
                                  # scalar-subquery shape

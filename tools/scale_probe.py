@@ -99,6 +99,23 @@ def build(spark, out: str) -> None:
                 fam = _FAMILY[k]
                 rep = rep.withColumn(
                     k, (F.col(k) + F.lit(i * strides[fam])).cast("long"))
+            if t == "documents" and i > 0:
+                # Per-replica token salt: prefix every token with the
+                # replica tag so cross-replica shingles/tokens are
+                # DISJOINT. Within each replica the near-dup pair
+                # structure is exactly sf0.1's; across replicas there
+                # are no candidate pairs — i.e. a 10x crawl of ten
+                # disjoint domains. Without this, replication would
+                # plant 45 exact-dup pairs per original doc and the
+                # pair-structured queries (LSH, prefix-filter,
+                # weighted Jaccard) would measure dup-saturation,
+                # not scale.
+                rep = rep.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(F.split(F.col("text"), " "),
+                                    lambda w: F.concat(F.lit(f"r{i}"), w)),
+                        " "))
             parts.append(rep)
         u = parts[0]
         for p in parts[1:]:
@@ -111,6 +128,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf1_synth")
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--probe", nargs="*", default=None,
+                    help="query names to probe (default: built-in set)")
     args = ap.parse_args()
 
     _ensure_loaded()
@@ -119,7 +138,7 @@ def main() -> int:
     if not args.skip_build:
         build(spark, args.out)
 
-    probe = [n for n in _PROBE if n]
+    probe = args.probe if args.probe else [n for n in _PROBE if n]
     REGISTRY["q1_pricing_summary"].fn(spark, _SF001).count()  # warm-up
 
     tiers = [("sf0.01", _SF001), ("sf0.1", _SF01), ("10x sf0.1", args.out)]
