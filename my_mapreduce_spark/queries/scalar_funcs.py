@@ -276,3 +276,56 @@ def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WITHIN GROUP (ORDER BY c_mktsegment) AS segments_csv
         FROM d GROUP BY n_name
     """)
+
+
+@register(
+    "q_try_arithmetic",
+    oracle="""
+    SELECT l_linenumber,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_div_null,
+           ROUND(SUM(COALESCE(l_extendedprice / NULLIF(l_quantity - 1, 0),
+                              0)), 4) AS sum_unit_price,
+           CAST(SUM(CASE WHEN TRY_CAST(
+                    CASE WHEN l_discount > 0.05
+                         THEN CAST(l_quantity AS VARCHAR)
+                         ELSE l_returnflag END AS DOUBLE) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
+    FROM lineitem
+    GROUP BY l_linenumber
+    """,
+    tags=("scalar", "ansi", "try-functions", "error-handling"),
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe scalar surface: ``try_divide`` (NULL instead
+    of a divide-by-zero job failure) and ``try_cast`` (NULL instead
+    of a malformed-cast failure), aggregated so every row exercises
+    the error path or the value path.
+
+    This is the dirty-data contract at 100 TB: one malformed row
+    must not kill a million-task job, and the NULL-on-error rows
+    stay COUNTABLE (n_div_null / n_uncastable are the data-quality
+    tallies a pipeline alerts on — the query IS the quarantine
+    report). The castability probe mixes numeric strings (quantity)
+    with alpha flags so BOTH try_cast outcomes occur. DuckDB has no
+    try_divide, so the oracle states the identical semantics with
+    NULLIF; try_cast exists in both engines.
+    Embarrassingly parallel: one scan, one hash agg, every
+    expression whole-stage-codegen'd.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = F.try_divide("l_extendedprice",
+                        F.col("l_quantity") - F.lit(1))
+    return (li.groupBy("l_linenumber")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(unit.isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_div_null"),
+                 F.round(F.sum(F.coalesce(unit, F.lit(0.0))), 4)
+                 .alias("sum_unit_price"),
+                 F.sum(F.when(F.expr(
+                     "try_cast(CASE WHEN l_discount > 0.05 "
+                     "THEN CAST(l_quantity AS STRING) "
+                     "ELSE l_returnflag END AS DOUBLE)").isNull(),
+                              1).otherwise(0))
+                 .cast("bigint").alias("n_uncastable")))

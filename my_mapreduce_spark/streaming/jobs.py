@@ -1162,3 +1162,98 @@ def _wire_psi_oracle() -> None:
 
 
 _wire_psi_oracle()
+
+
+def run_exactly_once_file_sink(spark: SparkSession, sf_dir: str):
+    """Streaming EXACTLY-ONCE FILE sink: foreachBatch writes each
+    micro-batch to its own ``batch=<epoch>/`` parquet directory with
+    mode=overwrite — the idempotent-by-construction production sink
+    (a replayed epoch rewrites its directory byte-identically instead
+    of appending duplicates; Spark's checkpoint guarantees at-least-
+    once foreachBatch delivery, and per-epoch overwrite upgrades that
+    to exactly-once output).
+
+    This is the file-sink sibling of run_sketch_maintenance_stream's
+    idempotent state merge: that one proves exactly-once for
+    ACCUMULATED state, this one for the RAW landed data a lakehouse
+    ingestion writes. The read-back aggregate over the landed files
+    carries a full DuckDB oracle (stream landing must lose/duplicate
+    nothing). Returns (result_df, n_batches, landed_dir).
+
+    Scale shape: each epoch's write is a normal distributed parquet
+    write (no driver traffic); landing is partitioned by epoch so
+    concurrent readers never see a half-written epoch after the
+    directory swap.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    _ensure_runtime_confs(spark)
+    work = tempfile.mkdtemp(prefix="mmr_eo_sink_")
+    src = os.path.join(work, "src")
+    land = os.path.join(work, "landed")
+    try:
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .repartition(4).write.mode("overwrite").parquet(src))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .option("maxFilesPerTrigger", 1).load(src))
+        seen = []
+
+        def land_batch(batch_df, epoch_id):
+            # idempotent epoch landing: replay => same dir, same bytes
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(land, f"batch={epoch_id}")))
+            seen.append(epoch_id)
+
+        q = (stream.writeStream.foreachBatch(land_batch)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        landed = spark.read.option("basePath", land) \
+            .parquet(os.path.join(land, "batch=*"))
+        # replay the LAST epoch verbatim (simulating a post-crash
+        # re-delivery) and prove the landed set is unchanged
+        last = max(seen)
+        # materialize the replayed rows BEFORE overwriting the very
+        # directory they are lazily read from (the sketch job's
+        # read-then-overwrite discipline, via executor-side
+        # localCheckpoint instead of a driver round-trip)
+        replay_src = (spark.read.parquet(os.path.join(land, f"batch={last}"))
+                      .localCheckpoint(eager=True))
+        n_before = landed.count()
+        land_batch(replay_src, last)
+        landed = spark.read.option("basePath", land) \
+            .parquet(os.path.join(land, "batch=*"))
+        assert landed.count() == n_before, "replayed epoch duplicated rows"
+
+        out = (normalize_event_ts(landed)
+               .groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.count_distinct("user_id").alias("n_users"),
+                    F.round(F.sum("value"), 4).alias("sum_value")))
+        pdf = out.toPandas()
+        result = spark.createDataFrame(pdf, out.schema)
+        return result, len(seen), land
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_streaming_exactly_once_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "sink", "exactly-once", "events"),
+)
+def q_streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch stream landed to per-epoch parquet directories with
+    idempotent overwrite, one epoch replayed to prove exactly-once,
+    then aggregated — must equal the batch aggregate over the source
+    exactly (nothing lost, nothing duplicated)."""
+    result, _, _ = run_exactly_once_file_sink(spark, sf_dir)
+    return result

@@ -214,6 +214,9 @@ _SKIP = {
     "q_streaming_psi_drift",  # micro-batch exec (materialized counter
                               # table; the batch finishing math is
                               # audited via q_psi_drift)
+    "q_streaming_exactly_once_sink",  # foreachBatch file landing +
+                                      # replay proof, micro-batch exec
+                                      # (materialized read-back agg)
     "q_dedup_clusters",  # returns the converged cached relation; the
                          # per-round join+agg plans (which do codegen)
                          # already executed inside the driver loop
