@@ -1583,3 +1583,151 @@ def q_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("dot")
                             / (F.sqrt(F.col("x.n2")) * F.sqrt(F.col("y.n2"))),
                             6).alias("cosine")))
+
+
+_FUNNEL_JACCARD = 0.6
+
+
+@register(
+    "q_dedup_funnel",
+    oracle=f"""
+    WITH RECURSIVE norm AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS nh
+        FROM documents),
+    s1 AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY nh),
+    t AS (
+        SELECT d.doc_id,
+               list_filter(regexp_split_to_array(d.text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents d JOIN s1 USING (doc_id)),
+    s AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM t, UNNEST(range(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 3),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    near AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE n_common / (x.n + y.n - n_common) >= {_FUNNEL_JACCARD}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM near
+        UNION SELECT doc_b, doc_a FROM near),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.doc_id),
+    lbl AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    c0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s1),
+    c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+           FROM lbl)
+    SELECT 'ingest' AS stage, c0.n AS n_in, c0.n AS n_out,
+           CAST(0 AS BIGINT) AS n_removed FROM c0
+    UNION ALL
+    SELECT 'normalize_exact', c0.n, c1.n, c0.n - c1.n FROM c0, c1
+    UNION ALL
+    SELECT 'near_dup_collapse', c1.n,
+           c1.n - (c2.n_nodes - c2.n_clusters),
+           c2.n_nodes - c2.n_clusters
+    FROM c1, c2
+    """,
+    tags=("dedup", "pipeline", "funnel", "e2e"),
+)
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline END-TO-END, reported as the per-stage
+    funnel a production corpus run alerts on: ingest → normalized
+    exact dedup (keep smallest doc per canonical hash) → near-dup
+    collapse (exact Jaccard >= 0.6 among survivors, connected
+    components, keep each cluster's representative). One row per
+    stage with (n_in, n_out, n_removed) — the composition proof that
+    the individually-oracled stages (q_dedup_normalized_exact,
+    q_dedup_ngram_jaccard, q_dedup_clusters) chain correctly.
+
+    Scale shape: stage 2 is one normalize+hash groupBy; stage 3's
+    pair join runs ONLY over stage-2 survivors (a leftsemi prune
+    before any shingle work) and at 100 TB takes the LSH candidate
+    prefilter exactly as q_dedup_clusters does; the CC loop is the
+    same min-label propagation with O(1-scalar) driver reads per
+    round. Funnel counts reach the driver as O(stages) integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.md5(F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+        " +", " ")))
+    n0 = docs.count()
+    s1 = (docs.select(norm.alias("nh"), "doc_id")
+          .groupBy("nh").agg(F.min("doc_id").alias("doc_id"))
+          .select("doc_id"))
+    survivors = docs.join(s1, "doc_id", "leftsemi").persist()
+    n1 = survivors.count()
+
+    withw = survivors.select("doc_id", tokens().alias("w")) \
+        .where(F.size("w") >= 3)
+    sh = (withw.select("doc_id",
+                       F.explode(shingles(F.col("w"))).alias("shingle"))
+          .distinct())
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    near = (pairs
+            .join(sz.select(F.col("doc_id").alias("doc_a"),
+                            F.col("n").alias("na")), "doc_a")
+            .join(sz.select(F.col("doc_id").alias("doc_b"),
+                            F.col("n").alias("nb")), "doc_b")
+            .where(F.col("n_common")
+                   / (F.col("na") + F.col("nb") - F.col("n_common"))
+                   >= _FUNNEL_JACCARD)
+            .select("doc_a", "doc_b"))
+    edges = (near.union(near.select(F.col("doc_b"), F.col("doc_a")))
+             .toDF("src", "dst").persist())
+    try:
+        labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+                  .withColumn("cluster_id", F.col("doc_id")))
+        prev = None
+        with _scoped_shuffle(spark):
+            for _ in range(20):
+                prop = (edges.join(labels, edges.src == labels.doc_id)
+                        .groupBy(F.col("dst").alias("doc_id"))
+                        .agg(F.min("cluster_id").alias("nbr_min")))
+                new = (labels.join(prop, "doc_id", "left")
+                       .select("doc_id",
+                               F.least("cluster_id",
+                                       F.coalesce("nbr_min", "cluster_id"))
+                               .alias("cluster_id"),
+                               (F.coalesce("nbr_min", "cluster_id")
+                                < F.col("cluster_id")).alias("chg"))
+                       .cache())
+                changed = new.where("chg").count()
+                if prev is not None:
+                    prev.unpersist()
+                prev, labels = new, new.drop("chg")
+                if changed == 0:
+                    break
+        row = labels.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.count_distinct("cluster_id").alias("n_clusters")).first()
+        collapsed = int(row.n_nodes) - int(row.n_clusters)
+    finally:
+        edges.unpersist()
+        survivors.unpersist()
+        if prev is not None:
+            prev.unpersist()
+    n2 = n1 - collapsed
+    return spark.createDataFrame(
+        [("ingest", n0, n0, 0),
+         ("normalize_exact", n0, n1, n0 - n1),
+         ("near_dup_collapse", n1, n2, collapsed)],
+        "stage string, n_in bigint, n_out bigint, n_removed bigint")

@@ -716,3 +716,66 @@ def q_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(1.0 - F.sum(F.col("n") * (F.col("n") - 1.0))
                          / (F.col("n_docs") * (F.col("n_docs") - 1.0)), 6)
                  .alias("simpson_d")))
+
+
+_TRIM_FRAC = 0.1   # drop the lowest and highest 10% before averaging
+
+
+@register(
+    "q_trimmed_mean_udaf",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           ROUND(AVG(CASE WHEN rn > CAST(floor(n * {_TRIM_FRAC}) AS BIGINT)
+                           AND rn <= n - CAST(floor(n * {_TRIM_FRAC}) AS BIGINT)
+                          THEN n_chars END), 6) AS trimmed_mean_chars
+    FROM r GROUP BY source
+    """,
+    tags=("stats", "udaf", "pandas-udf", "robust"),
+)
+def q_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 10%-trimmed mean of document length via a
+    GROUPED_AGG pandas UDAF — the one Arrow UDF surface the library
+    had not yet pinned (scalar pandas_udf: q_byte_entropy_vectorized;
+    grouped map: cogroup/applyInPandas; iterator: mapInPandas/
+    mapInArrow). A trimmed mean is a genuine UDAF case: it needs the
+    group's ORDER STATISTICS, which no single built-in aggregate
+    composes.
+
+    Trim boundaries land on ties arbitrarily but the averaged
+    multiset is tie-invariant (only identical VALUES straddle a
+    cut), so the result is deterministic and the SQL window oracle
+    states the same statistic exactly.
+
+    Scale note: a grouped-agg UDAF buffers ONE GROUP per Arrow
+    batch — fine for source-sized groups (bounded by corpus/source
+    count); for groups of unbounded size the two-pass distributed
+    rank (q_exact_median_twopass) is the right shape instead, and
+    the docstring contrast is the point of registering both.
+    """
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType given explicitly: the module uses postponed
+    # annotation evaluation, so type-hint inference can't see pd.Series
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        s = v.sort_values().to_numpy()
+        k = int(len(s) * _TRIM_FRAC)
+        return float(s[k:len(s) - k].mean())
+
+    docs = load_table(spark, sf_dir, "documents")
+    # GROUPED_AGG pandas UDFs cannot share an .agg with JVM
+    # aggregates — two group-bys on the same key, joined (both
+    # source-cardinality relations, the second broadcast)
+    tm = (docs.groupBy("source")
+          .agg(F.round(trimmed_mean("n_chars"), 6)
+               .alias("trimmed_mean_chars")))
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (tm.join(F.broadcast(n), "source")
+            .select("source", "n_docs", "trimmed_mean_chars"))

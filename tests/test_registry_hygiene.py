@@ -99,6 +99,13 @@ def test_round_close_artifacts_cover_registry():
     assert m and int(m.group(1)) == len(REGISTRY), \
         f"QUERIES.md total {m and m.group(1)} != registry {len(REGISTRY)}"
 
+    # the approximate-path quality artifact must exist and be green
+    with open(os.path.join(root, "RECALL_LOCAL.json")) as f:
+        recall = json.load(f)
+    assert recall.get("all_pass") is True, recall
+    for name in recall["entries"]:
+        assert name in REGISTRY, f"stale recall entry {name}"
+
 
 def test_no_unformatted_docstring_placeholders():
     """A '{name}' in a registered docstring means an f-string prefix
