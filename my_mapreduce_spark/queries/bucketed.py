@@ -600,7 +600,15 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned PartitionFilters and a partitionCount of 1.
     """
     path = partitioned_events(spark, sf_dir)
-    ev = spark.read.parquet(path)
+    # explicit schema: a zero-row source writes only _SUCCESS (no
+    # partition dirs), where schema inference has nothing to read —
+    # the layout schema is the source's minus the partition column,
+    # plus the derived day string, plus event_type back as the
+    # partition column
+    base = load_table(spark, sf_dir, "events") \
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd")) \
+        .drop("event_type").schema.add("event_type", "string")
+    ev = spark.read.schema(base).parquet(path)
     return (ev.where(F.col("event_type") == "purchase")
             .groupBy("day")
             .agg(F.count(F.lit(1)).alias("n_events"),

@@ -2132,3 +2132,41 @@ def q_ht_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   - F.col("exact_chars"))
                             * 1.0 / F.col("exact_chars"), 6)
                     .alias("rel_err_chars")))
+
+
+_PARAM_MIN_QTY = 45
+_PARAM_STATUS = "F"
+
+_PARAM_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+WHERE l_quantity >= :min_qty AND l_linestatus = :status
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "q_parameterized_sql",
+    oracle=_PARAM_SQL.replace(":min_qty", str(_PARAM_MIN_QTY))
+                     .replace(":status", f"'{_PARAM_STATUS}'"),
+    tags=("sql-surface", "parameterized", "relational"),
+)
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (`spark.sql(text, args={...})`) — the
+    injection-safe templating surface (Spark 3.4+): the query text
+    carries `:min_qty` / `:status` markers and the VALUES travel as
+    literals through the parser, never via string concatenation.
+    The oracle is the same text with the parameters inlined, so the
+    binding itself is what the equality proves.
+
+    Plan-wise the bound literals behave exactly like inline ones:
+    both predicates reach the parquet scan as PushedFilters, and at
+    100 TB parameter binding additionally enables plan-cache reuse
+    across invocations that differ only in parameter values.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PARAM_SQL,
+                     args={"min_qty": _PARAM_MIN_QTY,
+                           "status": _PARAM_STATUS})

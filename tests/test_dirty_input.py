@@ -57,6 +57,11 @@ SPREAD = [
     "q_decay_weighted_engagement", "q_mutual_best_match",
     "q_rrf_fusion", "q_vocab_coverage_curve",
     "q_theil_sen_slope", "q_seasonal_anomaly", "q_multimodal_phash",
+    # round-5 batch: NULL/empty text through the tokenizing paths
+    # (sparse cosine, arrow token stats, funnel normalization) and
+    # the md5-rank sampler on NULL keys
+    "q_dedup_funnel", "q_sparse_cosine_pairs", "q_token_stats_arrow",
+    "q_group_sample_exact_k", "q_trimmed_mean_udaf",
 ]
 
 

@@ -98,6 +98,15 @@ SPREAD = [
     # causal/uncertainty batch: arm self-join and order-statistic
     # windows on zero rows
     "q_diff_in_diff", "q_conformal_interval",
+    # round-5 batch: the funnel's CC loop + O(stages) summary rows,
+    # the sparse-cosine idf scalar, the cogroup merge on empty
+    # groups, the empty partitioned layout (schema given explicitly),
+    # the empty-stream foreachBatch landing, the UDAF on empty groups
+    "q_dedup_funnel", "q_sparse_cosine_pairs", "q_asof_cogroup",
+    "q_group_sample_exact_k", "q_trimmed_mean_udaf",
+    "q_token_stats_arrow", "q_lateral_topn",
+    "q_partitioned_write_prune", "q_streaming_exactly_once_sink",
+    "q_parameterized_sql", "q_try_arithmetic",
 ]
 
 
@@ -125,6 +134,7 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
         "q_rendezvous_sharding",
         "q_spearman_corr", "q_cohens_kappa", "q_gini_concentration",
         "q_permutation_test", "q_srm_check", "q_graph_assortativity",
-        "q_ht_estimator")
+        "q_ht_estimator",
+        "q_dedup_funnel")  # 3 all-zero funnel-stage rows
     assert df.schema.fields, "schema must survive the empty path"
     spark.catalog.clearCache()

@@ -106,6 +106,17 @@ def test_round_close_artifacts_cover_registry():
     for name in recall["entries"]:
         assert name in REGISTRY, f"stale recall entry {name}"
 
+    # the plan-audit artifact must cover the registry with no smells
+    # (skipped micro-batch/iterative entries carry clean=None)
+    with open(os.path.join(root, "AUDIT_LOCAL.json")) as f:
+        aud = json.load(f)
+    missing_a = sorted(set(REGISTRY) - set(aud))
+    extra_a = sorted(set(aud) - set(REGISTRY))
+    smelly = sorted(k for k, v in aud.items() if v["clean"] is False)
+    assert not missing_a, f"queries with no audit record: {missing_a}"
+    assert not extra_a, f"stale audit records: {extra_a}"
+    assert not smelly, f"plan smells recorded: {smelly}"
+
 
 def test_no_unformatted_docstring_placeholders():
     """A '{name}' in a registered docstring means an f-string prefix

@@ -459,6 +459,10 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("names", nargs="*")
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--out", default=None, metavar="JSON",
+                    help="write per-query audit records (merge-updates "
+                         "an existing file when auditing a subset, the "
+                         "check_correctness --out contract)")
     args = ap.parse_args()
     _ensure_loaded()
     spark = get_spark("explain-audit")
@@ -471,6 +475,7 @@ def main() -> int:
     names = args.names or [n for n in REGISTRY if n not in _SKIP]
     widths = _table_widths(args.sf)
     bad = 0
+    record: dict[str, dict] = {}
     for name in names:
         if name in _SKIP:
             continue
@@ -492,8 +497,31 @@ def main() -> int:
         print(f"  {name}: {tag} (pushed_scans={pushed} bcast_joins={bcast})")
         if args.verbose and smells:
             print(plan)
+        record[name] = {"clean": not smells, "smells": smells,
+                        "pushed_scans": pushed, "bcast_joins": bcast,
+                        "codegen_subtrees": int(m.group(1)) if m else 0}
         bad += bool(smells)
     print(f"{len(names) - bad}/{len(names)} clean")
+    if args.out:
+        import json
+        if args.names and os.path.exists(args.out):
+            with open(args.out) as f:
+                merged = json.load(f)
+            merged.update(record)
+            record = {k: v for k, v in merged.items()
+                      if k in REGISTRY and k not in _SKIP}
+        # _SKIP queries carry their skip reason so the artifact still
+        # covers the whole registry line for line
+        for name in REGISTRY:
+            if name in _SKIP:
+                record[name] = {"clean": None,
+                                "smells": ["skipped: micro-batch/iterative "
+                                           "exec, see _SKIP comment"],
+                                "pushed_scans": None, "bcast_joins": None,
+                                "codegen_subtrees": None}
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        print(f"wrote {args.out} ({len(record)} entries)")
     return 1 if bad else 0
 
 

@@ -6,10 +6,11 @@ artifact because the sweep wasn't re-run after late commits).
 Runs, in order:
   1. tools/query_inventory.py      -> QUERIES.md
   2. tools/check_correctness.py    -> CORRECTNESS_LOCAL.json (ALL queries, sf0.01)
-  3. tools/recall_report.py        -> RECALL_LOCAL.json      (sf0.001)
-  4. bench.py                      -> BENCH_LOCAL.json        (sf0.1)
+  3. tools/explain_audit.py        -> AUDIT_LOCAL.json       (plan quality)
+  4. tools/recall_report.py        -> RECALL_LOCAL.json      (sf0.001)
+  5. bench.py                      -> BENCH_LOCAL.json        (sf0.1)
 
-Exit code 0 iff all four succeed AND the artifact counts match the
+Exit code 0 iff all five succeed AND the artifact counts match the
 registry (the same invariant tests/test_registry_hygiene.py asserts).
 Run this as the LAST commit of every round:
 
@@ -38,6 +39,8 @@ def main() -> int:
     _run("inventory", ["tools/query_inventory.py"])
     _run("correctness sweep", ["tools/check_correctness.py",
                                "--out", "CORRECTNESS_LOCAL.json"])
+    _run("plan audit", ["tools/explain_audit.py",
+                        "--out", "AUDIT_LOCAL.json"])
     _run("recall report", ["tools/recall_report.py"])
     _run("bench", ["bench.py"])
 
@@ -49,10 +52,13 @@ def main() -> int:
         corr = json.load(f)
     with open(os.path.join(ROOT, "BENCH_LOCAL.json")) as f:
         bench = json.load(f)
+    with open(os.path.join(ROOT, "AUDIT_LOCAL.json")) as f:
+        aud = json.load(f)
     n = len(REGISTRY)
-    ok = (len(corr) == n and bench.get("n_queries") == n)
+    ok = (len(corr) == n and bench.get("n_queries") == n and len(aud) == n)
     print(json.dumps({"registry": n, "correctness_entries": len(corr),
                       "bench_entries": bench.get("n_queries"),
+                      "audit_entries": len(aud),
                       "counts_match": ok}))
     return 0 if ok else 1
 
