@@ -329,3 +329,58 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "ELSE l_returnflag END AS DOUBLE)").isNull(),
                               1).otherwise(0))
                  .cast("bigint").alias("n_uncastable")))
+
+
+_MAP_MIN_EVENTS = 3
+
+
+@register(
+    "q_map_hof",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    t AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS total FROM c GROUP BY 1)
+    SELECT c.user_id, c.event_type, c.n,
+           ROUND(c.n * 1.0 / t.total, 6) AS share
+    FROM c JOIN t USING (user_id)
+    WHERE c.n >= {_MAP_MIN_EVENTS}
+    """,
+    tags=("scalar", "map-type", "higher-order-functions", "events"),
+)
+def q_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed higher-order functions — the HOF family the library
+    had not yet pinned (array HOFs: q_array_hof; lambda transforms:
+    dedup/shingles): per user, an event_type→count MAP is built with
+    ``map_from_entries``, pruned with ``map_filter`` (types with
+    fewer than {k} events drop INSIDE the map, no explode-refilter
+    round trip), share-of-total computed with ``transform_values``
+    against ``aggregate`` over ``map_values``, then exploded back to
+    rows so the relational oracle can state the same result.
+
+    All four map ops run inside whole-stage codegen on the already-
+    aggregated (user × type) relation — one shuffle total, identical
+    to the plain relational plan, which is the point: the map API is
+    expressiveness (nested per-key state in ONE column), not a new
+    execution cost.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = (ev.groupBy("user_id", "event_type")
+                .agg(F.count(F.lit(1)).alias("n")))
+    m = (per_type.groupBy("user_id")
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct("event_type", "n"))).alias("m")))
+    total = F.aggregate(F.map_values("m"), F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x)
+    kept = F.map_filter("m", lambda k, v: v >= _MAP_MIN_EVENTS)
+    shares = F.transform_values(
+        kept, lambda k, v: F.round(v * 1.0 / F.col("total"), 6))
+    return (m.withColumn("total", total)
+            .withColumn("kept", kept)
+            .withColumn("shares", shares)
+            .select("user_id",
+                    F.explode("kept").alias("event_type", "n"),
+                    "shares")
+            .select("user_id", "event_type", "n",
+                    F.element_at("shares", F.col("event_type"))
+                    .alias("share")))
