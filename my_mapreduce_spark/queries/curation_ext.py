@@ -367,3 +367,51 @@ def q_mixture_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.least(F.col("chars"),
                                 F.col("b") - F.col("cum_before")),
                         F.lit(0)).cast("bigint").alias("alloc_chars")))
+
+
+@register(
+    "q_interleave_sources",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS within_rank
+        FROM documents)
+    SELECT doc_id, source, within_rank,
+           ROW_NUMBER() OVER (ORDER BY within_rank, source,
+                              doc_id) AS global_pos
+    FROM r
+    """,
+    tags=("curation", "training-order", "interleave", "sampling"),
+)
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAINING-ORDER construction: shuffle each source
+    internally (md5 rank — a fixed random permutation, reproducible
+    across engines and cluster sizes), then interleave sources
+    round-robin (order by (within_rank, source)) and assign the
+    global position every data loader shards on. Round-robin
+    interleave is how a mixture actually reaches the model evenly —
+    sampling rates (q_dataset_mixture) decide HOW MUCH of each
+    source, this decides WHEN, so no epoch window is ever
+    single-source.
+
+    The within-source shuffle is one rank window per source
+    partition; the GLOBAL position uses the two-pass distributed
+    row number (range-repartition + per-partition rank + broadcast
+    prefix offsets — functions/ranking.py), never a data-sized
+    single-partition window. The oracle states the same order with
+    plain ROW_NUMBERs; (within_rank, source, doc_id) is a total
+    order, so both engines agree bit-for-bit.
+    """
+    from my_mapreduce_spark.functions.ranking import distributed_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    r = (docs.select("doc_id", "source")
+         .withColumn("within_rank", F.row_number().over(w)))
+    return distributed_row_number(
+        r, [F.col("within_rank"), F.col("source"), F.col("doc_id")],
+        out="global_pos")

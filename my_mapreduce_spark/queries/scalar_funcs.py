@@ -353,8 +353,8 @@ def q_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     had not yet pinned (array HOFs: q_array_hof; lambda transforms:
     dedup/shingles): per user, an event_type→count MAP is built with
     ``map_from_entries``, pruned with ``map_filter`` (types with
-    fewer than {k} events drop INSIDE the map, no explode-refilter
-    round trip), share-of-total computed with ``transform_values``
+    fewer than _MAP_MIN_EVENTS=3 events drop INSIDE the map, no
+    explode-refilter round trip), shares via ``transform_values``
     against ``aggregate`` over ``map_values``, then exploded back to
     rows so the relational oracle can state the same result.
 

@@ -277,6 +277,9 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
                        "per-partition counts, conf-bounded",
     "q_gini_concentration": "distributed_row_number: window over "
                             "per-partition counts, conf-bounded",
+    "q_interleave_sources": "distributed_row_number: global_pos window "
+                            "over per-partition counts, conf-bounded "
+                            "(the within-source window is partitioned)",
     "q_shard_pack_cumsum": "distributed_prefix_sum: window over "
                            "per-partition TOTALS, conf-bounded",
     "q_vocab_coverage_curve": "both rank and cumsum ride the two-pass "
