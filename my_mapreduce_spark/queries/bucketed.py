@@ -329,16 +329,18 @@ _SNAP_ROOT = os.path.join(tempfile.gettempdir(), "mmr_snapshots")
     WITH v1 AS (
         SELECT 1 AS version,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               ROUND(SUM(o_totalprice), 4) AS sum_totalprice
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+                   AS sum_totalprice
         FROM orders),
     v2 AS (
         SELECT 2 AS version,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
-               ROUND(SUM(CASE WHEN o_orderkey % {_SNAP_BUCKETS}
+               SUM(CASE WHEN o_orderkey % {_SNAP_BUCKETS}
                                    = {_SNAP_HOT}
                               AND o_orderkey % 2 = 1
-                              THEN o_totalprice * 2
-                              ELSE o_totalprice END), 4)
+                              THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2
+                              ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                   END) / 100.0
                    AS sum_totalprice
         FROM orders)
     SELECT * FROM v1 UNION ALL SELECT * FROM v2
@@ -392,11 +394,14 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.commit_rewrite(updated, 2, 1, "o_bucket", [_SNAP_HOT])
     outs = []
     for v in (1, 2):
+        # exact bigint cents (o_totalprice is 2-decimal by contract):
+        # the float SUM's last-ulp landed on a ROUND boundary at sf0.1
         outs.append(
             store.read(spark, v).agg(
                 F.lit(v).alias("version"),
                 F.count(F.lit(1)).alias("n_rows"),
-                F.round(F.sum("o_totalprice"), 4)
+                (F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("bigint")) / 100.0)
                 .alias("sum_totalprice")))
     return outs[0].unionByName(outs[1])
 

@@ -19,27 +19,45 @@ from my_mapreduce_spark.registry import register
 @register(
     "q_window_distribution",
     oracle="""
-    SELECT c_custkey, c_nationkey,
-           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w, 6) AS cume
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    WITH r AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey))
+    SELECT c_custkey, c_nationkey, quartile,
+           CASE WHEN n = 1 THEN 0.0
+                ELSE ((2 * (rn - 1) * 1000000 + (n - 1))
+                      // (2 * (n - 1))) / 1e6 END AS pct_rank,
+           ((2 * rn * 1000000 + n) // (2 * n)) / 1e6 AS cume
+    FROM r
     """,
     tags=("window", "distribution"),
 )
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/percent_rank/cume_dist over account balance per nation.
-    The order key includes c_custkey so ntile's positional split is
-    deterministic across engines."""
+    The order key includes c_custkey so the order is TOTAL — which
+    both makes ntile's positional split deterministic and collapses
+    percent_rank/cume_dist to exact integer rationals (rank-1)/(n-1)
+    and rn/n, rounded half-up at 6 dp in bigint arithmetic. The
+    built-in float forms hit true decimal ties (e.g. 41/640 =
+    .0640625) where Spark's BigDecimal half-up and DuckDB's
+    multiply-round disagree — the sf0.1 sweep caught exactly that."""
     cu = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return cu.select(
+    part = Window.partitionBy("c_nationkey")
+    r = cu.select(
         "c_custkey", "c_nationkey",
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-    )
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(part).cast("bigint").alias("n"))
+    return r.select(
+        "c_custkey", "c_nationkey", "quartile",
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise(F.expr("(2 * (rn - 1) * 1000000 + (n - 1)) "
+                          "DIV (2 * (n - 1))") / 1e6).alias("pct_rank"),
+        (F.expr("(2 * rn * 1000000 + n) DIV (2 * n)") / 1e6).alias("cume"))
 
 
 @register(

@@ -142,29 +142,40 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_events_hourly",
     oracle="""
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
-           event_type,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value,
-           ROUND(AVG(value), 4) AS avg_value
-    FROM events
-    GROUP BY 1, 2
+    WITH c AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc
+        FROM events GROUP BY 1, 2)
+    SELECT hour, event_type, n AS n_events,
+           sc / 100.0 AS sum_value,
+           ((2 * sc * 100 + n) // (2 * n)) / 10000.0 AS avg_value
+    FROM c
     """,
     tags=("scalar", "date", "events", "window-agg"),
 )
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling rollup of the event stream in batch form —
     the batch twin of the Structured Streaming job in
-    streaming/jobs.py (same grouping, same aggregates)."""
+    streaming/jobs.py (same grouping, same aggregates).
+
+    Exact-integer arithmetic: ``value`` is 2-decimal by contract, so
+    sums accumulate as bigint CENTS (order-independent, engine-
+    independent) and the 4-dp average is integer half-up rounding —
+    the float-summation-order seam the sf0.1 sweep exposed in the
+    naive ROUND(SUM(double)) form is closed by construction."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    c = (ev.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
             "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("sum_value"),
-             F.round(F.avg("value"), 4).alias("avg_value"))
-    )
+         .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sc")))
+    return c.select(
+        "hour", "event_type", F.col("n").alias("n_events"),
+        (F.col("sc") / 100.0).alias("sum_value"),
+        (F.expr("(2 * sc * 100 + n) DIV (2 * n)") / 10000.0)
+        .alias("avg_value"))
 
 
 @register(

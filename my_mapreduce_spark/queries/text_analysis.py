@@ -117,19 +117,22 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_filter(regexp_split_to_array(text, '[^a-z0-9]+'), x -> x <> '') AS w
         FROM documents),
     m AS (
-        SELECT doc_id, lang, n_chars,
+        SELECT doc_id, lang,
+               LEAST(n_chars, 400) AS nc,
                len(w) AS n_words,
                len(list_filter(w, x -> list_contains(
                    ['the','a','of','to','and','in','is'], x))) AS n_stop,
                len(list_distinct(w)) AS n_distinct
         FROM t)
     SELECT doc_id, lang,
-           ROUND(n_stop * 1.0 / n_words, 6)           AS stopword_ratio,
-           ROUND(1.0 - n_distinct * 1.0 / n_words, 6) AS repetition_ratio,
-           ROUND(LEAST(n_chars / 400.0, 1.0), 6)      AS length_score,
-           ROUND(0.4 * LEAST(n_chars / 400.0, 1.0)
-               + 0.3 * (n_stop * 1.0 / n_words)
-               + 0.3 * (n_distinct * 1.0 / n_words), 6) AS quality
+           ((2 * n_stop * 1000000 + n_words)
+            // (2 * n_words)) / 1e6                    AS stopword_ratio,
+           ((2 * (n_words - n_distinct) * 1000000 + n_words)
+            // (2 * n_words)) / 1e6                    AS repetition_ratio,
+           ((2 * nc * 1000000 + 400) // 800) / 1e6     AS length_score,
+           ((2 * (4 * nc * n_words + 1200 * (n_stop + n_distinct))
+               * 1000000 + 4000 * n_words)
+            // (2 * 4000 * n_words)) / 1e6             AS quality
     FROM m
     """,
     tags=("text", "quality"),
@@ -137,22 +140,38 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality scoring: stopword ratio (natural-
     language-ness), repetition, length saturation, and a weighted
-    composite — the classic pre-training filter features."""
+    composite — the classic pre-training filter features.
+
+    Every output is an exact integer RATIONAL rounded half-up at 6 dp
+    in bigint arithmetic ((2*p*10^6 + q) DIV (2*q) / 1e6): the naive
+    float composite (0.4*a + 0.3*b + 0.3*c, then ROUND) landed on
+    opposite sides of the 6-dp boundary between engines at sf0.1 —
+    the associativity/FMA seam. The composite folds to the single
+    rational (4*nc*nw + 1200*(ns+nd)) / (4000*nw) with nc clamped at
+    400, so there is no float anywhere before the final /1e6."""
     docs = load_table(spark, sf_dir, "documents")
     w = _tokens()
     stops = F.array(*[F.lit(s) for s in _STOPWORDS["en"]])
-    n_words = F.size(w)
-    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
-    n_distinct = F.size(F.array_distinct(w))
-    length_score = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
-    return docs.select(
+    m = docs.select(
         "doc_id", "lang",
-        F.round(n_stop / n_words, 6).alias("stopword_ratio"),
-        F.round(1.0 - n_distinct / n_words, 6).alias("repetition_ratio"),
-        F.round(length_score, 6).alias("length_score"),
-        F.round(0.4 * length_score + 0.3 * (n_stop / n_words)
-                + 0.3 * (n_distinct / n_words), 6).alias("quality"),
-    )
+        F.least(F.col("n_chars"), F.lit(400)).alias("nc"),
+        F.size(w).alias("nw"),
+        F.size(F.filter(w, lambda x: F.array_contains(stops, x))).alias("ns"),
+        F.size(F.array_distinct(w)).alias("nd"))
+    # all numerators are >= 0, so bigint DIV is exact half-up
+    m = m.withColumn("qual_p",
+                     4 * F.col("nc") * F.col("nw")
+                     + 1200 * (F.col("ns") + F.col("nd")))
+    return m.select(
+        "doc_id", "lang",
+        (F.expr("(2 * ns * 1000000 + nw) DIV (2 * nw)") / 1e6)
+        .alias("stopword_ratio"),
+        (F.expr("(2 * (nw - nd) * 1000000 + nw) DIV (2 * nw)") / 1e6)
+        .alias("repetition_ratio"),
+        (F.expr("(2 * nc * 1000000 + 400) DIV 800") / 1e6)
+        .alias("length_score"),
+        (F.expr("(2 * qual_p * 1000000 + 4000 * nw) DIV (2 * 4000 * nw)")
+         / 1e6).alias("quality"))
 
 
 @register(

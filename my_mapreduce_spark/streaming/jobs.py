@@ -105,27 +105,34 @@ def run_hourly_stream(spark: SparkSession, sf_dir: str,
     q_events_hourly exactly.
     """
     stream = _event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    cents = F.round(F.col("value") * 100).cast("bigint")
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("sum_value"),
-             F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sc"))
         .select(F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour"),
-                "event_type", "n_events", "sum_value", "avg_value")
+                "event_type", F.col("n").alias("n_events"),
+                (F.col("sc") / 100.0).alias("sum_value"),
+                (F.expr("(2 * sc * 100 + n) DIV (2 * n)") / 10000.0)
+                .alias("avg_value"))
     )
+    # exact bigint cents + integer half-up 4-dp average: identical to
+    # the batch twin q_events_hourly, immune to float summation order
     return _run_to_memory(spark, agg, "hourly", "complete")
 
 
 @register(
     "q_streaming_hourly",
     oracle="""
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
-           event_type,
-           COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value,
-           ROUND(AVG(value), 4) AS avg_value
-    FROM events
-    GROUP BY 1, 2
+    WITH c AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sc
+        FROM events GROUP BY 1, 2)
+    SELECT hour, event_type, n AS n_events,
+           sc / 100.0 AS sum_value,
+           ((2 * sc * 100 + n) // (2 * n)) / 10000.0 AS avg_value
+    FROM c
     """,
     tags=("streaming", "events", "window"),
 )

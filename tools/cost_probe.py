@@ -1,0 +1,134 @@
+"""Byte-accounting probe: per query, how many bytes are SCANNED and
+how many are SHUFFLED — the two quantities that actually price a
+100 TB run (wall-clock on toy data measures constants; bytes measure
+the plan). Shuffle amplification (shuffle-write bytes per input byte)
+is the headline: a plan that shuffles 3x what it reads hits the
+network wall at scale no matter how fast it looks at sf0.1.
+
+Method: each query runs in its own Spark job group; the per-stage
+input/output/shuffle byte totals come from the Spark UI's REST API
+(/api/v1/applications/<app>/{jobs,stages}), joined job-group -> jobs
+-> stages. Writes COST_LOCAL.json and prints a markdown table.
+
+Usage:
+    python tools/cost_probe.py [--sf DIR] [--top N | name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from my_mapreduce_spark.caching import release_caches  # noqa: E402
+from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
+from my_mapreduce_spark.session import get_spark  # noqa: E402
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--top", type=int, default=0,
+                    help="probe the N slowest queries per BENCH_LOCAL.json")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    _ensure_loaded()
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if args.names:
+        names = args.names
+    elif args.top:
+        with open(os.path.join(root, "BENCH_LOCAL.json")) as f:
+            bench = json.load(f)["queries"]
+        names = [n for n, _ in sorted(bench.items(), key=lambda kv: -kv[1])
+                 if n in REGISTRY][: args.top]
+    else:
+        names = ["q1_pricing_summary", "q3_shipping_priority",
+                 "q_dedup_minhash_lsh_prod", "q_pagerank",
+                 "q_sparse_cosine_pairs", "q_itemsets_apriori"]
+
+    spark = get_spark("cost-probe", extra_confs={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    base = f"{ui}/api/v1/applications/{app_id}"
+
+    # warm-up so parquet footer/JIT bytes don't pollute the first query
+    spark.sparkContext.setJobGroup("warmup", "warmup")
+    REGISTRY["q1_pricing_summary"].fn(spark, args.sf).count()
+    release_caches(spark)
+
+    for name in names:
+        spark.sparkContext.setJobGroup(name, name)
+        try:
+            REGISTRY[name].fn(spark, args.sf).count()
+        except Exception as exc:
+            print(f"cost_probe: {name} FAILED: {exc}", file=sys.stderr)
+        finally:
+            release_caches(spark)
+            spark.sparkContext.setJobGroup("idle", "idle")
+
+    jobs = _get(f"{base}/jobs?status=succeeded")
+    stages = {s["stageId"]: s for s in _get(f"{base}/stages?status=COMPLETE")}
+    per_query: dict[str, dict] = {}
+    seen_stages: dict[str, set] = {}
+    for job in jobs:
+        group = job.get("jobGroup")
+        if group not in names:
+            continue
+        agg = per_query.setdefault(group, {
+            "input_bytes": 0, "output_bytes": 0,
+            "shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
+            "n_stages": 0, "n_tasks": 0})
+        seen = seen_stages.setdefault(group, set())
+        for sid in job.get("stageIds", []):
+            # AQE reuses stages across jobs in one query; count once
+            if sid in seen or sid not in stages:
+                continue
+            seen.add(sid)
+            s = stages[sid]
+            agg["input_bytes"] += s.get("inputBytes", 0)
+            agg["output_bytes"] += s.get("outputBytes", 0)
+            agg["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+            agg["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+            agg["n_stages"] += 1
+            agg["n_tasks"] += s.get("numCompleteTasks", 0)
+    for name, a in per_query.items():
+        a["shuffle_amplification"] = round(
+            a["shuffle_write_bytes"] / a["input_bytes"], 3) \
+            if a["input_bytes"] else None
+
+    out_path = os.path.join(root, "COST_LOCAL.json")
+    with open(out_path, "w") as f:
+        json.dump({"sf": args.sf, "queries": per_query}, f,
+                  indent=1, sort_keys=True)
+        f.write("\n")
+
+    def mb(b):
+        return f"{b / 1e6:.1f}MB"
+
+    print("| query | input | shuffle write | shuffle/input | stages | tasks |")
+    print("|---|---|---|---|---|---|")
+    for name in names:
+        a = per_query.get(name)
+        if not a:
+            continue
+        print(f"| {name} | {mb(a['input_bytes'])} | "
+              f"{mb(a['shuffle_write_bytes'])} | "
+              f"{a['shuffle_amplification']} | {a['n_stages']} | "
+              f"{a['n_tasks']} |")
+    print(f"wrote {out_path} ({len(per_query)} entries)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,8 +9,9 @@ Runs, in order:
   3. tools/explain_audit.py        -> AUDIT_LOCAL.json       (plan quality)
   4. tools/recall_report.py        -> RECALL_LOCAL.json      (sf0.001)
   5. bench.py                      -> BENCH_LOCAL.json        (sf0.1)
+  6. tools/cost_probe.py --top 10  -> COST_LOCAL.json         (byte accounting)
 
-Exit code 0 iff all five succeed AND the artifact counts match the
+Exit code 0 iff all six succeed AND the artifact counts match the
 registry (the same invariant tests/test_registry_hygiene.py asserts).
 Run this as the LAST commit of every round:
 
@@ -43,6 +44,7 @@ def main() -> int:
                         "--out", "AUDIT_LOCAL.json"])
     _run("recall report", ["tools/recall_report.py"])
     _run("bench", ["bench.py"])
+    _run("cost probe (top-10)", ["tools/cost_probe.py", "--top", "10"])
 
     # verify the invariant the hygiene pytest also checks
     sys.path.insert(0, ROOT)
