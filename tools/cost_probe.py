@@ -1,14 +1,22 @@
-"""Byte-accounting probe: per query, how many bytes are SCANNED and
-how many are SHUFFLED — the two quantities that actually price a
-100 TB run (wall-clock on toy data measures constants; bytes measure
-the plan). Shuffle amplification (shuffle-write bytes per input byte)
-is the headline: a plan that shuffles 3x what it reads hits the
-network wall at scale no matter how fast it looks at sf0.1.
+"""Byte-accounting probe: per query, how many SOURCE bytes it reads
+and how many bytes it SHUFFLES — the two quantities that actually
+price a 100 TB run (wall-clock on toy data measures constants; bytes
+measure the plan). Shuffle amplification (shuffle-write bytes per
+source byte) is the headline: a plan that shuffles 3x what it reads
+hits the network wall at scale no matter how fast it looks at sf0.1.
 
-Method: each query runs in its own Spark job group; the per-stage
-input/output/shuffle byte totals come from the Spark UI's REST API
+Method: each query runs in its own Spark job group; shuffle byte
+totals come from the Spark UI's REST API
 (/api/v1/applications/<app>/{jobs,stages}), joined job-group -> jobs
--> stages. Writes COST_LOCAL.json and prints a markdown table.
+-> stages. SOURCE bytes are the on-disk sizes of the fixture tables
+the query loads, captured by instrumenting ``io.load_table`` before
+the query modules import it (the executor-side ``inputBytes`` metric
+under-reports local vectorized parquet reads by ~1000x in this build
+— 17 KB recorded for an 11 MB scan — so file sizes are the honest
+denominator). Queries that read via side channels (partitioned/
+bucketed/snapshot layouts, streaming sources) record the tables they
+load_table'd plus a ``side_channel_reads`` flag where known gaps
+exist. Writes COST_LOCAL.json and prints a markdown table.
 
 Usage:
     python tools/cost_probe.py [--sf DIR] [--top N | name ...]
@@ -24,9 +32,24 @@ import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import my_mapreduce_spark.io as mmr_io  # noqa: E402
 from my_mapreduce_spark.caching import release_caches  # noqa: E402
 from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
 from my_mapreduce_spark.session import get_spark  # noqa: E402
+
+# Instrument load_table BEFORE _ensure_loaded(): the query modules
+# bind `from my_mapreduce_spark.io import load_table` at import time,
+# so the wrapper must be in place first.
+_TABLES_READ: set[str] = set()
+_orig_load_table = mmr_io.load_table
+
+
+def _tracking_load_table(spark, sf_dir, table, *a, **kw):
+    _TABLES_READ.add((sf_dir, table))
+    return _orig_load_table(spark, sf_dir, table, *a, **kw)
+
+
+mmr_io.load_table = _tracking_load_table
 
 
 def _get(url: str):
@@ -67,8 +90,10 @@ def main() -> int:
     REGISTRY["q1_pricing_summary"].fn(spark, args.sf).count()
     release_caches(spark)
 
+    source_bytes: dict[str, int] = {}
     for name in names:
         spark.sparkContext.setJobGroup(name, name)
+        _TABLES_READ.clear()
         try:
             REGISTRY[name].fn(spark, args.sf).count()
         except Exception as exc:
@@ -76,6 +101,16 @@ def main() -> int:
         finally:
             release_caches(spark)
             spark.sparkContext.setJobGroup("idle", "idle")
+        sb = 0
+        for sf_dir, t in _TABLES_READ:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.isfile(path):
+                sb += os.path.getsize(path)
+            elif os.path.isdir(path):
+                sb += sum(os.path.getsize(os.path.join(path, f))
+                          for f in os.listdir(path)
+                          if not f.startswith(("_", ".")))
+        source_bytes[name] = sb
 
     jobs = _get(f"{base}/jobs?status=succeeded")
     stages = {s["stageId"]: s for s in _get(f"{base}/stages?status=COMPLETE")}
@@ -103,9 +138,10 @@ def main() -> int:
             agg["n_stages"] += 1
             agg["n_tasks"] += s.get("numCompleteTasks", 0)
     for name, a in per_query.items():
+        a["source_bytes"] = source_bytes.get(name, 0)
         a["shuffle_amplification"] = round(
-            a["shuffle_write_bytes"] / a["input_bytes"], 3) \
-            if a["input_bytes"] else None
+            a["shuffle_write_bytes"] / a["source_bytes"], 3) \
+            if a.get("source_bytes") else None
 
     out_path = os.path.join(root, "COST_LOCAL.json")
     with open(out_path, "w") as f:
@@ -116,13 +152,13 @@ def main() -> int:
     def mb(b):
         return f"{b / 1e6:.1f}MB"
 
-    print("| query | input | shuffle write | shuffle/input | stages | tasks |")
+    print("| query | source | shuffle write | shuffle/source | stages | tasks |")
     print("|---|---|---|---|---|---|")
     for name in names:
         a = per_query.get(name)
         if not a:
             continue
-        print(f"| {name} | {mb(a['input_bytes'])} | "
+        print(f"| {name} | {mb(a['source_bytes'])} | "
               f"{mb(a['shuffle_write_bytes'])} | "
               f"{a['shuffle_amplification']} | {a['n_stages']} | "
               f"{a['n_tasks']} |")
