@@ -618,3 +618,62 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("day")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+_CSV_ROOT = os.path.join(tempfile.gettempdir(), "mmr_csv")
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           MIN(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS first_ts,
+           MAX(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+    tags=("sink", "source", "csv", "text-format", "events"),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV SINK + SOURCE round trip with the classic traps armed:
+    events (timestamps with microsecond precision, doubles, strings
+    with JSON braces/quotes in ``props``) are written as headered
+    CSV and read back with an EXPLICIT schema and timestampFormat —
+    then aggregated; equality against the oracle over the ORIGINAL
+    parquet proves no row, microsecond, quote, or decimal digit was
+    lost in the text round trip.
+
+    The traps, each pinned by the equality: microsecond timestamps
+    (default CSV format truncates to seconds — an explicit
+    timestampFormat with .SSSSSS carries them), quoted JSON values
+    (embedded quotes escape correctly), and value→cents integer
+    accumulation so the comparison is float-seam-free. Scale shape:
+    CSV write/read are full distributed passes (one file per
+    partition); the aggregate is the usual map-side partial. CSV is
+    ~3x parquet bytes and column-prune-blind — the docstring IS the
+    argument for parquet landing; this query pins that the text
+    interchange path is nevertheless lossless when schemas are
+    explicit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_CSV_ROOT, f"events_{tag}")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (ev.select("event_id", "ts", "user_id", "event_type", "value",
+                   "props")
+         .write.mode("overwrite").option("header", True)
+         .option("timestampFormat", fmt).csv(path))
+    back = (spark.read.schema("event_id long, ts timestamp, user_id long, "
+                              "event_type string, value double, "
+                              "props string")
+            .option("header", True).option("timestampFormat", fmt)
+            .csv(path))
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("sum_cents"),
+                 F.date_format(F.min("ts"), fmt).alias("first_ts"),
+                 F.date_format(F.max("ts"), fmt).alias("last_ts")))

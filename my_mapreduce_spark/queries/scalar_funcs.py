@@ -395,3 +395,46 @@ def q_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "event_type", "n",
                     F.element_at("shares", F.col("event_type"))
                     .alias("share")))
+
+
+@register(
+    "q_decimal_exact_money",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))) AS VARCHAR)
+               AS sum_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * CAST(l_discount AS DECIMAL(18, 2))) AS VARCHAR)
+               AS sum_disc_value,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(18, 2))) AS VARCHAR)
+               AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("scalar", "decimal", "types", "money"),
+)
+def q_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL money arithmetic — the type-system answer to the
+    float-summation seam BASELINE.md documents (the cents idiom is
+    the bigint-typed equivalent): prices cast to DECIMAL(18,2) sum
+    EXACTLY in any order on any partitioning, products carry scale
+    4, and both engines agree digit-for-digit at every tested scale
+    by construction, no rounding discipline required.
+
+    Results are emitted as canonical strings because that is the
+    point being pinned: the decimal VALUE is exact, so its decimal
+    rendering is engine-independent (a double column can never make
+    this promise). Spark plans decimal aggregation inside whole-
+    stage codegen with map-side partials — same shape as the double
+    version, exactness is free at 100 TB until precision exceeds
+    Decimal(38), which 18+log10(rows) bounds far above any fixture.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(price).cast("string").alias("sum_price"),
+                 F.sum(price * disc).cast("string").alias("sum_disc_value"),
+                 F.max(price).cast("string").alias("max_price")))

@@ -106,6 +106,20 @@ def test_round_close_artifacts_cover_registry():
     for name in recall["entries"]:
         assert name in REGISTRY, f"stale recall entry {name}"
 
+    # the 10x-scale sweep artifact (sf0.1) must stay in step too:
+    # full regeneration is a round-scale cost, but the merge mode of
+    # check_correctness keeps it current per commit, so stale/missing
+    # keys or recorded failures are always a bug
+    with open(os.path.join(root, "CORRECTNESS_SF01_LOCAL.json")) as f:
+        c01 = json.load(f)
+    missing01 = sorted(set(REGISTRY) - set(c01))
+    extra01 = sorted(set(c01) - set(REGISTRY))
+    bad01 = sorted(k for k, v in c01.items()
+                   if v["err"] not in (None, "no_oracle"))
+    assert not missing01, f"queries missing from sf0.1 sweep: {missing01}"
+    assert not extra01, f"stale sf0.1 records: {extra01}"
+    assert not bad01, f"sf0.1 failures recorded: {bad01}"
+
     # the plan-audit artifact must cover the registry with no smells
     # (skipped micro-batch/iterative entries carry clean=None)
     with open(os.path.join(root, "AUDIT_LOCAL.json")) as f:
