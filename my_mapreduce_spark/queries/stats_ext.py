@@ -779,3 +779,102 @@ def q_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     return (tm.join(F.broadcast(n), "source")
             .select("source", "n_docs", "trimmed_mean_chars"))
+
+
+_HUB_W = 1000      # Huber weights in milli-units
+
+
+@register(
+    "q_huber_mean",
+    oracle=f"""
+    WITH x AS (
+        SELECT event_type,
+               2 * CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events),
+    med AS (
+        SELECT event_type, CAST(quantile_cont(x, 0.5) AS BIGINT) AS m
+        FROM x GROUP BY event_type),
+    r1 AS (
+        SELECT x.event_type, x.x, ABS(x.x - med.m) AS r
+        FROM x JOIN med USING (event_type)),
+    scale AS (
+        SELECT event_type,
+               GREATEST(2 * CAST(quantile_cont(r, 0.5) AS BIGINT), 1) AS k
+        FROM r1 GROUP BY event_type),
+    w1 AS (
+        SELECT r1.event_type, r1.x,
+               LEAST({_HUB_W}, (scale.k * {_HUB_W})
+                     // GREATEST(r1.r, 1)) AS w, scale.k
+        FROM r1 JOIN scale USING (event_type)),
+    m1 AS (
+        SELECT event_type, k,
+               (2 * SUM(w * x) + SUM(w)) // (2 * SUM(w)) AS m1i
+        FROM w1 GROUP BY event_type, k),
+    w2 AS (
+        SELECT x.event_type, x.x, m1.k,
+               LEAST({_HUB_W}, (m1.k * {_HUB_W})
+                     // GREATEST(ABS(x.x - m1.m1i), 1)) AS w
+        FROM x JOIN m1 USING (event_type)),
+    fin AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN w < {_HUB_W} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_downweighted,
+               ((2 * SUM(x) * 1000000 + COUNT(*) * 200)
+                // (2 * COUNT(*) * 200)) / 1e6 AS mean_value,
+               ((2 * SUM(w * x) * 1000000 + SUM(w) * 200)
+                // (2 * SUM(w) * 200)) / 1e6 AS huber_mean
+        FROM w2 GROUP BY event_type)
+    SELECT * FROM fin
+    """,
+    tags=("stats", "robust", "irls", "events"),
+)
+def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber-weighted robust mean per event type via TWO unrolled
+    IRLS iterations in PURE BIGINT arithmetic — the robust-location
+    sibling of q_mad_outliers/q_winsorize_stats, engineered for the
+    cross-engine exactness the sf0.1 sweep demands of every float:
+    values live as doubled cents (doubling makes every interpolated
+    median an exact integer), the Huber weight min(1, k/|r|) is
+    integer milli-units, the re-estimated location is an integer
+    half-up rational, and the final means divide exact bigints once.
+    k = 2*MAD (~1.48σ-consistent scale, same spirit as the 1.345σ
+    textbook constant).
+
+    Plan: two grouped exact-percentile passes (scalar per group,
+    broadcast back), two weighted-moment hash aggs — all map-side
+    partial, grid-sized intermediates, no window. Bigint headroom:
+    w*x*2e6 ~ 2e18 at sf0.1-scale groups; beyond ~1e6-row groups per
+    type, drop the 1e6 rounding factor into a final double divide
+    (documented, not needed at any tested SF).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select("event_type",
+                  (F.round(F.col("value") * 100).cast("bigint") * 2)
+                  .alias("x"))
+    med = x.groupBy("event_type").agg(
+        F.percentile("x", F.lit(0.5)).cast("bigint").alias("m"))
+    r1 = x.join(F.broadcast(med), "event_type") \
+        .withColumn("r", F.abs(F.col("x") - F.col("m")))
+    scale = r1.groupBy("event_type").agg(
+        F.greatest(F.percentile("r", F.lit(0.5)).cast("bigint") * 2,
+                   F.lit(1)).alias("k"))
+    w1 = (r1.join(F.broadcast(scale), "event_type")
+          .withColumn("w", F.least(F.lit(_HUB_W),
+                                   F.expr(f"(k * {_HUB_W}) "
+                                          "DIV GREATEST(r, 1)"))))
+    m1 = w1.groupBy("event_type", "k").agg(
+        F.expr("(2 * SUM(w * x) + SUM(w)) DIV (2 * SUM(w))").alias("m1i"))
+    w2 = (x.join(F.broadcast(m1), "event_type")
+          .withColumn("w", F.least(
+              F.lit(_HUB_W),
+              F.expr(f"(k * {_HUB_W}) "
+                     "DIV GREATEST(ABS(x - m1i), 1)"))))
+    return w2.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("w") < _HUB_W, 1).otherwise(0))
+        .cast("bigint").alias("n_downweighted"),
+        (F.expr("(2 * SUM(x) * 1000000 + COUNT(1) * 200) "
+                "DIV (2 * COUNT(1) * 200)") / 1e6).alias("mean_value"),
+        (F.expr("(2 * SUM(w * x) * 1000000 + SUM(w) * 200) "
+                "DIV (2 * SUM(w) * 200)") / 1e6).alias("huber_mean"))
