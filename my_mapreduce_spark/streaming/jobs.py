@@ -1264,3 +1264,81 @@ def q_streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     exactly (nothing lost, nothing duplicated)."""
     result, _, _ = run_exactly_once_file_sink(spark, sf_dir)
     return result
+
+
+_TIER_CENTS = 2500  # signup value >= 25.00 => "premium" tier
+
+
+def run_scd2_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream enriched against an SCD2 (validity-interval) dimension:
+    signup events build the slowly-changing per-user tier table in
+    BATCH (each signup opens a version, closed by the next one), and
+    the purchase STREAM joins it on user AND event-time containment
+    — every purchase picks up the tier that was true AT ITS
+    TIMESTAMP, not the latest one (the temporal-correctness property
+    plain stream-static enrichment by key cannot give).
+
+    The dimension is static within the run and dimension-sized, so
+    Spark broadcasts it into every micro-batch and the range
+    predicate evaluates post-broadcast — no stream-side shuffle, no
+    state beyond the final bounded aggregate. At 100 TB with a
+    dimension that itself updates, this becomes foreachBatch re-read
+    of the SCD2 table (the q_streaming_cdc_upsert machinery) with
+    the same join shape.
+    """
+    dim_w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    signup = (load_table(spark, sf_dir, "events")
+              .where(F.col("event_type") == "signup")
+              .select("user_id", F.unix_micros("ts").alias("ts_us"),
+                      "event_id", "value"))
+    dim = (signup.select(
+        "user_id",
+        F.col("ts_us").alias("valid_from"),
+        F.coalesce(F.lead("ts_us").over(dim_w),
+                   F.lit(2 ** 62)).alias("valid_to"),
+        F.when(F.round(F.col("value") * 100).cast("bigint")
+               >= _TIER_CENTS, "premium").otherwise("basic").alias("tier")))
+    purchases = (_event_stream(spark, sf_dir)
+                 .where(F.col("event_type") == "purchase")
+                 .select("user_id", "ts_us", "value"))
+    joined = purchases.join(
+        F.broadcast(dim),
+        (purchases.user_id == dim.user_id)
+        & (purchases.ts_us >= dim.valid_from)
+        & (purchases.ts_us < dim.valid_to))
+    agg = (joined.groupBy("tier")
+           .agg(F.count(F.lit(1)).alias("n_purchases"),
+                F.sum(F.round(purchases.value * 100).cast("bigint"))
+                .alias("sum_cents")))
+    return _run_to_memory(spark, agg, "scd2", "complete")
+
+
+@register(
+    "q_streaming_scd2_enrich",
+    oracle=f"""
+    WITH dim AS (
+        SELECT user_id,
+               epoch_us(ts) AS valid_from,
+               COALESCE(LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+                   4611686018427387904) AS valid_to,
+               CASE WHEN CAST(ROUND(value * 100) AS BIGINT) >= {_TIER_CENTS}
+                    THEN 'premium' ELSE 'basic' END AS tier
+        FROM events WHERE event_type = 'signup')
+    SELECT dim.tier,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(ROUND(p.value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events p JOIN dim
+      ON p.user_id = dim.user_id
+     AND epoch_us(p.ts) >= dim.valid_from
+     AND epoch_us(p.ts) < dim.valid_to
+    WHERE p.event_type = 'purchase'
+    GROUP BY dim.tier
+    """,
+    tags=("streaming", "join", "scd2", "temporal", "events"),
+)
+def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (SCD2) stream enrichment, gated by the equivalent
+    batch interval-containment join as oracle."""
+    return run_scd2_enrich_stream(spark, sf_dir)

@@ -217,6 +217,9 @@ _SKIP = {
     "q_streaming_exactly_once_sink",  # foreachBatch file landing +
                                       # replay proof, micro-batch exec
                                       # (materialized read-back agg)
+    "q_streaming_scd2_enrich",  # micro-batch exec (materialized sink);
+                                # the dim build + containment join run
+                                # inside the stream plan
     "q_dedup_clusters",  # returns the converged cached relation; the
                          # per-round join+agg plans (which do codegen)
                          # already executed inside the driver loop
