@@ -102,7 +102,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_skew_salted_agg",
     oracle="""
-    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    SELECT event_type, COUNT(*) AS n_events, SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events GROUP BY event_type
     """,
     tags=("aggregate", "skew", "salting"),
@@ -115,14 +115,15 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     |keys| x {_N_SALT} rows. Same result as the plain group-by, but
     no reducer ever receives a whole hot key's raw rows."""
     ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
     partial = (
         ev.groupBy("event_type",
                    (F.col("event_id") % _N_SALT).alias("_salt"))
-        .agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("s")))
+        .agg(F.count(F.lit(1)).alias("c"), F.sum(cents).alias("s")))
     return (
         partial.groupBy("event_type")
         .agg(F.sum("c").alias("n_events"),
-             F.round(F.sum("s"), 4).alias("sum_value"))
+             (F.sum("s") / 100.0).alias("sum_value"))
     )
 
 
@@ -164,7 +165,7 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment AS segment,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY 1
     """,
@@ -197,7 +198,7 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (ev._salt == cust._salt))
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"))
     )
 
 

@@ -582,7 +582,7 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     oracle="""
     SELECT strftime(ts, '%Y-%m-%d') AS day,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events WHERE event_type = 'purchase'
     GROUP BY 1
     """,
@@ -617,7 +617,7 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.where(F.col("event_type") == "purchase")
             .groupBy("day")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("sum_value")))
+                 (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value")))
 
 
 _CSV_ROOT = os.path.join(tempfile.gettempdir(), "mmr_csv")

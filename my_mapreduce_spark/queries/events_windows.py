@@ -36,7 +36,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
     SELECT strftime(to_timestamp(win_start), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM expanded
     GROUP BY 1, 2
     """,
@@ -51,7 +51,7 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"))
         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
                 "event_type", "n_events", "sum_value")
     )
@@ -78,7 +78,7 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts_us) AS session_start_us,
            MAX(ts_us) AS session_end_us,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM numbered
     GROUP BY user_id, session_seq
     """,
@@ -113,7 +113,7 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts_us").alias("session_start_us"),
              F.max("ts_us").alias("session_end_us"),
              F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"))
     )
 
 

@@ -691,7 +691,7 @@ def q_vocab_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN GROUPING(hour(ts)) = 0
                 THEN CAST(hour(ts) AS BIGINT) ELSE NULL END AS hr,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events
     GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'), hour(ts))
     HAVING GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d')) = 0
@@ -709,7 +709,7 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hr = F.hour("ts").cast("bigint")
     return (ev.rollup(day.alias("day"), hr.alias("hr"))
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("sum_value"))
+                 (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"))
             .where(F.col("day").isNotNull()))
 
 
@@ -726,7 +726,7 @@ _INCR_SPLIT = "2024-01-10 00:00:00"
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 4) AS sum_value
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -745,15 +745,17 @@ def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.lit(_INCR_SPLIT).cast("timestamp")
     day = F.date_format("ts", "yyyy-MM-dd").alias("day")
 
+    cents = F.round(F.col("value") * 100).cast("bigint")
+
     def partial(df: DataFrame) -> DataFrame:
         return (df.groupBy(day, "event_type")
-                .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")))
+                .agg(F.count(F.lit(1)).alias("pn"), F.sum(cents).alias("pv")))
 
     merged = partial(ev.where(F.col("ts") < split)) \
         .unionAll(partial(ev.where(F.col("ts") >= split)))
     return (merged.groupBy("day", "event_type")
             .agg(F.sum("pn").alias("n_events"),
-                 F.round(F.sum("pv"), 4).alias("sum_value")))
+                 (F.sum("pv") / 100.0).alias("sum_value")))
 
 
 # ---------------------------------------------------------------------------

@@ -54,7 +54,8 @@ _TOKENS_CTE = """
     oracle=f"""
     WITH h AS (
         SELECT user_id, epoch_us(ts) // {_HOUR_US} AS hour,
-               ROUND(AVG(value), 4) AS avg_value
+               ((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100
+                 + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS avg_value
         FROM events GROUP BY 1, 2),
     b AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
           FROM h GROUP BY 1),
@@ -85,7 +86,12 @@ def q_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.groupBy("user_id",
                    F.expr(f"unix_micros(ts) DIV {_HOUR_US}").alias("hour"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("_sc"))
+        .select("user_id", "hour",
+                (F.expr("(2 * _sc * 100 + _n) DIV (2 * _n)") / 10000.0)
+                .alias("avg_value"))
     )
     scaffold = (
         hourly.groupBy("user_id")
@@ -338,7 +344,8 @@ def q_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH h AS (
         SELECT user_id, epoch_us(ts) // {_HOUR_US} AS hour,
-               ROUND(AVG(value), 4) AS avg_value
+               ((2 * SUM(CAST(ROUND(value * 100) AS BIGINT)) * 100
+                 + COUNT(*)) // (2 * COUNT(*))) / 10000.0 AS avg_value
         FROM events GROUP BY 1, 2),
     b AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
           FROM h GROUP BY 1),
@@ -396,7 +403,12 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.groupBy("user_id",
                    F.expr(f"unix_micros(ts) DIV {_HOUR_US}").alias("hour"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("_sc"))
+        .select("user_id", "hour",
+                (F.expr("(2 * _sc * 100 + _n) DIV (2 * _n)") / 10000.0)
+                .alias("avg_value"))
     )
     scaffold = (
         hourly.groupBy("user_id")

@@ -260,7 +260,7 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.session_window("ts", f"{_SESSION_WINDOW_GAP_MIN} minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"))
         .select("user_id",
                 F.unix_micros("w.start").alias("start_us"),
                 (F.unix_micros("w.end") - _SESSION_WINDOW_GAP_US)
@@ -288,7 +288,7 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts_us)               AS start_us,
            MAX(ts_us)               AS last_us,
            COUNT(*)                 AS n_events,
-           ROUND(SUM(value), 4)     AS sum_value
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0     AS sum_value
     FROM s GROUP BY user_id, sid
     """,
     tags=("streaming", "session", "events", "window"),
@@ -326,7 +326,7 @@ def run_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.join(customer, stream.user_id == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
+             (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"))
     )
     return _run_to_memory(spark, agg, "enrich", "complete")
 
@@ -335,7 +335,7 @@ def run_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_streaming_enrich",
     oracle="""
     SELECT c_mktsegment AS segment, event_type,
-           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+           COUNT(*) AS n_events, SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY 1, 2
     """,
@@ -419,14 +419,14 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = (doubled.dropDuplicates(["event_id"])
                .groupBy("event_type")
                .agg(F.count(F.lit(1)).alias("n_events"),
-                    F.round(F.sum("value"), 4).alias("sum_value")))
+                    (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value")))
     return _run_to_memory(spark, deduped, "dedup", "complete")
 
 
 @register(
     "q_streaming_dedup",
     oracle="""
-    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    SELECT event_type, COUNT(*) AS n_events, SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events GROUP BY event_type
     """,
     tags=("streaming", "dedup", "events"),
@@ -834,14 +834,14 @@ def run_dedup_within_wm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                .dropDuplicatesWithinWatermark(["event_id"])
                .groupBy("event_type")
                .agg(F.count(F.lit(1)).alias("n_events"),
-                    F.round(F.sum("value"), 4).alias("sum_value")))
+                    (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value")))
     return _run_to_memory(spark, deduped, "dedupwm", "complete")
 
 
 @register(
     "q_streaming_dedup_within_wm",
     oracle="""
-    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    SELECT event_type, COUNT(*) AS n_events, SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events GROUP BY event_type
     """,
     tags=("streaming", "dedup", "watermark", "events"),
@@ -1239,7 +1239,7 @@ def run_exactly_once_file_sink(spark: SparkSession, sf_dir: str):
                .groupBy("event_type")
                .agg(F.count(F.lit(1)).alias("n_events"),
                     F.count_distinct("user_id").alias("n_users"),
-                    F.round(F.sum("value"), 4).alias("sum_value")))
+                    (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value")))
         pdf = out.toPandas()
         result = spark.createDataFrame(pdf, out.schema)
         return result, len(seen), land
@@ -1252,7 +1252,7 @@ def run_exactly_once_file_sink(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           ROUND(SUM(value), 4) AS sum_value
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
     FROM events GROUP BY event_type
     """,
     tags=("streaming", "sink", "exactly-once", "events"),
