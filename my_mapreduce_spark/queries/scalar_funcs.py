@@ -438,3 +438,39 @@ def q_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(price).cast("string").alias("sum_price"),
                  F.sum(price * disc).cast("string").alias("sum_disc_value"),
                  F.max(price).cast("string").alias("max_price")))
+
+
+@register(
+    "q_bitwise_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS all_bits,
+           CAST(bit_or(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS any_bits,
+           CAST(bit_xor(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS xor_checksum,
+           CAST(bit_count(bit_or(CAST(ROUND(value * 100) AS BIGINT)))
+                AS BIGINT) AS any_popcount
+    FROM events GROUP BY event_type
+    """,
+    tags=("scalar", "aggregate", "bitwise"),
+)
+def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AGGREGATES (bit_and / bit_or / bit_xor / bit_count)
+    over integer cents per event type — the bit-domain surface the
+    scalar family had not yet pinned. These are the primitives of
+    order-insensitive content checksums (bit_xor is what
+    q_table_diff_checksums builds its bucket digests from), bitmap
+    rollups, and flag-column consolidation; all are commutative and
+    associative, so they combine map-side and never care about
+    partitioning — the same exactness class as the cents sums.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (ev.groupBy("event_type")
+            .agg(F.bit_and(cents).alias("all_bits"),
+                 F.bit_or(cents).alias("any_bits"),
+                 F.bit_xor(cents).alias("xor_checksum"),
+                 F.bit_count(F.bit_or(cents)).cast("bigint")
+                 .alias("any_popcount")))

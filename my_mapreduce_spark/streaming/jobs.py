@@ -1342,3 +1342,81 @@ def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal (SCD2) stream enrichment, gated by the equivalent
     batch interval-containment join as oracle."""
     return run_scd2_enrich_stream(spark, sf_dir)
+
+
+def run_right_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream RIGHT OUTER join — the mirror of
+    run_left_outer_join_stream completing the stream-stream join
+    family (inner / left / right / full): every purchase with the
+    click(s) that preceded it within the window, or a null-extended
+    row if nothing attributed it.
+
+    The preserved side is now the PURCHASES: an unmatched purchase
+    emits when its state is evicted, i.e. once the watermark has
+    passed its whole candidate-click range. The finite-source cutoff
+    therefore pre-filters purchases to those old enough to be fully
+    resolved (same conservative two-sided bound the LEFT variant
+    derives), making the emitted set EXACTLY the batch right join.
+    """
+    cutoff_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+        - (_OUTER_WATERMARK_H * 3600 + _OUTER_WINDOW_MIN * 60) * 1_000_000
+        - _OUTER_MARGIN_US
+    )
+    ev = _event_stream(spark, sf_dir).withWatermark(
+        "ts", f"{_OUTER_WATERMARK_H} hours")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("ts_us").alias("c_ts_us")))
+    purchases = (ev.where((F.col("event_type") == "purchase")
+                          & (F.col("ts_us") < cutoff_us))
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("p_ts"),
+                         F.col("ts_us").alias("p_ts_us")))
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(
+            f"INTERVAL {_OUTER_WINDOW_MIN} MINUTES")),
+        "rightOuter")
+    out = joined.select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id",
+        (F.col("p_ts_us") - F.col("c_ts_us")).alias("lag_us"),
+        F.col("click_id").isNotNull().cast("int").alias("attributed"))
+    return _run_to_memory(spark, out, "router", "append")
+
+
+@register(
+    "q_streaming_right_outer_join",
+    oracle=f"""
+    WITH cutoff AS (
+        SELECT MAX(epoch_us(ts))
+               - {(_OUTER_WATERMARK_H * 3600 + _OUTER_WINDOW_MIN * 60)
+                  * 1_000_000 + _OUTER_MARGIN_US} AS us
+        FROM events),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'
+            AND epoch_us(ts) < (SELECT us FROM cutoff))
+    SELECT p.user_id AS user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+           CAST(c.event_id IS NOT NULL AS INT) AS attributed
+    FROM c RIGHT JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {_OUTER_WINDOW_MIN} MINUTE
+    """,
+    tags=("streaming", "join", "stream-stream", "outer", "events"),
+)
+def q_streaming_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER time-range join, gated by the exact
+    batch right join — completes the inner/left/right/full family."""
+    return run_right_outer_join_stream(spark, sf_dir)

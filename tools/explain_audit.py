@@ -205,6 +205,7 @@ _SKIP = {
     "q_streaming_dedup", "q_streaming_session_window",
     "q_streaming_sketch_state",  # foreachBatch merge loop, micro-batch exec
     "q_streaming_left_outer_join",  # micro-batch exec (materialized sink)
+    "q_streaming_right_outer_join",  # micro-batch exec (materialized sink)
     "q_streaming_full_outer_join",  # micro-batch exec (materialized sink)
     "q_streaming_cdc_upsert",  # foreachBatch CDC merge loop,
                                # micro-batch exec (materialized state)
