@@ -425,6 +425,15 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  m["prior_view_id"].astype("int64"),
                              "gap_us": gap.astype("int64")})
 
-    return (views.groupBy("user_id").cogroup(purchases.groupBy("user_id"))
-            .applyInPandas(merge, "purchase_id long, user_id long, "
-                                  "prior_view_id long, gap_us long"))
+    out = (views.groupBy("user_id").cogroup(purchases.groupBy("user_id"))
+           .applyInPandas(merge, "purchase_id long, user_id long, "
+                                 "prior_view_id long, gap_us long"))
+    # Materialize eagerly: when NO output column is consumed (a bare
+    # .count()), this Spark's column pruning strips the cogroup's
+    # RIGHT child down to the grouping key — the UDF then receives
+    # purchases without ts_us and dies (measured: left kept 3 cols,
+    # right pruned to ['user_id']). The UDF's input needs are opaque
+    # to the optimizer, so pin them by materializing the full output
+    # here; the result is match-sized (bounded by purchases), and
+    # tests/test_cogroup_pruning.py guards the quirk.
+    return out.localCheckpoint(eager=True)
