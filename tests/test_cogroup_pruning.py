@@ -54,3 +54,30 @@ def test_raw_cogroup_right_side_pruning_quirk(spark):
                      "under count() — quirk fixed upstream; "
                      "q_asof_cogroup's localCheckpoint can be dropped")
     assert widths == 1  # the measured quirk: right side pruned to key
+
+
+def test_grouped_map_and_map_in_pandas_keep_full_width(spark):
+    """The quirk is SCOPED to cogroup's right side: plain grouped-map
+    and mapInPandas UDFs keep all input columns under a bare count —
+    so no other Arrow-UDF query in the registry needs the checkpoint
+    workaround (bench counts every query, which is how the cogroup
+    case surfaced)."""
+    from my_mapreduce_spark.io import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+
+    def probe(pdf):
+        return pd.DataFrame({"w": [len(pdf.columns)]})
+
+    gm = ev.groupBy("user_id").applyInPandas(probe, "w long")
+    gm.count()
+    assert gm.select(F.min("w")).collect()[0][0] == 3
+
+    def probe_iter(it):
+        for pdf in it:
+            yield pd.DataFrame({"w": [len(pdf.columns)]})
+
+    mp = ev.mapInPandas(probe_iter, "w long")
+    mp.count()
+    assert mp.select(F.min("w")).collect()[0][0] == 3
