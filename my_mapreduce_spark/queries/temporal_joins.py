@@ -373,33 +373,37 @@ _ASOF_TOL_US = 3_600_000_000  # 1-hour as-of tolerance
 )
 def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Toleranced as-of join (each purchase ↔ most recent view by the
-    same user within the preceding hour) via the COGROUP surface:
-    ``views.groupBy(user).cogroup(purchases.groupBy(user))
-    .applyInPandas(merge_asof)`` — gated by DuckDB's native ASOF JOIN
-    as the oracle.
+    same user within the preceding hour) via the COGROUP surface —
+    gated by DuckDB's native ASOF JOIN as the oracle.
 
     Strategy contrast with q_asof_join (union-then-window, pure
-    built-ins): cogroup ships both sides of each key to one Arrow
-    batch and runs pandas ``merge_asof`` there. Same single shuffle
-    on user_id; the trade is JVM-side window state vs per-key Python
-    vectorized merge. The cogroup form wins when the per-key logic
-    outgrows SQL (tolerances per row, many asof columns, custom
-    tie-breaks) — registered to pin the API surface and its exact
-    equality to the relational encoding.
+    built-ins): cogroup ships both sides of each group to one Arrow
+    batch and runs pandas ``merge_asof`` there. The groups are HASH
+    BUCKETS of the key, not raw keys: ``merge_asof(by="user_id")``
+    handles the per-user as-of inside each bucket, so the number of
+    Python invocations is the bucket count (64), NOT the key
+    cardinality — per-key cogrouping measured ~10s at sf0.1 from
+    ~7.5k tiny UDF calls; bucketed, ~2s. Same single shuffle; this
+    is the invocation-amortization pattern any cogroup operator
+    needs at 100 TB key cardinalities. The cogroup form itself wins
+    over the relational encoding when per-key logic outgrows SQL
+    (per-row tolerances, many asof columns, custom tie-breaks).
 
-    Scale: one co-partitioned shuffle by user_id; each Arrow batch
-    holds one user's views+purchases (bounded by per-user activity,
-    the same bound the window variant carries). No driver traffic.
+    Scale: one co-partitioned shuffle by bucket; each Arrow batch
+    holds the bucket's views+purchases (1/64 of the corpus — tune
+    bucket count to executor memory at scale). No driver traffic.
     """
     import pandas as pd
 
+    n_buckets = 64
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type",
         F.unix_micros("ts").alias("ts_us"))
+    bkt = F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("bkt")
     views = ev.where(F.col("event_type") == "view") \
-        .select("user_id", "event_id", "ts_us")
+        .select(bkt, "user_id", "event_id", "ts_us")
     purchases = ev.where(F.col("event_type") == "purchase") \
-        .select("user_id", "event_id", "ts_us")
+        .select(bkt, "user_id", "event_id", "ts_us")
 
     def merge(views_pdf: pd.DataFrame, pur_pdf: pd.DataFrame) -> pd.DataFrame:
         if pur_pdf.empty or views_pdf.empty:
@@ -412,8 +416,9 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = pur_pdf.sort_values("ts_us").rename(
             columns={"event_id": "purchase_id"})
         m = pd.merge_asof(p[["purchase_id", "user_id", "ts_us"]],
-                          v[["prior_view_id", "ts_us"]],
-                          on="ts_us", direction="backward",
+                          v[["user_id", "prior_view_id", "ts_us"]],
+                          on="ts_us", by="user_id",
+                          direction="backward",
                           tolerance=_ASOF_TOL_US)
         m = m.dropna(subset=["prior_view_id"])
         gap = (m["ts_us"]
@@ -425,14 +430,14 @@ def q_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  m["prior_view_id"].astype("int64"),
                              "gap_us": gap.astype("int64")})
 
-    out = (views.groupBy("user_id").cogroup(purchases.groupBy("user_id"))
+    out = (views.groupBy("bkt").cogroup(purchases.groupBy("bkt"))
            .applyInPandas(merge, "purchase_id long, user_id long, "
                                  "prior_view_id long, gap_us long"))
     # Materialize eagerly: when NO output column is consumed (a bare
     # .count()), this Spark's column pruning strips the cogroup's
     # RIGHT child down to the grouping key — the UDF then receives
-    # purchases without ts_us and dies (measured: left kept 3 cols,
-    # right pruned to ['user_id']). The UDF's input needs are opaque
+    # purchases without ts_us and dies (measured: left kept its cols,
+    # right pruned to the key). The UDF's input needs are opaque
     # to the optimizer, so pin them by materializing the full output
     # here; the result is match-sized (bounded by purchases), and
     # tests/test_cogroup_pruning.py guards the quirk.

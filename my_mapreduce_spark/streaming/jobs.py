@@ -1358,10 +1358,23 @@ def run_right_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved (same conservative two-sided bound the LEFT variant
     derives), making the emitted set EXACTLY the batch right join.
     """
+    # The cutoff is applied AFTER the join, never to the purchases
+    # STREAM: filtering a watermarked branch lowers that branch's own
+    # max event time, which drags the GLOBAL watermark down by the
+    # filter depth — the newest kept purchases then sit forever
+    # inside the (recursively receding) eviction horizon and their
+    # null rows never emit (measured on sf0.001: a purchase 5.57h
+    # behind max never resolved behind a 3.52h pre-filter). An
+    # output-side filter leaves watermark dynamics untouched; the
+    # eviction law measured on a synthetic probe is
+    # p_ts <= max_ts - (watermark + 2*window), so this cutoff
+    # (watermark + 2*window + margin) keeps only provably-resolved
+    # purchases and the emitted set equals the batch right join.
     cutoff_us = (
         load_table(spark, sf_dir, "events")
         .agg(F.max(F.unix_micros("ts"))).collect()[0][0]
-        - (_OUTER_WATERMARK_H * 3600 + _OUTER_WINDOW_MIN * 60) * 1_000_000
+        - (_OUTER_WATERMARK_H * 3600 + 2 * _OUTER_WINDOW_MIN * 60)
+        * 1_000_000
         - _OUTER_MARGIN_US
     )
     ev = _event_stream(spark, sf_dir).withWatermark(
@@ -1371,8 +1384,7 @@ def run_right_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("user_id").alias("c_user"),
                       F.col("ts").alias("c_ts"),
                       F.col("ts_us").alias("c_ts_us")))
-    purchases = (ev.where((F.col("event_type") == "purchase")
-                          & (F.col("ts_us") < cutoff_us))
+    purchases = (ev.where(F.col("event_type") == "purchase")
                  .select(F.col("event_id").alias("purchase_id"),
                          F.col("user_id").alias("p_user"),
                          F.col("ts").alias("p_ts"),
@@ -1386,9 +1398,16 @@ def run_right_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rightOuter")
     out = joined.select(
         F.col("p_user").alias("user_id"), "purchase_id", "click_id",
+        "p_ts_us",
         (F.col("p_ts_us") - F.col("c_ts_us")).alias("lag_us"),
         F.col("click_id").isNotNull().cast("int").alias("attributed"))
-    return _run_to_memory(spark, out, "router", "append")
+    landed = _run_to_memory(spark, out, "router", "append")
+    # filter on the MATERIALIZED result, not the streaming plan: a
+    # pre-join stream filter (or a post-join filter, which the
+    # optimizer pushes back through the right outer join into the
+    # stream) lowers the purchases branch's event-time max and drags
+    # the global watermark below what the kept rows need to resolve
+    return landed.where(F.col("p_ts_us") < cutoff_us).drop("p_ts_us")
 
 
 @register(
@@ -1396,7 +1415,7 @@ def run_right_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cutoff AS (
         SELECT MAX(epoch_us(ts))
-               - {(_OUTER_WATERMARK_H * 3600 + _OUTER_WINDOW_MIN * 60)
+               - {(_OUTER_WATERMARK_H * 3600 + 2 * _OUTER_WINDOW_MIN * 60)
                   * 1_000_000 + _OUTER_MARGIN_US} AS us
         FROM events),
     c AS (SELECT event_id, user_id, ts FROM events
