@@ -751,12 +751,13 @@ def run_left_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream no filter is needed; the cutoff is the finite-source
     equivalent of "the watermark eventually passes every row".
     """
-    cutoff_us = (
-        load_table(spark, sf_dir, "events")
-        .agg(F.max(F.unix_micros("ts"))).collect()[0][0]
-        - (_OUTER_WATERMARK_H * 3600 + _OUTER_WINDOW_MIN * 60) * 1_000_000
+    max_us = (load_table(spark, sf_dir, "events")
+              .agg(F.max(F.unix_micros("ts"))).collect()[0][0])
+    # empty source: any cutoff works (the stream emits nothing);
+    # 0 avoids None arithmetic — the full-outer variant's guard
+    cutoff_us = (max_us or 0) \
+        - (_OUTER_WATERMARK_H * 3600 + _OUTER_WINDOW_MIN * 60) * 1_000_000 \
         - _OUTER_MARGIN_US
-    )
     ev = _event_stream(spark, sf_dir).withWatermark(
         "ts", f"{_OUTER_WATERMARK_H} hours")
     clicks = (ev.where((F.col("event_type") == "click")
@@ -1370,13 +1371,13 @@ def run_right_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # p_ts <= max_ts - (watermark + 2*window), so this cutoff
     # (watermark + 2*window + margin) keeps only provably-resolved
     # purchases and the emitted set equals the batch right join.
-    cutoff_us = (
-        load_table(spark, sf_dir, "events")
-        .agg(F.max(F.unix_micros("ts"))).collect()[0][0]
-        - (_OUTER_WATERMARK_H * 3600 + 2 * _OUTER_WINDOW_MIN * 60)
-        * 1_000_000
+    max_us = (load_table(spark, sf_dir, "events")
+              .agg(F.max(F.unix_micros("ts"))).collect()[0][0])
+    # empty source: any cutoff works (the stream emits nothing)
+    cutoff_us = (max_us or 0) \
+        - (_OUTER_WATERMARK_H * 3600 + 2 * _OUTER_WINDOW_MIN * 60) \
+        * 1_000_000 \
         - _OUTER_MARGIN_US
-    )
     ev = _event_stream(spark, sf_dir).withWatermark(
         "ts", f"{_OUTER_WATERMARK_H} hours")
     clicks = (ev.where(F.col("event_type") == "click")

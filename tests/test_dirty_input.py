@@ -62,6 +62,7 @@ SPREAD = [
     # the md5-rank sampler on NULL keys
     "q_dedup_funnel", "q_sparse_cosine_pairs", "q_token_stats_arrow",
     "q_group_sample_exact_k", "q_trimmed_mean_udaf",
+    "q_huber_mean", "q_map_hof", "q_bitwise_agg",
 ]
 
 

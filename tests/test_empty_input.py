@@ -107,6 +107,14 @@ SPREAD = [
     "q_token_stats_arrow", "q_lateral_topn",
     "q_partitioned_write_prune", "q_streaming_exactly_once_sink",
     "q_parameterized_sql", "q_try_arithmetic",
+    # round-5 continuation: the outer-join cutoffs' max(ts) on zero
+    # rows (both variants guarded), the SCD2 dimension on no signups,
+    # the integer-IRLS medians on empty groups, the CSV/decimal/map
+    # paths, and the interleave's two-pass rank on zero rows
+    "q_huber_mean", "q_streaming_scd2_enrich",
+    "q_streaming_right_outer_join", "q_streaming_left_outer_join",
+    "q_bitwise_agg", "q_decimal_exact_money", "q_csv_roundtrip",
+    "q_map_hof", "q_interleave_sources",
 ]
 
 
