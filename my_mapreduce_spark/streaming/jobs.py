@@ -1440,3 +1440,81 @@ def q_streaming_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream RIGHT OUTER time-range join, gated by the exact
     batch right join — completes the inner/left/right/full family."""
     return run_right_outer_join_stream(spark, sf_dir)
+
+
+_DG_SHORT_US = 15 * 60 * 1_000_000   # click/view gap: 15 min
+_DG_LONG_US = 45 * 60 * 1_000_000    # other events keep sessions alive 45 min
+
+
+def run_session_dynamic_gap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a DYNAMIC gap: ``F.session_window``
+    takes a gap EXPRESSION evaluated per event (clicks/views time out
+    after 15 minutes; purchases/signups/errors hold the session open
+    45) — the per-event-semantics upgrade over the fixed-gap job
+    (run_session_window_stream). A session is the union of
+    overlapping [ts, ts+gap(event)) intervals; its end is
+    max(ts + gap) over members, which the batch oracle reproduces
+    exactly with a running-max gaps-islands computation (everything
+    in exact epoch micros — no float, no timezone seam).
+    """
+    # session_window requires CalendarIntervalType (not the ANSI
+    # day-time interval INTERVAL literals produce) — build it with
+    # make_interval
+    gap = F.when(F.col("event_type").isin("click", "view"),
+                 F.expr("make_interval(0, 0, 0, 0, 0, 15, 0)")) \
+        .otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 45, 0)"))
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("sum_cents"))
+        .select("user_id",
+                F.unix_micros("w.start").alias("start_us"),
+                F.unix_micros("w.end").alias("end_us"),
+                "n_events", "sum_cents")
+    )
+    return _run_to_memory(spark, agg, "dynsess", "complete")
+
+
+@register(
+    "q_streaming_session_dynamic_gap",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN event_type IN ('click', 'view')
+                    THEN {_DG_SHORT_US} ELSE {_DG_LONG_US} END AS gap_us
+        FROM events),
+    r AS (
+        SELECT user_id, ts_us, cents, gap_us,
+               MAX(ts_us + gap_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_end
+        FROM e),
+    f AS (
+        SELECT user_id, ts_us, cents, gap_us,
+               CASE WHEN prev_end IS NULL OR ts_us >= prev_end
+                    THEN 1 ELSE 0 END AS new_session
+        FROM r),
+    g AS (
+        SELECT user_id, ts_us, cents, gap_us,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM f)
+    SELECT user_id,
+           MIN(ts_us) AS start_us,
+           MAX(ts_us + gap_us) AS end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM g GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session-window", "dynamic-gap", "events"),
+)
+def q_streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows, gated by the exact batch
+    running-max gaps-islands oracle."""
+    return run_session_dynamic_gap_stream(spark, sf_dir)

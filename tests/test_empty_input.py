@@ -115,6 +115,7 @@ SPREAD = [
     "q_streaming_right_outer_join", "q_streaming_left_outer_join",
     "q_bitwise_agg", "q_decimal_exact_money", "q_csv_roundtrip",
     "q_map_hof", "q_interleave_sources",
+    "q_streaming_session_dynamic_gap",
 ]
 
 

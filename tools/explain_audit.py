@@ -218,6 +218,8 @@ _SKIP = {
     "q_streaming_exactly_once_sink",  # foreachBatch file landing +
                                       # replay proof, micro-batch exec
                                       # (materialized read-back agg)
+    "q_streaming_session_dynamic_gap",  # micro-batch exec
+                                        # (materialized sink)
     "q_streaming_scd2_enrich",  # micro-batch exec (materialized sink);
                                 # the dim build + containment join run
                                 # inside the stream plan
