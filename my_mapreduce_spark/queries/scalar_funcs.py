@@ -474,3 +474,45 @@ def q_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.bit_xor(cents).alias("xor_checksum"),
                  F.bit_count(F.bit_or(cents)).cast("bigint")
                  .alias("any_popcount")))
+
+
+_NOT_IN_SQL = """
+SELECT
+    (SELECT COUNT(*) FROM part
+      WHERE p_partkey % 25 NOT IN
+            (SELECT NULLIF(c_nationkey, 3) FROM customer))
+        AS n_not_in,
+    (SELECT COUNT(*) FROM part p
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE NULLIF(c.c_nationkey, 3) = p.p_partkey % 25))
+        AS n_not_exists,
+    (SELECT COUNT(*) FROM customer WHERE NULLIF(c_nationkey, 3) IS NULL)
+        AS n_null_keys
+"""
+
+
+@register(
+    "q_not_in_null_trap",
+    oracle=_NOT_IN_SQL,
+    tags=("sql-surface", "null-semantics", "subquery", "anti-join"),
+)
+def q_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN three-valued-logic trap, pinned with ONE SQL text
+    on both engines (the q_sql_cte_pipeline contract): when the
+    in-list contains a NULL, ``x NOT IN (list)`` is never TRUE (it
+    is FALSE or UNKNOWN), so n_not_in is 0 whenever n_null_keys > 0
+    — while the NOT EXISTS anti-join ignores the NULL keys and
+    returns the count users actually meant. Both engines implement
+    the standard's semantics identically; q_anti_join is the
+    production anti-join shape, this query is the documented reason
+    it is written with NOT EXISTS.
+
+    Catalyst plans NOT IN as a null-aware anti join — a broadcast
+    NAAJ here since the subquery side is dimension-sized; at scale a
+    null-aware anti join degenerates to a broadcast nested loop when
+    the build side can hold NULLs, which is itself the performance
+    argument for NOT EXISTS.
+    """
+    for t in ("part", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_NOT_IN_SQL)

@@ -115,7 +115,7 @@ SPREAD = [
     "q_streaming_right_outer_join", "q_streaming_left_outer_join",
     "q_bitwise_agg", "q_decimal_exact_money", "q_csv_roundtrip",
     "q_map_hof", "q_interleave_sources",
-    "q_streaming_session_dynamic_gap",
+    "q_streaming_session_dynamic_gap", "q_not_in_null_trap",
 ]
 
 
@@ -144,6 +144,7 @@ def test_query_survives_empty_tables(spark, empty_dir, name):
         "q_spearman_corr", "q_cohens_kappa", "q_gini_concentration",
         "q_permutation_test", "q_srm_check", "q_graph_assortativity",
         "q_ht_estimator",
-        "q_dedup_funnel")  # 3 all-zero funnel-stage rows
+        "q_dedup_funnel",   # 3 all-zero funnel-stage rows
+        "q_not_in_null_trap")  # 1 all-zero scalar-subquery summary row
     assert df.schema.fields, "schema must survive the empty path"
     spark.catalog.clearCache()
