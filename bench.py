@@ -53,7 +53,7 @@ def main() -> int:
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()
     if "q_streaming_hourly" in REGISTRY:
         REGISTRY["q_streaming_hourly"].fn(spark, sf_dir).count()
-        release_caches(spark)
+        release_caches(spark, force_checkpointed=True)
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
@@ -73,7 +73,7 @@ def main() -> int:
                 # cannot unpersist it themselves; releasing here keeps
                 # 194 queries in one JVM from compounding pinned
                 # storage (and makes every sample cache-cold).
-                release_caches(spark)
+                release_caches(spark, force_checkpointed=True)
         if samples is None:
             timings[name] = -1.0
             continue

@@ -30,7 +30,8 @@ def pinned_rdd_count(spark: SparkSession) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
-def release_caches(spark: SparkSession) -> int:
+def release_caches(spark: SparkSession,
+                   force_checkpointed: bool = False) -> int:
     """Release every cached relation; returns how many were pinned
     beforehand (0 for the majority of queries that cache nothing).
 
@@ -39,10 +40,21 @@ def release_caches(spark: SparkSession) -> int:
     that the catalog does not track — in this codebase that is the
     ``localCheckpoint()`` blocks a handful of queries use to let a
     bounded result outlive its inputs' unpersist (apriori, k-core).
-    Safe under the caller-owned contract: release runs only after the
-    caller has consumed the result."""
+
+    A checkpointed RDD is UNRECOMPUTABLE after unpersist (its lineage
+    was truncated at checkpoint time), so by default those blocks are
+    SKIPPED: a consumer that touches a returned DataFrame after a
+    generic release gets a recompute or a live block, never a
+    missing-block failure. Harnesses that own the full lifecycle and
+    provably consume every result BEFORE releasing (bench.py,
+    tools/check_correctness.py — both assert pinned==0 afterwards)
+    pass ``force_checkpointed=True`` to reclaim those blocks too."""
     n = pinned_rdd_count(spark)
     spark.catalog.clearCache()
     for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        r = jrdd.rdd()
+        if not force_checkpointed and (
+                r.isCheckpointed() or r.isLocallyCheckpointed()):
+            continue
         jrdd.unpersist(False)
     return n

@@ -1654,10 +1654,20 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: stage 2 is one normalize+hash groupBy; stage 3's
     pair join runs ONLY over stage-2 survivors (a leftsemi prune
-    before any shingle work) and at 100 TB takes the LSH candidate
-    prefilter exactly as q_dedup_clusters does; the CC loop is the
-    same min-label propagation with O(1-scalar) driver reads per
-    round. Funnel counts reach the driver as O(stages) integers.
+    before any shingle work) AND goes through the ppjoin prefix
+    filter (q_dedup_prefix_filter's candidate generator, which at
+    threshold 3/5 is provably LOSSLESS): documents join only on
+    their ``n - ceil(3n/5) + 1`` globally-rarest shingles under the
+    df ordering, with the two-sided length filter, and exact
+    Jaccard is then computed per candidate pair via JVM
+    ``array_intersect`` — never the raw shingle self-join the
+    DuckDB oracle runs (that exact join fans out quadratically on
+    any hot shingle; the prefix filter never joins on frequent
+    shingles at all, so candidate volume is rare-collision-bounded
+    while the answer stays bit-identical to the brute force). The
+    CC loop is the same min-label propagation with O(1-scalar)
+    driver reads per round. Funnel counts reach the driver as
+    O(stages) integers.
     """
     docs = load_table(spark, sf_dir, "documents")
     norm = F.md5(F.trim(F.regexp_replace(
@@ -1675,18 +1685,39 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (withw.select("doc_id",
                        F.explode(shingles(F.col("w"))).alias("shingle"))
           .distinct())
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count(F.lit(1)).alias("n_common")))
-    near = (pairs
-            .join(sz.select(F.col("doc_id").alias("doc_a"),
-                            F.col("n").alias("na")), "doc_a")
-            .join(sz.select(F.col("doc_id").alias("doc_b"),
-                            F.col("n").alias("nb")), "doc_b")
+    # ppjoin prefix-filter candidate generation (lossless at 3/5;
+    # same integer prefix length (3n+4) DIV 5 as q_dedup_prefix_filter)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sets = (sh.join(dfc, "shingle")
+            .groupBy("doc_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))).alias("st"))
+            .withColumn("n", F.size("st"))
+            .withColumn("toks", F.col("st.shingle"))
+            .withColumn("prefix", F.slice(
+                "toks", 1,
+                F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1))
+            .select("doc_id", "n", "toks", "prefix")
+            .persist())
+    pref = sets.select("doc_id", "n", F.explode("prefix").alias("shingle"))
+    cand = (pref.alias("a")
+            .join(pref.alias("b"),
+                  (F.col("a.shingle") == F.col("b.shingle"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id"))
+                  & (5 * F.col("a.n") >= 3 * F.col("b.n"))
+                  & (5 * F.col("b.n") >= 3 * F.col("a.n")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    near = (cand
+            .join(sets.select(F.col("doc_id").alias("doc_a"),
+                              F.col("n").alias("na"),
+                              F.col("toks").alias("ta")), "doc_a")
+            .join(sets.select(F.col("doc_id").alias("doc_b"),
+                              F.col("n").alias("nb"),
+                              F.col("toks").alias("tb")), "doc_b")
+            .withColumn("n_common",
+                        F.size(F.array_intersect("ta", "tb")))
             .where(F.col("n_common")
                    / (F.col("na") + F.col("nb") - F.col("n_common"))
                    >= _FUNNEL_JACCARD)
@@ -1722,6 +1753,7 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapsed = int(row.n_nodes) - int(row.n_clusters)
     finally:
         edges.unpersist()
+        sets.unpersist()
         survivors.unpersist()
         if prev is not None:
             prev.unpersist()

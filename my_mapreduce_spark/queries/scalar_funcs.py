@@ -296,8 +296,11 @@ def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN l_quantity = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_div_null,
-           ROUND(SUM(COALESCE(l_extendedprice / NULLIF(l_quantity - 1, 0),
-                              0)), 4) AS sum_unit_price,
+           CAST(SUM(CASE WHEN l_quantity = 1 THEN 0 ELSE
+                    (2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 10000
+                     + (CAST(l_quantity AS BIGINT) - 1))
+                    // (2 * (CAST(l_quantity AS BIGINT) - 1)) END) AS BIGINT)
+               AS sum_unit_micros,
            CAST(SUM(CASE WHEN TRY_CAST(
                     CASE WHEN l_discount > 0.05
                          THEN CAST(l_quantity AS VARCHAR)
@@ -332,8 +335,20 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum(F.when(unit.isNull(), 1).otherwise(0))
                  .cast("bigint").alias("n_div_null"),
-                 F.round(F.sum(F.coalesce(unit, F.lit(0.0))), 4)
-                 .alias("sum_unit_price"),
+                 # per-row unit price as half-up integer MICROS
+                 # (cents*10000, the repo's exact-rational idiom): each
+                 # row contributes one exact bigint, so the SUM is
+                 # order-independent on any partitioning — no
+                 # ROUND(SUM(double)) summation-order seam, and no
+                 # double->decimal cast (engines disagree on that
+                 # rounding path). Headroom: ~2e11/row, exact to ~4e7
+                 # max-price rows per group.
+                 F.sum(F.expr(
+                     "CASE WHEN l_quantity = 1 THEN CAST(0 AS BIGINT) ELSE "
+                     "(2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+                     " * 10000 + (CAST(l_quantity AS BIGINT) - 1)) "
+                     "DIV (2 * (CAST(l_quantity AS BIGINT) - 1)) END"))
+                 .alias("sum_unit_micros"),
                  F.sum(F.when(F.expr(
                      "try_cast(CASE WHEN l_discount > 0.05 "
                      "THEN CAST(l_quantity AS STRING) "

@@ -799,7 +799,7 @@ _HUB_W = 1000      # Huber weights in milli-units
         FROM x JOIN med USING (event_type)),
     scale AS (
         SELECT event_type,
-               GREATEST(2 * CAST(quantile_cont(r, 0.5) AS BIGINT), 1) AS k
+               GREATEST(CAST(2 * quantile_cont(r, 0.5) AS BIGINT), 1) AS k
         FROM r1 GROUP BY event_type),
     w1 AS (
         SELECT r1.event_type, r1.x,
@@ -856,8 +856,12 @@ def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("x", F.lit(0.5)).cast("bigint").alias("m"))
     r1 = x.join(F.broadcast(med), "event_type") \
         .withColumn("r", F.abs(F.col("x") - F.col("m")))
+    # double INSIDE the cast: the r-median can be a half-integer
+    # (odd residual tie), and double->bigint casts disagree across
+    # engines on .5 (Spark truncates, DuckDB rounds); 2*median is
+    # always an exact integer, so the cast is seam-free on both.
     scale = r1.groupBy("event_type").agg(
-        F.greatest(F.percentile("r", F.lit(0.5)).cast("bigint") * 2,
+        F.greatest((F.percentile("r", F.lit(0.5)) * 2).cast("bigint"),
                    F.lit(1)).alias("k"))
     w1 = (r1.join(F.broadcast(scale), "event_type")
           .withColumn("w", F.least(F.lit(_HUB_W),

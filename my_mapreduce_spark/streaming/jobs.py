@@ -971,11 +971,19 @@ def run_cdc_upsert_stream(spark: SparkSession, sf_dir: str):
 
     State is O(users) rows; each batch rewrites it with an
     O(batch-users) partial. On a lake the rewrite is a keyed MERGE
-    INTO (Delta/Iceberg); the parquet overwrite here is the
-    sandbox stand-in, with the same merge relation driving either
-    sink. Returns (profile_summary_df, n_batches).
+    INTO (Delta/Iceberg); here the merged state lands as an
+    ``epoch=<id>`` directory — each batch READS the previous
+    epoch's directory and WRITES its own, so the merge is a fully
+    distributed join+write with NO driver round-trip (the previous
+    shape ``toPandas``'d the whole O(users) state every batch to
+    dodge the read-write-same-path conflict; disjoint epoch dirs
+    dissolve the conflict instead). Superseded epochs are pruned
+    after each successful write, so on-disk state stays O(users),
+    and a replayed epoch (crash between write and offset commit)
+    deterministically rewrites the same directory — idempotent, the
+    same exactly-once argument as run_near_dup_stream. Returns
+    (profile_summary_df, n_batches).
     """
-    import glob
     import os
     import shutil
     import tempfile
@@ -992,6 +1000,7 @@ def run_cdc_upsert_stream(spark: SparkSession, sf_dir: str):
                   .option("maxFilesPerTrigger", 1).load(src))
         from my_mapreduce_spark.io import normalize_event_ts
         n_batches = []
+        epochs = []  # epoch ids with a committed state dir, in order
 
         def merge_batch(batch_df, epoch_id):
             sess = batch_df.sparkSession
@@ -1010,8 +1019,9 @@ def run_cdc_upsert_stream(spark: SparkSession, sf_dir: str):
                                F.col("ts_us").alias("last_ts_us"),
                                F.col("event_id").alias("last_eid"),
                                F.col("n").alias("n_events")))
-            if glob.glob(os.path.join(state, "*.parquet")):
-                prev = sess.read.parquet(state)
+            if epochs:
+                prev = sess.read.parquet(
+                    os.path.join(state, f"epoch={epochs[-1]}"))
                 b, p = partial.alias("b"), prev.alias("p")
                 newer = (
                     F.col("p.user_id").isNull()
@@ -1038,19 +1048,25 @@ def run_cdc_upsert_stream(spark: SparkSession, sf_dir: str):
                               .alias("n_events")))
             else:
                 merged = partial
-            pdf = merged.toPandas()
-            sess.createDataFrame(pdf, merged.schema) \
-                .write.mode("overwrite").parquet(state)
+            # distributed merge write: reads epoch=N-1, writes epoch=N
+            # (disjoint dirs — no read-write conflict, no driver hop)
+            merged.write.mode("overwrite").parquet(
+                os.path.join(state, f"epoch={int(epoch_id)}"))
+            if epochs:  # prune the superseded epoch: state stays O(users)
+                shutil.rmtree(
+                    os.path.join(state, f"epoch={epochs[-1]}"),
+                    ignore_errors=True)
+            epochs.append(int(epoch_id))
             n_batches.append(epoch_id)
 
         q = (stream.writeStream.foreachBatch(merge_batch)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        if not glob.glob(os.path.join(state, "*.parquet")):
+        if not epochs:
             return (spark.createDataFrame(
                 [], "last_type string, n_users bigint, n_events bigint, "
                     "max_last_ts_us bigint"), 0)
-        out = (spark.read.parquet(state)
+        out = (spark.read.parquet(os.path.join(state, f"epoch={epochs[-1]}"))
                .groupBy("last_type")
                .agg(F.count(F.lit(1)).alias("n_users"),
                     F.sum("n_events").alias("n_events"),
@@ -1186,7 +1202,10 @@ def run_exactly_once_file_sink(spark: SparkSession, sf_dir: str):
     ACCUMULATED state, this one for the RAW landed data a lakehouse
     ingestion writes. The read-back aggregate over the landed files
     carries a full DuckDB oracle (stream landing must lose/duplicate
-    nothing). Returns (result_df, n_batches, landed_dir).
+    nothing). Returns (result_df, n_batches) — n_batches counts the
+    REAL epochs only (the in-process replay that proves idempotence
+    is not a new epoch), and the temp landing dir is removed on
+    return, so no path escapes this function.
 
     Scale shape: each epoch's write is a normal distributed parquet
     write (no driver traffic); landing is partitioned by epoch so
@@ -1224,6 +1243,7 @@ def run_exactly_once_file_sink(spark: SparkSession, sf_dir: str):
         # replay the LAST epoch verbatim (simulating a post-crash
         # re-delivery) and prove the landed set is unchanged
         last = max(seen)
+        n_batches = len(seen)  # real epoch count, before the replay
         # materialize the replayed rows BEFORE overwriting the very
         # directory they are lazily read from (the sketch job's
         # read-then-overwrite discipline, via executor-side
@@ -1243,7 +1263,7 @@ def run_exactly_once_file_sink(spark: SparkSession, sf_dir: str):
                     (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value")))
         pdf = out.toPandas()
         result = spark.createDataFrame(pdf, out.schema)
-        return result, len(seen), land
+        return result, n_batches
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1263,7 +1283,7 @@ def q_streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     idempotent overwrite, one epoch replayed to prove exactly-once,
     then aggregated — must equal the batch aggregate over the source
     exactly (nothing lost, nothing duplicated)."""
-    result, _, _ = run_exactly_once_file_sink(spark, sf_dir)
+    result, _ = run_exactly_once_file_sink(spark, sf_dir)
     return result
 
 

@@ -78,7 +78,7 @@ def main() -> int:
                             "oracle_rows": None, "err": f"spark: {exc}"}
             continue
         finally:
-            release_caches(spark)  # caller-owned lifecycle (caching.py)
+            release_caches(spark, force_checkpointed=True)  # caller-owned lifecycle (caching.py)
         if spec.oracle is None:
             print(f"  {name}: rows-only ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
             if len(sdf) == 0:
