@@ -235,23 +235,43 @@ def _ivf_nprobe(k: int) -> int:
     return min(k, max(6, k // 4))
 
 
+_IVF_K_CAP = 4096  # centroid-count ceiling; also the seed pool size
+
+
 def _ivf_k(n_rows: int) -> int:
     """Centroid count: fixed by env knob, else ~sqrt(n) clamped to
-    [16, 4096]. Crucially it does NOT grow linearly with the corpus
-    — at 100 TB (billions of vectors) this still caps at 4096, so
-    everything driver-side stays O(k*d), never O(n)."""
+    [16, _IVF_K_CAP]. Crucially it does NOT grow linearly with the
+    corpus — at 100 TB (billions of vectors) this still caps at 4096,
+    so everything driver-side stays O(k*d), never O(n)."""
     env = _os.environ.get(_IVF_K_ENV)
     if env:
         return max(2, int(env))
-    return max(16, min(4096, int(n_rows ** 0.5)))
+    return max(16, min(_IVF_K_CAP, int(n_rows ** 0.5)))
 
 
-def _train_quantizer(e: DataFrame, k: int, dim: int):
+def _ivf_seed(e: DataFrame):
+    """Deterministic quantizer seed + (often free) exact corpus count.
+
+    One distributed top-k collects the _IVF_K_CAP rows with the
+    smallest md5(vec_id) (TakeOrdered: O(cap) per partition, O(cap)
+    collected — never a scan-collect). Because k is capped at
+    _IVF_K_CAP anyway, this single job yields BOTH the seed pool and,
+    whenever the corpus fits under the cap (every test SF), the exact
+    row count — fusing what used to be a separate full count() job.
+    Only a >cap corpus pays the count scan, where it is a rounding
+    error. Returns (seed_rows, n_rows)."""
+    seed = (e.select("vec_id", "v", "nrm")
+            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(_IVF_K_CAP).collect())
+    n = e.count() if len(seed) == _IVF_K_CAP else len(seed)
+    return seed, n
+
+
+def _train_quantizer(e: DataFrame, seed, k: int, dim: int):
     """Train a k-centroid coarse quantizer with driver traffic O(k*d).
 
     Seed: the k rows with the smallest md5(vec_id) — a deterministic
-    pseudo-random sample computed as a distributed top-k (TakeOrdered:
-    O(k) per partition, O(k) collected), NOT a scan-collect.
+    pseudo-random sample (the head of _ivf_seed's top-k pool).
 
     Refine: _IVF_ROUNDS rounds of Lloyd's on the unit sphere. Each
     round is one linear mapInPandas pass emitting per-task partial
@@ -263,10 +283,7 @@ def _train_quantizer(e: DataFrame, k: int, dim: int):
     import numpy as np
     import pandas as pd
 
-    seed = (e.select("vec_id", "v", "nrm")
-            .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-            .limit(k).collect())
-    c_mat = np.stack([np.asarray(r.v) / r.nrm for r in seed])
+    c_mat = np.stack([np.asarray(r.v) / r.nrm for r in seed[:k]])
 
     for _ in range(_IVF_ROUNDS):
         cm = c_mat  # bind the current round's centroids into the closure
@@ -344,12 +361,12 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rather than OOMs; at extreme scale train on a sampled subset
     # instead (swap `e` for e.sample in _train_quantizer).
     e = _normed(load_table(spark, sf_dir, "embeddings")).persist()
-    n = e.count()
+    seed, n = _ivf_seed(e)
     if n == 0:  # empty corpus: typed empty result, not a crash
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rnk int")
     k = _ivf_k(n)
-    c_mat = _train_quantizer(e, k, _DIM)
+    c_mat = _train_quantizer(e, seed, k, _DIM)
     nprobe = _ivf_nprobe(k)
     nassign = min(_IVF_ASSIGN, k)
 
