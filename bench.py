@@ -56,9 +56,15 @@ def main() -> int:
         release_caches(spark, force_checkpointed=True)
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         samples = []
-        for _ in range(max(1, args.runs)):
+        # BASELINE.md documents ~2x run-to-run variance UNDER 1 s —
+        # exactly where past rounds' phantom "movers" lived. Sub-second
+        # queries are re-timed to median-of-3 (cheap by definition:
+        # <=2 extra seconds each); queries >=1 s keep --runs samples.
+        n_target = max(1, args.runs)
+        while len(samples) < n_target:
             t0 = time.time()
             try:
                 spec.fn(spark, sf_dir).count()
@@ -74,11 +80,15 @@ def main() -> int:
                 # 194 queries in one JVM from compounding pinned
                 # storage (and makes every sample cache-cold).
                 release_caches(spark, force_checkpointed=True)
+            if len(samples) == 1 and samples[0] < 1.0:
+                n_target = max(n_target, 3)
         if samples is None:
             timings[name] = -1.0
             continue
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
+        if len(samples) > 1:
+            spreads[name] = round(samples[-1] - samples[0], 3)
         assert pinned_rdd_count(spark) == 0, \
             f"cache leak survived release after {name}"
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -111,6 +121,10 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # max-min across samples, present only for re-timed queries:
+        # a round-over-round "mover" whose delta sits inside its own
+        # spread is noise, not an effect
+        "spread": spreads,
         "n_queries": len(timings),
         "sf": sf,
     })

@@ -45,11 +45,38 @@ def build_asset_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real media decode — requires PIL/libvips, absent here."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use fake_decode for deterministic plumbing tests")
+def _pil_available() -> bool:
+    """Dependency gate for the REAL decode path (the tws pattern:
+    capability present => exercised, absent => honestly gated and the
+    gating itself asserted by tests/test_multimodal_decode.py)."""
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+def decode_image(payload: bytes) -> tuple[int, int, float]:
+    """Real media decode + feature extract: (width, height,
+    feat_norm) where feat_norm is the mean pixel intensity in [0, 1]
+    — the same contract shape as :func:`fake_decode`, so the two are
+    drop-in interchangeable inside :func:`extract_features`.
+
+    Requires PIL; where the container ships no codecs this raises
+    NotImplementedError and the pipeline uses ``fake_decode`` (the
+    gate, not the decode, is what the sandbox tests assert)."""
+    try:
+        from PIL import Image
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "use fake_decode for deterministic plumbing tests") from exc
+    import io as _io
+
+    img = Image.open(_io.BytesIO(payload)).convert("L")
+    px = list(img.getdata())
+    feat_norm = round(sum(px) / (255.0 * len(px)), 6) if px else 0.0
+    return img.width, img.height, feat_norm
 
 
 def fake_decode(payload: bytes) -> tuple[int, int, float]:

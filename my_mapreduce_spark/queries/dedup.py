@@ -1039,17 +1039,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str,
     import numpy as np
     import pandas as pd
 
-    from my_mapreduce_spark.queries.similarity import (_ivf_k, _normed,
+    from my_mapreduce_spark.queries.similarity import (_ivf_k, _ivf_seed,
+                                                       _normed,
                                                        _train_quantizer)
 
     e = _normed(load_table(spark, sf_dir, "embeddings")).persist()
-    n = e.count()
+    seed, n = _ivf_seed(e)  # one top-k job: seed pool + exact count
     if n == 0:  # empty corpus: typed empty result, not a crash
         return spark.createDataFrame(
             [], "vec_a long, vec_b long, cosine double")
     k = _ivf_k(n)
-    dim = len(e.select("v").head().v)
-    c_mat = _train_quantizer(e, k, dim)
+    dim = len(seed[0].v)
+    c_mat = _train_quantizer(e, seed, k, dim)
     nassign = min(3, k)
 
     def assign(batches):
@@ -1419,7 +1420,9 @@ _WJ_THRESH = 0.5   # report pairs with weighted Jaccard >= 0.5
         SELECT shingle,
                CAST(ROUND(ln(nd.n * 1.0 / COUNT(DISTINCT doc_id))
                           * {_WJ_SCALE}) AS BIGINT) AS w
-        FROM s CROSS JOIN nd GROUP BY shingle, nd.n),
+        FROM s CROSS JOIN nd GROUP BY shingle, nd.n
+        HAVING CAST(ROUND(ln(nd.n * 1.0 / COUNT(DISTINCT doc_id))
+                          * {_WJ_SCALE}) AS BIGINT) > 0),
     dw AS (
         SELECT s.doc_id, CAST(SUM(w.w) AS BIGINT) AS wt
         FROM s JOIN w USING (shingle) GROUP BY s.doc_id),
@@ -1454,10 +1457,20 @@ def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one shingle-vocabulary weight agg (the 1-row doc count
     broadcasts — scalar-subquery shape), one per-doc weight sum,
     and the same oriented shingle-keyed pair join as
-    q_dedup_ngram_jaccard — pairs-sized, never corpus², and at
-    100 TB the join inherits the banded-LSH prefilter exactly as
-    the plain-Jaccard pipeline does (weights only change the
-    FINISHING arithmetic, not the candidate generation).
+    q_dedup_ngram_jaccard with map-side-combined intersection sums
+    — pairs-sized, never corpus². Zero-weight shingles (idf rounds
+    to 0 — the ubiquitous-boilerplate extreme) are dropped from the
+    JOIN SIDES before any pair work: they contribute 0 to both the
+    intersection and every document total, so the prune is exactly
+    lossless while removing precisely the hottest join keys (the
+    df≈N shingles whose fan-out is the quadratic worry at 100 TB;
+    hot-but-not-ubiquitous keys are what the banded-LSH candidate
+    path q_dedup_minhash_lsh_prod exists for — a round-6 experiment
+    re-deriving candidates through the WEIGHTED prefix filter
+    measured 9x MORE shuffle bytes than this plan at sf0.1, because
+    the candidate finishing must ship per-pair token arrays while
+    this join's groupBy combines map-side; COST_LOCAL.json is the
+    arbiter).
     """
     s = _shingle_rows(spark, sf_dir)
     # s is already (doc, shingle)-distinct, so per-shingle COUNT is df
@@ -1466,13 +1479,16 @@ def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (df_rel.crossJoin(F.broadcast(nd))
          .select("shingle",
                  F.round(F.log(F.col("n") * 1.0 / F.col("df"))
-                         * _WJ_SCALE).cast("bigint").alias("w")))
+                         * _WJ_SCALE).cast("bigint").alias("w"))
+         # idf-0 shingles: 0 weight in every sum => lossless drop of
+         # the hottest (df ~ N) join keys before the pair join
+         .where(F.col("w") > 0))
     # attach weights BEFORE the pair join (shingle-co-partitioned with
     # it); a first cut joined weights onto the pair-EXPANDED rows and
     # cached the shingle relation — 32 s at sf0.1 vs ~4 s this way
     sw = s.join(w, "shingle")
     dw = sw.groupBy("doc_id").agg(F.sum("w").alias("wt"))
-    a, b = sw.alias("a"), s.alias("b")
+    a, b = sw.alias("a"), sw.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),

@@ -531,3 +531,38 @@ def q_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("part", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_NOT_IN_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM lineitem
+GROUP BY ALL
+"""
+
+
+@register(
+    "q_group_by_all",
+    oracle=_GROUP_BY_ALL_SQL,
+    tags=("sql-surface", "aggregate", "group-by-all"),
+)
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the analyst-ergonomics SQL surface (group
+    by every non-aggregate select expression), pinned with ONE SQL
+    text on both engines (the q_not_in_null_trap contract): Spark
+    3.4+ and DuckDB resolve the same three grouping keys from the
+    select list (returnflag, linestatus, linenumber), so adding a projected column to the query cannot
+    silently change grouping semantics differently per engine.
+
+    Plans identically to the explicit GROUP BY: one scan, map-side
+    partial hash aggregation over (returnflag, linestatus,
+    linenumber) — grouping-key inference is purely an analysis-time
+    rewrite, free at any scale. Sums use the exact-cents bigint
+    discipline (BASELINE.md float-seam taxonomy)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUP_BY_ALL_SQL)

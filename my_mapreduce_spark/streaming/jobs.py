@@ -965,6 +965,93 @@ def q_streaming_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_full_outer_join_stream(spark, sf_dir)
 
 
+def _cdc_epochs_on_disk(state: str) -> list[int]:
+    """Committed CDC state epochs (epoch=N dirs carrying _SUCCESS),
+    ascending. A crash mid-write leaves no _SUCCESS, so a half-written
+    epoch is invisible — the predecessor lookup below never reads it."""
+    import glob as globmod
+    import os
+    import re
+
+    ids = []
+    for d in globmod.glob(os.path.join(state, "epoch=*")):
+        m = re.fullmatch(r"epoch=(\d+)", os.path.basename(d))
+        if m and os.path.exists(os.path.join(d, "_SUCCESS")):
+            ids.append(int(m.group(1)))
+    return sorted(ids)
+
+
+def _cdc_merge_batch(ev: DataFrame, epoch_id: int, state: str) -> None:
+    """One CDC micro-batch merge, fully distributed and replay-safe.
+
+    ``ev`` is the batch's (user_id, event_id, event_type, ts_us)
+    relation. The batch reduces to one row per user (latest event by
+    (ts_us, event_id) + batch count), full-outer-merges into the
+    PREDECESSOR epoch's state — the newest committed ``epoch=<id>``
+    directory with id STRICTLY below this epoch, discovered from disk
+    so a restarted query resumes where the crashed one left off — and
+    writes its own ``epoch=<id>`` directory. Disjoint read/write dirs
+    dissolve the read-overwrite conflict with zero driver traffic.
+
+    Idempotent under at-least-once foreachBatch delivery: a replayed
+    epoch re-reads the SAME predecessor (strict <, never itself) and
+    deterministically rewrites the same directory. To keep that true
+    across a crash-between-write-and-commit, pruning keeps exactly one
+    superseded epoch (the predecessor); only older generations are
+    deleted — on-disk state stays <= 2x O(users)."""
+    import os
+    import shutil
+
+    sess = ev.sparkSession
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc())
+    partial = (ev
+               .withColumn("rn", F.row_number().over(w))
+               .withColumn("n", F.count(F.lit(1)).over(
+                   Window.partitionBy("user_id")))
+               .where(F.col("rn") == 1)
+               .select("user_id",
+                       F.col("event_type").alias("last_type"),
+                       F.col("ts_us").alias("last_ts_us"),
+                       F.col("event_id").alias("last_eid"),
+                       F.col("n").alias("n_events")))
+    prior = [e for e in _cdc_epochs_on_disk(state) if e < int(epoch_id)]
+    if prior:
+        prev = sess.read.parquet(os.path.join(state, f"epoch={prior[-1]}"))
+        b, p = partial.alias("b"), prev.alias("p")
+        newer = (
+            F.col("p.user_id").isNull()
+            | (F.col("b.last_ts_us") > F.col("p.last_ts_us"))
+            | ((F.col("b.last_ts_us") == F.col("p.last_ts_us"))
+               & (F.col("b.last_eid") > F.col("p.last_eid"))))
+        take_b = F.col("b.user_id").isNotNull() & newer
+        merged = (b.join(p, F.col("b.user_id")
+                         == F.col("p.user_id"), "full")
+                  .select(
+                      F.coalesce("b.user_id", "p.user_id")
+                      .alias("user_id"),
+                      F.when(take_b, F.col("b.last_type"))
+                      .otherwise(F.col("p.last_type"))
+                      .alias("last_type"),
+                      F.when(take_b, F.col("b.last_ts_us"))
+                      .otherwise(F.col("p.last_ts_us"))
+                      .alias("last_ts_us"),
+                      F.when(take_b, F.col("b.last_eid"))
+                      .otherwise(F.col("p.last_eid"))
+                      .alias("last_eid"),
+                      (F.coalesce("b.n_events", F.lit(0))
+                       + F.coalesce("p.n_events", F.lit(0)))
+                      .alias("n_events")))
+    else:
+        merged = partial
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state, f"epoch={int(epoch_id)}"))
+    # prune generations older than the predecessor (kept for replay)
+    for e in prior[:-1]:
+        shutil.rmtree(os.path.join(state, f"epoch={e}"),
+                      ignore_errors=True)
+
+
 def run_cdc_upsert_stream(spark: SparkSession, sf_dir: str):
     """Maintain a per-user PROFILE table from an event stream by CDC
     upsert — the foreachBatch-merge production pattern: each
@@ -986,12 +1073,14 @@ def run_cdc_upsert_stream(spark: SparkSession, sf_dir: str):
     distributed join+write with NO driver round-trip (the previous
     shape ``toPandas``'d the whole O(users) state every batch to
     dodge the read-write-same-path conflict; disjoint epoch dirs
-    dissolve the conflict instead). Superseded epochs are pruned
-    after each successful write, so on-disk state stays O(users),
-    and a replayed epoch (crash between write and offset commit)
+    dissolve the conflict instead). Superseded epochs older than the
+    immediate predecessor are pruned after each successful write, so
+    on-disk state stays <= 2x O(users); the predecessor itself is
+    kept so a replayed epoch (crash between write and offset commit)
     deterministically rewrites the same directory — idempotent, the
-    same exactly-once argument as run_near_dup_stream. Returns
-    (profile_summary_df, n_batches).
+    same exactly-once argument as run_near_dup_stream, and pinned
+    under a simulated crash by tests/test_cdc_upsert_restart.py.
+    Returns (profile_summary_df, n_batches).
     """
     import os
     import shutil
@@ -1009,73 +1098,24 @@ def run_cdc_upsert_stream(spark: SparkSession, sf_dir: str):
                   .option("maxFilesPerTrigger", 1).load(src))
         from my_mapreduce_spark.io import normalize_event_ts
         n_batches = []
-        epochs = []  # epoch ids with a committed state dir, in order
 
         def merge_batch(batch_df, epoch_id):
-            sess = batch_df.sparkSession
             ev = normalize_event_ts(batch_df).select(
                 "user_id", "event_id", "event_type",
                 F.expr("ts_ns DIV 1000").alias("ts_us"))
-            w = Window.partitionBy("user_id").orderBy(
-                F.col("ts_us").desc(), F.col("event_id").desc())
-            partial = (ev
-                       .withColumn("rn", F.row_number().over(w))
-                       .withColumn("n", F.count(F.lit(1)).over(
-                           Window.partitionBy("user_id")))
-                       .where(F.col("rn") == 1)
-                       .select("user_id",
-                               F.col("event_type").alias("last_type"),
-                               F.col("ts_us").alias("last_ts_us"),
-                               F.col("event_id").alias("last_eid"),
-                               F.col("n").alias("n_events")))
-            if epochs:
-                prev = sess.read.parquet(
-                    os.path.join(state, f"epoch={epochs[-1]}"))
-                b, p = partial.alias("b"), prev.alias("p")
-                newer = (
-                    F.col("p.user_id").isNull()
-                    | (F.col("b.last_ts_us") > F.col("p.last_ts_us"))
-                    | ((F.col("b.last_ts_us") == F.col("p.last_ts_us"))
-                       & (F.col("b.last_eid") > F.col("p.last_eid"))))
-                take_b = F.col("b.user_id").isNotNull() & newer
-                merged = (b.join(p, F.col("b.user_id")
-                                 == F.col("p.user_id"), "full")
-                          .select(
-                              F.coalesce("b.user_id", "p.user_id")
-                              .alias("user_id"),
-                              F.when(take_b, F.col("b.last_type"))
-                              .otherwise(F.col("p.last_type"))
-                              .alias("last_type"),
-                              F.when(take_b, F.col("b.last_ts_us"))
-                              .otherwise(F.col("p.last_ts_us"))
-                              .alias("last_ts_us"),
-                              F.when(take_b, F.col("b.last_eid"))
-                              .otherwise(F.col("p.last_eid"))
-                              .alias("last_eid"),
-                              (F.coalesce("b.n_events", F.lit(0))
-                               + F.coalesce("p.n_events", F.lit(0)))
-                              .alias("n_events")))
-            else:
-                merged = partial
-            # distributed merge write: reads epoch=N-1, writes epoch=N
-            # (disjoint dirs — no read-write conflict, no driver hop)
-            merged.write.mode("overwrite").parquet(
-                os.path.join(state, f"epoch={int(epoch_id)}"))
-            if epochs:  # prune the superseded epoch: state stays O(users)
-                shutil.rmtree(
-                    os.path.join(state, f"epoch={epochs[-1]}"),
-                    ignore_errors=True)
-            epochs.append(int(epoch_id))
+            _cdc_merge_batch(ev, epoch_id, state)
             n_batches.append(epoch_id)
 
         q = (stream.writeStream.foreachBatch(merge_batch)
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        if not epochs:
+        committed = _cdc_epochs_on_disk(state)
+        if not committed:
             return (spark.createDataFrame(
                 [], "last_type string, n_users bigint, n_events bigint, "
                     "max_last_ts_us bigint"), 0)
-        out = (spark.read.parquet(os.path.join(state, f"epoch={epochs[-1]}"))
+        out = (spark.read.parquet(
+                   os.path.join(state, f"epoch={committed[-1]}"))
                .groupBy("last_type")
                .agg(F.count(F.lit(1)).alias("n_users"),
                     F.sum("n_events").alias("n_events"),

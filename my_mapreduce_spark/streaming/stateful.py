@@ -1,0 +1,206 @@
+"""Custom stateful streaming operators (SURVEY.md §2C streaming).
+
+Two source-and-state surfaces the streaming family had not yet
+pinned:
+
+- ``applyInPandasWithState`` — the arbitrary-stateful-processing API
+  the north star names for custom operators Spark's built-in
+  windows can't express: user code owns a typed per-key state row
+  across micro-batches (GroupState), Arrow-batched like every other
+  pandas surface in this library.
+- multi-source UNION — two independent ``readStream`` sources
+  combined into one logical stream before a stateful aggregation
+  (the production shape for merging regional Kafka topics / landing
+  dirs into one pipeline).
+
+Both run to completion under ``availableNow`` and are oracle-gated
+against their batch twins: the state merge (count/sum/max) is
+associative and commutative, so micro-batch boundaries cannot change
+the final answer — exactly the determinism argument the rest of
+streaming/jobs.py uses.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import _ensure_runtime_confs, normalize_event_ts
+from my_mapreduce_spark.registry import register
+from my_mapreduce_spark.streaming.jobs import _run_to_memory
+
+
+def _split_event_source(spark: SparkSession, sf_dir: str, work: str,
+                        n_files: int) -> tuple[str, "object"]:
+    """Land events as ``n_files`` hash-split parquet files so a
+    maxFilesPerTrigger=1 stream processes them as n_files distinct
+    micro-batches (the multi-batch harness cdc/near-dup also use)."""
+    src = os.path.join(work, "src")
+    (spark.read.parquet(f"{sf_dir}/events.parquet")
+     .repartition(n_files).write.mode("overwrite").parquet(src))
+    return src, spark.read.parquet(src).schema
+
+
+def run_stateful_counts_stream(spark: SparkSession, sf_dir: str):
+    """Per-user running profile via ``applyInPandasWithState``: the
+    state row (n, sum-cents, max-ts) lives in the state store keyed
+    by user; every micro-batch the function receives ONLY that
+    user's new Arrow batches plus its GroupState, folds them in, and
+    emits the updated row (update output mode).
+
+    The final emission per user — the one with the largest n, since
+    a key's count strictly grows in every batch that touches it —
+    must equal the batch GROUP BY exactly (count/sum/max are
+    associative+commutative), which is this query's oracle.
+
+    Scale shape: state is one 3-long row per user in the state store
+    (RocksDB-backed on a real cluster), emissions are per-touched-key
+    per-batch, and nothing driver-side ever sees more than the final
+    O(users) relation. This is the API for operators with
+    genuinely per-key custom transition logic; where the fold is a
+    plain aggregate (as here) the built-in windowed agg is the
+    simpler twin — registering both pins the equivalence.
+
+    Returns (profile_df, n_batches).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    _ensure_runtime_confs(spark)
+    work = tempfile.mkdtemp(prefix="mmr_stateful_counts_")
+    try:
+        src, schema = _split_event_source(spark, sf_dir, work, 4)
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .option("maxFilesPerTrigger", 1).load(src))
+        ev = normalize_event_ts(stream).select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.expr("ts_ns DIV 1000").alias("ts_us"))
+
+        def update(key, pdfs, state: GroupState):
+            n, sc, mx = state.get if state.exists else (0, 0, None)
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                n += len(pdf)
+                sc += int(pdf["cents"].sum())
+                m = int(pdf["ts_us"].max())
+                mx = m if mx is None else max(mx, m)
+            state.update((n, sc, mx))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "sum_cents": [sc], "max_ts_us": [mx]})
+
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=("user_id bigint, n_events bigint, "
+                              "sum_cents bigint, max_ts_us bigint"),
+            stateStructType="n bigint, sc bigint, mx bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+        emitted = _run_to_memory(spark, out, "stateful_counts", "update")
+
+        # the memory sink holds every per-batch emission; keep each
+        # user's FINAL one (strictly-largest n_events) and render the
+        # exact cents as value units
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        final = (emitted
+                 .withColumn("rn", F.row_number().over(w))
+                 .where(F.col("rn") == 1)
+                 .select("user_id", "n_events",
+                         (F.col("sum_cents") / 100.0).alias("sum_value"),
+                         "max_ts_us"))
+        n_batches = 4
+        return final, n_batches
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_streaming_stateful_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState", "events"),
+)
+def q_streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState) over a
+    4-batch event stream: per-user running (count, exact-cents sum,
+    max timestamp) state, final state oracle-equal to the batch
+    GROUP BY — the custom-stateful-operator surface the north star
+    names, previously unexercised."""
+    out, _ = run_stateful_counts_stream(spark, sf_dir)
+    return out
+
+
+def run_union_sources_stream(spark: SparkSession, sf_dir: str):
+    """UNION of two independent streaming sources into one stateful
+    aggregation: events hash-split into two landing directories, each
+    read by its OWN readStream (two sources, two progress trackers —
+    the merge-two-Kafka-topics shape), unioned before a per-type
+    count/sum aggregate in complete mode.
+
+    Spark unions the sources at the logical level: each micro-batch
+    takes whatever both sources have available, and the downstream
+    aggregate's commutativity makes the final table independent of
+    which source delivered first — so the batch per-type aggregate
+    is an exact oracle. State is O(event types); per-batch work is
+    one map-side partial per source partition.
+
+    Returns (per_type_df, n_sources).
+    """
+    _ensure_runtime_confs(spark)
+    work = tempfile.mkdtemp(prefix="mmr_union_sources_")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        a_dir, b_dir = os.path.join(work, "a"), os.path.join(work, "b")
+        ev.where(F.expr("user_id % 2 = 0")) \
+            .write.mode("overwrite").parquet(a_dir)
+        ev.where(F.expr("user_id % 2 = 1")) \
+            .write.mode("overwrite").parquet(b_dir)
+        schema = spark.read.parquet(a_dir).schema
+
+        def src(d):
+            return (spark.readStream.schema(schema).format("parquet")
+                    .load(d))
+
+        unioned = src(a_dir).unionByName(src(b_dir))
+        evn = normalize_event_ts(unioned)
+        # (no COUNT DISTINCT here: streaming aggs forbid it — the
+        # mergeable-sketch q_streaming_sketch_state is that operator)
+        agg = (evn.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                    .alias("sc"))
+               .select("event_type", "n_events",
+                       (F.col("sc") / 100.0).alias("sum_value")))
+        out = _run_to_memory(spark, agg, "union_sources", "complete")
+        return out, 2
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_streaming_union_sources",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "union", "multi-source", "events"),
+)
+def q_streaming_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two readStream sources (hash-split landing dirs) unioned into
+    one per-type aggregate — the multi-topic merge shape — oracle-
+    equal to the batch aggregate over the union (nothing lost or
+    double-read across sources)."""
+    out, _ = run_union_sources_stream(spark, sf_dir)
+    return out

@@ -131,6 +131,39 @@ def test_round_close_artifacts_cover_registry():
     assert not extra_a, f"stale audit records: {extra_a}"
     assert not smelly, f"plan smells recorded: {smelly}"
 
+    # the zero-row robustness sweep must cover the registry with no
+    # crashes (round-5 caught an unguarded max(ts) scalar this way;
+    # tools/round_close.py regenerates it each close)
+    with open(os.path.join(root, "EMPTY_SWEEP_LOCAL.json")) as f:
+        empty = json.load(f)
+    missing_e = sorted(set(REGISTRY) - set(empty))
+    extra_e = sorted(set(empty) - set(REGISTRY))
+    crashed = sorted(k for k, v in empty.items() if not v["ok"])
+    assert not missing_e, f"queries missing from empty sweep: {missing_e}"
+    assert not extra_e, f"stale empty-sweep records: {extra_e}"
+    assert not crashed, f"queries crashing on zero-row input: {crashed}"
+
+
+def test_cost_probe_covers_bench_tail_without_regressions():
+    """COST_LOCAL.json (shuffle-byte accounting — the number that
+    prices a 100 TB run) must cover every query in the bench tail
+    (>=3 s in BENCH_LOCAL.json) and carry ZERO amplification
+    regressions: tools/cost_probe.py flags any query whose
+    shuffle-write-bytes-per-source-byte got >1.5x worse (and >0.5
+    absolute) than the previous committed artifact."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_LOCAL.json")) as f:
+        bench = json.load(f)["queries"]
+    with open(os.path.join(root, "COST_LOCAL.json")) as f:
+        cost = json.load(f)
+    tail = {n for n, t in bench.items() if t >= 3.0 and n in REGISTRY}
+    missing = sorted(tail - set(cost["queries"]))
+    assert not missing, f"bench-tail queries with no byte accounting: {missing}"
+    assert cost.get("regressions") == [], cost.get("regressions")
+
 
 def test_no_unformatted_docstring_placeholders():
     """A '{name}' in a registered docstring means an f-string prefix

@@ -18,8 +18,16 @@ bucketed/snapshot layouts, streaming sources) record the tables they
 load_table'd plus a ``side_channel_reads`` flag where known gaps
 exist. Writes COST_LOCAL.json and prints a markdown table.
 
+Trending: every run compares each query's shuffle amplification to
+the PREVIOUS committed COST_LOCAL.json and records material
+regressions (>1.5x worse AND >0.5 absolute) in the artifact's
+``regressions`` list; tests/test_registry_hygiene.py asserts the
+list is empty, so an amplification regression fails the suite until
+either the plan is fixed or the regression is explicitly
+re-baselined by committing the new artifact story.
+
 Usage:
-    python tools/cost_probe.py [--sf DIR] [--top N | name ...]
+    python tools/cost_probe.py [--sf DIR] [--top N | --tail-secs S | name ...]
 """
 
 from __future__ import annotations
@@ -62,6 +70,11 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--top", type=int, default=0,
                     help="probe the N slowest queries per BENCH_LOCAL.json")
+    ap.add_argument("--tail-secs", type=float, default=0.0,
+                    help="probe every query whose BENCH_LOCAL.json "
+                         "timing is >= S seconds (the expensive tail "
+                         "— where shuffle amplification prices the "
+                         "100 TB run)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     _ensure_loaded()
@@ -69,6 +82,11 @@ def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if args.names:
         names = args.names
+    elif args.tail_secs:
+        with open(os.path.join(root, "BENCH_LOCAL.json")) as f:
+            bench = json.load(f)["queries"]
+        names = [n for n, t in sorted(bench.items(), key=lambda kv: -kv[1])
+                 if n in REGISTRY and t >= args.tail_secs]
     elif args.top:
         with open(os.path.join(root, "BENCH_LOCAL.json")) as f:
             bench = json.load(f)["queries"]
@@ -88,7 +106,7 @@ def main() -> int:
     # warm-up so parquet footer/JIT bytes don't pollute the first query
     spark.sparkContext.setJobGroup("warmup", "warmup")
     REGISTRY["q1_pricing_summary"].fn(spark, args.sf).count()
-    release_caches(spark)
+    release_caches(spark, force_checkpointed=True)
 
     source_bytes: dict[str, int] = {}
     for name in names:
@@ -99,7 +117,7 @@ def main() -> int:
         except Exception as exc:
             print(f"cost_probe: {name} FAILED: {exc}", file=sys.stderr)
         finally:
-            release_caches(spark)
+            release_caches(spark, force_checkpointed=True)
             spark.sparkContext.setJobGroup("idle", "idle")
         sb = 0
         for sf_dir, t in _TABLES_READ:
@@ -143,11 +161,36 @@ def main() -> int:
             a["shuffle_write_bytes"] / a["source_bytes"], 3) \
             if a.get("source_bytes") else None
 
+    # trend gate: compare amplification to the previous committed
+    # artifact; a plan regression must be a conscious act, not drift
     out_path = os.path.join(root, "COST_LOCAL.json")
+    regressions = []
+    prev = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f).get("queries", {})
+        for name, a in per_query.items():
+            pa = prev.get(name, {}).get("shuffle_amplification")
+            na = a.get("shuffle_amplification")
+            if pa is None or na is None:
+                continue
+            if na > pa * 1.5 and na - pa > 0.5:
+                regressions.append({"query": name, "prev": pa, "now": na})
+    if args.names:
+        # subset run: merge into the existing artifact (the
+        # check_correctness --out contract); stale keys dropped
+        merged = {k: v for k, v in prev.items() if k in REGISTRY}
+        merged.update(per_query)
+        per_query = merged
     with open(out_path, "w") as f:
-        json.dump({"sf": args.sf, "queries": per_query}, f,
+        json.dump({"sf": args.sf, "queries": per_query,
+                   "regressions": regressions}, f,
                   indent=1, sort_keys=True)
         f.write("\n")
+    for r in regressions:
+        print(f"cost_probe: REGRESSION {r['query']} "
+              f"shuffle amplification {r['prev']} -> {r['now']}",
+              file=sys.stderr)
 
     def mb(b):
         return f"{b / 1e6:.1f}MB"
@@ -162,8 +205,9 @@ def main() -> int:
               f"{mb(a['shuffle_write_bytes'])} | "
               f"{a['shuffle_amplification']} | {a['n_stages']} | "
               f"{a['n_tasks']} |")
-    print(f"wrote {out_path} ({len(per_query)} entries)")
-    return 0
+    print(f"wrote {out_path} ({len(per_query)} entries, "
+          f"{len(regressions)} regressions)")
+    return 1 if regressions else 0
 
 
 if __name__ == "__main__":

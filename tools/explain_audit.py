@@ -220,6 +220,10 @@ _SKIP = {
                                       # (materialized read-back agg)
     "q_streaming_session_dynamic_gap",  # micro-batch exec
                                         # (materialized sink)
+    "q_streaming_stateful_counts",  # applyInPandasWithState micro-batch
+                                    # exec (materialized update sink)
+    "q_streaming_union_sources",  # two-source union, micro-batch exec
+                                  # (materialized complete sink)
     "q_streaming_scd2_enrich",  # micro-batch exec (materialized sink);
                                 # the dim build + containment join run
                                 # inside the stream plan

@@ -6,12 +6,22 @@ artifact because the sweep wasn't re-run after late commits).
 Runs, in order:
   1. tools/query_inventory.py      -> QUERIES.md
   2. tools/check_correctness.py    -> CORRECTNESS_LOCAL.json (ALL queries, sf0.01)
-  3. tools/explain_audit.py        -> AUDIT_LOCAL.json       (plan quality)
-  4. tools/recall_report.py        -> RECALL_LOCAL.json      (sf0.001)
-  5. bench.py                      -> BENCH_LOCAL.json        (sf0.1)
-  6. tools/cost_probe.py --top 10  -> COST_LOCAL.json         (byte accounting)
+  3. tools/check_correctness.py --sf sf0.1
+                                   -> CORRECTNESS_SF01_LOCAL.json (10x sweep)
+  4. tools/empty_sweep.py          -> EMPTY_SWEEP_LOCAL.json  (zero-row inputs)
+  5. tools/explain_audit.py        -> AUDIT_LOCAL.json        (plan quality)
+  6. tools/recall_report.py        -> RECALL_LOCAL.json       (sf0.001)
+  7. bench.py                      -> BENCH_LOCAL.json        (sf0.1)
+  8. tools/cost_probe.py --tail-secs 3
+                                   -> COST_LOCAL.json (byte accounting of the
+                                      bench tail; fails on >1.5x amplification
+                                      regressions vs the previous artifact)
 
-Exit code 0 iff all six succeed AND the artifact counts match the
+Steps 3 and 4 were manual round-5 events that each caught real bugs
+(5 float seams; an unguarded max(ts) scalar); they are load-bearing,
+so they run — and their artifacts regenerate — on every close.
+
+Exit code 0 iff all steps succeed AND the artifact counts match the
 registry (the same invariant tests/test_registry_hygiene.py asserts).
 Run this as the LAST commit of every round:
 
@@ -38,13 +48,19 @@ def _run(desc: str, argv: list[str]) -> None:
 
 def main() -> int:
     _run("inventory", ["tools/query_inventory.py"])
-    _run("correctness sweep", ["tools/check_correctness.py",
-                               "--out", "CORRECTNESS_LOCAL.json"])
+    _run("correctness sweep (sf0.01)", ["tools/check_correctness.py",
+                                        "--out", "CORRECTNESS_LOCAL.json"])
+    _run("correctness sweep (sf0.1)", ["tools/check_correctness.py",
+                                       "--sf", "/root/testdata/sf0.1",
+                                       "--out", "CORRECTNESS_SF01_LOCAL.json"])
+    _run("empty-input sweep", ["tools/empty_sweep.py",
+                               "--out", "EMPTY_SWEEP_LOCAL.json"])
     _run("plan audit", ["tools/explain_audit.py",
                         "--out", "AUDIT_LOCAL.json"])
     _run("recall report", ["tools/recall_report.py"])
     _run("bench", ["bench.py"])
-    _run("cost probe (top-10)", ["tools/cost_probe.py", "--top", "10"])
+    _run("cost probe (bench tail >=3s)",
+         ["tools/cost_probe.py", "--tail-secs", "3"])
 
     # verify the invariant the hygiene pytest also checks
     sys.path.insert(0, ROOT)
@@ -56,9 +72,16 @@ def main() -> int:
         bench = json.load(f)
     with open(os.path.join(ROOT, "AUDIT_LOCAL.json")) as f:
         aud = json.load(f)
+    with open(os.path.join(ROOT, "CORRECTNESS_SF01_LOCAL.json")) as f:
+        c01 = json.load(f)
+    with open(os.path.join(ROOT, "EMPTY_SWEEP_LOCAL.json")) as f:
+        empty = json.load(f)
     n = len(REGISTRY)
-    ok = (len(corr) == n and bench.get("n_queries") == n and len(aud) == n)
+    ok = (len(corr) == n and bench.get("n_queries") == n and len(aud) == n
+          and len(c01) == n and len(empty) == n)
     print(json.dumps({"registry": n, "correctness_entries": len(corr),
+                      "sf01_entries": len(c01),
+                      "empty_sweep_entries": len(empty),
                       "bench_entries": bench.get("n_queries"),
                       "audit_entries": len(aud),
                       "counts_match": ok}))
