@@ -1689,12 +1689,18 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.md5(F.trim(F.regexp_replace(
         F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
         " +", " ")))
-    n0 = docs.count()
-    s1 = (docs.select(norm.alias("nh"), "doc_id")
-          .groupBy("nh").agg(F.min("doc_id").alias("doc_id"))
-          .select("doc_id"))
+    # ONE hash-group pass yields the exact-dedup decisions AND both
+    # funnel counts (n0 = sum of group sizes, n1 = group count) — no
+    # separate docs.count()/survivors.count() scans
+    groups = (docs.select(norm.alias("nh"), "doc_id")
+              .groupBy("nh").agg(F.min("doc_id").alias("doc_id"),
+                                 F.count(F.lit(1)).alias("sz"))
+              .persist())
+    row = groups.agg(F.sum("sz").alias("n0"),
+                     F.count(F.lit(1)).alias("n1")).first()
+    n0, n1 = int(row.n0 or 0), int(row.n1)
+    s1 = groups.select("doc_id")
     survivors = docs.join(s1, "doc_id", "leftsemi").persist()
-    n1 = survivors.count()
 
     withw = survivors.select("doc_id", tokens().alias("w")) \
         .where(F.size("w") >= 3)
@@ -1771,6 +1777,7 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.unpersist()
         sets.unpersist()
         survivors.unpersist()
+        groups.unpersist()
         if prev is not None:
             prev.unpersist()
     n2 = n1 - collapsed
