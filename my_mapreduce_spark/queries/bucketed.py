@@ -677,3 +677,114 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("sum_cents"),
                  F.date_format(F.min("ts"), fmt).alias("first_ts"),
                  F.date_format(F.max("ts"), fmt).alias("last_ts")))
+
+
+@register(
+    "q_schema_evolution_merge",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("source", "schema-evolution", "mergeSchema", "parquet"),
+)
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION read (``mergeSchema``): two generations of
+    the same table — v1 written WITHOUT ``o_orderpriority``, v2 with
+    it — land in one directory tree, and a single read reconciles
+    them into the union schema with NULLs where v1 predates the
+    column. That is the lakehouse reality at 100 TB: a column added
+    in March must not force a rewrite of January's petabytes, and
+    readers must see one coherent schema across generations.
+
+    The read uses ``recursiveFileLookup`` (generation dirs are not
+    hive key=value partitions) + ``mergeSchema=true`` (per-file
+    footer schemas reconciled at planning time; the cost is one
+    footer read per file, not a data scan). The oracle states the
+    same result over the ORIGINAL table with the column nulled for
+    v1-parity rows — equality proves no row, value, or NULL was
+    invented or lost across generations."""
+    import shutil
+    import tempfile as _tf
+
+    o = load_table(spark, sf_dir, "orders")
+    work = _tf.mkdtemp(prefix="mmr_schema_evo_")
+    try:
+        (o.where(F.expr("o_orderkey % 2 = 0"))
+         .select("o_orderkey", "o_custkey", "o_totalprice")
+         .write.mode("overwrite").parquet(os.path.join(work, "gen1")))
+        (o.where(F.expr("o_orderkey % 2 = 1"))
+         .select("o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderpriority")
+         .write.mode("overwrite").parquet(os.path.join(work, "gen2")))
+        merged = (spark.read.option("mergeSchema", "true")
+                  .option("recursiveFileLookup", "true").parquet(work))
+        out = (merged.groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n_orders"),
+                    F.sum(F.round(F.col("o_totalprice") * 100)
+                          .cast("bigint")).alias("sum_cents")))
+        # materialize before the generation dirs are removed
+        pdf = out.toPandas()
+        return spark.createDataFrame(pdf, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_COMPACT_TARGET_FILES = 4
+
+
+@register(
+    "q_compaction_roundtrip",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+               AS content_xxh
+    FROM documents GROUP BY source
+    """,
+    tags=("sink", "compaction", "small-files", "maintenance"),
+)
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION — the table-maintenance job every
+    100 TB lake runs nightly: a fragmented landing (here: documents
+    deliberately scattered across 64 files, the streaming-ingest
+    pathology) is rewritten into _COMPACT_TARGET_FILES files via one
+    round-robin repartition, and the read-back is checksummed per
+    source against the ORIGINAL table — bit_xor of a 60-bit md5
+    prefix per document, an order-insensitive content digest both
+    engines compute identically — proving compaction moved bytes,
+    not data.
+
+    Why it matters: a 100 TB table fragmented into 10-million 10 MB
+    files pays NameNode/listing latency, footer overhead, and
+    1-file=1-task scheduling on every read; compacting to
+    128-512 MB files is the single highest-leverage maintenance op.
+    File counts before/after are asserted in
+    tests/test_compaction.py (64 -> _COMPACT_TARGET_FILES); this
+    query's oracle pins the content-preservation half of the
+    contract."""
+    import shutil
+    import tempfile as _tf
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = _tf.mkdtemp(prefix="mmr_compact_")
+    frag, compact = os.path.join(work, "frag"), os.path.join(work, "compact")
+    try:
+        docs.repartition(64).write.mode("overwrite").parquet(frag)
+        (spark.read.parquet(frag)
+         .repartition(_COMPACT_TARGET_FILES)
+         .write.mode("overwrite").parquet(compact))
+        h = F.expr(
+            "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+        out = (spark.read.parquet(compact)
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.bit_xor(h).alias("content_xxh")))
+        pdf = out.toPandas()  # materialize before the temp dirs vanish
+        return spark.createDataFrame(pdf, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -224,6 +224,12 @@ _SKIP = {
                                     # exec (materialized update sink)
     "q_streaming_union_sources",  # two-source union, micro-batch exec
                                   # (materialized complete sink)
+    "q_schema_evolution_merge",  # write-two-generations-then-read job;
+                                 # returns a materialized aggregate
+                                 # (temp generation dirs removed)
+    "q_compaction_roundtrip",  # write-fragment-compact-read job;
+                               # returns a materialized checksum table
+                               # (temp dirs removed)
     "q_streaming_scd2_enrich",  # micro-batch exec (materialized sink);
                                 # the dim build + containment join run
                                 # inside the stream plan
