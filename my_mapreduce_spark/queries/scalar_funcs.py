@@ -609,3 +609,54 @@ def q_month_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
         F.dayofmonth(F.last_day(d)).cast("bigint").alias("days_in_month"),
     )
+
+
+_LONG_TOK = 8  # tokens this long are absent from ~1/5 of fixture docs
+
+
+@register(
+    "q_explode_outer",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> len(x) >= {_LONG_TOK}) AS w
+        FROM documents)
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(GREATEST(len(w), 1)) AS BIGINT) AS n_rows_outer,
+           CAST(SUM(CASE WHEN len(w) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_no_match,
+           CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+    FROM t GROUP BY source
+    """,
+    tags=("scalar", "explode", "null-semantics", "documents"),
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` — NULL-preserving array explosion: a
+    document whose filtered token array is EMPTY survives as one
+    NULL-token row instead of vanishing (plain ``explode`` is an
+    implicit inner join against the array; the _outer variant is the
+    left join). The filter keeps only long (>= {_LONG_TOK}-char)
+    tokens so ~1/5 of fixture docs genuinely hit the empty-array
+    path — both semantics are exercised, and the oracle states the
+    row algebra arithmetically (GREATEST(len, 1) rows per doc).
+
+    Why it matters in a pipeline: per-token quality joins written
+    with plain explode silently DROP token-less documents from
+    document-level rollups — the outer explode is how a fan-out
+    stage stays row-complete. Same single-pass generate + hash-agg
+    plan as q_posexplode_tokens; the NULL rows cost nothing extra.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from my_mapreduce_spark.functions.text import tokens
+    w = F.filter(tokens(), lambda x: F.length(x) >= _LONG_TOK)
+    ex = (docs.select("source", "doc_id", w.alias("w"))
+          .select("source", "doc_id", F.explode_outer("w").alias("tok")))
+    return (ex.groupBy("source")
+            .agg(F.count_distinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_rows_outer"),
+                 F.sum(F.when(F.col("tok").isNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_docs_no_match"),
+                 F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0))
+                 .cast("bigint").alias("n_tokens")))
