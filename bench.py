@@ -55,42 +55,57 @@ def main() -> int:
         REGISTRY["q_streaming_hourly"].fn(spark, sf_dir).count()
         release_caches(spark, force_checkpointed=True)
 
+    def run_once(spec) -> float | None:
+        t0 = time.time()
+        try:
+            spec.fn(spark, sf_dir).count()
+            return time.time() - t0
+        except Exception as exc:  # failures become a negative sentinel
+            print(f"bench: {spec.name} FAILED: {exc}", file=sys.stderr)
+            return None
+        finally:
+            # caller-owned cache release (caching.py): queries whose
+            # returned plan references a persisted relation cannot
+            # unpersist it themselves; releasing here keeps 325
+            # queries in one JVM from compounding pinned storage
+            # (and makes every sample cache-cold).
+            release_caches(spark, force_checkpointed=True)
+
+    # PASS 1 — one timed run per query, in registry order, nothing
+    # interleaved: this is the operating point every earlier round's
+    # artifact was recorded at, so round-over-round comparison stays
+    # like-for-like.
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    samples_by_q: dict[str, list] = {}
     for name, spec in REGISTRY.items():
-        samples = []
-        # BASELINE.md documents ~2x run-to-run variance UNDER 1 s —
-        # exactly where past rounds' phantom "movers" lived. Sub-second
-        # queries are re-timed to median-of-3 (cheap by definition:
-        # <=2 extra seconds each); queries >=1 s keep --runs samples.
-        n_target = max(1, args.runs)
-        while len(samples) < n_target:
-            t0 = time.time()
-            try:
-                spec.fn(spark, sf_dir).count()
-                samples.append(time.time() - t0)
-            except Exception as exc:  # record failures as negative sentinel
-                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-                samples = None
-                break
-            finally:
-                # caller-owned cache release (caching.py): queries
-                # whose returned plan references a persisted relation
-                # cannot unpersist it themselves; releasing here keeps
-                # 194 queries in one JVM from compounding pinned
-                # storage (and makes every sample cache-cold).
-                release_caches(spark, force_checkpointed=True)
-            if len(samples) == 1 and samples[0] < 1.0:
-                n_target = max(n_target, 3)
-        if samples is None:
+        dt = run_once(spec)
+        if dt is None:
             timings[name] = -1.0
             continue
+        samples_by_q[name] = [dt]
+        assert pinned_rdd_count(spark) == 0, \
+            f"cache leak survived release after {name}"
+    # PASS 2 — BASELINE.md documents ~2x run-to-run variance in the
+    # short-query band (worst under 1 s, visible to ~2 s), exactly
+    # where past rounds' phantom "movers" lived: short queries get 2
+    # more samples AFTER the comparable pass (so the extra executions
+    # cannot inflate a heavy neighbor's pass-1 number), and record
+    # median + spread.
+    for name, spec in REGISTRY.items():
+        samples = samples_by_q.get(name)
+        if samples is None:
+            continue
+        want = 3 if samples[0] < 2.0 else max(1, args.runs)
+        while len(samples) < want:
+            dt = run_once(spec)
+            if dt is None:
+                break
+            samples.append(dt)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         if len(samples) > 1:
             spreads[name] = round(samples[-1] - samples[0], 3)
-        assert pinned_rdd_count(spark) == 0, \
-            f"cache leak survived release after {name}"
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Headline subset kept on stdout: reference-parity apps, TPC-H, and
     # one representative per major family.  Everything else lives in

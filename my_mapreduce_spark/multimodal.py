@@ -2,12 +2,15 @@
 
 Treats media as opaque ``binary`` payload columns with typed
 metadata, processed by Arrow-batched pandas functions via
-``mapInPandas``. The container has no image/audio codecs, so the
-actual decode is STUBBED (``decode_image`` raises
-NotImplementedError; the pipeline uses ``fake_decode``, a
-deterministic md5-derived stand-in) — but everything Spark-side is
-real and tested: the binary schema, the mapInPandas batch shape,
-the partition-parallel feature extraction, and the metadata query.
+``mapInPandas``. The real decode is DEPENDENCY-GATED: where PIL is
+installed ``decode_image`` performs a true codec decode + feature
+extract (exercised by tests/test_multimodal_decode.py); where the
+container ships no codecs it raises NotImplementedError and the
+fixture pipeline uses ``fake_decode``, a deterministic md5-derived
+stand-in with the same contract shape — either way everything
+Spark-side is real and tested: the binary schema, the mapInPandas
+batch shape, the partition-parallel feature extraction, and the
+metadata query.
 
 At 100 TB: payloads dominate size, so the asset table is scanned
 once, features are extracted partition-wise with zero shuffles, and
