@@ -91,14 +91,19 @@ def main() -> int:
     # where past rounds' phantom "movers" lived: short queries get 2
     # more samples AFTER the comparable pass (so the extra executions
     # cannot inflate a heavy neighbor's pass-1 number), and record
-    # median + spread.
-    for name, spec in REGISTRY.items():
-        samples = samples_by_q.get(name)
-        if samples is None:
-            continue
+    # median + spread. The pass is WALL-BUDGETED (default 240 s,
+    # SPARK_GRAFT_BENCH_RETIME_S to override; 0 disables): the driver
+    # captures bench stdout under its own clock, and a re-timing pass
+    # that doubled the wall would risk a truncated capture (the
+    # BENCH_r03/r04 parsed:null failure class) — cheapest queries
+    # first, so whatever budget exists de-noises the noisiest band.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_RETIME_S", "240"))
+    t_pass2 = time.time()
+    for name in sorted(samples_by_q, key=lambda k: samples_by_q[k][0]):
+        samples = samples_by_q[name]
         want = 3 if samples[0] < 2.0 else max(1, args.runs)
-        while len(samples) < want:
-            dt = run_once(spec)
+        while len(samples) < want and time.time() - t_pass2 < budget:
+            dt = run_once(REGISTRY[name])
             if dt is None:
                 break
             samples.append(dt)
