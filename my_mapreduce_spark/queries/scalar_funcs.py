@@ -660,3 +660,48 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("n_docs_no_match"),
                  F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0))
                  .cast("bigint").alias("n_tokens")))
+
+
+_REX_PATTERN = "th[a-z]+"   # identical regex text on both engines
+
+
+@register(
+    "q_regexp_extract_all",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{_REX_PATTERN}')))
+                AS BIGINT) AS n_matches,
+           CAST(SUM(CASE WHEN len(regexp_extract_all(text,
+                        '{_REX_PATTERN}')) = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_no_match,
+           CAST(SUM(len(list_distinct(regexp_extract_all(text,
+                        '{_REX_PATTERN}')))) AS BIGINT)
+               AS n_distinct_per_doc_sum
+    FROM documents GROUP BY source
+    """,
+    tags=("scalar", "string", "regex", "documents"),
+)
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``regexp_extract_all`` — ALL matches of a pattern per row as
+    an array (the single-match regexp_extract's plural sibling, and
+    the primitive under span extraction / PII candidate harvesting):
+    per source, total match count, docs with zero matches, and the
+    sum of per-doc distinct-match counts (exercising array_distinct
+    over the extracted array without an explode round-trip).
+
+    Both engines run the same regex TEXT; match counting stays
+    JVM-side inside whole-stage codegen (one scan, one hash agg) —
+    the same embarrassingly-parallel shape as q_string_funcs. At
+    100 TB the regex cost is per-row CPU with no shuffle beyond the
+    source-cardinality aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    # idx=0 = the whole match (Spark defaults to capture group 1)
+    m = F.regexp_extract_all("text", F.lit(_REX_PATTERN), F.lit(0))
+    return (docs.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.size(m)).cast("bigint").alias("n_matches"),
+                 F.sum(F.when(F.size(m) == 0, 1).otherwise(0))
+                 .cast("bigint").alias("n_docs_no_match"),
+                 F.sum(F.size(F.array_distinct(m))).cast("bigint")
+                 .alias("n_distinct_per_doc_sum")))
