@@ -108,7 +108,13 @@ def main() -> int:
                 break
             samples.append(dt)
         samples.sort()
-        timings[name] = round(samples[len(samples) // 2], 3)
+        # true median: average the middle pair for even counts — with
+        # exactly 2 samples the old upper-middle pick was the SLOWER
+        # one, biasing re-timed short queries pessimistically
+        mid = len(samples) // 2
+        med = samples[mid] if len(samples) % 2 else \
+            (samples[mid - 1] + samples[mid]) / 2
+        timings[name] = round(med, 3)
         if len(samples) > 1:
             spreads[name] = round(samples[-1] - samples[0], 3)
     total = round(sum(t for t in timings.values() if t >= 0), 3)

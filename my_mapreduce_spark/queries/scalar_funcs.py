@@ -637,7 +637,7 @@ def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     document whose filtered token array is EMPTY survives as one
     NULL-token row instead of vanishing (plain ``explode`` is an
     implicit inner join against the array; the _outer variant is the
-    left join). The filter keeps only long (>= {_LONG_TOK}-char)
+    left join). The filter keeps only long (>= 8-char)
     tokens so ~1/5 of fixture docs genuinely hit the empty-array
     path — both semantics are exercised, and the oracle states the
     row algebra arithmetically (GREATEST(len, 1) rows per doc).

@@ -377,7 +377,7 @@ _KMV_DENOM = float(1 << 52)  # 52-bit hash -> exact double in [0,1)
 )
 def q_kmv_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values (theta-style) sketch intersection: per event
-    type, keep the {_KMV_K} smallest md5 hashes of its DISTINCT
+    type, keep the 64 smallest md5 hashes of its DISTINCT
     users; for each type pair, merge to the union's k smallest,
     take theta = the k-th smallest as the sampled fraction of hash
     space, and estimate the user overlap as (matching values under

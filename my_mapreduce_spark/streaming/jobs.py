@@ -27,12 +27,16 @@ from my_mapreduce_spark.registry import register
 def _run_to_memory(spark: SparkSession, out: DataFrame, prefix: str,
                    mode: str) -> DataFrame:
     """Run a streaming frame to completion (availableNow) through a
-    memory sink, then materialize the result and DROP the sink table.
+    memory sink, then pin the result (localCheckpoint) and DROP the
+    sink table.
 
-    Memory-sink rows live on the driver regardless of who reads them,
-    so materializing adds no new driver cost — but dropping the
-    uuid-named temp view keeps repeated runs in one session from
-    accumulating sink tables (they used to leak, one per call).
+    The memory sink is the TEST harness's sink — its rows land on the
+    driver by definition, which is why production jobs in this module
+    (near-dup index, CDC state, sketch state, exactly-once landing)
+    write parquet epochs instead and only the memory-sink demos use
+    this helper. Dropping the uuid-named temp view keeps repeated
+    runs in one session from accumulating sink tables (they used to
+    leak, one per call).
 
     Stateful shuffle partitions are scoped down for the run (default
     8, SPARK_GRAFT_STREAM_SHUFFLE to override): an availableNow run
@@ -54,23 +58,17 @@ def _run_to_memory(spark: SparkSession, out: DataFrame, prefix: str,
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    tbl = spark.table(sink)
-    schema = tbl.schema
-    pdf = tbl.toPandas()
+    # localCheckpoint (eager) pins the sink rows as executor-side
+    # blocks so the result outlives the temp view drop — no pandas
+    # round-trip through the driver, no dtype coercion seams (the
+    # previous shape toPandas'd the table and had to undo NaN-ified
+    # nullable ints by hand). release_caches() skips checkpointed
+    # blocks by default, so a generic release cannot strand the
+    # caller; harnesses that consume-then-release pass
+    # force_checkpointed=True to reclaim them (caching.py contract).
+    out_df = spark.table(sink).localCheckpoint(eager=True)
     spark.catalog.dropTempView(sink)
-    # NULLs in integral columns surface as NaN-bearing float64 in
-    # pandas; a non-Arrow createDataFrame (vanilla driver session)
-    # then rejects float objects against LongType. Restore nullable
-    # ints, and hand every NULL over as None.
-    import pandas as pd
-    from pyspark.sql.types import IntegralType
-
-    for f in schema.fields:
-        if isinstance(f.dataType, IntegralType) \
-                and pd.api.types.is_float_dtype(pdf[f.name]):
-            pdf[f.name] = pdf[f.name].astype("Int64")
-    pdf = pdf.astype(object).where(pdf.notna(), None)
-    return spark.createDataFrame(pdf, schema)
+    return out_df
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,23 +488,27 @@ def run_sketch_maintenance_stream(spark: SparkSession, sf_dir: str):
                                F.sum("n_events").alias("n_events")))
             else:
                 merged = partial
-            # materialize BEFORE overwriting the path being read;
-            # the state is |event_types| rows, so this is O(types)
-            pdf = merged.toPandas()
-            sess.createDataFrame(pdf, merged.schema) \
-                .write.mode("overwrite").parquet(state)
+            # materialize BEFORE overwriting the path being read —
+            # as executor-side blocks (localCheckpoint), never a
+            # driver round-trip; on a real cluster the O(types)
+            # state merge thus stays fully distributed
+            chk = merged.localCheckpoint(eager=True)
+            try:
+                chk.write.mode("overwrite").parquet(state)
+            finally:
+                chk.unpersist()
             n_batches.append(epoch_id)
 
         q = (stream.writeStream.foreachBatch(merge_batch)
              .trigger(availableNow=True).start())
         q.awaitTermination()
 
-        final = (spark.read.parquet(state)
-                 .select("event_type", "n_events",
-                         F.hll_sketch_estimate("sk").alias("est_users"))
-                 .toPandas())
-        out = spark.createDataFrame(
-            final, "event_type string, n_events long, est_users long")
+        # pin the final O(types) result as executor blocks before the
+        # temp state dir is removed (no driver round-trip)
+        out = (spark.read.parquet(state)
+               .select("event_type", "n_events",
+                       F.hll_sketch_estimate("sk").alias("est_users"))
+               .localCheckpoint(eager=True))
         return out, len(n_batches)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -695,13 +697,12 @@ def run_near_dup_stream(spark: SparkSession, sf_dir: str):
         q.awaitTermination()
 
         if globmod.glob(os.path.join(pairs, "epoch=*")):
-            # materialize before the temp state dir is removed; the
-            # pair relation is collision-sized, not corpus-sized
-            final = (spark.read.parquet(pairs).drop("epoch")
-                     .distinct().toPandas())
-            out = spark.createDataFrame(
-                final, "doc_a long, doc_b long, n_matches long, "
-                       "est_jaccard double")
+            # pin the accumulated pair relation as executor blocks
+            # before the temp state dir is removed — at crawl scale
+            # the pair set is dup-rate x corpus (large), and with
+            # localCheckpoint it never transits the driver
+            out = (spark.read.parquet(pairs).drop("epoch")
+                   .distinct().localCheckpoint(eager=True))
         else:
             out = spark.createDataFrame(
                 [], "doc_a long, doc_b long, n_matches long, "
@@ -1120,10 +1121,9 @@ def run_cdc_upsert_stream(spark: SparkSession, sf_dir: str):
                .agg(F.count(F.lit(1)).alias("n_users"),
                     F.sum("n_events").alias("n_events"),
                     F.max("last_ts_us").alias("max_last_ts_us")))
-        # materialize before the temp state dir is removed
-        pdf = out.toPandas()
-        return (spark.createDataFrame(pdf, out.schema),
-                len(n_batches))
+        # pin the O(types) summary as executor blocks before the temp
+        # state dir is removed (no driver round-trip)
+        return (out.localCheckpoint(eager=True), len(n_batches))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1310,9 +1310,9 @@ def run_exactly_once_file_sink(spark: SparkSession, sf_dir: str):
                .agg(F.count(F.lit(1)).alias("n_events"),
                     F.count_distinct("user_id").alias("n_users"),
                     (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value")))
-        pdf = out.toPandas()
-        result = spark.createDataFrame(pdf, out.schema)
-        return result, n_batches
+        # pin the O(types) aggregate as executor blocks before the
+        # temp landing dir is removed (no driver round-trip)
+        return out.localCheckpoint(eager=True), n_batches
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

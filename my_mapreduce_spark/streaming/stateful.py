@@ -35,14 +35,51 @@ from my_mapreduce_spark.streaming.jobs import _run_to_memory
 
 
 def _split_event_source(spark: SparkSession, sf_dir: str, work: str,
-                        n_files: int) -> tuple[str, "object"]:
+                        n_files: int) -> tuple[str, "object", int]:
     """Land events as ``n_files`` hash-split parquet files so a
     maxFilesPerTrigger=1 stream processes them as n_files distinct
-    micro-batches (the multi-batch harness cdc/near-dup also use)."""
+    micro-batches (the multi-batch harness cdc/near-dup also use).
+    Returns (src_dir, schema, n_batches) with n_batches COUNTED from
+    the files actually written — repartition(n) can emit fewer files
+    than n (empty partitions are skipped), so a hardcoded batch count
+    would silently lie if the fixture ever shrank."""
+    import glob
+
     src = os.path.join(work, "src")
     (spark.read.parquet(f"{sf_dir}/events.parquet")
      .repartition(n_files).write.mode("overwrite").parquet(src))
-    return src, spark.read.parquet(src).schema
+    n_written = len(glob.glob(os.path.join(src, "part-*.parquet")))
+    return src, spark.read.parquet(src).schema, n_written
+
+
+PROFILE_OUT = ("user_id bigint, n_events bigint, "
+               "sum_cents bigint, max_ts_us bigint")
+PROFILE_STATE = "n bigint, sc bigint, mx bigint"
+
+
+def make_profile_updater():
+    """The applyInPandasWithState transition function for the per-user
+    running profile (count, exact-cents sum, max timestamp): folds the
+    batch's Arrow chunks into the restored GroupState and emits the
+    updated row. Module-level so the checkpoint-restart test
+    (tests/test_stateful_counts_restart.py) can drive the SAME
+    function through a kill/restart cycle."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, sc, mx = state.get if state.exists else (0, 0, None)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            sc += int(pdf["cents"].sum())
+            m = int(pdf["ts_us"].max())
+            mx = m if mx is None else max(mx, m)
+        state.update((n, sc, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_cents": [sc], "max_ts_us": [mx]})
+
+    return update
 
 
 def run_stateful_counts_stream(spark: SparkSession, sf_dir: str):
@@ -67,13 +104,12 @@ def run_stateful_counts_stream(spark: SparkSession, sf_dir: str):
 
     Returns (profile_df, n_batches).
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     _ensure_runtime_confs(spark)
     work = tempfile.mkdtemp(prefix="mmr_stateful_counts_")
     try:
-        src, schema = _split_event_source(spark, sf_dir, work, 4)
+        src, schema, n_batches = _split_event_source(spark, sf_dir, work, 4)
         stream = (spark.readStream.schema(schema).format("parquet")
                   .option("maxFilesPerTrigger", 1).load(src))
         ev = normalize_event_ts(stream).select(
@@ -81,24 +117,10 @@ def run_stateful_counts_stream(spark: SparkSession, sf_dir: str):
             F.round(F.col("value") * 100).cast("bigint").alias("cents"),
             F.expr("ts_ns DIV 1000").alias("ts_us"))
 
-        def update(key, pdfs, state: GroupState):
-            n, sc, mx = state.get if state.exists else (0, 0, None)
-            for pdf in pdfs:
-                if not len(pdf):
-                    continue
-                n += len(pdf)
-                sc += int(pdf["cents"].sum())
-                m = int(pdf["ts_us"].max())
-                mx = m if mx is None else max(mx, m)
-            state.update((n, sc, mx))
-            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                                "sum_cents": [sc], "max_ts_us": [mx]})
-
         out = ev.groupBy("user_id").applyInPandasWithState(
-            update,
-            outputStructType=("user_id bigint, n_events bigint, "
-                              "sum_cents bigint, max_ts_us bigint"),
-            stateStructType="n bigint, sc bigint, mx bigint",
+            make_profile_updater(),
+            outputStructType=PROFILE_OUT,
+            stateStructType=PROFILE_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout)
         emitted = _run_to_memory(spark, out, "stateful_counts", "update")
@@ -113,7 +135,6 @@ def run_stateful_counts_stream(spark: SparkSession, sf_dir: str):
                  .select("user_id", "n_events",
                          (F.col("sum_cents") / 100.0).alias("sum_value"),
                          "max_ts_us"))
-        n_batches = 4
         return final, n_batches
     finally:
         shutil.rmtree(work, ignore_errors=True)

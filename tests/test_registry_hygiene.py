@@ -147,7 +147,9 @@ def test_round_close_artifacts_cover_registry():
 def test_cost_probe_covers_bench_tail_without_regressions():
     """COST_LOCAL.json (shuffle-byte accounting — the number that
     prices a 100 TB run) must cover every query in the bench tail
-    (>=3 s in BENCH_LOCAL.json) and carry ZERO amplification
+    (>=2 s in BENCH_LOCAL.json — round-6 verdict widened the
+    gate from 3 s to catch the 2-3 s streaming band) and carry ZERO
+    amplification
     regressions: tools/cost_probe.py flags any query whose
     shuffle-write-bytes-per-source-byte got >1.5x worse (and >0.5
     absolute) than the previous committed artifact."""
@@ -159,7 +161,7 @@ def test_cost_probe_covers_bench_tail_without_regressions():
         bench = json.load(f)["queries"]
     with open(os.path.join(root, "COST_LOCAL.json")) as f:
         cost = json.load(f)
-    tail = {n for n, t in bench.items() if t >= 3.0 and n in REGISTRY}
+    tail = {n for n, t in bench.items() if t >= 2.0 and n in REGISTRY}
     missing = sorted(tail - set(cost["queries"]))
     assert not missing, f"bench-tail queries with no byte accounting: {missing}"
     assert cost.get("regressions") == [], cost.get("regressions")
@@ -173,7 +175,9 @@ def test_no_unformatted_docstring_placeholders():
     brace pattern surviving in spec.doc is a bug."""
     import re
 
-    bad = {n: re.findall(r"\{[a-z_0-9]+\}", s.doc)
+    pat = r"\{[A-Za-z_0-9]+\}"   # widened: _LONG_TOK-style UPPER
+    # names slipped the lowercase-only regex in round 6
+    bad = {n: re.findall(pat, s.doc)
            for n, s in REGISTRY.items()
-           if re.search(r"\{[a-z_0-9]+\}", s.doc)}
+           if re.search(pat, s.doc)}
     assert not bad, bad

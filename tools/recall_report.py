@@ -55,12 +55,12 @@ def main() -> int:
 
     report: dict[str, dict] = {}
     exact = _topk(q_knn_bruteforce(spark, args.sf))
-    release_caches(spark)
+    release_caches(spark, force_checkpointed=True)
     for name, fn, floor in (("q_knn_lsh_buckets", q_knn_lsh_buckets, 0.85),
                             ("q_knn_ivf", q_knn_ivf, 0.80),
                             ("q_knn_pq_adc", q_knn_pq_adc, 0.84)):
         r = _recall(exact, _topk(fn(spark, args.sf)))
-        release_caches(spark)
+        release_caches(spark, force_checkpointed=True)
         report[name] = {"recall": round(r, 4), "asserted_floor": floor,
                         "vs": "q_knn_bruteforce top-k",
                         "pass": r >= floor}
@@ -70,18 +70,31 @@ def main() -> int:
              q_dedup_ngram_jaccard(spark, args.sf).collect() if r.jaccard >= 0.8}
     found = {(r.doc_a, r.doc_b) for r in
              q_dedup_minhash_lsh(spark, args.sf).collect()}
-    release_caches(spark)
+    release_caches(spark, force_checkpointed=True)
     r = len(truth & found) / len(truth) if truth else 1.0
     report["q_dedup_minhash_lsh"] = {
         "recall": round(r, 4), "asserted_floor": 1.0,
         "vs": "exact n-gram Jaccard >= 0.8", "pass": r >= 1.0}
+
+    # Weighted MinHash-LSH vs the exact milli-scaled weighted pairs
+    from my_mapreduce_spark.queries.dedup import (q_dedup_weighted_jaccard,
+                                                  q_dedup_weighted_minhash)
+    wexact = {(r.doc_a, r.doc_b) for r in
+              q_dedup_weighted_jaccard(spark, args.sf).collect()}
+    wfound = {(r.doc_a, r.doc_b) for r in
+              q_dedup_weighted_minhash(spark, args.sf).collect()}
+    release_caches(spark, force_checkpointed=True)
+    r = len(wexact & wfound) / len(wexact) if wexact else 1.0
+    report["q_dedup_weighted_minhash"] = {
+        "recall": round(r, 4), "asserted_floor": 0.8,
+        "vs": "exact weighted Jaccard >= 0.5", "pass": r >= 0.8}
 
     # Semantic dedup (IVF-clustered) vs exact embedding-cosine pairs
     from my_mapreduce_spark.queries.dedup import q_dedup_embedding_cosine
     sem = {(r.vec_a, r.vec_b) for r in q_dedup_semantic(spark, args.sf).collect()}
     exact_pairs = {(min(r.vec_a, r.vec_b), max(r.vec_a, r.vec_b))
                    for r in q_dedup_embedding_cosine(spark, args.sf).collect()}
-    release_caches(spark)
+    release_caches(spark, force_checkpointed=True)
     r = len(sem & exact_pairs) / len(exact_pairs) if exact_pairs else 1.0
     report["q_dedup_semantic"] = {
         "recall": round(r, 4), "asserted_floor": 0.75,

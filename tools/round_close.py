@@ -12,7 +12,7 @@ Runs, in order:
   5. tools/explain_audit.py        -> AUDIT_LOCAL.json        (plan quality)
   6. tools/recall_report.py        -> RECALL_LOCAL.json       (sf0.001)
   7. bench.py                      -> BENCH_LOCAL.json        (sf0.1)
-  8. tools/cost_probe.py --tail-secs 3
+  8. tools/cost_probe.py --tail-secs 2
                                    -> COST_LOCAL.json (byte accounting of the
                                       bench tail; fails on >1.5x amplification
                                       regressions vs the previous artifact)
@@ -46,6 +46,53 @@ def _run(desc: str, argv: list[str]) -> None:
         raise SystemExit(r.returncode)
 
 
+def _classify_bench_movers() -> None:
+    """Round-over-round mover triage, machine-checked (round-6 verdict
+    ask): any query whose fresh timing moved >1.5x vs the last
+    COMMITTED BENCH_LOCAL.json is labelled ``real`` only if the
+    absolute delta also exceeds its own recorded run-to-run spread
+    (max of both rounds' spreads, floored at 0.2 s); otherwise it is
+    auto-labelled ``noise``. The classification is written into
+    BENCH_LOCAL.json under ``movers`` so the round narrative can cite
+    the machine's verdict instead of eyeballing ambient load."""
+    path = os.path.join(ROOT, "BENCH_LOCAL.json")
+    try:
+        prev_raw = subprocess.run(
+            ["git", "show", "HEAD:BENCH_LOCAL.json"], cwd=ROOT,
+            capture_output=True, text=True, check=True).stdout
+        prev = json.loads(prev_raw)
+    except (subprocess.CalledProcessError, json.JSONDecodeError):
+        print("round_close: no committed BENCH_LOCAL.json to compare")
+        return
+    with open(path) as f:
+        now = json.load(f)
+    movers = []
+    for name, t_now in now.get("queries", {}).items():
+        t_prev = prev.get("queries", {}).get(name)
+        if not t_prev or t_prev <= 0 or t_now <= 0:
+            continue
+        ratio = t_now / t_prev
+        if 1 / 1.5 < ratio < 1.5:
+            continue
+        spread = max(now.get("spread", {}).get(name, 0.0),
+                     prev.get("spread", {}).get(name, 0.0), 0.2)
+        movers.append({
+            "query": name, "prev": t_prev, "now": t_now,
+            "ratio": round(ratio, 2), "spread_bound": round(spread, 3),
+            "label": "real" if abs(t_now - t_prev) > spread else "noise",
+        })
+    now["movers"] = sorted(movers, key=lambda m: -abs(m["ratio"] - 1))
+    with open(path, "w") as f:
+        json.dump(now, f)
+        f.write("\n")
+    real = [m for m in movers if m["label"] == "real"]
+    print(f"round_close: {len(movers)} movers >1.5x "
+          f"({len(real)} real, {len(movers) - len(real)} noise)")
+    for m in real:
+        print(f"  REAL mover: {m['query']} {m['prev']} -> {m['now']} "
+              f"({m['ratio']}x, spread bound {m['spread_bound']})")
+
+
 def main() -> int:
     _run("inventory", ["tools/query_inventory.py"])
     _run("correctness sweep (sf0.01)", ["tools/check_correctness.py",
@@ -59,8 +106,9 @@ def main() -> int:
                         "--out", "AUDIT_LOCAL.json"])
     _run("recall report", ["tools/recall_report.py"])
     _run("bench", ["bench.py"])
-    _run("cost probe (bench tail >=3s)",
-         ["tools/cost_probe.py", "--tail-secs", "3"])
+    _classify_bench_movers()
+    _run("cost probe (bench tail >=2s)",
+         ["tools/cost_probe.py", "--tail-secs", "2"])
 
     # verify the invariant the hygiene pytest also checks
     sys.path.insert(0, ROOT)

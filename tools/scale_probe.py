@@ -36,7 +36,9 @@ from my_mapreduce_spark.session import get_spark  # noqa: E402
 
 _SF01 = "/root/testdata/sf0.1"
 _SF001 = "/root/testdata/sf0.01"
-_REPLICAS = 10
+_REPLICAS = 10   # default decade tier; --replicas 30/100 builds the
+                 # super-decade tiers BASELINE.md records for the top
+                 # shuffle-amplification rows
 
 # key columns to shift per table: col -> stride key family
 _KEYS = {
@@ -75,7 +77,7 @@ _PROBE = [
 ]
 
 
-def build(spark, out: str) -> None:
+def build(spark, out: str, replicas: int = _REPLICAS) -> None:
     strides = {}
     for t, keys in _KEYS.items():
         df = load_table(spark, _SF01, t)
@@ -93,7 +95,7 @@ def build(spark, out: str) -> None:
                     s *= 10
                 strides[fam] = s
         parts = []
-        for i in range(_REPLICAS):
+        for i in range(replicas):
             rep = df
             for k in keys:
                 fam = _FAMILY[k]
@@ -121,13 +123,16 @@ def build(spark, out: str) -> None:
         for p in parts[1:]:
             u = u.unionAll(p)
         u.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
-        print(f"  built {t} x{_REPLICAS}", file=sys.stderr)
+        print(f"  built {t} x{replicas}", file=sys.stderr)
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf1_synth")
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument("--replicas", type=int, default=_REPLICAS,
+                    help="replication factor of the synthetic tier "
+                         "(10 = decade; 30/100 = super-decade rows)")
     ap.add_argument("--probe", nargs="*", default=None,
                     help="query names to probe (default: built-in set)")
     args = ap.parse_args()
@@ -136,12 +141,13 @@ def main() -> int:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     if not args.skip_build:
-        build(spark, args.out)
+        build(spark, args.out, args.replicas)
 
     probe = args.probe if args.probe else [n for n in _PROBE if n]
     REGISTRY["q1_pricing_summary"].fn(spark, _SF001).count()  # warm-up
 
-    tiers = [("sf0.01", _SF001), ("sf0.1", _SF01), ("10x sf0.1", args.out)]
+    tiers = [("sf0.01", _SF001), ("sf0.1", _SF01),
+             (f"{args.replicas}x sf0.1", args.out)]
     rows = []
     for name in probe:
         if name not in REGISTRY:
@@ -151,14 +157,14 @@ def main() -> int:
             t0 = time.time()
             REGISTRY[name].fn(spark, d).count()
             cells.append(time.time() - t0)
-            release_caches(spark)
+            release_caches(spark, force_checkpointed=True)
         rows.append((name, cells))
         print(f"  {name}: " + "  ".join(
             f"{lbl}->{t:.2f}s" for (lbl, _), t in zip(tiers, cells)),
             file=sys.stderr)
 
     print("| query | " + " | ".join(lbl for lbl, _ in tiers)
-          + " | 10x->10x ratio |")
+          + f" | sf0.1->{args.replicas}x ratio |")
     print("|---|" + "---|" * (len(tiers) + 1))
     for name, cells in rows:
         ratio = cells[2] / cells[1] if cells[1] > 0 else float("inf")

@@ -71,7 +71,7 @@ def main() -> int:
                 t0 = time.time()
                 REGISTRY[name].fn(spark, args.sf).count()
                 cells.append(time.time() - t0)
-                release_caches(spark)
+                release_caches(spark, force_checkpointed=True)
             rows.append((name, cells))
             print(f"  {name}: " + "  ".join(
                 f"{p}->{t:.2f}s" for p, t in zip(parts, cells)),
