@@ -271,10 +271,9 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("feat_norm"), 6).alias("avg_feat_norm")))
 
 
-@register(
-    "q_multimodal_phash",
-    oracle=f"""
-    WITH base AS (
+# SQL twin of the dHash computation — shared by the fingerprint query
+# and the banded near-dup pair query built on it.
+_PHASH_CTE = f"""base AS (
         SELECT doc_id, text,
                CAST(length(text) AS BIGINT) AS n,
                GREATEST(1, CAST(ceil(length(text) / {_THUMB_PIXELS}.0)
@@ -290,7 +289,13 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                              < substr(text,
                                       CAST(1 + (i + 1) * stride AS INT), 1)
                         THEN '1' ELSE '0' END), '') AS phash
-        FROM base)
+        FROM base)"""
+
+
+@register(
+    "q_multimodal_phash",
+    oracle=f"""
+    WITH {_PHASH_CTE}
     SELECT doc_id, phash,
            CAST(length(phash) - length(replace(phash, '1', ''))
                 AS BIGINT) AS popcount,
@@ -344,3 +349,83 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(
         phash, schema="doc_id bigint, phash string, popcount bigint, "
                       "b0 string, b1 string, b2 string, b3 string")
+
+
+_PHASH_HAMMING_MAX = 3   # 4 bands ⊃ every pair within distance 3
+
+
+@register(
+    "q_multimodal_phash_neardup",
+    oracle=f"""
+    WITH {_PHASH_CTE},
+    sig AS (
+        SELECT doc_id, phash,
+               CAST(length(phash) AS BIGINT) AS len,
+               CAST(length(phash) - length(replace(phash, '1', ''))
+                    AS BIGINT) AS pc
+        FROM h WHERE length(phash) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_filter(range(1, CAST(a.len AS INT) + 1), i ->
+                substr(a.phash, i, 1) <> substr(b.phash, i, 1)))
+                AS BIGINT) AS hamming
+    FROM sig a JOIN sig b
+      ON a.len = b.len AND a.doc_id < b.doc_id
+     AND abs(a.pc - b.pc) <= {_PHASH_HAMMING_MAX}
+    WHERE len(list_filter(range(1, CAST(a.len AS INT) + 1), i ->
+              substr(a.phash, i, 1) <> substr(b.phash, i, 1)))
+          <= {_PHASH_HAMMING_MAX}
+    """,
+    tags=("multimodal", "phash", "near-dup", "lsh", "hamming"),
+)
+def q_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-dup pairs over the media corpus: assets whose
+    dHash fingerprints (q_multimodal_phash) sit within Hamming
+    distance 3 — the operator that catches re-encoded / slightly
+    re-processed copies of the same asset, where exact sha256 dedup
+    (q_multimodal_meta) sees two different files.
+
+    Candidates come from the 4-band pigeonhole (the q_dedup_simhash
+    argument): the bands PARTITION the fingerprint prefix, so any
+    equal-length pair within distance 3 leaves >= 1 of its 4 bands
+    untouched and surfaces in the (band_idx, band_value) equi-join —
+    a key-colocated shuffle of 14-bit band keys, never an all-pairs
+    scan, and only ~63-char fingerprints travel to the verification
+    join (payloads never move — the 100 TB posture). Verification is
+    exact-integer: both fingerprints convert to int64 (<= 63 bits)
+    and ``bit_count(a ^ b)`` is the Hamming distance; the equal-
+    length guard keeps the bit alignment well-defined. The DuckDB
+    oracle brute-forces every equal-length pair with a popcount
+    pre-filter (|pc_a - pc_b| <= d is a Hamming lower bound), so the
+    banded candidate generation is re-proven LOSSLESS on every run.
+    """
+    ph = q_multimodal_phash(spark, sf_dir).where(F.length("phash") > 0)
+    sig = ph.select("doc_id", "phash", F.length("phash").alias("len"),
+                    *[F.col(f"b{j}") for j in range(4)])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band_idx"),
+                     F.col(f"b{j}").alias("band_val"))
+            for j in range(4)])).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_val") == F.col("b.band_val"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    as_int = lambda c: F.conv(c, 2, 10).cast("bigint")
+    x = sig.select(F.col("doc_id").alias("doc_a"),
+                   F.col("len").alias("len_a"),
+                   as_int("phash").alias("ia"))
+    y = sig.select(F.col("doc_id").alias("doc_b"),
+                   F.col("len").alias("len_b"),
+                   as_int("phash").alias("ib"))
+    return (cand.join(x, "doc_a").join(y, "doc_b")
+            .where(F.col("len_a") == F.col("len_b"))
+            .withColumn("hamming", F.bit_count(
+                F.col("ia").bitwiseXOR(F.col("ib"))))
+            .where(F.col("hamming") <= _PHASH_HAMMING_MAX)
+            .select("doc_a", "doc_b", "hamming"))

@@ -417,3 +417,46 @@ def q_editdist1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.length("name_a") == F.length("name_b"),
                            "sub").otherwise("indel").alias("kind"))
             .orderBy("name_a", "name_b").limit(_ED1_TOP))
+
+
+@register(
+    "q_bool_aggregates",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+           bool_and(value > 0)   AS all_positive,
+           bool_or(value > 100)  AS any_huge,
+           bool_and(CASE WHEN value > 50 THEN TRUE
+                         WHEN value < 10 THEN FALSE END) AS band_and,
+           bool_or(CASE WHEN value > 50 THEN TRUE
+                        WHEN value < 10 THEN FALSE END)  AS band_or
+    FROM events GROUP BY event_type
+    """,
+    tags=("aggregates", "boolean", "null-semantics", "events"),
+)
+def q_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface with three-valued-logic semantics:
+    ``bool_and`` / ``bool_or`` / filtered counts per event type, with
+    one CASE expression deliberately yielding NULL for the 10..50
+    band — SQL aggregates SKIP NULLs, so ``band_and`` is the AND over
+    only the classified rows (not NULL-poisoned), the same
+    skip-NULLs contract both engines implement and this oracle pins.
+    The q_not_in_null_trap sibling for aggregation: predicates that
+    sometimes don't vote are everywhere in data-quality rollups, and
+    an engine (or refactor) that treats unknown as false flips these
+    flags silently.
+
+    Scale shape: single combiner-reduced scan — boolean partial
+    states are one bit per aggregate per group.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    band = (F.when(F.col("value") > 50, F.lit(True))
+            .when(F.col("value") < 10, F.lit(False)))
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_if(F.col("value") > 50).alias("n_high"),
+                 F.bool_and(F.col("value") > 0).alias("all_positive"),
+                 F.bool_or(F.col("value") > 100).alias("any_huge"),
+                 F.bool_and(band).alias("band_and"),
+                 F.bool_or(band).alias("band_or")))

@@ -2170,3 +2170,57 @@ def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_PARAM_SQL,
                      args={"min_qty": _PARAM_MIN_QTY,
                            "status": _PARAM_STATUS})
+
+
+_KFOLD_K = 5
+
+
+@register(
+    "q_kfold_stratified",
+    oracle=f"""
+    WITH a AS (
+        SELECT source, n_chars,
+               (ROW_NUMBER() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+               % {_KFOLD_K} AS fold
+        FROM documents)
+    SELECT fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+    FROM a GROUP BY fold
+    """,
+    tags=("sampling", "cross-validation", "kfold", "stratified",
+          "documents"),
+)
+def q_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold cross-validation assignment (k=5): within
+    each source stratum, documents are ordered by md5(doc_id) (a
+    deterministic pseudo-random permutation — same trick as
+    q_sample_stratified) and dealt round-robin into folds, so every
+    source contributes to every fold with counts differing by AT
+    MOST ONE (exact stratification, proven per run by
+    tests/test_kfold_balance.py) and each document lands in exactly
+    one fold (the oracle equality proves the partition property:
+    fold doc counts sum to the corpus).
+
+    Why md5 order instead of rand(): re-runs, retries, and both
+    engines produce the SAME folds — CV assignment must be
+    reproducible or every downstream metric is unrepeatable.
+
+    Scale shape: one window per source stratum (partitioned — never
+    a global window) + one fold-keyed combiner-reduced aggregate;
+    output is k rows at any corpus size. The fold column itself (not
+    this summary) is what a training pipeline joins on — the
+    summary is the audit artifact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    fold = ((F.row_number().over(w) - 1) % _KFOLD_K).alias("fold")
+    return (docs.select("source", "n_chars", fold)
+            .groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("source").alias("n_sources"),
+                 F.sum("n_chars").alias("tot_chars")))

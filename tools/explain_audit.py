@@ -12,7 +12,16 @@ Checks, per query:
   BroadcastHashJoin, not a shuffled join;
 - **codegen** — the plan contains WholeStageCodegen spans;
 - **cartesian** — no CartesianProduct / BroadcastNestedLoopJoin
-  unless the query is explicitly a theta/cross join.
+  unless the query is explicitly a theta/cross join;
+- **array-broadcast** — no BroadcastExchange whose build side
+  carries an array-typed column, unless whitelisted with a
+  documented data-independent bound. The round-7 30x scale tier
+  proved the pathology: sorted-array relations compress so well
+  that AQE's runtime size estimate sits under the broadcast
+  threshold while the deserialized rows are corpus-sized — the
+  auto-converted broadcast build OOM'd the driver. Corpus-growing
+  array relations must never broadcast (merge/shuffle joins spill;
+  broadcast builds do not).
 
 Usage: python tools/explain_audit.py [--sf DIR] [name ...]
 Exit code 1 if any non-whitelisted smell is found.
@@ -55,6 +64,9 @@ _ALLOW_NESTED_LOOP = {
     "q_dedup_weighted_jaccard",  # pair join carries a < on doc_id (the
                                  # q_dedup_ngram_jaccard shape) +
                                  # crossJoin(broadcast(1-row doc count))
+    "q_dedup_weighted_minhash",  # crossJoin(broadcast(1-row doc count))
+                                 # for the idf weights, same
+                                 # scalar-subquery shape
     "q_sparse_cosine_pairs",     # same two shapes: term-keyed pair join
                                  # with < on doc_id + crossJoin(
                                  # broadcast(1-row doc count)) for idf
@@ -336,6 +348,32 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
                      "normalize partitions by source)",
 }
 
+# Queries allowed to broadcast an ARRAY-typed build side. Every entry
+# must state why the relation is bounded by something other than the
+# data size (query sets, sketches, 1-row scalar aggregates, literal
+# grids) — a corpus-growing array relation in this list would be the
+# exact 30x-tier OOM replayed.
+_ALLOW_ARRAY_BROADCAST: dict[str, str] = {
+    # the broadcast is the QUERY SET — a caller parameter of bounded
+    # cardinality (|queries| x d doubles), not a corpus-growing
+    # relation; the corpus side streams past it un-broadcast
+    "q_knn_bruteforce": "query-set vectors (parameter-bounded)",
+    "q_knn_lsh_buckets": "query-set vectors + sketch keys (parameter)",
+    "q_knn_ivf": "query-set vectors + probe buckets (parameter)",
+    "q_knn_pq_adc": "query-set vectors / ADC tables (parameter)",
+    "q_ndcg_eval": "query-set vectors + labels (parameter-bounded)",
+    "q_hard_negatives": "query-set vectors + labels (parameter)",
+    "q_retrieval_recall_mrr": "query-set vectors + labels (parameter)",
+    "q_mmr_diversify": "query-set vectors (parameter-bounded)",
+    "q_hybrid_retrieval": "1-row query vector (scalar-subquery shape)",
+    "q_rrf_fusion": "1-row query vector (scalar-subquery shape)",
+    # sketch relations: |event types| rows x k-element arrays — the
+    # whole point of sketching is that this is constant-bounded
+    "q_kmv_sketch_intersect": "|types| x k-minimum-value sketches",
+    # one row holding the decile boundary array (scalar subquery)
+    "q_equidepth_histogram": "1-row decile-boundary array",
+}
+
 _WIDE = 8  # a scan reading >= this many columns must be pruning something
 
 
@@ -425,6 +463,29 @@ def _limit_bounded(plan: str, node_id: int) -> bool:
     return False
 
 
+def _array_broadcast_builds(qe) -> list[str]:
+    """Schema catalog strings (truncated) of every BroadcastExchange
+    build side carrying an array-typed column — the compressed-size-
+    lies-to-AQE pathology the 30x scale tier exposed. Walks the
+    pre-AQE sparkPlan tree via py4j (subquery plans are separate
+    trees and not walked — the main-tree build sides are where the
+    30x OOM lived). Walks executedPlan: exchanges are inserted by
+    EnsureRequirements, so sparkPlan has none."""
+    found = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if "BroadcastExchange" in cls:
+            cat = node.children().apply(0).schema().catalogString()
+            if "array<" in cat:
+                found.append(cat[:100])
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(qe.executedPlan())
+    return found
+
+
 def audit(name: str, plan: str, codegen_subtrees: int,
           widths: dict[str, int]) -> list[str]:
     smells = []
@@ -510,6 +571,9 @@ def main() -> int:
         m = re.search(r"Found (\d+) WholeStageCodegen subtrees",
                       qe.explainString(mode.fromString("codegen")))
         smells = audit(name, plan, int(m.group(1)) if m else 0, widths)
+        if name not in _ALLOW_ARRAY_BROADCAST:
+            for cat in _array_broadcast_builds(qe):
+                smells.append(f"array-broadcast:{cat[:60]}")
         pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
         bcast = plan.count("BroadcastHashJoin")
         tag = "SMELL " + ",".join(smells) if smells else "ok"
