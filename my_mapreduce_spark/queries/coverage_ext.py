@@ -460,3 +460,60 @@ def q_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.bool_or(F.col("value") > 100).alias("any_huge"),
                  F.bool_and(band).alias("band_and"),
                  F.bool_or(band).alias("band_or")))
+
+
+@register(
+    "q_mrout_connector_roundtrip",
+    oracle="""
+    WITH k AS (
+        SELECT lang AS key, CAST(COUNT(*) AS VARCHAR) AS value
+        FROM documents GROUP BY lang)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(value AS BIGINT)) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN key >= 'f' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keys_ge_f
+    FROM k
+    """,
+    tags=("sources", "python-datasource", "connector", "mrout"),
+)
+def q_mrout_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `mrout` Python DataSource (Spark 4 `pyspark.sql.datasource`
+    connector for the reference's ``"<key> <value>"`` text sink,
+    `mr/worker.go:190-207`) exercised end-to-end as a REGISTERED
+    surface: per-language doc counts land as mr-out-N files via the
+    two-phase-commit text sink, are read back through
+    ``spark.read.format("mrout")`` (partition-per-file parallel scan
+    with source-level key pushdown), and aggregate back to exactly
+    the counts the documents table yields — the oracle never sees the
+    files, so the sink format + connector scan + filter path are all
+    under the value-hash gate, not just pytest.
+
+    Scale shape: the connector enumerates files driver-side but
+    streams lines executor-side (one InputPartition per file); the
+    `key >= 'f'` count rides the pushFilters path during the scan.
+    """
+    import shutil
+    import tempfile
+
+    from my_mapreduce_spark.mapreduce import write_text_output
+    from my_mapreduce_spark.sources_custom import register_mrout
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.groupBy(F.col("lang").alias("key"))
+              .agg(F.count(F.lit(1)).cast("string").alias("value")))
+    work = tempfile.mkdtemp(prefix="mmr_mrout_q_")
+    try:
+        write_text_output(counts, work, n_reduce=4)
+        register_mrout(spark)
+        back = spark.read.format("mrout").load(work)
+        ge_f = (spark.read.format("mrout").load(work)
+                .where(F.col("key") >= "f"))
+        out = (back.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("value").cast("bigint")).alias("n_docs"))
+            .crossJoin(F.broadcast(
+                ge_f.agg(F.count(F.lit(1)).alias("n_keys_ge_f")))))
+        # pin the result before the temp sink dir is removed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

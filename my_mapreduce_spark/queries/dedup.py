@@ -1960,3 +1960,104 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("normalize_exact", n0, n1, n0 - n1),
          ("near_dup_collapse", n1, n2, collapsed)],
         "stage string, n_in bigint, n_out bigint, n_removed bigint")
+
+
+_ICWS_N = 32            # 16 bands x 2 rows
+_ICWS_BANDS, _ICWS_ROWS = 16, 2
+_ICWS_MIN_MATCHES = 16  # report est weighted Jaccard >= 0.5
+
+
+@register(
+    "q_dedup_icws",
+    oracle=None,  # float ln/exp chains are not bit-reproducible
+                  # across engines; quality is recall-floored instead
+                  # (tests/test_weighted_minhash.py, RECALL_LOCAL.json)
+    tags=("dedup", "weighted-jaccard", "icws", "minhash", "near-dup",
+          "rows-only"),
+)
+def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ioffe's Improved Consistent Weighted Sampling (ICWS) — the
+    REAL-VALUED weighted MinHash: where q_dedup_weighted_minhash
+    quantizes idf to integers and replicates, ICWS samples directly
+    from continuous weights (w = ln(N/df), un-quantized), so
+    P[sig_k(A) = sig_k(B)] = weighted Jaccard exactly, for any
+    positive real weights.
+
+    Per (doc, shingle) and sample k: five deterministic uniforms are
+    carved from md5('icws<k>|' || shingle) (24-bit slices), giving
+    r, c ~ Gamma(2,1) (as -ln(u·u)) and beta ~ U(0,1); then
+    t = floor(ln w / r + beta), y = exp(r (t - beta)), a = c/(y e^r),
+    and the k-th signature component is (shingle, t) of the argmin-a
+    shingle (``min_by`` — one combiner-reduced aggregate per doc, no
+    UDF: the whole sampler is JVM expressions inside codegen).
+    Banding and candidate generation are the standard 16x2 LSH
+    shapes; pairs report >= 16/32 matching components (est >= 0.5,
+    the q_dedup_weighted_jaccard threshold).
+
+    Deterministic by construction (hash-derived randomness), but the
+    ln/exp chains make cross-engine bit-equality unreliable — so
+    this is a documented rows-only query: recall vs the exact
+    weighted pairs is floored in tests and trended per round in
+    RECALL_LOCAL.json, the same contract as the ANN family.
+
+    Scale: one scan + per-doc aggregate + banded equi-join; the
+    sampler is O(n_samples) md5s + arithmetic per shingle row,
+    all map-side.
+    """
+    s = _shingle_rows(spark, sf_dir)
+    df_rel = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    nd = s.agg(F.count_distinct("doc_id").alias("n"))
+    w = (df_rel.crossJoin(F.broadcast(nd))
+         .select("shingle",
+                 F.log(F.col("n") * 1.0 / F.col("df")).alias("w"))
+         .where(F.col("w") > 0))
+    sw = s.join(w, "shingle")
+    lnw = F.log("w")
+
+    aggs = []
+    for k in range(_ICWS_N):
+        md = F.md5(F.concat(F.lit(f"icws{k}|"), F.col("shingle")))
+
+        def u(i, md=md):
+            return ((F.conv(F.substring(md, 1 + 6 * i, 6), 16, 10)
+                     .cast("double") + 0.5) / 16777216.0)
+
+        r = -(F.log(u(0)) + F.log(u(1)))
+        c = -(F.log(u(2)) + F.log(u(3)))
+        beta = u(4)
+        t = F.floor(lnw / r + beta)
+        y = F.exp(r * (t - beta))
+        a = c / (y * F.exp(r))
+        comp = F.concat_ws("|", F.col("shingle"), t.cast("string"))
+        aggs.append(F.min_by(comp, a).alias(f"m{k}"))
+    sig = sw.groupBy("doc_id").agg(*aggs)
+    for j in range(_ICWS_BANDS):
+        sig = sig.withColumn(f"b{j}", F.md5(F.concat_ws("|", *[
+            F.col(f"m{j * _ICWS_ROWS + i}") for i in range(_ICWS_ROWS)])))
+    sig = sig.persist()  # caller releases (caching.py contract)
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("band_idx"),
+                     F.col(f"b{j}").alias("band_hash"))
+            for j in range(_ICWS_BANDS)])).alias("bh"),
+    ).select("doc_id", "bh.band_idx", "bh.band_hash")
+    cand = (bands.alias("a")
+            .join(bands.alias("b"),
+                  (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    n_matches = sum(
+        F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
+        for i in range(_ICWS_N))
+    return (cand
+            .join(sig.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+            .join(sig.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+            .select("doc_a", "doc_b",
+                    n_matches.cast("bigint").alias("n_matches"),
+                    F.round(n_matches / float(_ICWS_N), 6)
+                    .alias("est_weighted_jaccard"))
+            .where(F.col("n_matches") >= _ICWS_MIN_MATCHES))

@@ -2224,3 +2224,86 @@ def q_kfold_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.count_distinct("source").alias("n_sources"),
                  F.sum("n_chars").alias("tot_chars")))
+
+
+_PIPE_SQL = """
+FROM lineitem
+|> WHERE l_shipdate <= DATE '1998-09-02'
+|> EXTEND CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+|> AGGREGATE COUNT(*) AS n_items,
+             CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+             SUM(price_cents) AS sum_price_cents
+   GROUP BY l_returnflag, l_linestatus
+|> WHERE n_items > 0
+|> SELECT l_returnflag, l_linestatus, n_items, sum_qty,
+          CAST(sum_price_cents / 100.0 AS DOUBLE) AS sum_price
+"""
+
+
+@register(
+    "q_sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+               AS sum_price
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 0
+    """,
+    tags=("sql", "pipe-syntax", "spark4", "lineitem"),
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4.0's ``|>`` operator chain, from the
+    Google "SQL Has Problems" pipe-syntax proposal): the Q1-shaped
+    pricing rollup written as a linear dataflow — FROM |> WHERE |>
+    EXTEND |> AGGREGATE .. GROUP BY |> WHERE (post-agg) |> SELECT —
+    instead of the inside-out SELECT ordering. Semantically identical
+    to the ANSI text the DuckDB oracle runs (DuckDB has no pipe
+    syntax — the oracle IS the desugaring proof). Exact-cents
+    discipline as q1_pricing_summary.
+
+    Catalyst parses pipes into the same logical plan as the ANSI
+    form, so pushdown/codegen are identical — pinning that this is
+    pure syntax, not a different engine path.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PIPE_SQL)
+
+
+_IDENT_TABLE = "events"
+_IDENT_GROUP = "event_type"
+
+
+@register(
+    "q_identifier_clause",
+    oracle=f"""
+    SELECT {_IDENT_GROUP} AS group_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM {_IDENT_TABLE} GROUP BY 1
+    """,
+    tags=("sql", "identifier-clause", "parameterized", "spark4"),
+)
+def q_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized IDENTIFIERS (Spark 4 ``IDENTIFIER(:param)``):
+    the table AND the group-by column arrive as named parameters,
+    resolved by the analyzer as identifiers rather than spliced as
+    strings — the injection-safe way to template "same rollup, any
+    table/column" jobs (string-formatting SQL is how production
+    pipelines get hurt; parameter markers could already carry
+    VALUES, this closes the identifier half). The oracle runs the
+    resolved text verbatim.
+    """
+    load_table(spark, sf_dir, _IDENT_TABLE) \
+        .createOrReplaceTempView(_IDENT_TABLE)
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS group_key,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM IDENTIFIER(:tbl) GROUP BY 1
+        """,
+        args={"tbl": _IDENT_TABLE, "grp": _IDENT_GROUP})

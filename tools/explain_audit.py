@@ -67,6 +67,9 @@ _ALLOW_NESTED_LOOP = {
     "q_dedup_weighted_minhash",  # crossJoin(broadcast(1-row doc count))
                                  # for the idf weights, same
                                  # scalar-subquery shape
+    "q_dedup_icws",              # crossJoin(broadcast(1-row doc count))
+                                 # for the real-valued idf weights, same
+                                 # scalar-subquery shape
     "q_sparse_cosine_pairs",     # same two shapes: term-keyed pair join
                                  # with < on doc_id + crossJoin(
                                  # broadcast(1-row doc count)) for idf
@@ -242,6 +245,9 @@ _SKIP = {
     "q_compaction_roundtrip",  # write-fragment-compact-read job;
                                # returns a materialized checksum table
                                # (temp dirs removed)
+    "q_mrout_connector_roundtrip",  # write-sink-then-connector-read job;
+                                    # returns a localCheckpoint pinned
+                                    # before the temp sink dir is removed
     "q_streaming_scd2_enrich",  # micro-batch exec (materialized sink);
                                 # the dim build + containment join run
                                 # inside the stream plan

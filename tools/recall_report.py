@@ -89,6 +89,16 @@ def main() -> int:
         "recall": round(r, 4), "asserted_floor": 0.8,
         "vs": "exact weighted Jaccard >= 0.5", "pass": r >= 0.8}
 
+    # ICWS (real-valued weighted MinHash, rows-only) vs the same pairs
+    from my_mapreduce_spark.queries.dedup import q_dedup_icws
+    ifound = {(r.doc_a, r.doc_b) for r in
+              q_dedup_icws(spark, args.sf).collect()}
+    release_caches(spark, force_checkpointed=True)
+    r = len(wexact & ifound) / len(wexact) if wexact else 1.0
+    report["q_dedup_icws"] = {
+        "recall": round(r, 4), "asserted_floor": 0.8,
+        "vs": "exact weighted Jaccard >= 0.5", "pass": r >= 0.8}
+
     # Semantic dedup (IVF-clustered) vs exact embedding-cosine pairs
     from my_mapreduce_spark.queries.dedup import q_dedup_embedding_cosine
     sem = {(r.vec_a, r.vec_b) for r in q_dedup_semantic(spark, args.sf).collect()}
