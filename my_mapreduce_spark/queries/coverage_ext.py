@@ -517,3 +517,76 @@ def q_mrout_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_collated_grouping",
+    oracle="""
+    WITH mixed AS (
+        SELECT CASE WHEN doc_id % 2 = 0
+                    THEN upper(substr(lang, 1, 1)) || substr(lang, 2)
+                    ELSE lang END AS lang_mixed
+        FROM documents)
+    SELECT lower(lang_mixed) AS lang_lc,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang_mixed) AS BIGINT) AS n_spellings
+    FROM mixed GROUP BY 1
+    """,
+    tags=("sql", "collation", "spark4", "documents"),
+)
+def q_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATIONS (Spark 4): group under ``UTF8_LCASE`` so
+    'En' and 'en' fall into ONE group at the COMPARISON level —
+    no lower() rewrite of the data — while n_spellings (a binary-
+    collation distinct inside each group) proves the group really
+    held multiple spellings. Mixed-case input is synthesized
+    deterministically (initcap for even doc_ids), and the oracle is
+    the classic lower()-rewrite desugaring, pinning that the
+    collated GROUP BY is semantically the rewrite (for ASCII) while
+    keeping the stored data untouched — the production win is that
+    collation-aware grouping/joins push into codegen instead of
+    wrapping every reference in lower().
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.initcap("lang"))
+        .otherwise(F.col("lang")).alias("lang_mixed"))
+    return (mixed.groupBy(F.expr("lang_mixed COLLATE UTF8_LCASE")
+                          .alias("k"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct(F.col("lang_mixed")
+                                  .cast("string collate UTF8_BINARY"))
+                 .alias("n_spellings"))
+            .select(F.lower(F.col("k")).cast("string").alias("lang_lc"),
+                    "n_docs", "n_spellings"))
+
+
+_ATK_K = 8   # >= |event types|, so the sketch is provably exact here
+
+
+@register(
+    "q_approx_top_k",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("aggregates", "approx", "top-k", "sketch", "spark4"),
+)
+def q_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (Spark 4's frequent-items sketch aggregate):
+    one pass, bounded state (maxItemsTracked), merged map-side — the
+    engine-native answer to "top event types" without a full groupBy
+    when cardinality explodes. Pinned EXACTLY: k=8 exceeds the
+    event-type cardinality and the tracked-item budget exceeds the
+    distinct count, so the sketch degenerates to exact counts and
+    the plain GROUP BY oracle must match value-for-value (the same
+    degenerate-exactness trick q_approx_quantiles uses). At real
+    cardinality the same call returns the approximate head — the
+    query surface is identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    topk = ev.agg(F.expr(f"approx_top_k(event_type, {_ATK_K})")
+                  .alias("tk"))
+    return (topk.select(F.explode("tk").alias("e"))
+            .select(F.col("e.item").alias("item"),
+                    F.col("e.count").cast("bigint").alias("n")))
