@@ -788,3 +788,61 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(pdf, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_XML_ROOT = os.path.join(tempfile.gettempdir(), "mmr_xml")
+
+
+@register(
+    "q_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS first_date,
+           strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS last_date
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("sink", "source", "xml", "text-format", "spark4", "orders"),
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML SINK + SOURCE round trip — the Spark 4 BUILT-IN xml format
+    (spark-xml graduated into the engine): orders are written as
+    ``<order>`` row elements and read back with an EXPLICIT schema
+    and rowTag, then aggregated; equality against the oracle over
+    the ORIGINAL parquet proves the markup round trip lost no row,
+    date, or cent. Enterprise feeds still arrive as XML — this pins
+    that ingesting them needs no third-party package and no parsing
+    UDF (the reader is a distributed scan with a declared schema,
+    one partition per file split, exactly like csv/json).
+
+    Dates ride as DATE via the declared schema; money compares as
+    exact cents (the q_csv_roundtrip discipline). XML is the most
+    verbose of the text interchange formats (~6x parquet bytes) and
+    prune-blind — the argument for parquet landing stands; the
+    interchange path is nevertheless lossless when schemas are
+    explicit.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_XML_ROOT, f"orders_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (orders.select("o_orderkey", "o_orderstatus", "o_totalprice",
+                       F.col("o_orderdate").cast("date")
+                       .alias("o_orderdate"))
+         .write.mode("overwrite").option("rowTag", "order")
+         .format("xml").save(path))
+    back = (spark.read.schema("o_orderkey long, o_orderstatus string, "
+                              "o_totalprice double, o_orderdate date")
+            .option("rowTag", "order").format("xml").load(path))
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .alias("sum_cents"),
+                 F.date_format(F.min("o_orderdate"), "yyyy-MM-dd")
+                 .alias("first_date"),
+                 F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")
+                 .alias("last_date")))
