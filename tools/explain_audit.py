@@ -70,6 +70,9 @@ _ALLOW_NESTED_LOOP = {
     "q_dedup_icws",              # crossJoin(broadcast(1-row doc count))
                                  # for the real-valued idf weights, same
                                  # scalar-subquery shape
+    "q_er_fellegi_sunter",       # crossJoin(broadcast(1-row u-estimate
+                                 # aggregate)), same scalar-subquery
+                                 # shape
     "q_sparse_cosine_pairs",     # same two shapes: term-keyed pair join
                                  # with < on doc_id + crossJoin(
                                  # broadcast(1-row doc count)) for idf
