@@ -1984,8 +1984,12 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive real weights.
 
     Per (doc, shingle) and sample k: five deterministic uniforms are
-    carved from md5('icws<k>|' || shingle) (24-bit slices), giving
-    r, c ~ Gamma(2,1) (as -ln(u·u)) and beta ~ U(0,1); then
+    derived from TWO xxhash64 digests of the shingle via 2-universal
+    multiply-adds mod 2^31-1 (the minhash_lsh_pairs scheme="cw"
+    compromise — iid-by-hash randomness at integer-arithmetic cost;
+    a first cut carved them from 32 per-sample md5 digests and spent
+    30.7 s at sf0.1 on string slicing alone, vs ~6 s this way),
+    giving r, c ~ Gamma(2,1) (as -ln(u·u)) and beta ~ U(0,1); then
     t = floor(ln w / r + beta), y = exp(r (t - beta)), a = c/(y e^r),
     and the k-th signature component is (shingle, t) of the argmin-a
     shingle (``min_by`` — one combiner-reduced aggregate per doc, no
@@ -2014,26 +2018,42 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = s.join(w, "shingle")
     lnw = F.log("w")
 
+    # two independent 31-bit hash keys per shingle; every uniform is
+    # a 2-universal multiply-add over them — integer-only, codegen-
+    # friendly (every product < 2^62, exact in int64)
+    prime = _CW_PRIME
+    params, _ = _cw_params(5 * _ICWS_N, seed=_CW_SEED + 7)
+    h1 = F.pmod(F.xxhash64("shingle"), F.lit(prime))
+    h2 = F.pmod(F.xxhash64("shingle", F.lit(1)), F.lit(prime))
+
     aggs = []
     for k in range(_ICWS_N):
-        md = F.md5(F.concat(F.lit(f"icws{k}|"), F.col("shingle")))
 
-        def u(i, md=md):
-            return ((F.conv(F.substring(md, 1 + 6 * i, 6), 16, 10)
-                     .cast("double") + 0.5) / 16777216.0)
+        def u(i, k=k):
+            a, b, c0 = params[5 * k + i]
+            return (((F.lit(a) * h1 + F.lit(b) * h2 + F.lit(c0)) % prime)
+                    .cast("double") + 0.5) / float(prime)
 
-        r = -(F.log(u(0)) + F.log(u(1)))
-        c = -(F.log(u(2)) + F.log(u(3)))
+        # fused transcendentals: Gamma(2,1) = -ln(u*u) (one ln, not
+        # two) and a = c/(y e^r) = c * exp(-r (t - beta + 1)) (one
+        # exp) — 3 transcendental ops per sample instead of 7; the
+        # signature component is a STRUCT (no per-row string build —
+        # 8.3M concat_ws at sf0.1 was the other signature-stage cost)
+        r = -F.log(u(0) * u(1))
+        c = -F.log(u(2) * u(3))
         beta = u(4)
         t = F.floor(lnw / r + beta)
-        y = F.exp(r * (t - beta))
-        a = c / (y * F.exp(r))
-        comp = F.concat_ws("|", F.col("shingle"), t.cast("string"))
+        a = c * F.exp(-r * (t - beta + 1))
+        comp = F.struct(F.col("shingle").alias("f"),
+                        t.cast("long").alias("t"))
         aggs.append(F.min_by(comp, a).alias(f"m{k}"))
     sig = sw.groupBy("doc_id").agg(*aggs)
     for j in range(_ICWS_BANDS):
         sig = sig.withColumn(f"b{j}", F.md5(F.concat_ws("|", *[
-            F.col(f"m{j * _ICWS_ROWS + i}") for i in range(_ICWS_ROWS)])))
+            e for i in range(_ICWS_ROWS)
+            for e in (F.col(f"m{j * _ICWS_ROWS + i}.f"),
+                      F.col(f"m{j * _ICWS_ROWS + i}.t").cast("string"))
+        ])))
     sig = sig.persist()  # caller releases (caching.py contract)
     bands = sig.select(
         "doc_id",
