@@ -8,6 +8,7 @@ relational/vector breadth, every query oracle-checked.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -700,3 +701,132 @@ def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("score"), 4).alias("avg_score"),
                  F.round(F.min("score"), 4).alias("min_score"),
                  F.round(F.max("score"), 4).alias("max_score")))
+
+
+_SN_WINDOW = 4   # pairs span sorted ranks 1..3 apart
+
+
+@register(
+    "q_sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH r AS (
+        SELECT p_partkey, split_part(p_name, ' ', 2) AS noun, p_size,
+               row_number() OVER (ORDER BY split_part(p_name, ' ', 2),
+                                  p_size, p_partkey) AS seq
+        FROM part)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(b.seq - a.seq AS BIGINT) AS window_dist,
+           CAST(a.noun = b.noun AS INT) AS same_noun
+    FROM r a JOIN r b
+      ON b.seq > a.seq AND b.seq <= a.seq + {_SN_WINDOW - 1}
+    """,
+    tags=("entity-resolution", "record-linkage", "blocking",
+          "sorted-neighborhood", "part"),
+)
+def q_sorted_neighborhood_pairs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo): sort the
+    corpus ONCE by a similarity-bearing key (name noun, then size),
+    then emit candidate pairs only between records at most w-1 ranks
+    apart — candidates are O(w * n) by construction, the linear-cost
+    alternative to equality blocking when blocks skew (a hot brand
+    floods q_er_fellegi_sunter's pair relation; a sliding window
+    never exceeds w-1 pairs per record, whatever the key
+    distribution).
+
+    Scale shape: the global sort rank comes from
+    functions/ranking.distributed_row_number (range-shuffle + local
+    row_number + broadcast base offsets — NO data-sized global
+    window), then each record explodes into w-1 (rank+k) probes and
+    one shuffle equi-join on the rank value pairs neighbors up. The
+    oracle replays it as the classic single-window row_number +
+    band self-join; the sort key embeds p_partkey so the order is
+    total and the pair set deterministic.
+    """
+    from my_mapreduce_spark.functions.ranking import distributed_row_number
+
+    part = load_table(spark, sf_dir, "part")
+    r = part.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+        "p_size")
+    ranked = distributed_row_number(
+        r, [F.col("noun"), F.col("p_size"), F.col("p_partkey")],
+        out="seq")
+    a = (ranked
+         .select(F.col("p_partkey").alias("key_a"),
+                 F.col("noun").alias("noun_a"),
+                 F.col("seq").alias("seq_a"),
+                 F.explode(F.array(*[F.lit(k)
+                                     for k in range(1, _SN_WINDOW)]))
+                 .alias("k"))
+         .select("key_a", "noun_a", "seq_a",
+                 (F.col("seq_a") + F.col("k")).alias("probe")))
+    b = ranked.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("noun").alias("noun_b"),
+        F.col("seq").alias("seq_b"))
+    return (a.join(b, F.col("probe") == F.col("seq_b"))
+            .select("key_a", "key_b",
+                    (F.col("seq_b") - F.col("seq_a")).cast("bigint")
+                    .alias("window_dist"),
+                    (F.col("noun_a") == F.col("noun_b")).cast("int")
+                    .alias("same_noun")))
+
+
+@register(
+    "q_jaro_winkler_blocked",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    """,
+    tags=("entity-resolution", "record-linkage", "jaro-winkler",
+          "pandas-udf", "part"),
+)
+def q_jaro_winkler_blocked(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Jaro-Winkler name similarity over blocked candidate pairs —
+    the fuzzy comparator that feeds a Fellegi-Sunter agreement
+    vector when fields are typo-dirty rather than exactly equal.
+    Spark has no jaro built-in and the greedy character matching is
+    sequential over string POSITIONS, so the kernel is an
+    Arrow-batched scalar pandas_udf that vectorizes across the batch
+    (functions/linkage.jaro_batch: padded codepoint matrices, all
+    loops over the <= L char positions — no Python loop over rows).
+
+    Pinned bit-for-bit against DuckDB's jaro_winkler_similarity (the
+    oracle compares EVERY pair's score): floored transposition count
+    t = mismatches // 2 (the rapidfuzz convention — textbook
+    half-as-float diverges on odd counts), boost only above
+    jaro 0.7, empty -> 0. tests/test_record_linkage.py carries the
+    textbook cases (MARTHA/MARHTA etc.) plus a 30k-real-pair
+    bit-equality sweep.
+
+    Scale shape: the comparator runs strictly AFTER (brand, size)
+    equality blocking — one shuffle on the block key, candidate-
+    bounded input, same discipline as every dedup verification
+    stage. UDF cost is O(L^2) numpy vector ops per Arrow batch.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from my_mapreduce_spark.functions.linkage import jaro_batch
+
+    @pandas_udf("double")
+    def jw(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(jaro_batch(s1, s2))
+
+    part = load_table(spark, sf_dir, "part")
+    r = part.select("p_partkey", "p_name", "p_brand", "p_size")
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(
+        b, (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+    return pairs.select(
+        F.col("a.p_partkey").alias("key_a"),
+        F.col("b.p_partkey").alias("key_b"),
+        F.round(jw(F.col("a.p_name"), F.col("b.p_name")), 6)
+        .alias("jw"))

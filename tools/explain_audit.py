@@ -350,6 +350,9 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
                  "value relation (value-cardinality bounded; continuous "
                  "columns must pre-bucket — docstring contract shared "
                  "with q_quantile_normalize / q_roc_auc)",
+    "q_sorted_neighborhood_pairs": "distributed_row_number: window "
+                                   "over per-partition counts, "
+                                   "conf-bounded",
     "q_gains_table": "cumulative/total windows over DISTINCT score "
                      "values (value-cardinality bounded by the "
                      "n_chars length cap, never over documents — "
