@@ -846,3 +846,70 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("first_date"),
                  F.date_format(F.max("o_orderdate"), "yyyy-MM-dd")
                  .alias("last_date")))
+
+
+_ORC_ROOT = os.path.join(tempfile.gettempdir(), "mmr_orc")
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS first_date
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 100000
+    GROUP BY o_orderpriority
+    """,
+    tags=("sink", "source", "orc", "columnar", "partition-pruning",
+          "orders"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC SINK + SOURCE round trip through a PARTITIONED layout —
+    the second built-in columnar format (Hive-ecosystem
+    interchange), exercised the way a lake would lay it out:
+    ``sources.write_orc(partition_by="o_orderstatus")`` lands one
+    directory per status, and the read-back filter
+    ``o_orderstatus = 'F'`` resolves at PLANNING time to a directory
+    listing (partition pruning — non-'F' files are never opened)
+    while ``o_totalprice >= 100000`` pushes into the ORC reader's
+    stripe/row-group statistics exactly as it would on parquet.
+    Equality against the oracle over the ORIGINAL parquet proves the
+    columnar round trip lost no row, date, or cent (exact-cents
+    discipline shared with q_csv_roundtrip / q_xml_roundtrip).
+
+    At 100 TB the partition column choice IS the query pattern
+    contract: status-partitioned ORC makes status-scoped scans read
+    1/|statuses| of the lake; the same write with no partition_by
+    would push the status predicate down to stripe stats instead —
+    strictly weaker (files still opened). tests/test_sources.py pins
+    the helper pair; this query puts the layout under the value-hash
+    gate.
+    """
+    from my_mapreduce_spark.sources import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    path = os.path.join(_ORC_ROOT, f"orders_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_orc(
+            orders.select("o_orderkey", "o_orderpriority",
+                          "o_totalprice",
+                          F.col("o_orderdate").cast("date")
+                          .alias("o_orderdate"), "o_orderstatus"),
+            path, partition_by="o_orderstatus")
+    back = (read_orc(spark, path,
+                     schema="o_orderkey long, o_orderpriority string, "
+                            "o_totalprice double, o_orderdate date, "
+                            "o_orderstatus string")
+            .where((F.col("o_orderstatus") == "F")
+                   & (F.col("o_totalprice") >= 100000)))
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                 .alias("sum_cents"),
+                 F.date_format(F.min("o_orderdate"), "yyyy-MM-dd")
+                 .alias("first_date")))

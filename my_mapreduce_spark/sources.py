@@ -105,6 +105,14 @@ def write_orc(df: DataFrame, path: str,
     w.orc(path)
 
 
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
-    """ORC source (schema carried in the file footer)."""
-    return spark.read.orc(path)
+def read_orc(spark: SparkSession, path: str,
+             schema: str | None = None) -> DataFrame:
+    """ORC source (schema carried in the file footer). Pass an
+    explicit DDL ``schema`` when the dataset may be EMPTY — a
+    zero-row partitioned write lands no data files, so footer
+    inference has nothing to read (q_orc_roundtrip's zero-row
+    contract)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
