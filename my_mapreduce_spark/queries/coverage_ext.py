@@ -603,26 +603,29 @@ _FS_T_HI, _FS_T_LO = 4.0, 0.0   # log-odds decision thresholds
     WITH r AS (
         SELECT p_partkey, p_name, p_type, p_size, p_brand,
                CAST(floor(p_retailprice / 100) AS BIGINT) AS band,
+               split_part(p_name, ' ', 1) AS adj,
                split_part(p_name, ' ', 2) AS noun
         FROM part),
     pairs AS (
         SELECT a.p_partkey AS ka, b.p_partkey AS kb,
                CAST(a.p_type = b.p_type AS INT)           AS ag_type,
-               CAST(a.p_size = b.p_size AS INT)           AS ag_size,
+               CAST(a.adj = b.adj AS INT)                 AS ag_adj,
                CAST(a.band = b.band AS INT)               AS ag_cont,
                CAST(a.noun = b.noun AS INT)               AS ag_noun
         FROM r a JOIN r b
-          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+          ON a.p_brand = b.p_brand
+         AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey),
     u AS (
-        SELECT avg(ag_type) AS u_type, avg(ag_size) AS u_size,
+        SELECT avg(ag_type) AS u_type, avg(ag_adj) AS u_adj,
                avg(ag_cont) AS u_cont, avg(ag_noun) AS u_noun
         FROM pairs),
     scored AS (
         SELECT
           (CASE WHEN ag_type = 1 THEN ln({_FS_M} / u_type)
                 ELSE ln((1 - {_FS_M}) / (1 - u_type)) END)
-        + (CASE WHEN ag_size = 1 THEN ln({_FS_M} / u_size)
-                ELSE ln((1 - {_FS_M}) / (1 - u_size)) END)
+        + (CASE WHEN ag_adj = 1 THEN ln({_FS_M} / u_adj)
+                ELSE ln((1 - {_FS_M}) / (1 - u_adj)) END)
         + (CASE WHEN ag_cont = 1 THEN ln({_FS_M} / u_cont)
                 ELSE ln((1 - {_FS_M}) / (1 - u_cont)) END)
         + (CASE WHEN ag_noun = 1 THEN ln({_FS_M} / u_noun)
@@ -642,9 +645,15 @@ _FS_T_HI, _FS_T_LO = 4.0, 0.0   # log-odds decision thresholds
 )
 def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi-Sunter probabilistic record linkage over the part
-    catalog: candidate pairs are BLOCKED on brand (never unblocked
-    all-pairs — the q_fuzzy_name_match discipline), each pair gets a
-    field-agreement vector (type / size / price-band / name-noun),
+    catalog: candidate pairs are BLOCKED on (brand, size) — never
+    unblocked all-pairs, and never a LOW-CARDINALITY key alone:
+    blocking on brand only (25 values at EVERY corpus size) makes
+    block size proportional to the corpus and the pair relation
+    QUADRATIC in it — measured 18.5 s / ~8M pairs at sf0.1 vs
+    ~150k pairs composite-keyed (q_sorted_neighborhood_pairs is the
+    skew-immune alternative when no second key exists). Blocking
+    fields stay disjoint from the agreement vector
+    (type / name-adjective / price-band / name-noun),
     and every field contributes its log-likelihood weight
     ln(m/u) on agreement or ln((1-m)/(1-u)) on disagreement — where
     u, the chance-agreement rate among comparison pairs, is
@@ -668,19 +677,21 @@ def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = part.select(
         "p_partkey", "p_type", "p_size", "p_brand",
         F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("band"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("adj"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"))
     a, b = r.alias("a"), r.alias("b")
     ag = lambda c: (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int")
     pairs = (a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
+                    & (F.col("a.p_size") == F.col("b.p_size"))
                     & (F.col("a.p_partkey") < F.col("b.p_partkey")))
              .select(ag("p_type").alias("ag_type"),
-                     ag("p_size").alias("ag_size"),
+                     ag("adj").alias("ag_adj"),
                      ag("band").alias("ag_cont"),
                      ag("noun").alias("ag_noun")))
     pairs = pairs.persist()   # feeds the u-estimate AND the scoring
                               # pass (caller releases, caching.py)
     u = pairs.agg(F.avg("ag_type").alias("u_type"),
-                  F.avg("ag_size").alias("u_size"),
+                  F.avg("ag_adj").alias("u_adj"),
                   F.avg("ag_cont").alias("u_cont"),
                   F.avg("ag_noun").alias("u_noun"))
 
@@ -690,7 +701,7 @@ def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.log((1 - _FS_M) / (1 - F.col(ucol)))))
 
     scored = (pairs.crossJoin(F.broadcast(u))
-              .select((w("ag_type", "u_type") + w("ag_size", "u_size")
+              .select((w("ag_type", "u_type") + w("ag_adj", "u_adj")
                        + w("ag_cont", "u_cont") + w("ag_noun", "u_noun"))
                       .alias("score")))
     decision = (F.when(F.col("score") >= _FS_T_HI, "match")

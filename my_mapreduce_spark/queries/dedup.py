@@ -1988,7 +1988,9 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply-adds mod 2^31-1 (the minhash_lsh_pairs scheme="cw"
     compromise — iid-by-hash randomness at integer-arithmetic cost;
     a first cut carved them from 32 per-sample md5 digests and spent
-    30.7 s at sf0.1 on string slicing alone, vs ~6 s this way),
+    30.7 s at sf0.1 on md5 string slicing, vs 15.1 s this way — the
+    residual cost is the 32 struct-valued min_by combiners over the
+    8.3M-row shingle relation, all map-side),
     giving r, c ~ Gamma(2,1) (as -ln(u·u)) and beta ~ U(0,1); then
     t = floor(ln w / r + beta), y = exp(r (t - beta)), a = c/(y e^r),
     and the k-th signature component is (shingle, t) of the argmin-a
