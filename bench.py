@@ -15,6 +15,15 @@ Each query is materialized via a count-collapsing action (``.count``
 on the result, not ``collect`` — results can be wide). A warm-up of
 the flagship query is run first so JVM/codegen startup isn't billed
 to the first query.
+
+Measurement caveat: under ``count()`` Catalyst column-prunes
+TERMINAL projection expressions nothing downstream consumes — joins,
+aggregates, filters, and generators all still run, but a final
+per-row computed column can be timed away (q_jaro_winkler_blocked's
+comparator UDF read 0.35 s pruned vs 2.6 s real at sf0.1). Queries
+whose deliverable is an expensive terminal column must keep it on
+the count() path (that query pins it with a no-op ``jw >= 0``
+filter); aggregate-terminated queries are immune by shape.
 """
 
 from __future__ import annotations
