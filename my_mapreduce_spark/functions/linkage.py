@@ -21,8 +21,12 @@ Conventions are pinned bit-for-bit against DuckDB's
 ``jaro_winkler_similarity`` (tests/test_record_linkage.py — 30k real
 name pairs, max abs diff 0.0):
 
-- match window: floor(max(l1, l2) / 2) - 1, clamped at 0; greedy
-  first-unmatched matching scanning s2 left-to-right per s1 position;
+- the alphabet is UTF-8 BYTES, not codepoints (DuckDB runs jaro over
+  the raw VARCHAR bytes; identical for ASCII, and the hypothesis
+  sweep pinned the multibyte divergence);
+- match window: floor(max(l1, l2) / 2) - 1 over byte lengths, clamped
+  at 0; greedy first-unmatched matching scanning s2 left-to-right per
+  s1 position;
 - transpositions are FLOORED: t = (#mismatched matched positions) // 2
   (the rapidfuzz/DuckDB convention — textbook half-as-float differs
   on odd mismatch counts, e.g. jaro(' ge', 'e gear'));
@@ -41,14 +45,17 @@ _BOOST_THRESHOLD = 0.7
 _MAX_PREFIX = 4
 
 
-def _codepoint_matrix(vals: list[str], n: int, width: int) -> np.ndarray:
-    """Pad n strings into an (n, width) uint32 codepoint matrix
-    (0 = pad; U+0000 never occurs in real text columns)."""
-    m = np.zeros((n, width), np.uint32)
+def _byte_matrix(vals: list[bytes], n: int, width: int) -> np.ndarray:
+    """Pad n UTF-8 byte strings into an (n, width) uint8 matrix
+    (0 = pad; NUL never occurs in real text columns). BYTES, not
+    codepoints: DuckDB's jaro runs over the raw VARCHAR bytes, and
+    bit-equality with the oracle requires the same alphabet
+    (hypothesis found the divergence on multibyte codepoints —
+    identical for ASCII)."""
+    m = np.zeros((n, width), np.uint8)
     for i, x in enumerate(vals):
         if x:
-            m[i, : len(x)] = np.frombuffer(
-                x.encode("utf-32-le"), np.uint32)
+            m[i, : len(x)] = np.frombuffer(x, np.uint8)
     return m
 
 
@@ -56,16 +63,16 @@ def jaro_batch(s1: pd.Series, s2: pd.Series,
                winkler: bool = True) -> np.ndarray:
     """Jaro (or Jaro-Winkler) similarity for a batch of string pairs;
     all loops run over character positions, vectorized across rows."""
-    a_vals = s1.fillna("").tolist()
-    b_vals = s2.fillna("").tolist()
+    a_vals = [x.encode("utf-8") for x in s1.fillna("").tolist()]
+    b_vals = [x.encode("utf-8") for x in s2.fillna("").tolist()]
     n = len(a_vals)
     if n == 0:
         return np.zeros(0, np.float64)
     l1 = np.fromiter((len(x) for x in a_vals), np.int64, count=n)
     l2 = np.fromiter((len(x) for x in b_vals), np.int64, count=n)
     L = int(max(l1.max(initial=0), l2.max(initial=0), 1))
-    A = _codepoint_matrix(a_vals, n, L)
-    B = _codepoint_matrix(b_vals, n, L)
+    A = _byte_matrix(a_vals, n, L)
+    B = _byte_matrix(b_vals, n, L)
 
     # greedy match: a[i] pairs with the first unmatched b[j] inside
     # the window |i - j| <= mw; the j-scan is the inner position loop,
@@ -93,8 +100,8 @@ def jaro_batch(s1: pd.Series, s2: pd.Series,
     m = matched_a.sum(1)
     oa = np.cumsum(matched_a, 1) - 1
     ob = np.cumsum(matched_b, 1) - 1
-    SA = np.zeros((n, L), np.uint32)
-    SB = np.zeros((n, L), np.uint32)
+    SA = np.zeros((n, L), np.uint8)
+    SB = np.zeros((n, L), np.uint8)
     r, c = np.nonzero(matched_a)
     SA[r, oa[r, c]] = A[r, c]
     r, c = np.nonzero(matched_b)

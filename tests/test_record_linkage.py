@@ -116,3 +116,32 @@ def test_sorted_neighborhood_pair_count(spark):
     assert got.where("key_a = key_b").count() == 0
     assert got.where(f"window_dist < 1 OR window_dist > {w - 1}"
                      ).count() == 0
+
+
+# -- property: the kernel equals DuckDB on ARBITRARY strings ---------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_alpha = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA0),
+    max_size=24)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(_alpha, _alpha), min_size=1, max_size=40))
+def test_kernel_matches_duckdb_on_arbitrary_strings(pairs):
+    """Bit-equality vs DuckDB must hold for arbitrary codepoints and
+    lengths (not just fixture names): hypothesis drives the greedy
+    window, transposition floor, prefix boost, and empty conventions
+    through adversarial cases in one shot."""
+    df = pd.DataFrame({"a": [p[0] for p in pairs],
+                       "b": [p[1] for p in pairs]})
+    con = duckdb.connect()
+    duck = con.sql(
+        "SELECT jaro_winkler_similarity(a, b) AS jw,"
+        "       jaro_similarity(a, b) AS j FROM df").df()
+    assert (jaro_batch(df["a"], df["b"])
+            == duck["jw"].to_numpy()).all()
+    assert (jaro_batch(df["a"], df["b"], winkler=False)
+            == duck["j"].to_numpy()).all()
