@@ -1988,9 +1988,13 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply-adds mod 2^31-1 (the minhash_lsh_pairs scheme="cw"
     compromise — iid-by-hash randomness at integer-arithmetic cost;
     a first cut carved them from 32 per-sample md5 digests and spent
-    30.7 s at sf0.1 on md5 string slicing, vs 15.1 s this way — the
-    residual cost is the 32 struct-valued min_by combiners over the
-    8.3M-row shingle relation, all map-side),
+    30.7 s at sf0.1 on md5 string slicing, vs ~12 s this way — and
+    the residual is ~7 s of PLAN-CONSTANT driver cost (codegen +
+    analysis of 32 deep min_by aggregate trees: measured 7.3 s at
+    sf0.001 vs 11.4 s at sf0.1, so the marginal data cost is ~4 s
+    per decade and the constant amortizes to nothing on a real
+    corpus; array-packing the signature and a project-then-aggregate
+    split were both measured and beaten by this shape),
     giving r, c ~ Gamma(2,1) (as -ln(u·u)) and beta ~ U(0,1); then
     t = floor(ln w / r + beta), y = exp(r (t - beta)), a = c/(y e^r),
     and the k-th signature component is (shingle, t) of the argmin-a
