@@ -847,3 +847,79 @@ def q_jaro_winkler_blocked(spark: SparkSession,
     # time an empty shell: the measured 2.6 s at sf0.1 was 0.35 s
     # with the UDF pruned. The operator's deliverable IS jw.
     return out.where(F.col("jw") >= 0)
+
+
+@register(
+    "q_soundex_phonetic_keys",
+    oracle="""
+    WITH t AS (
+        SELECT DISTINCT unnest(list_filter(
+            regexp_split_to_array(text, '[^a-z0-9]+'),
+            x -> regexp_matches(x, '^[a-z]+$'))) AS tok
+        FROM documents),
+    c AS (
+        SELECT tok, upper(tok) AS u,
+               list_transform(string_split_regex(upper(tok), ''),
+                 ch -> CASE
+                   WHEN ch IN ('B','F','P','V') THEN '1'
+                   WHEN ch IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+                   WHEN ch IN ('D','T') THEN '3'
+                   WHEN ch = 'L' THEN '4'
+                   WHEN ch IN ('M','N') THEN '5'
+                   WHEN ch = 'R' THEN '6'
+                   WHEN ch IN ('H','W') THEN 'h'
+                   ELSE '0' END) AS codes
+        FROM t),
+    s AS (
+        SELECT tok,
+               u[1] || rpad(left(coalesce(list_aggregate(list_filter(
+                   list_transform(range(2, len(codes) + 1), i ->
+                     CASE WHEN codes[i] IN ('0','h') THEN ''
+                          WHEN codes[i] = (CASE WHEN codes[i-1] = 'h'
+                                                 AND i > 2
+                                                THEN codes[i-2]
+                                                ELSE codes[i-1] END)
+                          THEN ''
+                          ELSE codes[i] END),
+                   x -> x <> ''), 'string_agg', ''), ''), 3), 3, '0')
+                 AS sdx
+        FROM c)
+    SELECT sdx, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           MIN(tok) AS first_tok, MAX(tok) AS last_tok
+    FROM s GROUP BY sdx
+    """,
+    tags=("record-linkage", "phonetic", "soundex", "blocking",
+          "text", "documents"),
+)
+def q_soundex_phonetic_keys(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Phonetic blocking keys: American Soundex over the corpus token
+    vocabulary (Spark's BUILT-IN ``F.soundex`` — JVM-side, codegen).
+    Tokens sharing a key are sound-alike/typo candidates — the third
+    candidate generator in the record-linkage family (equality
+    blocks, sorted-neighborhood windows, phonetic keys), and the
+    cheapest: one distinct pass over the vocabulary, key cost O(len).
+
+    The oracle REIMPLEMENTS the full Soundex algorithm in DuckDB
+    list algebra (char -> digit map, H/W-bridged adjacent-duplicate
+    collapse, vowel drops, 4-char pad) — verified token-for-token
+    against Spark's builtin over the fixture vocabularies; scope is
+    alpha-only tokens because Spark returns non-letter-initial
+    strings unchanged (documented builtin convention) while
+    classical Soundex strips them. The n_tokens > 1 rows are the
+    typo-candidate clusters a linkage pass would feed to the
+    Jaro-Winkler comparator (q_jaro_winkler_blocked).
+
+    Scale shape: vocabulary-bounded after the distinct (the
+    token-vocab discipline shared with q_vocab_min_count); the
+    explode shuffles once to dedup, the phonetic groupBy shuffles
+    the vocabulary only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select(F.explode(tokens()).alias("tok"))
+            .where(F.col("tok").rlike("^[a-z]+$"))
+            .distinct())
+    return (toks.groupBy(F.soundex("tok").alias("sdx"))
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.min("tok").alias("first_tok"),
+                 F.max("tok").alias("last_tok")))
