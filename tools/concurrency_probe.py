@@ -1,0 +1,171 @@
+"""Concurrent-stream throughput probe — the TPC-H "throughput test"
+axis bench.py does not cover: a production engine serves MANY
+sessions at once, and a plan that looks fine sequentially can
+serialize the whole cluster behind one fat stage (driver-side locks,
+single-partition stages, greedy FIFO scheduling).
+
+Method: take a representative mixed workload (scan-heavy, join-heavy,
+window, dedup-banded, text, vector), measure (1) sequential wall
+(sum of per-query walls, the bench.py convention) and (2) makespan
+with S concurrent streams driving the SAME SparkSession from
+threads — Spark schedules their jobs concurrently inside one
+application, which is exactly the multi-tenant shape (one
+application, many notebook users) local[32] can emulate. The
+context runs the FAIR scheduler (an application conf, set at
+creation) with one pool per stream, so a long banded-dedup stage
+cannot convoy the short scans queued behind it the way plain FIFO
+stage ordering can.
+
+Reported: sequential wall, concurrent makespan, throughput speedup
+(sequential / makespan), and per-query concurrent-vs-solo slowdown
+(fairness: nothing should starve). JSON artifact:
+CONCURRENCY_LOCAL.json.
+
+Usage: python tools/concurrency_probe.py [--streams 4] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from my_mapreduce_spark.caching import release_caches  # noqa: E402
+from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
+from my_mapreduce_spark.session import get_spark  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# A mixed workload: one representative per major cost family. Kept
+# to queries with NO session-global side effects (no temp-dir sinks,
+# no persist-everything graph loops) so streams compose safely.
+WORKLOAD = [
+    "q1_pricing_summary",        # scan + partial agg
+    "q3_shipping_priority",      # 3-way join
+    "q13_customer_distribution", # outer join + double agg
+    "q_window_rank_topn",        # partitioned window
+    "q_dedup_minhash_lsh",       # banded LSH candidate join
+    "q_knn_bruteforce",          # vector scoring
+    "q_lang_id",                 # text expressions
+    "q_topk_orders",             # global top-k
+    "q_grouping_sets",           # multi-grouping agg
+    "q_semi_join",               # existence join
+    "q_histogram",               # width-bucket agg
+    "q_sorted_neighborhood_pairs",  # range-rank + probe join
+]
+
+
+def _run_one(spark, name: str, sf_dir: str) -> float:
+    t0 = time.time()
+    REGISTRY[name].fn(spark, sf_dir).count()
+    return time.time() - t0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--streams", type=int, default=4)
+    ap.add_argument("--out", default=os.path.join(
+        ROOT, "CONCURRENCY_LOCAL.json"))
+    args = ap.parse_args()
+
+    _ensure_loaded()
+    # FAIR must be set at CONTEXT creation (an application conf, not
+    # a job-local property — only spark.scheduler.pool is per-thread)
+    spark = get_spark("concurrency-probe",
+                      extra_confs={"spark.scheduler.mode": "FAIR"})
+    spark.sparkContext.setLogLevel("ERROR")
+    fair = spark.sparkContext.getConf().get("spark.scheduler.mode")
+
+    # warm-up: JVM + codegen + file listing off the clock
+    for name in WORKLOAD:
+        _run_one(spark, name, "/root/testdata/sf0.001")
+    release_caches(spark, force_checkpointed=True)
+
+    # pass 1: solo timings (the bench.py convention)
+    solo: dict[str, float] = {}
+    t_seq0 = time.time()
+    for name in WORKLOAD:
+        solo[name] = round(_run_one(spark, name, args.sf), 3)
+    sequential_wall = round(time.time() - t_seq0, 3)
+    release_caches(spark, force_checkpointed=True)
+
+    # pass 2: S streams, each running the whole workload at a
+    # different rotation so streams collide on DIFFERENT queries at
+    # any instant; each stream gets its own pool (FAIR when the
+    # context is ours; a pre-existing FIFO context is reported)
+    conc: dict[str, list[float]] = {n: [] for n in WORKLOAD}
+    errors: list[str] = []
+
+    def stream(idx: int) -> None:
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"stream-{idx}")
+        rot = WORKLOAD[idx % len(WORKLOAD):] + WORKLOAD[:idx % len(WORKLOAD)]
+        for name in rot:
+            try:
+                conc[name].append(_run_one(spark, name, args.sf))
+            except Exception as exc:  # pragma: no cover - diagnostic
+                errors.append(f"{name}@stream{idx}: {exc}")
+
+    threads = [threading.Thread(target=stream, args=(i,))
+               for i in range(args.streams)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    makespan = round(time.time() - t0, 3)
+    release_caches(spark, force_checkpointed=True)
+
+    total_work = args.streams * sequential_wall
+    report = {
+        "sf": args.sf,
+        "scheduler_mode": fair,
+        "streams": args.streams,
+        "workload": WORKLOAD,
+        "sequential_wall_s": sequential_wall,
+        "concurrent_makespan_s": makespan,
+        "throughput_speedup": round(total_work / makespan, 2),
+        "errors": errors,
+        "queries": {
+            n: {
+                "solo_s": solo[n],
+                "concurrent_mean_s": round(
+                    sum(conc[n]) / max(len(conc[n]), 1), 3),
+                "slowdown": round(
+                    (sum(conc[n]) / max(len(conc[n]), 1))
+                    / max(solo[n], 1e-9), 2),
+            }
+            for n in WORKLOAD
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+        f.write("\n")
+
+    print(f"sequential wall ({len(WORKLOAD)} queries): "
+          f"{sequential_wall}s")
+    print(f"{args.streams} streams x same workload makespan: "
+          f"{makespan}s -> throughput speedup "
+          f"{report['throughput_speedup']}x")
+    worst = sorted(report["queries"].items(),
+                   key=lambda kv: -kv[1]["slowdown"])[:3]
+    for n, row in worst:
+        print(f"  worst slowdown: {n} solo {row['solo_s']}s -> "
+              f"concurrent {row['concurrent_mean_s']}s "
+              f"({row['slowdown']}x)")
+    if errors:
+        print("ERRORS:", errors)
+        return 1
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
