@@ -16,6 +16,9 @@ Runs, in order:
                                    -> COST_LOCAL.json (byte accounting of the
                                       bench tail; fails on >1.5x amplification
                                       regressions vs the previous artifact)
+  9. tools/concurrency_probe.py    -> CONCURRENCY_LOCAL.json (4-stream
+                                      throughput + per-query contention
+                                      slowdown, sf0.1)
 
 Steps 3 and 4 were manual round-5 events that each caught real bugs
 (5 float seams; an unguarded max(ts) scalar); they are load-bearing,
@@ -109,6 +112,8 @@ def main() -> int:
     _classify_bench_movers()
     _run("cost probe (bench tail >=2s)",
          ["tools/cost_probe.py", "--tail-secs", "2"])
+    _run("concurrency probe (4 streams, sf0.1)",
+         ["tools/concurrency_probe.py"])
 
     # verify the invariant the hygiene pytest also checks
     sys.path.insert(0, ROOT)
