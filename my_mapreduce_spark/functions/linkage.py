@@ -39,10 +39,35 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _WINKLER_P = 0.1
 _BOOST_THRESHOLD = 0.7
 _MAX_PREFIX = 4
+
+
+def blocked_pairs(df: DataFrame, block_keys: list[str],
+                  key: str) -> DataFrame:
+    """Equality-blocked candidate pairs: self-join ``df`` on every
+    column in ``block_keys`` with ``a.key < b.key`` ordering the pair
+    once. THE candidate-generator contract of the linkage family
+    (q_er_fellegi_sunter, q_jaro_winkler_blocked share this single
+    definition so the block key cannot drift between the agreement
+    scorer and the comparator — brand-only blocking went quadratic
+    once already, see BASELINE.md round 7). Callers reference the
+    two sides as ``a.<col>`` / ``b.<col>``.
+
+    The composite key must have corpus-tracking cardinality: pairs
+    per block are quadratic in block size, so a fixed-cardinality
+    key (brand: 25 values at every scale) makes the pair relation
+    quadratic in the corpus. Use sorted-neighborhood
+    (q_sorted_neighborhood_pairs) when no such key exists."""
+    a, b = df.alias("a"), df.alias("b")
+    cond = F.col(f"a.{key}") < F.col(f"b.{key}")
+    for k in block_keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    return a.join(b, cond)
 
 
 def _byte_matrix(vals: list[bytes], n: int, width: int) -> np.ndarray:

@@ -679,11 +679,10 @@ def q_er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("band"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("adj"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"))
-    a, b = r.alias("a"), r.alias("b")
+    from my_mapreduce_spark.functions.linkage import blocked_pairs
+
     ag = lambda c: (F.col(f"a.{c}") == F.col(f"b.{c}")).cast("int")
-    pairs = (a.join(b, (F.col("a.p_brand") == F.col("b.p_brand"))
-                    & (F.col("a.p_size") == F.col("b.p_size"))
-                    & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+    pairs = (blocked_pairs(r, ["p_brand", "p_size"], "p_partkey")
              .select(ag("p_type").alias("ag_type"),
                      ag("adj").alias("ag_adj"),
                      ag("band").alias("ag_cont"),
@@ -823,7 +822,8 @@ def q_jaro_winkler_blocked(spark: SparkSession,
     """
     from pyspark.sql.functions import pandas_udf
 
-    from my_mapreduce_spark.functions.linkage import jaro_batch
+    from my_mapreduce_spark.functions.linkage import (blocked_pairs,
+                                                      jaro_batch)
 
     @pandas_udf("double")
     def jw(s1: pd.Series, s2: pd.Series) -> pd.Series:
@@ -831,11 +831,7 @@ def q_jaro_winkler_blocked(spark: SparkSession,
 
     part = load_table(spark, sf_dir, "part")
     r = part.select("p_partkey", "p_name", "p_brand", "p_size")
-    a, b = r.alias("a"), r.alias("b")
-    pairs = a.join(
-        b, (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.p_size") == F.col("b.p_size"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+    pairs = blocked_pairs(r, ["p_brand", "p_size"], "p_partkey")
     out = pairs.select(
         F.col("a.p_partkey").alias("key_a"),
         F.col("b.p_partkey").alias("key_b"),
@@ -870,20 +866,25 @@ def q_jaro_winkler_blocked(spark: SparkSession,
                    WHEN ch IN ('H','W') THEN 'h'
                    ELSE '0' END) AS codes
         FROM t),
+    b AS (
+        -- H/W are TRANSPARENT to duplicate collapse (runs of any
+        -- length): dropping them from positions >= 2 makes plain
+        -- adjacent comparison implement the bridge exactly; the
+        -- first letter stays (its code 'h' never matches a digit)
+        SELECT tok, u,
+               list_concat([codes[1]],
+                           list_filter(codes[2:], x -> x <> 'h')) AS cs
+        FROM c),
     s AS (
         SELECT tok,
                u[1] || rpad(left(coalesce(list_aggregate(list_filter(
-                   list_transform(range(2, len(codes) + 1), i ->
-                     CASE WHEN codes[i] IN ('0','h') THEN ''
-                          WHEN codes[i] = (CASE WHEN codes[i-1] = 'h'
-                                                 AND i > 2
-                                                THEN codes[i-2]
-                                                ELSE codes[i-1] END)
-                          THEN ''
-                          ELSE codes[i] END),
+                   list_transform(range(2, len(cs) + 1), i ->
+                     CASE WHEN cs[i] = '0' THEN ''
+                          WHEN cs[i] = cs[i-1] THEN ''
+                          ELSE cs[i] END),
                    x -> x <> ''), 'string_agg', ''), ''), 3), 3, '0')
                  AS sdx
-        FROM c)
+        FROM b)
     SELECT sdx, CAST(COUNT(*) AS BIGINT) AS n_tokens,
            MIN(tok) AS first_tok, MAX(tok) AS last_tok
     FROM s GROUP BY sdx
@@ -902,8 +903,12 @@ def q_soundex_phonetic_keys(spark: SparkSession,
 
     The oracle REIMPLEMENTS the full Soundex algorithm in DuckDB
     list algebra (char -> digit map, H/W-bridged adjacent-duplicate
-    collapse, vowel drops, 4-char pad) — verified token-for-token
-    against Spark's builtin over the fixture vocabularies; scope is
+    collapse, vowel drops, 4-char pad; H/W runs of ANY length are
+    transparent — implemented by dropping them from positions >= 2
+    so plain adjacent comparison is exactly the bridge) — verified
+    token-for-token against Spark's builtin over the fixture
+    vocabularies AND a 3.9k random/adversarial fuzz incl. 'phhp',
+    'hwhw' (tests/test_record_linkage.py); scope is
     alpha-only tokens because Spark returns non-letter-initial
     strings unchanged (documented builtin convention) while
     classical Soundex strips them. The n_tokens > 1 rows are the

@@ -145,3 +145,37 @@ def test_kernel_matches_duckdb_on_arbitrary_strings(pairs):
             == duck["jw"].to_numpy()).all()
     assert (jaro_batch(df["a"], df["b"], winkler=False)
             == duck["j"].to_numpy()).all()
+
+
+def test_soundex_oracle_matches_spark_on_adversarial_tokens(
+        spark, tmp_path):
+    """The q_soundex_phonetic_keys oracle reimplements Soundex in
+    DuckDB list algebra; this pin feeds both engines a corpus of
+    H/W-bridge adversaries (runs of transparent letters, 'phhp'
+    collapses through TWO h's — the one-step-lookback bug class)
+    plus random tokens, and requires the full key histograms to be
+    identical."""
+    import duckdb
+
+    from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    toks = ("phhp bwwb hp wb ahb ahhb hwhw bhwb bhab cwc shh who how "
+            "ha robert ashcraft tymczak pfister honeyman jackal "
+            "pfeiffer schwarz wright whyte aeiou bcd xxxx zzzzzz "
+            "hallway")
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    row = base.limit(1).collect()[0].asDict()
+    row["doc_id"], row["text"] = 1, toks
+    out = str(tmp_path)
+    spark.createDataFrame([row], base.schema).write.parquet(
+        f"{out}/documents.parquet")
+    got = {tuple(r) for r in
+           REGISTRY["q_soundex_phonetic_keys"].fn(spark, out).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{out}/documents.parquet/*.parquet'")
+    want = {tuple(r) for r in
+            con.sql(REGISTRY["q_soundex_phonetic_keys"].oracle).fetchall()}
+    assert got == want

@@ -83,9 +83,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     fair = spark.sparkContext.getConf().get("spark.scheduler.mode")
 
-    # warm-up: JVM + codegen + file listing off the clock
+    # warm-up at the MEASURED sf: JVM + codegen + file listing + OS
+    # page cache all off the clock for BOTH passes (a tiny-sf warm-up
+    # would leave pass 1 paying the first-touch read of the measured
+    # dataset that pass 2 then gets for free, inflating the speedup)
     for name in WORKLOAD:
-        _run_one(spark, name, "/root/testdata/sf0.001")
+        _run_one(spark, name, args.sf)
     release_caches(spark, force_checkpointed=True)
 
     # pass 1: solo timings (the bench.py convention)
