@@ -2087,3 +2087,72 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(n_matches / float(_ICWS_N), 6)
                     .alias("est_weighted_jaccard"))
             .where(F.col("n_matches") >= _ICWS_MIN_MATCHES))
+
+
+_CANOPY_MAX_DF = 5   # a shingle is a canopy key only if <= 5 docs
+_CANOPY_K = 2        # each doc contributes its 2 rarest keys
+
+
+@register(
+    "q_canopy_rare_shingle_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    d AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM s GROUP BY shingle),
+    rare AS (
+        SELECT s.doc_id, s.shingle,
+               row_number() OVER (PARTITION BY s.doc_id
+                                  ORDER BY d.df, s.shingle) AS rk
+        FROM s JOIN d USING (shingle)
+        WHERE d.df <= {_CANOPY_MAX_DF}),
+    keys AS (SELECT doc_id, shingle FROM rare WHERE rk <= {_CANOPY_K})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_keys
+    FROM keys a JOIN keys b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "canopy", "blocking", "record-linkage", "near-dup",
+          "documents"),
+)
+def q_canopy_rare_shingle_pairs(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Canopy candidate generation by RARE shingles (the MapReduce
+    adaptation of McCallum/Nigam/Ungar canopy clustering: the cheap
+    metric is "shares a rare feature", and the expensive comparator
+    only ever sees within-canopy pairs). Completes the candidate-
+    generator quartet: equality blocks (q_er_fellegi_sunter), sorted
+    neighborhood (q_sorted_neighborhood_pairs), phonetic keys
+    (q_soundex_phonetic_keys), frequency-driven canopies — vs the
+    hash-driven LSH band family (q_dedup_minhash_lsh).
+
+    Each doc contributes its 2 rarest qualifying shingles (total
+    order (df, shingle) — deterministic under ties) and only
+    shingles with df <= 5 qualify as canopy keys AT ALL: the cap is
+    what bounds the join — a canopy can never exceed 5 docs (10
+    pairs), whatever the corpus size, so candidates are O(K * n)
+    with constant 5, the same skew-immunity argument as the sorted-
+    neighborhood window. Docs with no rare shingle join no canopy —
+    canopy generation is recall-trading by design (boilerplate-only
+    docs have no discriminative feature; the MinHash band path
+    catches those).
+
+    Scale shape: one df aggregate, one broadcast-able df join, a
+    PER-DOC window (partitioned, never global), then an equi-join on
+    the canopy key whose per-key fan-out is capped by construction.
+    """
+    s = _shingle_rows(spark, sf_dir)
+    d = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = (s.join(d.where(F.col("df") <= _CANOPY_MAX_DF), "shingle")
+            .withColumn("rk", F.row_number().over(
+                Window.partitionBy("doc_id")
+                .orderBy("df", "shingle")))
+            .where(F.col("rk") <= _CANOPY_K)
+            .select("doc_id", "shingle"))
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (a.join(b, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_keys")))
