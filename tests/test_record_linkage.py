@@ -179,3 +179,19 @@ def test_soundex_oracle_matches_spark_on_adversarial_tokens(
     want = {tuple(r) for r in
             con.sql(REGISTRY["q_soundex_phonetic_keys"].oracle).fetchall()}
     assert got == want
+
+
+def test_canopy_fanout_is_capped(spark):
+    """The canopy generator's scale claim: no canopy key can exceed
+    _CANOPY_MAX_DF docs (the df filter IS the bound), so per-pair
+    shared-key counts are bounded by the 2*_CANOPY_K keys the two
+    docs contribute, and total candidates are O(K * cap * n)."""
+    from my_mapreduce_spark.queries.dedup import (
+        _CANOPY_K, _CANOPY_MAX_DF, q_canopy_rare_shingle_pairs)
+
+    sf = "/root/testdata/sf0.01"
+    pairs = q_canopy_rare_shingle_pairs(spark, sf)
+    assert pairs.where(
+        f"n_shared_keys > {2 * _CANOPY_K}").count() == 0
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert pairs.count() <= _CANOPY_K * (_CANOPY_MAX_DF - 1) * n_docs
