@@ -448,3 +448,52 @@ def q_kmv_sketch_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_common_k") / F.col("theta"), 4)
                     .alias("est_common"),
                     "exact_common"))
+
+
+@register(
+    "q_bitmap_distinct_agg",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM customer GROUP BY c_nationkey
+    """,
+    tags=("aggregates", "bitmap", "distinct", "sketch", "spark4",
+          "customer"),
+)
+def q_bitmap_distinct_agg(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through the bitmap aggregate family
+    (Spark 3.5/4 builtins: ``bitmap_bucket_number`` /
+    ``bitmap_bit_position`` / ``bitmap_construct_agg`` /
+    ``bitmap_count``): each key sets one bit in a fixed 4 KB bitmap
+    per 32k-id bucket, buckets OR-merge map-side, and the distinct
+    count is the popcount sum. Unlike COUNT(DISTINCT) — whose
+    partial state is the value SET and whose multi-distinct plans
+    expand the input — bitmap partial state is bounded at 4 KB per
+    (group, bucket) whatever the row count, and the bitmaps
+    themselves are storable: a materialized per-partition bitmap
+    table answers distinct-count rollups later via bitmap_or_agg
+    WITHOUT rescanning the facts (the incremental-view trick HLL
+    gives approximately, exact here because customer ids are dense
+    integers). The oracle is plain COUNT(DISTINCT) — the bitmap path
+    must reproduce it exactly, value-hash checked.
+
+    Scale shape: one shuffle on (group, bucket) with 4 KB values and
+    map-side ORs, then a popcount rollup per group; n_rows rides
+    along to pin that the pre-aggregation sees every row. Dense-id
+    domains only (the bucket space is id/32768) — arbitrary strings
+    go through q_approx_distinct / q_hll_user_sketches instead.
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    per_bucket = (cu.selectExpr(
+        "c_nationkey",
+        "bitmap_bucket_number(c_custkey) AS bkt",
+        "bitmap_bit_position(c_custkey) AS pos")
+        .groupBy("c_nationkey", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"),
+             F.count(F.lit(1)).alias("n")))
+    return (per_bucket.groupBy("c_nationkey")
+            .agg(F.sum(F.expr("bitmap_count(bm)")).cast("bigint")
+                 .alias("n_customers"),
+                 F.sum("n").cast("bigint").alias("n_rows")))
