@@ -12,10 +12,14 @@ Runs, in order:
   5. tools/explain_audit.py        -> AUDIT_LOCAL.json        (plan quality)
   6. tools/recall_report.py        -> RECALL_LOCAL.json       (sf0.001)
   7. bench.py                      -> BENCH_LOCAL.json        (sf0.1)
-  8. tools/cost_probe.py --tail-secs 2
+  8. tools/cost_probe.py --tail-secs 1.5
                                    -> COST_LOCAL.json (byte accounting of the
                                       bench tail; fails on >1.5x amplification
-                                      regressions vs the previous artifact)
+                                      regressions vs the previous artifact.
+                                      Covers >=1.5 s, the hygiene test asserts
+                                      missing only >=2.5 s — hysteresis keeps
+                                      boundary-noise timings from flipping the
+                                      suite red, round-7 verdict item 1)
   9. tools/concurrency_probe.py    -> CONCURRENCY_LOCAL.json (4-stream
                                       throughput + per-query contention
                                       slowdown, sf0.1)
@@ -110,8 +114,8 @@ def main() -> int:
     _run("recall report", ["tools/recall_report.py"])
     _run("bench", ["bench.py"])
     _classify_bench_movers()
-    _run("cost probe (bench tail >=2s)",
-         ["tools/cost_probe.py", "--tail-secs", "2"])
+    _run("cost probe (bench tail >=1.5s; hysteresis, see module doc)",
+         ["tools/cost_probe.py", "--tail-secs", "1.5"])
     _run("concurrency probe (4 streams, sf0.1)",
          ["tools/concurrency_probe.py"])
 
