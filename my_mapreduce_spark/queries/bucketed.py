@@ -31,6 +31,31 @@ _N_BUCKETS = 8
 _BUCKET_ROOT = os.path.join(tempfile.gettempdir(), "mmr_bucketed")
 
 
+def _fixture_tag(sf_dir: str, table: str) -> str:
+    """Cache tag for a derived layout of ``{sf_dir}/{table}.parquet``:
+    the sf-dir basename PLUS a fingerprint of the source file's
+    (size, mtime). Keying by basename alone served STALE sink data
+    when a fixture was regenerated at the same path (round-8 advice
+    seam) — the fingerprint makes regeneration produce a fresh cache
+    key, so the _SUCCESS reuse check can only ever hit a layout
+    derived from the bytes it claims to mirror."""
+    import hashlib
+
+    base = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    fp = hashlib.sha1("|".join(parts).encode()).hexdigest()[:10]
+    return f"{base}_{fp}"
+
+
 def write_bucketed(spark: SparkSession, df: DataFrame, name: str,
                    n_buckets: int, *keys: str) -> DataFrame:
     """Persist ``df`` as an external parquet table bucketed and
@@ -51,11 +76,12 @@ def write_bucketed(spark: SparkSession, df: DataFrame, name: str,
 def bucketed_fixture(spark: SparkSession, sf_dir: str, table: str,
                      key: str, n_buckets: int = _N_BUCKETS) -> DataFrame:
     """Bucketed copy of a fixture table; the table name encodes the
-    sf dir so different scale factors never alias. If this session
-    already wrote the table, reuse it — amortizing the one-time
-    shuffle across queries is the entire point of bucketing (the
-    fixtures are immutable, so staleness cannot arise)."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    sf dir AND a (size, mtime) fingerprint of the source so different
+    scale factors never alias and a regenerated fixture never serves
+    a stale layout. If this session already wrote the table, reuse
+    it — amortizing the one-time shuffle across queries is the
+    entire point of bucketing."""
+    tag = _fixture_tag(sf_dir, table)
     name = f"mmr_{table}_{key}_b{n_buckets}_{tag}"
     if spark.catalog.tableExists(name) \
             and os.path.isdir(os.path.join(_BUCKET_ROOT, name)):
@@ -566,7 +592,7 @@ def partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     (``event_type=<v>/`` directories) once per sf dir and return its
     path. Immutable fixtures → safe to reuse within a session (the
     same amortization argument as bucketed_fixture)."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _fixture_tag(sf_dir, "events")
     path = os.path.join(_PART_ROOT, f"events_by_type_{tag}")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
@@ -658,7 +684,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit.
     """
     ev = load_table(spark, sf_dir, "events")
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _fixture_tag(sf_dir, "events")
     path = os.path.join(_CSV_ROOT, f"events_{tag}")
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -827,7 +853,7 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit.
     """
     orders = load_table(spark, sf_dir, "orders")
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _fixture_tag(sf_dir, "orders")
     path = os.path.join(_XML_ROOT, f"orders_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (orders.select("o_orderkey", "o_orderstatus", "o_totalprice",
@@ -892,7 +918,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_mapreduce_spark.sources import read_orc, write_orc
 
     orders = load_table(spark, sf_dir, "orders")
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    tag = _fixture_tag(sf_dir, "orders")
     path = os.path.join(_ORC_ROOT, f"orders_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_orc(

@@ -478,11 +478,24 @@ def _limit_bounded(plan: str, node_id: int) -> bool:
 def _array_broadcast_builds(qe) -> list[str]:
     """Schema catalog strings (truncated) of every BroadcastExchange
     build side carrying an array-typed column — the compressed-size-
-    lies-to-AQE pathology the 30x scale tier exposed. Walks the
-    pre-AQE sparkPlan tree via py4j (subquery plans are separate
-    trees and not walked — the main-tree build sides are where the
-    30x OOM lived). Walks executedPlan: exchanges are inserted by
-    EnsureRequirements, so sparkPlan has none."""
+    lies-to-AQE pathology the 30x scale tier exposed.
+
+    Scope (exact, so the guarantee is honest): walks
+    ``qe.executedPlan()`` WITHOUT executing it — under AQE that is
+    the initial ``AdaptiveSparkPlanExec`` plan, i.e. only broadcasts
+    the STATIC planner chose (stats-/hint-driven) are visible here.
+    AQE's *runtime* shuffle-to-broadcast conversions (the exact move
+    that OOM'd the 30x tier) happen mid-execution and cannot appear
+    in an unexecuted plan; the real at-scale guard against those is
+    the explicit ``merge``/``shuffle_hash`` hints carried by the
+    array-heavy dedup joins themselves (see q_dedup_funnel). This
+    check therefore catches statically-planned array broadcasts —
+    a regression where someone broadcast-hints or under-stats an
+    array build side — and the hints, asserted by their queries'
+    tests, cover the dynamic case. executedPlan (not sparkPlan) is
+    required because exchanges are inserted by EnsureRequirements.
+    Subquery plans are separate trees and not walked — the main-tree
+    build sides are where the 30x OOM lived."""
     found = []
 
     def walk(node):
