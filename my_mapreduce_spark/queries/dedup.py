@@ -1314,6 +1314,44 @@ def _tok60(t):
     return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
 
 
+# ppjoin SUFFIX filter, realized as a 256-bit set bitmap (4 longs)
+# per document: bucket = pmod(tok60, 256), one bit per occupied
+# bucket. For a candidate pair the Hamming-style bound
+#   overlap <= n_a - popcount(bits_a & ~bits_b)
+# is LOSSLESS: a bucket whose bit is set in A but not B holds >= 1
+# A-token and ZERO B-tokens, so each such bit certifies one A-token
+# outside the intersection (hash collisions only CLEAR A-only bits,
+# i.e. only loosen the bound — never unsound). Symmetrically for B.
+# Fixture docs carry <= 98 shingles, so 256 buckets stay sparse
+# enough that a random (non-dup) candidate's bound lands far below
+# the 3/5-threshold requirement 8*o >= 3*(na+nb) and is pruned for
+# 32 bytes/doc — BEFORE the pair-expanded array-verification join,
+# whose shipped token arrays are the funnel's dominant shuffle term.
+_SFX_LONGS = 4
+
+
+def _suffix_bitmap_cols(toks_col: str) -> list:
+    """The 4 bitmap longs b0..b3 as expressions over an existing
+    array<bigint> column — computed in the same projection as the
+    verification arrays, no extra shuffle."""
+    return [
+        F.expr(
+            f"aggregate(filter({toks_col}, x -> pmod(x, 256) DIV 64 = {i}),"
+            f" 0L, (acc, x) -> acc | shiftleft(1L,"
+            f" CAST(pmod(x, 64) AS INT)))").alias(f"b{i}")
+        for i in range(_SFX_LONGS)
+    ]
+
+
+def _suffix_bound(side_a: str, side_b: str):
+    """Upper bound on |A \\ B| from the bitmaps: popcount of the
+    A-only bits, summed over the 4 longs."""
+    return sum(
+        F.bit_count(F.col(f"{side_a}.b{i}").bitwiseAND(
+            F.bitwise_not(F.col(f"{side_b}.b{i}"))))
+        for i in range(_SFX_LONGS))
+
+
 @register(
     "q_dedup_prefix_filter",
     oracle=f"""
@@ -1373,8 +1411,13 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-posexplode equi-join with the integer length filter ->
     ppjoin POSITIONAL filter (overlap <= m + min(na-pa-1, nb-pb-1),
     lossless under the shared global ordering — cut sf0.1
-    candidates 193k -> 66k before any array moved) -> exact
-    intersection per surviving pair via JVM ``array_intersect`` on
+    candidates 193k -> 66k before any array moved) -> ppjoin SUFFIX
+    filter (stage 2: a 256-bit per-doc set bitmap gives the lossless
+    Hamming bound overlap <= n_a - popcount(bits_a & ~bits_b); 32
+    bytes/doc joined onto the positional survivors cut sf0.1
+    candidates 66k -> 256, i.e. to exactly the true pairs on this
+    fixture — see _suffix_bitmap_cols for the soundness argument) ->
+    exact intersection per surviving pair via JVM ``array_intersect`` on
     60-bit-hashed token arrays (~3x fewer bytes than strings;
     within-pair collision odds ~1e-15). Verification joins are
     semi-pruned to candidate docs and SHUFFLE-HASH hinted — the
@@ -1406,7 +1449,8 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("prefix", F.slice(
                 F.col("st.token"), 1,
                 F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1))
-            .select("doc_id", "n", "toks", "prefix")
+            .select("doc_id", "n", "toks", "prefix",
+                    *_suffix_bitmap_cols("toks"))
             # cached: the shingle pipeline (the expensive subtree)
             # materializes ONCE for its three consumers (prefix
             # explode + both verification sides) — without the cache
@@ -1439,6 +1483,19 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("m"),
                  F.max("a.pos").alias("pa"), F.max("b.pos").alias("pb"))
             .where(8 * bound >= 3 * (F.col("na") + F.col("nb")))
+            .select("doc_a", "doc_b", "na", "nb"))
+    # ppjoin SUFFIX filter (stage 2, lossless — see _suffix_bitmap_cols):
+    # the 32-byte-per-doc bitmap relation joins onto the positional
+    # survivors and prunes every pair whose Hamming bound cannot reach
+    # the threshold, BEFORE the pair-expanded token arrays ship.
+    bits = sets.select("doc_id", *[f"b{i}" for i in range(_SFX_LONGS)])
+    cand = (cand
+            .join(bits.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+            .join(bits.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+            .where((8 * (F.col("na") - _suffix_bound("x", "y"))
+                    >= 3 * (F.col("na") + F.col("nb")))
+                   & (8 * (F.col("nb") - _suffix_bound("y", "x"))
+                      >= 3 * (F.col("na") + F.col("nb"))))
             .select("doc_a", "doc_b"))
     # Verification join discipline (see q_dedup_funnel, same fix
     # from the 30x scale tier): the token-array relation must never
@@ -1822,8 +1879,10 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     only on their ``n - ceil(3n/5) + 1`` globally-rarest shingles
     under the df ordering, with the two-sided length filter, then
     pairs that cannot reach the threshold under the positional
-    upper bound are dropped before any array moves; exact Jaccard
-    is computed per surviving pair via JVM ``array_intersect`` on
+    upper bound are dropped before any array moves, then the ppjoin
+    SUFFIX filter prunes on 256-bit set bitmaps (lossless Hamming
+    bound, 66k -> 256 candidates at sf0.1 — _suffix_bitmap_cols);
+    exact Jaccard is computed per surviving pair via JVM ``array_intersect`` on
     60-bit-hashed arrays — never the raw shingle self-join the
     DuckDB oracle runs (that exact join fans out quadratically on
     any hot shingle). Verification sides are semi-pruned and
@@ -1870,7 +1929,8 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("prefix", F.slice(
                 F.col("st.shingle"), 1,
                 F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1))
-            .select("doc_id", "n", "toks", "prefix")
+            .select("doc_id", "n", "toks", "prefix",
+                    *_suffix_bitmap_cols("toks"))
             .persist())
     pref = sets.select("doc_id", "n",
                        F.posexplode("prefix").alias("pos", "shingle"))
@@ -1891,6 +1951,18 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("m"),
                  F.max("a.pos").alias("pa"), F.max("b.pos").alias("pb"))
             .where(8 * bound >= 3 * (F.col("na") + F.col("nb")))
+            .select("doc_a", "doc_b", "na", "nb"))
+    # ppjoin SUFFIX filter (stage 2, lossless — see _suffix_bitmap_cols
+    # and q_dedup_prefix_filter): prune on the 32-byte bitmaps before
+    # the pair-expanded token arrays ship.
+    bits = sets.select("doc_id", *[f"b{i}" for i in range(_SFX_LONGS)])
+    cand = (cand
+            .join(bits.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+            .join(bits.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+            .where((8 * (F.col("na") - _suffix_bound("x", "y"))
+                    >= 3 * (F.col("na") + F.col("nb")))
+                   & (8 * (F.col("nb") - _suffix_bound("y", "x"))
+                      >= 3 * (F.col("na") + F.col("nb"))))
             .select("doc_a", "doc_b"))
     # Verification join discipline (the 30x-tier lesson): the
     # token-array relation must NEVER broadcast — sorted shingle
