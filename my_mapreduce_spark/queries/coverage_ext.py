@@ -928,3 +928,147 @@ def q_soundex_phonetic_keys(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.min("tok").alias("first_tok"),
                  F.max("tok").alias("last_tok")))
+
+
+_FP_JW = 0.9   # fuzzy-name agreement threshold inside the FS vector
+
+
+@register(
+    "q_er_fuzzy_pipeline",
+    oracle=f"""
+    WITH r AS (
+        SELECT p_partkey, p_name, p_type, p_brand, p_size,
+               CAST(floor(p_retailprice / 100) AS BIGINT) AS band,
+               row_number() OVER (ORDER BY split_part(p_name, ' ', 2),
+                                  p_size, p_partkey) AS seq
+        FROM part),
+    pairs AS (
+        SELECT CAST(jaro_winkler_similarity(a.p_name, b.p_name)
+                    >= {_FP_JW} AS INT)            AS ag_jw,
+               CAST(a.p_type = b.p_type AS INT)    AS ag_type,
+               CAST(a.band = b.band AS INT)        AS ag_cont,
+               CAST(a.p_brand = b.p_brand AS INT)  AS ag_brand
+        FROM r a JOIN r b
+          ON b.seq > a.seq AND b.seq <= a.seq + {_SN_WINDOW - 1}),
+    u AS (
+        SELECT avg(ag_jw) AS u_jw, avg(ag_type) AS u_type,
+               avg(ag_cont) AS u_cont, avg(ag_brand) AS u_brand
+        FROM pairs),
+    scored AS (
+        SELECT
+          (CASE WHEN ag_jw = 1 THEN ln({_FS_M} / u_jw)
+                ELSE ln((1 - {_FS_M}) / (1 - u_jw)) END)
+        + (CASE WHEN ag_type = 1 THEN ln({_FS_M} / u_type)
+                ELSE ln((1 - {_FS_M}) / (1 - u_type)) END)
+        + (CASE WHEN ag_cont = 1 THEN ln({_FS_M} / u_cont)
+                ELSE ln((1 - {_FS_M}) / (1 - u_cont)) END)
+        + (CASE WHEN ag_brand = 1 THEN ln({_FS_M} / u_brand)
+                ELSE ln((1 - {_FS_M}) / (1 - u_brand)) END) AS score
+        FROM pairs CROSS JOIN u)
+    SELECT CASE WHEN score >= {_FS_T_HI} THEN 'match'
+                WHEN score >= {_FS_T_LO} THEN 'possible'
+                ELSE 'nonmatch' END AS decision,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(score), 4) AS avg_score,
+           ROUND(MIN(score), 4) AS min_score,
+           ROUND(MAX(score), 4) AS max_score
+    FROM scored GROUP BY 1
+    """,
+    tags=("entity-resolution", "record-linkage", "fellegi-sunter",
+          "jaro-winkler", "sorted-neighborhood", "pipeline",
+          "pandas-udf", "part"),
+)
+def q_er_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The record-linkage pipeline COMPOSED end-to-end — the query a
+    real ER user runs, where rounds <= 7 verified the stages only in
+    isolation: sorted-neighborhood candidate generation
+    (q_sorted_neighborhood_pairs' O(w*n) window over the
+    distributed rank — skew-immune, no fixed-cardinality block key)
+    -> Jaro-Winkler fuzzy name comparison (the Arrow-batched
+    q_jaro_winkler_blocked kernel, pinned bit-for-bit vs DuckDB)
+    -> a Fellegi-Sunter agreement vector mixing the FUZZY field
+    (jw >= 0.9) with exact fields (type, price band, brand)
+    -> data-estimated u probabilities -> log-odds scoring ->
+    match / possible / nonmatch decision buckets
+    (q_er_fellegi_sunter's estimator and thresholds).
+
+    The oracle replays the ENTIRE composition in one DuckDB SQL
+    statement — window rank, jaro_winkler_similarity, u-estimation,
+    ln-weight scoring, 4-dp-rounded bucket stats — so the value hash
+    certifies the stages compose bit-for-bit, not merely that each
+    works alone.
+
+    Scale shape: candidates are O(w*n) from the sorted neighborhood
+    (one range-shuffle sort, broadcast base offsets); the pandas_udf
+    comparator runs candidate-bounded strictly after generation; the
+    u-estimate is one 4-column aggregate broadcast back as a 1-row
+    scalar subquery; scoring is JVM arithmetic in codegen. Every
+    stage keeps its standalone query's contract (see those
+    docstrings for the measured tiers).
+    """
+    from my_mapreduce_spark.functions.linkage import jaro_batch
+    from my_mapreduce_spark.functions.ranking import distributed_row_number
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jw(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        return pd.Series(jaro_batch(s1, s2))
+
+    part = load_table(spark, sf_dir, "part")
+    r = part.select(
+        "p_partkey", "p_name", "p_type", "p_brand", "p_size",
+        F.floor(F.col("p_retailprice") / 100).cast("bigint").alias("band"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"))
+    ranked = distributed_row_number(
+        r, [F.col("noun"), F.col("p_size"), F.col("p_partkey")],
+        out="seq")
+    a = (ranked
+         .select(F.col("p_name").alias("name_a"),
+                 F.col("p_type").alias("type_a"),
+                 F.col("band").alias("band_a"),
+                 F.col("p_brand").alias("brand_a"),
+                 F.col("seq").alias("seq_a"),
+                 F.explode(F.array(*[F.lit(k)
+                                     for k in range(1, _SN_WINDOW)]))
+                 .alias("k"))
+         .select("name_a", "type_a", "band_a", "brand_a",
+                 (F.col("seq_a") + F.col("k")).alias("probe")))
+    b = ranked.select(F.col("p_name").alias("name_b"),
+                      F.col("p_type").alias("type_b"),
+                      F.col("band").alias("band_b"),
+                      F.col("p_brand").alias("brand_b"),
+                      F.col("seq").alias("seq_b"))
+    pairs = (a.join(b, F.col("probe") == F.col("seq_b"))
+             .select(
+                 (jw(F.col("name_a"), F.col("name_b")) >= _FP_JW)
+                 .cast("int").alias("ag_jw"),
+                 (F.col("type_a") == F.col("type_b"))
+                 .cast("int").alias("ag_type"),
+                 (F.col("band_a") == F.col("band_b"))
+                 .cast("int").alias("ag_cont"),
+                 (F.col("brand_a") == F.col("brand_b"))
+                 .cast("int").alias("ag_brand"))
+             .persist())   # feeds the u-estimate AND the scoring
+                           # pass (caller releases, caching.py)
+    u = pairs.agg(F.avg("ag_jw").alias("u_jw"),
+                  F.avg("ag_type").alias("u_type"),
+                  F.avg("ag_cont").alias("u_cont"),
+                  F.avg("ag_brand").alias("u_brand"))
+
+    def w(flag, ucol):
+        return (F.when(F.col(flag) == 1,
+                       F.log(F.lit(_FS_M) / F.col(ucol)))
+                .otherwise(F.log((1 - _FS_M) / (1 - F.col(ucol)))))
+
+    scored = (pairs.crossJoin(F.broadcast(u))
+              .select((w("ag_jw", "u_jw") + w("ag_type", "u_type")
+                       + w("ag_cont", "u_cont") + w("ag_brand", "u_brand"))
+                      .alias("score")))
+    decision = (F.when(F.col("score") >= _FS_T_HI, "match")
+                .when(F.col("score") >= _FS_T_LO, "possible")
+                .otherwise("nonmatch"))
+    return (scored.groupBy(decision.alias("decision"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.avg("score"), 4).alias("avg_score"),
+                 F.round(F.min("score"), 4).alias("min_score"),
+                 F.round(F.max("score"), 4).alias("max_score")))

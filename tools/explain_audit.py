@@ -73,6 +73,8 @@ _ALLOW_NESTED_LOOP = {
     "q_er_fellegi_sunter",       # crossJoin(broadcast(1-row u-estimate
                                  # aggregate)), same scalar-subquery
                                  # shape
+    "q_er_fuzzy_pipeline",       # same 1-row u-estimate broadcast
+                                 # (composed linkage pipeline)
     "q_sparse_cosine_pairs",     # same two shapes: term-keyed pair join
                                  # with < on doc_id + crossJoin(
                                  # broadcast(1-row doc count)) for idf
@@ -353,6 +355,9 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_sorted_neighborhood_pairs": "distributed_row_number: window "
                                    "over per-partition counts, "
                                    "conf-bounded",
+    "q_er_fuzzy_pipeline": "distributed_row_number: window over "
+                           "per-partition counts, conf-bounded "
+                           "(sorted-neighborhood candidate stage)",
     "q_gains_table": "cumulative/total windows over DISTINCT score "
                      "values (value-cardinality bounded by the "
                      "n_chars length cap, never over documents — "
