@@ -99,3 +99,42 @@ def test_weighted_suffix_bound_is_lossless(docs):
             assert prefixes[i] & prefixes[j], (
                 f"lossy weighted prefix: docs={a, b} "
                 f"J_w={iw}/{uw}")
+
+
+@settings(max_examples=300, deadline=None)
+@given(_corpora(), st.integers(0, 2**31 - 1))
+def test_suffix_bitmap_bound_is_lossless(docs, seed):
+    """The round-8 ppjoin SUFFIX filter's Hamming bound
+    (dedup._suffix_bitmap_cols): with ANY hash into 256 buckets,
+    overlap <= n_a - popcount(bits_a & ~bits_b) and symmetrically
+    for b — so pruning pairs whose bound cannot reach the 3/5
+    threshold (8*bound >= 3*(na+nb)) never drops a qualifying pair.
+    Hammered on adversarial inputs including forced bucket
+    collisions (a seeded hash over a <= 12-token vocab collides
+    constantly at small moduli, which only LOOSENS the bound)."""
+    import random
+
+    rng = random.Random(seed)
+    # a random bucketing with deliberate collisions: modulus drawn
+    # down to 4 so multiple distinct tokens share buckets routinely
+    mod = rng.choice([4, 16, 256])
+    bucket = {t: rng.randrange(mod)
+              for t in {t for s in docs for t in s}}
+
+    def bits(s):
+        return frozenset(bucket[t] for t in s)
+
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            ba, bb = bits(a), bits(b)
+            inter = len(a & b)
+            union = len(a | b)
+            bound = min(len(a) - len(ba - bb), len(b) - len(bb - ba))
+            assert inter <= bound, (
+                f"unsound bound: docs={a, b} inter={inter} "
+                f"bound={bound} mod={mod}")
+            # and the pruning inequality keeps every qualifying pair
+            if inter * _T_DEN >= union * _T_NUM:
+                assert 8 * bound >= 3 * (len(a) + len(b)), (
+                    f"qualifying pair pruned: {a, b}")

@@ -120,6 +120,21 @@ def test_round_close_artifacts_cover_registry():
     assert not extra01, f"stale sf0.1 records: {extra01}"
     assert not bad01, f"sf0.1 failures recorded: {bad01}"
 
+    # the vanilla-seam sweep (round-7 verdict item 8: the driver-sim
+    # sweep was narrated in BASELINE.md but regenerated ad hoc — now
+    # a committed artifact regenerated by round_close, with the
+    # per-query release_caches(force_checkpointed=True) contract
+    # baked into the tool): plain-SparkSession runs through
+    # __spark_entry__ must cover the registry with zero failures
+    with open(os.path.join(root, "VANILLA_LOCAL.json")) as f:
+        van = json.load(f)["queries"]
+    missing_v = sorted(set(REGISTRY) - set(van))
+    extra_v = sorted(set(van) - set(REGISTRY))
+    bad_v = sorted(k for k, v in van.items() if not v["ok"])
+    assert not missing_v, f"queries missing from vanilla sweep: {missing_v}"
+    assert not extra_v, f"stale vanilla-sweep records: {extra_v}"
+    assert not bad_v, f"vanilla-seam failures recorded: {bad_v}"
+
     # the plan-audit artifact must cover the registry with no smells
     # (skipped micro-batch/iterative entries carry clean=None)
     with open(os.path.join(root, "AUDIT_LOCAL.json")) as f:

@@ -21,7 +21,21 @@ Reported: sequential wall, concurrent makespan, throughput speedup
 (fairness: nothing should starve). JSON artifact:
 CONCURRENCY_LOCAL.json.
 
+A third pass measures the MIXED shape real pipelines run (round-7
+verdict item 6): one continuous ingest stream — the stateful
+sessionizer's availableNow micro-batches, looped — beside the S
+batch streams. The ingest thread drives a ``spark.newSession()``
+(own SQLConf + temp views, shared context/scheduler): streaming
+runs scope ``spark.sql.shuffle.partitions`` down for state-store
+setup, and a shared session would let that conf flip mid-plan under
+the batch streams. Ingest iterations pin one localCheckpoint result
+each and are released AFTER the pass (release_caches is
+context-global; a mid-pass force release would drop live batch
+caches) — accumulation is bounded by makespan/stream-wall
+iterations, probe-scale only.
+
 Usage: python tools/concurrency_probe.py [--streams 4] [--sf DIR]
+       [--stream-query q_streaming_sessionize]
 """
 
 from __future__ import annotations
@@ -71,6 +85,9 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--streams", type=int, default=4)
+    ap.add_argument("--stream-query", default="q_streaming_sessionize",
+                    help="streaming job looped beside the batch "
+                         "streams in the mixed pass")
     ap.add_argument("--out", default=os.path.join(
         ROOT, "CONCURRENCY_LOCAL.json"))
     args = ap.parse_args()
@@ -126,6 +143,76 @@ def main() -> int:
     makespan = round(time.time() - t0, 3)
     release_caches(spark, force_checkpointed=True)
 
+    # pass 3 (mixed): the same S batch streams PLUS one continuous
+    # ingest stream looping the stateful sessionizer until the batch
+    # work drains — the real pipeline shape (analytics beside
+    # ingest). The ingest thread gets its own pool and its own
+    # SparkSession (see module doc).
+    stream_q = args.stream_query
+    ingest_spark = spark.newSession()
+    # solo ingest wall (warm first — state-store + codegen off the
+    # clock, matching the batch warm-up discipline)
+    _run_one(ingest_spark, stream_q, args.sf)
+    t0 = time.time()
+    _run_one(ingest_spark, stream_q, args.sf)
+    stream_solo = round(time.time() - t0, 3)
+
+    mixed_conc: dict[str, list[float]] = {n: [] for n in WORKLOAD}
+    stream_walls: list[float] = []
+    stop = threading.Event()
+
+    def ingest() -> None:
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", "ingest")
+        while not stop.is_set():
+            try:
+                stream_walls.append(
+                    _run_one(ingest_spark, stream_q, args.sf))
+            except Exception as exc:  # pragma: no cover - diagnostic
+                errors.append(f"{stream_q}@ingest: {exc}")
+                return
+
+    def mixed_stream(idx: int) -> None:
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"stream-{idx}")
+        rot = WORKLOAD[idx % len(WORKLOAD):] + WORKLOAD[:idx % len(WORKLOAD)]
+        for name in rot:
+            try:
+                mixed_conc[name].append(_run_one(spark, name, args.sf))
+            except Exception as exc:  # pragma: no cover - diagnostic
+                errors.append(f"{name}@mixed{idx}: {exc}")
+
+    threads = [threading.Thread(target=mixed_stream, args=(i,))
+               for i in range(args.streams)]
+    ingest_t = threading.Thread(target=ingest)
+    t0 = time.time()
+    ingest_t.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mixed_makespan = round(time.time() - t0, 3)
+    stop.set()
+    ingest_t.join()
+    release_caches(spark, force_checkpointed=True)
+    release_caches(ingest_spark, force_checkpointed=True)
+
+    stream_mean = round(sum(stream_walls) / max(len(stream_walls), 1), 3)
+    mixed = {
+        "stream_query": stream_q,
+        "batch_makespan_s": mixed_makespan,
+        "batch_throughput_speedup": round(
+            args.streams * sequential_wall / mixed_makespan, 2),
+        "stream_solo_s": stream_solo,
+        "stream_iterations": len(stream_walls),
+        "stream_mean_s": stream_mean,
+        "stream_slowdown": round(stream_mean / max(stream_solo, 1e-9), 2),
+        "batch_worst_slowdown": max(
+            round((sum(mixed_conc[n]) / max(len(mixed_conc[n]), 1))
+                  / max(solo[n], 1e-9), 2)
+            for n in WORKLOAD),
+    }
+
     total_work = args.streams * sequential_wall
     report = {
         "sf": args.sf,
@@ -135,6 +222,7 @@ def main() -> int:
         "sequential_wall_s": sequential_wall,
         "concurrent_makespan_s": makespan,
         "throughput_speedup": round(total_work / makespan, 2),
+        "mixed": mixed,
         "errors": errors,
         "queries": {
             n: {
@@ -163,6 +251,16 @@ def main() -> int:
         print(f"  worst slowdown: {n} solo {row['solo_s']}s -> "
               f"concurrent {row['concurrent_mean_s']}s "
               f"({row['slowdown']}x)")
+    print(f"mixed: {args.streams} batch streams + {stream_q} ingest "
+          f"loop -> batch makespan {mixed['batch_makespan_s']}s "
+          f"({mixed['batch_throughput_speedup']}x), ingest "
+          f"{mixed['stream_iterations']} iters "
+          f"{mixed['stream_mean_s']}s/iter "
+          f"({mixed['stream_slowdown']}x vs solo), batch worst "
+          f"slowdown {mixed['batch_worst_slowdown']}x")
+    if fair != "FAIR":
+        print(f"ERROR: scheduler mode is {fair}, expected FAIR")
+        return 1
     if errors:
         print("ERRORS:", errors)
         return 1

@@ -8,11 +8,14 @@ Runs, in order:
   2. tools/check_correctness.py    -> CORRECTNESS_LOCAL.json (ALL queries, sf0.01)
   3. tools/check_correctness.py --sf sf0.1
                                    -> CORRECTNESS_SF01_LOCAL.json (10x sweep)
-  4. tools/empty_sweep.py          -> EMPTY_SWEEP_LOCAL.json  (zero-row inputs)
-  5. tools/explain_audit.py        -> AUDIT_LOCAL.json        (plan quality)
-  6. tools/recall_report.py        -> RECALL_LOCAL.json       (sf0.001)
-  7. bench.py                      -> BENCH_LOCAL.json        (sf0.1)
-  8. tools/cost_probe.py --tail-secs 1.5
+  4. tools/vanilla_sweep.py        -> VANILLA_LOCAL.json      (driver seam:
+                                      plain SparkSession, __spark_entry__
+                                      surface, per-query cache release)
+  5. tools/empty_sweep.py          -> EMPTY_SWEEP_LOCAL.json  (zero-row inputs)
+  6. tools/explain_audit.py        -> AUDIT_LOCAL.json        (plan quality)
+  7. tools/recall_report.py        -> RECALL_LOCAL.json       (sf0.001)
+  8. bench.py                      -> BENCH_LOCAL.json        (sf0.1)
+  9. tools/cost_probe.py --tail-secs 1.5
                                    -> COST_LOCAL.json (byte accounting of the
                                       bench tail; fails on >1.5x amplification
                                       regressions vs the previous artifact.
@@ -20,7 +23,7 @@ Runs, in order:
                                       missing only >=2.5 s — hysteresis keeps
                                       boundary-noise timings from flipping the
                                       suite red, round-7 verdict item 1)
-  9. tools/concurrency_probe.py    -> CONCURRENCY_LOCAL.json (4-stream
+ 10. tools/concurrency_probe.py    -> CONCURRENCY_LOCAL.json (4-stream
                                       throughput + per-query contention
                                       slowdown, sf0.1)
 
@@ -107,6 +110,8 @@ def main() -> int:
     _run("correctness sweep (sf0.1)", ["tools/check_correctness.py",
                                        "--sf", "/root/testdata/sf0.1",
                                        "--out", "CORRECTNESS_SF01_LOCAL.json"])
+    _run("vanilla-seam sweep (sf0.01, plain SparkSession)",
+         ["tools/vanilla_sweep.py"])
     _run("empty-input sweep", ["tools/empty_sweep.py",
                                "--out", "EMPTY_SWEEP_LOCAL.json"])
     _run("plan audit", ["tools/explain_audit.py",
@@ -133,12 +138,15 @@ def main() -> int:
         c01 = json.load(f)
     with open(os.path.join(ROOT, "EMPTY_SWEEP_LOCAL.json")) as f:
         empty = json.load(f)
+    with open(os.path.join(ROOT, "VANILLA_LOCAL.json")) as f:
+        van = json.load(f)["queries"]
     n = len(REGISTRY)
     ok = (len(corr) == n and bench.get("n_queries") == n and len(aud) == n
-          and len(c01) == n and len(empty) == n)
+          and len(c01) == n and len(empty) == n and len(van) == n)
     print(json.dumps({"registry": n, "correctness_entries": len(corr),
                       "sf01_entries": len(c01),
                       "empty_sweep_entries": len(empty),
+                      "vanilla_entries": len(van),
                       "bench_entries": bench.get("n_queries"),
                       "audit_entries": len(aud),
                       "counts_match": ok}))
