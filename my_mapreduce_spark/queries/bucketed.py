@@ -939,3 +939,73 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("sum_cents"),
                  F.date_format(F.min("o_orderdate"), "yyyy-MM-dd")
                  .alias("first_date")))
+
+
+_JSONL_ROOT = os.path.join(tempfile.gettempdir(), "mmr_jsonl")
+
+
+@register(
+    "q_jsonl_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           COUNT(DISTINCT md5(props)) AS n_distinct_props,
+           MIN(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS first_ts,
+           MAX(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+    tags=("sink", "source", "json", "jsonl", "text-format", "events"),
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LINES SINK + SOURCE round trip — the interchange format
+    LLM training corpora actually ship in (one JSON object per line,
+    splittable, schema-on-read). Events are written as JSONL and
+    read back with an EXPLICIT schema and timestampFormat, then
+    aggregated; equality against the oracle over the ORIGINAL
+    parquet proves the round trip lost no row, microsecond, quote,
+    or decimal digit.
+
+    The traps, each pinned by the equality: microsecond timestamps
+    (explicit .SSSSSS format on write AND read — the default writes
+    ISO-8601 the reader would still parse, but a pinned format makes
+    the contract explicit); the ``props`` column is a STRING that
+    CONTAINS JSON — the writer must escape it as a quoted string,
+    not inline it as a nested object, and the reader must hand back
+    the original text byte-for-byte (n_distinct_props compares md5s
+    of the round-tripped strings against the originals' — schema-
+    on-read tools that "helpfully" re-parse nested JSON break
+    exactly here); and value -> cents integer accumulation keeps the
+    comparison float-seam-free (the q_csv_roundtrip discipline).
+
+    Scale shape: JSONL write/read are full distributed passes, one
+    file per partition, line-splittable on read (unlike multiline
+    JSON, a JSONL file splits at newlines, so a 100 TB landing still
+    fans out by spark.sql.files.maxPartitionBytes). JSONL is ~4x
+    parquet bytes, repeats every key per row, and is prune-blind —
+    the argument for parquet landing stands; this pins that the
+    interchange path is nevertheless lossless when schemas are
+    explicit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tag = _fixture_tag(sf_dir, "events")
+    path = os.path.join(_JSONL_ROOT, f"events_{tag}")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (ev.select("event_id", "ts", "user_id", "event_type", "value",
+                   "props")
+         .write.mode("overwrite").option("timestampFormat", fmt)
+         .json(path))
+    back = (spark.read.schema("event_id long, ts timestamp, user_id long, "
+                              "event_type string, value double, "
+                              "props string")
+            .option("timestampFormat", fmt).json(path))
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("sum_cents"),
+                 F.count_distinct(F.md5("props"))
+                 .alias("n_distinct_props"),
+                 F.date_format(F.min("ts"), fmt).alias("first_ts"),
+                 F.date_format(F.max("ts"), fmt).alias("last_ts")))
