@@ -97,7 +97,17 @@ def main() -> int:
                  "q_dedup_minhash_lsh_prod", "q_pagerank",
                  "q_sparse_cosine_pairs", "q_itemsets_apriori"]
 
-    spark = get_spark("cost-probe", extra_confs={"spark.ui.enabled": "true"})
+    # retention must exceed the WHOLE run's job/stage count: the UI
+    # store evicts oldest-first, and the tail is probed heaviest-
+    # first — at 75+ tail queries the defaults silently evicted the
+    # first (heaviest!) queries' stages before the REST join read
+    # them, dropping q_dedup_funnel/q_kcore_peel from the artifact
+    # (round-8 find; the hysteretic hygiene gate caught the hole)
+    spark = get_spark("cost-probe", extra_confs={
+        "spark.ui.enabled": "true",
+        "spark.ui.retainedJobs": "100000",
+        "spark.ui.retainedStages": "100000",
+    })
     spark.sparkContext.setLogLevel("ERROR")
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
