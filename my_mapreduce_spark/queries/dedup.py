@@ -770,10 +770,21 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the standard large-star/small-star shape; the
     DuckDB oracle states the same fixpoint as a recursive CTE.
     """
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # pairs via the production ppjoin generator (value-identical to
+    # the brute-force join, 22.7x vs 27.9x amplification — the round-8
+    # suffix filter made it strictly cheaper for every consumer)
+    jpairs, jsets = exact_jaccard_pairs(spark, sf_dir)
+    pairs = jpairs.select("doc_a", "doc_b")
+    # localCheckpoint (eager), NOT cache+count: unpersisting the
+    # generator's shingle cache CASCADES to caches whose plans depend
+    # on it (Spark's correctness-preserving cascade), so a cached
+    # edge skeleton would silently drop and every CC round would
+    # re-run the full generator (measured 6.1 s -> 19.9 s on the pj
+    # variant). Checkpointing truncates the lineage first, making
+    # the release safe; the blocks are pairs-sized.
     edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-             .toDF("src", "dst").cache())
-    edges.count()  # materialize the skeleton under corpus-sized parallelism
+             .toDF("src", "dst").localCheckpoint(eager=True))
+    jsets.unpersist()
     labels = (edges.select(F.col("src").alias("doc_id"))
               .distinct()
               .withColumn("cluster_id", F.col("doc_id")))
@@ -829,10 +840,18 @@ def q_dedup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
     is two key-colocated joins + one min-agg; the driver still sees
     only a changed-row count.
     """
-    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    jpairs, jsets = exact_jaccard_pairs(spark, sf_dir)
+    pairs = jpairs.select("doc_a", "doc_b")
+    # localCheckpoint (eager), NOT cache+count: unpersisting the
+    # generator's shingle cache CASCADES to caches whose plans depend
+    # on it (Spark's correctness-preserving cascade), so a cached
+    # edge skeleton would silently drop and every CC round would
+    # re-run the full generator (measured 6.1 s -> 19.9 s on the pj
+    # variant). Checkpointing truncates the lineage first, making
+    # the release safe; the blocks are pairs-sized.
     edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-             .toDF("src", "dst").cache())
-    edges.count()  # materialize the skeleton under corpus-sized parallelism
+             .toDF("src", "dst").localCheckpoint(eager=True))
+    jsets.unpersist()
     labels = (edges.select(F.col("src").alias("doc_id"))
               .distinct()
               .withColumn("cluster_id", F.col("doc_id"))
@@ -915,7 +934,8 @@ def q_dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap lexical and semantic detectors instead of trusting either
     alone; the join cost is pairs-sized (already-thresholded), not
     corpus-sized."""
-    jac = q_dedup_ngram_jaccard(spark, sf_dir).select(
+    jpairs, _jsets = exact_jaccard_pairs(spark, sf_dir)  # caller releases
+    jac = jpairs.select(
         F.col("doc_a").alias("ja"), F.col("doc_b").alias("jb"), "jaccard")
     cos = q_dedup_embedding_cosine(spark, sf_dir).select(
         F.col("vec_a").alias("ca"), F.col("vec_b").alias("cb"), "cosine")
@@ -960,8 +980,12 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-numbered neighbors) — the standard distributed triangle
     enumeration; cost is pairs-sized, never corpus-sized.
     """
-    e = q_dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).cache()
+    jpairs, jsets = exact_jaccard_pairs(spark, sf_dir)
+    # localCheckpoint: see q_dedup_clusters — a cached skeleton would
+    # cascade-drop when the generator's shingle cache is released
+    e = jpairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))         .localCheckpoint(eager=True)
+    jsets.unpersist()
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     return (e1.join(e2, F.col("e1.b") == F.col("e2.a"))
             .join(e3, (F.col("e3.a") == F.col("e1.a"))
@@ -1352,84 +1376,24 @@ def _suffix_bound(side_a: str, side_b: str):
         for i in range(_SFX_LONGS))
 
 
-@register(
-    "q_dedup_prefix_filter",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
-    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-           FROM s GROUP BY doc_id),
-    pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(COUNT(*) AS BIGINT) AS n_common
-        FROM s a JOIN s b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
-    j AS (
-        SELECT doc_a, doc_b, n_common,
-               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jac
-        FROM pairs
-        JOIN sz sa ON sa.doc_id = doc_a
-        JOIN sz sb ON sb.doc_id = doc_b)
-    SELECT doc_a, doc_b, n_common, ROUND(jac, 6) AS jaccard
-    FROM j WHERE jac >= {_PF_THRESHOLD}
-    """,
-    tags=("dedup", "near-dup", "jaccard", "prefix-filter"),
-)
-def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-set Jaccard near-dup join (3-gram shingles, threshold
-    0.6) computed with PREFIX FILTERING — the ppjoin/AllPairs
-    candidate-generation trick: order every document's shingles by
-    ascending global document frequency (rarest first) and join
-    documents ONLY on their first ``n - ceil(t*n) + 1`` shingles,
-    plus the length filter (``5*na >= 3*nb`` both ways — a pair
-    whose sizes differ by more than t cannot reach J >= t). Any
-    pair with J >= t MUST share a shingle inside both prefixes
-    under a common ordering (pigeonhole: missing every prefix
-    shingle caps the overlap below t), so both filters are
-    lossless — and the oracle PROVES it per run, because the oracle
-    is the brute-force all-shared-shingle join
-    (q_dedup_ngram_jaccard's SQL verbatim) and the result must be
-    value-identical.
+def exact_jaccard_pairs(spark: SparkSession,
+                        sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The production exact-Jaccard pair generator, reusable: every
+    word-3-gram shingle pair with Jaccard >= 3/5, computed through
+    the LOSSLESS ppjoin funnel (prefix + positional + suffix
+    filters; see q_dedup_prefix_filter for the full argument) —
+    value-identical to the brute-force shingle self-join at a
+    fraction of its shuffle (22.7x vs 27.9x source-byte
+    amplification at sf0.1, candidates 66k -> 256).
 
-    Why it matters at 100 TB: the brute-force join fans out on
-    boilerplate shingles (every pair of documents sharing one
-    becomes a group); prefix filtering never joins on frequent
-    shingles at all — head shingles sit at the END of the
-    df-ordering and fall outside every prefix — so candidate volume
-    tracks rare-shingle collisions, the same collision-bounded
-    shape as the MinHash band join, while staying EXACT (no recall
-    knob to tune). Intersection counting then runs only on
-    candidate docs' shingle sets. Prefix length uses integer
-    arithmetic ((3n + 4) DIV 5) — no float ceil seam.
-
-    Engine shape: token-df agg (combiner-reduced — only DISTINCT
-    shingles shuffle, with partial counts) -> df join-back -> ONE
-    doc-keyed agg that builds each document's df-ordered token
-    array AND its prefix slice in the same pass (array_sort over
-    collected (df, token) structs — no window-sort machinery),
-    CACHED so the expensive shingle pipeline materializes once ->
-    prefix-posexplode equi-join with the integer length filter ->
-    ppjoin POSITIONAL filter (overlap <= m + min(na-pa-1, nb-pb-1),
-    lossless under the shared global ordering — cut sf0.1
-    candidates 193k -> 66k before any array moved) -> ppjoin SUFFIX
-    filter (stage 2: a 256-bit per-doc set bitmap gives the lossless
-    Hamming bound overlap <= n_a - popcount(bits_a & ~bits_b); 32
-    bytes/doc joined onto the positional survivors cut sf0.1
-    candidates 66k -> 256, i.e. to exactly the true pairs on this
-    fixture — see _suffix_bitmap_cols for the soundness argument) ->
-    exact intersection per surviving pair via JVM ``array_intersect`` on
-    60-bit-hashed token arrays (~3x fewer bytes than strings;
-    within-pair collision odds ~1e-15). Verification joins are
-    semi-pruned to candidate docs and SHUFFLE-HASH hinted — the
-    round-7 30x scale tier proved the array relation must never
-    broadcast (compressed-size stats under-report deserialized
-    arrays; AQE's auto-conversion OOM'd the driver) — so
-    verification bytes are candidate-bounded, the honest linear
-    cost of exact verification, visible as shuffle instead of
-    hidden in a corpus-sized broadcast that dies at scale.
-    Reference parity: extends q_dedup_ngram_jaccard (the declared
-    brute-force verifier) with the production candidate generator.
-    """
+    Returns ``(pairs, sets)``: ``pairs`` has columns (doc_a, doc_b,
+    n_common, jaccard); ``sets`` is the persisted per-doc shingle
+    relation the pair plan references — the CALLER owns its release
+    (unpersist after materializing anything derived from ``pairs``,
+    or leave it to the harness-level release_caches contract).
+    Downstream graph/cluster/split operators consume this instead of
+    q_dedup_ngram_jaccard's declared brute-force join (kept as the
+    fixture-scale verifier and the shared DuckDB oracle)."""
     toks = _shingle_rows(spark, sf_dir).withColumnRenamed(
         "shingle", "token")
     dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -1519,9 +1483,92 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("n_common", F.size(F.array_intersect("ta", "tb")))
          .withColumn("jac", F.col("n_common").cast("double")
                      / (F.col("na") + F.col("nb") - F.col("n_common"))))
-    return (j.where(F.col("jac") >= _PF_THRESHOLD)
-            .select("doc_a", "doc_b", "n_common",
-                    F.round("jac", 6).alias("jaccard")))
+    pairs = (j.where(F.col("jac") >= _PF_THRESHOLD)
+             .select("doc_a", "doc_b", "n_common",
+                     F.round("jac", 6).alias("jaccard")))
+    return pairs, sets
+
+
+@register(
+    "q_dedup_prefix_filter",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM s GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM s a JOIN s b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    j AS (
+        SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jac
+        FROM pairs
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, n_common, ROUND(jac, 6) AS jaccard
+    FROM j WHERE jac >= {_PF_THRESHOLD}
+    """,
+    tags=("dedup", "near-dup", "jaccard", "prefix-filter"),
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set Jaccard near-dup join (3-gram shingles, threshold
+    0.6) computed with PREFIX FILTERING — the ppjoin/AllPairs
+    candidate-generation trick: order every document's shingles by
+    ascending global document frequency (rarest first) and join
+    documents ONLY on their first ``n - ceil(t*n) + 1`` shingles,
+    plus the length filter (``5*na >= 3*nb`` both ways — a pair
+    whose sizes differ by more than t cannot reach J >= t). Any
+    pair with J >= t MUST share a shingle inside both prefixes
+    under a common ordering (pigeonhole: missing every prefix
+    shingle caps the overlap below t), so both filters are
+    lossless — and the oracle PROVES it per run, because the oracle
+    is the brute-force all-shared-shingle join
+    (q_dedup_ngram_jaccard's SQL verbatim) and the result must be
+    value-identical.
+
+    Why it matters at 100 TB: the brute-force join fans out on
+    boilerplate shingles (every pair of documents sharing one
+    becomes a group); prefix filtering never joins on frequent
+    shingles at all — head shingles sit at the END of the
+    df-ordering and fall outside every prefix — so candidate volume
+    tracks rare-shingle collisions, the same collision-bounded
+    shape as the MinHash band join, while staying EXACT (no recall
+    knob to tune). Intersection counting then runs only on
+    candidate docs' shingle sets. Prefix length uses integer
+    arithmetic ((3n + 4) DIV 5) — no float ceil seam.
+
+    Engine shape: token-df agg (combiner-reduced — only DISTINCT
+    shingles shuffle, with partial counts) -> df join-back -> ONE
+    doc-keyed agg that builds each document's df-ordered token
+    array AND its prefix slice in the same pass (array_sort over
+    collected (df, token) structs — no window-sort machinery),
+    CACHED so the expensive shingle pipeline materializes once ->
+    prefix-posexplode equi-join with the integer length filter ->
+    ppjoin POSITIONAL filter (overlap <= m + min(na-pa-1, nb-pb-1),
+    lossless under the shared global ordering — cut sf0.1
+    candidates 193k -> 66k before any array moved) -> ppjoin SUFFIX
+    filter (stage 2: a 256-bit per-doc set bitmap gives the lossless
+    Hamming bound overlap <= n_a - popcount(bits_a & ~bits_b); 32
+    bytes/doc joined onto the positional survivors cut sf0.1
+    candidates 66k -> 256, i.e. to exactly the true pairs on this
+    fixture — see _suffix_bitmap_cols for the soundness argument) ->
+    exact intersection per surviving pair via JVM ``array_intersect`` on
+    60-bit-hashed token arrays (~3x fewer bytes than strings;
+    within-pair collision odds ~1e-15). Verification joins are
+    semi-pruned to candidate docs and SHUFFLE-HASH hinted — the
+    round-7 30x scale tier proved the array relation must never
+    broadcast (compressed-size stats under-report deserialized
+    arrays; AQE's auto-conversion OOM'd the driver) — so
+    verification bytes are candidate-bounded, the honest linear
+    cost of exact verification, visible as shuffle instead of
+    hidden in a corpus-sized broadcast that dies at scale.
+    Reference parity: extends q_dedup_ngram_jaccard (the declared
+    brute-force verifier) with the production candidate generator.
+    """
+    pairs, _sets = exact_jaccard_pairs(spark, sf_dir)
+    return pairs
 
 
 _WJ_SCALE = 1000   # idf milli-units: weights are exact bigints

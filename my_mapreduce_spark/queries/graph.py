@@ -711,11 +711,15 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup), and the oriented join bounds the enumeration fan-out.
     Reference parity: none; north-star §2D graph/dedup depth.
     """
-    from my_mapreduce_spark.queries.dedup import q_dedup_ngram_jaccard
+    from my_mapreduce_spark.queries.dedup import exact_jaccard_pairs
 
-    e = (q_dedup_ngram_jaccard(spark, sf_dir)
+    jpairs, jsets = exact_jaccard_pairs(spark, sf_dir)
+    # localCheckpoint: a cached skeleton would cascade-drop when the
+    # generator's shingle cache is released (see q_dedup_clusters)
+    e = (jpairs
          .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-         .cache())
+         .localCheckpoint(eager=True))
+    jsets.unpersist()
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
