@@ -188,30 +188,74 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment dedup: pairs where one document's entire shingle
     set is a subset of the other's — the quote/excerpt/boilerplate
     case symmetric Jaccard MISSES (a paragraph embedded in a long
-    page scores near-zero Jaccard but 1.0 containment). Same
-    shingle-join skeleton as q_dedup_ngram_jaccard, so the same
-    verifier-role scale posture applies; the production path seeds
-    it with LSH candidates.
+    page scores near-zero Jaccard but 1.0 containment).
+
+    Candidate generation is the ASYMMETRIC prefix filter the overlap
+    literature derives for containment (threshold t=1 collapses the
+    ppjoin prefix to length n - ceil(t*n) + 1 = 1): if A is a subset
+    of B, A's globally RAREST shingle is necessarily somewhere in B,
+    so joining each doc's single rarest shingle (probe side) against
+    ALL shingle occurrences (index side) is lossless — candidate
+    volume is sum over docs of (df(rarest shingle) - 1), collision-
+    bounded exactly like the symmetric prefix filter, never the
+    hot-shingle-quadratic self-join this query shipped through
+    round 7. Fixture-scale amplification is a wash (28.8x vs 27.9x
+    — the array-verification bytes dominate on a dup-saturated 5k
+    corpus); the change is STRUCTURAL: pair-group volume no longer
+    grows with the square of any hot shingle's df, the failure mode
+    that prices the brute join out at 100 TB.
+    Verification: one ``array_intersect`` over the 60-bit-hashed
+    shingle arrays per candidate, full containment iff the
+    intersection size equals the smaller set's size; the size filter
+    ``n_big >= n_small`` and the final distinct (equal-size mutual
+    pairs generate in both directions) complete it. Arrays ride
+    merge-hinted joins (the never-broadcast discipline,
+    q_dedup_prefix_filter). Oracle: the brute-force all-shared-
+    shingle join, value-identical by the losslessness argument.
     """
     s = _shingle_rows(spark, sf_dir)
-    sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = s.alias("a"), s.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    n_a, n_b, n_c = F.col("x.n"), F.col("y.n"), F.col("n_common")
-    return (
-        pairs.join(sz.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-        .join(sz.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
-        .where(n_c == F.least(n_a, n_b))
-        .select("doc_a", "doc_b", n_a.alias("n_a"), n_b.alias("n_b"), "n_common",
-                F.when((n_c == n_a) & (n_c == n_b), "mutual")
-                .when(n_c == n_a, "a_in_b").otherwise("b_in_a").alias("contained"),
-                F.round(n_c / F.least(n_a, n_b), 6).alias("containment"))
-    )
+    dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sets = (s.join(dfc, "shingle")
+            .groupBy("doc_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))).alias("st"))
+            .withColumn("n", F.size("st"))
+            .withColumn("toks", F.transform(F.col("st.shingle"), _tok60))
+            .select("doc_id", "n", "toks")
+            .persist())  # caller releases (caching.py contract)
+    probe = sets.select(F.col("doc_id").alias("sd"),
+                        F.col("n").alias("sn"),
+                        F.element_at("toks", 1).alias("tok"))
+    index = sets.select(F.col("doc_id").alias("bd"),
+                        F.col("n").alias("bn"),
+                        F.explode("toks").alias("tok"))
+    cand = (probe.join(index, "tok")
+            .where((F.col("bd") != F.col("sd"))
+                   & (F.col("bn") >= F.col("sn")))
+            .select("sd", "bd"))
+    ver = (cand
+           .join(sets.select(F.col("doc_id").alias("sd"),
+                             F.col("n").alias("sn"),
+                             F.col("toks").alias("ts"))
+                 .hint("merge"), "sd")
+           .join(sets.select(F.col("doc_id").alias("bd"),
+                             F.col("n").alias("bn"),
+                             F.col("toks").alias("tb"))
+                 .hint("merge"), "bd")
+           .where(F.size(F.array_intersect("ts", "tb")) == F.col("sn")))
+    doc_a = F.least("sd", "bd")
+    doc_b = F.greatest("sd", "bd")
+    n_a = F.when(F.col("sd") < F.col("bd"), F.col("sn")).otherwise(F.col("bn"))
+    n_b = F.when(F.col("sd") < F.col("bd"), F.col("bn")).otherwise(F.col("sn"))
+    n_c = F.col("sn")
+    return (ver.select(
+        doc_a.alias("doc_a"), doc_b.alias("doc_b"),
+        n_a.alias("n_a"), n_b.alias("n_b"),
+        n_c.alias("n_common"),
+        F.when((n_c == n_a) & (n_c == n_b), "mutual")
+        .when(n_c == n_a, "a_in_b").otherwise("b_in_a").alias("contained"),
+        F.round(n_c / F.least(n_a, n_b), 6).alias("containment"))
+        .distinct())
 
 
 def _minhash_oracle(n_bands: int = len(_BANDS),
