@@ -2362,3 +2362,180 @@ def q_canopy_rare_shingle_pairs(spark: SparkSession,
             .where(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_shared_keys")))
+
+
+_HEXV = "strpos('0123456789abcdef', substr(md5(shingle), {p}, 1)) - 1"
+_STG_BITS = " + ".join(
+    f"bit_count(x.b{i} & ~y.b{i})" for i in range(_SFX_LONGS))
+_STG_BITS_REV = " + ".join(
+    f"bit_count(y.b{i} & ~x.b{i})" for i in range(_SFX_LONGS))
+# DuckDB's << range-checks signed overflow (1 << 63 errors) where
+# Spark's shiftleft wraps to the sign bit — special-case bit 63
+_STG_SHIFT = ("CASE WHEN v % 64 = 63 THEN CAST(-9223372036854775808 "
+              "AS BIGINT) ELSE CAST(1 AS BIGINT) << CAST(v % 64 AS INT) "
+              "END")
+_STG_BIT_COLS = ",\n               ".join(
+    f"COALESCE(bit_or(CASE WHEN v // 64 = {i} THEN {_STG_SHIFT} END), 0)"
+    f" AS b{i}"
+    for i in range(_SFX_LONGS))
+
+
+@register(
+    "q_dedup_funnel_stages",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    dfc AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+            FROM s GROUP BY shingle),
+    docs AS (
+        SELECT s.doc_id,
+               list(s.shingle ORDER BY dfc.df, s.shingle) AS arr,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM s JOIN dfc USING (shingle) GROUP BY s.doc_id),
+    pref AS (
+        SELECT doc_id, n, arr[i] AS tok, i - 1 AS pos
+        FROM docs, UNNEST(range(1, n - (3*n + 4) // 5 + 2)) AS u(i)),
+    g AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               MAX(a.n) AS na, MAX(b.n) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS m,
+               MAX(a.pos) AS pa, MAX(b.pos) AS pb
+        FROM pref a JOIN pref b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+         AND 5 * a.n >= 3 * b.n AND 5 * b.n >= 3 * a.n
+        GROUP BY 1, 2),
+    g2 AS (
+        SELECT * FROM g
+        WHERE 8 * (m + LEAST(na - pa - 1, nb - pb - 1)) >= 3 * (na + nb)),
+    vals AS (
+        SELECT doc_id,
+               (({_HEXV.format(p=14)}) * 16
+                + ({_HEXV.format(p=15)})) AS v
+        FROM s),
+    bits AS (
+        SELECT doc_id,
+               {_STG_BIT_COLS}
+        FROM vals GROUP BY doc_id),
+    g3 AS (
+        SELECT g2.* FROM g2
+        JOIN bits x ON g2.doc_a = x.doc_id
+        JOIN bits y ON g2.doc_b = y.doc_id
+        WHERE 8 * (na - ({_STG_BITS})) >= 3 * (na + nb)
+          AND 8 * (nb - ({_STG_BITS_REV})) >= 3 * (na + nb)),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    ver AS (
+        SELECT COUNT(*) AS c FROM pairs
+        JOIN docs x ON doc_a = x.doc_id JOIN docs y ON doc_b = y.doc_id
+        WHERE n_common * 1.0 / (x.n + y.n - n_common) >= 0.6)
+    SELECT 'length_prefix' AS stage,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_pairs
+    UNION ALL
+    SELECT 'positional', (SELECT CAST(COUNT(*) AS BIGINT) FROM g2)
+    UNION ALL
+    SELECT 'suffix_bitmap', (SELECT CAST(COUNT(*) AS BIGINT) FROM g3)
+    UNION ALL
+    SELECT 'verified', (SELECT CAST(c AS BIGINT) FROM ver)
+    """,
+    tags=("dedup", "funnel", "observability", "prefix-filter",
+          "candidate-stats"),
+)
+def q_dedup_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBSERVABILITY of the ppjoin candidate funnel: one row per
+    pruning stage with the surviving pair count — length+prefix ->
+    positional -> suffix-bitmap -> verified. This is the row a
+    production dedup run alerts on (a collapsing prefix stage means
+    a boilerplate shingle entered every prefix; a suffix stage that
+    stops pruning means the bitmap saturated — time to widen it),
+    and the ratio between stages IS the measured selectivity of each
+    filter (sf0.1: 193k -> 66k -> 256 -> 256).
+
+    The DuckDB oracle replays the ENTIRE funnel algebra exactly:
+    the (df, shingle) global ordering, the integer prefix slice, the
+    positional upper bound with 0-based last-match positions, and
+    the 256-bit set bitmap (the bucket of a shingle's 60-bit md5
+    prefix is its low byte — hex chars 14-15 — so the oracle derives
+    the very same buckets from md5 strings with list algebra and
+    bit_or/bit_count; everything integer, no float seam). The
+    verified stage equals the brute-force count because every filter
+    is lossless — so this query's oracle equality is also a per-run
+    PROOF of losslessness at all three stages, stronger than the
+    pair-set equality q_dedup_prefix_filter pins.
+
+    Scale shape: identical to q_dedup_prefix_filter (same cached
+    shingle relation, same joins) plus three O(1)-row aggregates;
+    counts reach the driver as four integers.
+    """
+    toks = _shingle_rows(spark, sf_dir).withColumnRenamed(
+        "shingle", "token")
+    dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    sets = (toks.join(dfc, "token")
+            .groupBy("doc_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("df", "token"))).alias("st"))
+            .withColumn("n", F.size("st"))
+            .withColumn("toks", F.transform(F.col("st.token"), _tok60))
+            .withColumn("prefix", F.slice(
+                F.col("st.token"), 1,
+                F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1))
+            .select("doc_id", "n", "toks", "prefix",
+                    *_suffix_bitmap_cols("toks"))
+            .persist())
+    try:
+        pref = sets.select("doc_id", "n",
+                           F.posexplode("prefix").alias("pos", "token"))
+        grouped = (pref.alias("a")
+                   .join(pref.alias("b"),
+                         (F.col("a.token") == F.col("b.token"))
+                         & (F.col("a.doc_id") < F.col("b.doc_id"))
+                         & (5 * F.col("a.n") >= 3 * F.col("b.n"))
+                         & (5 * F.col("b.n") >= 3 * F.col("a.n")))
+                   .groupBy(F.col("a.doc_id").alias("doc_a"),
+                            F.col("b.doc_id").alias("doc_b"),
+                            F.col("a.n").alias("na"),
+                            F.col("b.n").alias("nb"))
+                   .agg(F.count(F.lit(1)).alias("m"),
+                        F.max("a.pos").alias("pa"),
+                        F.max("b.pos").alias("pb"))
+                   .persist())
+        n1 = grouped.count()
+        bound = F.col("m") + F.least(F.col("na") - F.col("pa") - 1,
+                                     F.col("nb") - F.col("pb") - 1)
+        g2 = (grouped
+              .where(8 * bound >= 3 * (F.col("na") + F.col("nb")))
+              .select("doc_a", "doc_b", "na", "nb"))
+        bits = sets.select("doc_id",
+                           *[f"b{i}" for i in range(_SFX_LONGS)])
+        g3 = (g2.join(bits.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+              .join(bits.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+              .where((8 * (F.col("na") - _suffix_bound("x", "y"))
+                      >= 3 * (F.col("na") + F.col("nb")))
+                     & (8 * (F.col("nb") - _suffix_bound("y", "x"))
+                        >= 3 * (F.col("na") + F.col("nb"))))
+              .select("doc_a", "doc_b", "na", "nb")
+              .persist())
+        n2 = g2.count()
+        n3 = g3.count()
+        ver = (g3
+               .join(sets.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("toks").alias("ta"))
+                     .hint("merge"), "doc_a")
+               .join(sets.select(F.col("doc_id").alias("doc_b"),
+                                 F.col("toks").alias("tb"))
+                     .hint("merge"), "doc_b")
+               .withColumn("nc", F.size(F.array_intersect("ta", "tb")))
+               .where(F.col("nc")
+                      / (F.col("na") + F.col("nb") - F.col("nc")) >= 0.6))
+        n4 = ver.count()
+    finally:
+        sets.unpersist()
+        try:
+            grouped.unpersist()
+            g3.unpersist()
+        except NameError:
+            pass
+    return spark.createDataFrame(
+        [("length_prefix", n1), ("positional", n2),
+         ("suffix_bitmap", n3), ("verified", n4)],
+        "stage string, n_pairs bigint")
