@@ -2539,3 +2539,112 @@ def q_dedup_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("length_prefix", n1), ("positional", n2),
          ("suffix_bitmap", n3), ("verified", n4)],
         "stage string, n_pairs bigint")
+
+
+_OC_NUM, _OC_DEN = 4, 5   # overlap coefficient threshold 4/5
+
+
+@register(
+    "q_dedup_overlap_coeff",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM s GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, x.n AS n_a, y.n AS n_b, n_common,
+           ROUND(n_common * 1.0 / LEAST(x.n, y.n), 6) AS overlap_coeff
+    FROM pairs JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+    WHERE {_OC_DEN} * n_common >= {_OC_NUM} * LEAST(x.n, y.n)
+    """,
+    tags=("dedup", "near-dup", "overlap-coefficient", "containment",
+          "prefix-filter"),
+)
+def q_dedup_overlap_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-containment: pairs whose overlap coefficient
+    |A∩B| / min(|A|,|B|) >= 4/5 — the noisy-excerpt case
+    q_dedup_containment's exact-subset test misses (a quoted
+    paragraph with one edited sentence is 0.9-containment,
+    0.0-subset) and symmetric Jaccard under-scores whenever sizes
+    differ. The threshold is the exact integer inequality
+    5*o >= 4*min (no float seam).
+
+    Candidate generation is the asymmetric prefix filter at overlap
+    threshold t = 4/5: probe each doc's first ``n - ceil(t*n) + 1``
+    globally-rarest shingles against ALL shingle occurrences of
+    LARGER-or-equal docs. Lossless: a pair sharing NO probe-prefix
+    shingle has o <= n_s - prefix_len = ceil(t*n_s) - 1 < t*n_s =
+    t*min, below threshold (the containment-query derivation from
+    the ppjoin literature; q_dedup_containment is its t=1
+    degenerate). Candidate volume tracks rare-shingle collisions —
+    never the hot-shingle-quadratic self-join the brute-force oracle
+    runs. Verification: one ``array_intersect`` over merge-hinted
+    60-bit arrays per candidate (the never-broadcast discipline);
+    equal-size pairs generate in both directions, deduped by the
+    final distinct. Oracle: the brute-force join — equality proves
+    the filter lossless per run.
+    """
+    s = _shingle_rows(spark, sf_dir)
+    dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sets = (s.join(dfc, "shingle")
+            .groupBy("doc_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))).alias("st"))
+            .withColumn("n", F.size("st"))
+            .withColumn("toks", F.transform(F.col("st.shingle"), _tok60))
+            .withColumn("ptoks", F.slice(
+                F.col("toks"), 1,
+                F.col("n")
+                - F.expr(f"({_OC_NUM} * n + {_OC_DEN - 1}) DIV {_OC_DEN}")
+                + 1))
+            .select("doc_id", "n", "toks", "ptoks",
+                    *_suffix_bitmap_cols("toks"))
+            .persist())  # caller releases (caching.py contract)
+    probe = sets.select(F.col("doc_id").alias("sd"),
+                        F.col("n").alias("sn"),
+                        F.explode("ptoks").alias("tok"))
+    index = sets.select(F.col("doc_id").alias("bd"),
+                        F.col("n").alias("bn"),
+                        F.explode("toks").alias("tok"))
+    cand = (probe.join(index, "tok")
+            .where((F.col("bd") != F.col("sd"))
+                   & (F.col("bn") >= F.col("sn")))
+            .select("sd", "sn", "bd").distinct())
+    # suffix-bitmap stage (the q_dedup_prefix_filter discipline): the
+    # same lossless Hamming bound o <= n_s - popcount(bits_s & ~bits_b)
+    # prunes candidates that cannot reach 5*o >= 4*n_s BEFORE any
+    # token array ships — without it the longer t=4/5 probe prefixes
+    # ballooned the verification to 93.9x source-byte amplification
+    # on the dup-saturated fixture (measured; 22.7x with it)
+    bits = sets.select("doc_id", *[f"b{i}" for i in range(_SFX_LONGS)])
+    cand = (cand
+            .join(bits.alias("x"), F.col("sd") == F.col("x.doc_id"))
+            .join(bits.alias("y"), F.col("bd") == F.col("y.doc_id"))
+            .where(_OC_DEN * (F.col("sn") - _suffix_bound("x", "y"))
+                   >= _OC_NUM * F.col("sn"))
+            .select("sd", "bd"))
+    ver = (cand
+           .join(sets.select(F.col("doc_id").alias("sd"),
+                             F.col("n").alias("sn"),
+                             F.col("toks").alias("ts"))
+                 .hint("merge"), "sd")
+           .join(sets.select(F.col("doc_id").alias("bd"),
+                             F.col("n").alias("bn"),
+                             F.col("toks").alias("tb"))
+                 .hint("merge"), "bd")
+           .withColumn("nc", F.size(F.array_intersect("ts", "tb")))
+           .where(_OC_DEN * F.col("nc") >= _OC_NUM * F.col("sn")))
+    doc_a = F.least("sd", "bd")
+    doc_b = F.greatest("sd", "bd")
+    n_a = F.when(F.col("sd") < F.col("bd"), F.col("sn")).otherwise(F.col("bn"))
+    n_b = F.when(F.col("sd") < F.col("bd"), F.col("bn")).otherwise(F.col("sn"))
+    return (ver.select(
+        doc_a.alias("doc_a"), doc_b.alias("doc_b"),
+        n_a.alias("n_a"), n_b.alias("n_b"),
+        F.col("nc").alias("n_common"),
+        F.round(F.col("nc") / F.least(n_a, n_b), 6)
+        .alias("overlap_coeff"))
+        .distinct())
