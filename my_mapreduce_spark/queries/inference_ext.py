@@ -1,0 +1,404 @@
+"""Group-comparison inference + classifier training + runtime
+pruning — the round-8 continuation batch (SURVEY §2C statistics
+depth, §2D curation, and the DPP scale posture).
+
+- ``q_anova_oneway``: one-way ANOVA F statistic of order value
+  across the five order priorities — the k-group generalization of
+  q_ab_test_welch (does ANY priority's mean differ?).
+- ``q_kruskal_wallis``: the rank-based (tie-corrected) k-group
+  test on the same contrast — the distribution-free sibling that
+  survives the heavy-tailed spend distributions where ANOVA's
+  normality premise dies.
+- ``q_naive_bayes_train``: multinomial Naive Bayes training pass
+  over the documents corpus (class = lang): Laplace-smoothed
+  per-class token log-likelihoods + class log-priors — the
+  training-data half of the fastText-style quality/language
+  classifiers corpus pipelines train at 100 TB.
+- ``q_dpp_join``: star-schema join against the Hive-partitioned
+  events layout where the partition filter is only knowable at
+  RUNTIME (dim side filtered on an aggregate) — exercises dynamic
+  partition pruning, the mechanism that keeps a 100 TB
+  date/type-partitioned fact scan O(selected partitions) when the
+  selection comes from a dimension filter instead of a literal.
+
+Exactness discipline (the q_ab_test_welch contract): every moment
+is an exact integer (cents, counts, ranks doubled to stay
+integral); cross-group summation — the one place double addition
+order could differ between engines — happens in DECIMAL(38,6)
+after a per-group ROUND, so the fold is exact and order-free;
+floats appear only in final closed-form expressions, which IEEE
+evaluates identically on both sides.
+
+Scale shape (100 TB): ANOVA is one scan + O(groups) finishing.
+Kruskal-Wallis ranks VALUES, not rows — the tie-group relation is
+|distinct values|-bounded and the cumulative rank base uses the
+two-pass distributed prefix sum (functions/ranking.py), never a
+data-sized single-partition window. Naive Bayes is two
+vocabulary-bounded hash-aggs plus a per-class top-k window over a
+vocab-bounded relation. The DPP query scans only the partitions
+the runtime dim filter selects (tests/test_inference_ext.py pins
+the dynamicpruning expression in the scan's PartitionFilters).
+Reference parity: none — north-star §2C/§2D depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.functions.ranking import distributed_prefix_sum
+from my_mapreduce_spark.functions.text import tokens
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.queries.bucketed import partitioned_events
+from my_mapreduce_spark.registry import register
+
+_NB_TOP = 10           # report the top-k tokens per class
+_NB_ALPHA = 1          # Laplace smoothing pseudo-count
+_DPP_MIN_AVG = 50.0    # dim-side runtime filter: mean event value
+
+_CENTS_SQL = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+
+
+def _cents():
+    """Exact integer cents for the order-value contrast (same idiom
+    as q_partitioned_write_prune's value scaling). A function, not a
+    module constant: Column construction needs an active session."""
+    return F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+
+@register(
+    "q_anova_oneway",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderpriority AS grp, {_CENTS_SQL} AS c FROM orders),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_j,
+               CAST(SUM(c) AS BIGINT) AS s_j,
+               CAST(SUM(CAST(c AS DECIMAL(38,0))
+                        * CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxx_j
+        FROM x GROUP BY grp),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_j) AS BIGINT) AS n,
+               CAST(SUM(s_j) AS BIGINT) AS s,
+               CAST(SUM(sxx_j) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(ROUND(CAST(s_j AS DOUBLE)
+                                   * CAST(s_j AS DOUBLE) / n_j, 6)
+                             AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                   AS sum_term
+        FROM g)
+    SELECT k, n,
+           ROUND((CAST(sum_term AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 / 10000.0, 2) AS ssb_dollars2,
+           ROUND((CAST(sxx AS DOUBLE) - CAST(sum_term AS DOUBLE))
+                 / 10000.0, 2) AS ssw_dollars2,
+           ROUND(((CAST(sum_term AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                  / (k - 1))
+                 / ((CAST(sxx AS DOUBLE) - CAST(sum_term AS DOUBLE))
+                    / (n - k)), 6) AS f_stat
+    FROM t
+    """,
+    tags=("stats", "anova", "inference", "orders"),
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean order value differ across the five
+    order priorities? F = (SSB/(k-1)) / (SSW/(n-k)) with
+    SSB = Σ S_j²/n_j − S²/n and SSW = Σxx − Σ S_j²/n_j, all from
+    EXACT integer-cent moments (per-row squares summed in
+    DECIMAL(38,0): cents² ≈ 2.5e15 per row overflows bigint after
+    ~3.7k rows).
+
+    Float-determinism seam: the only cross-group fold of a float —
+    Σ_j S_j²/n_j — is rounded per group and summed as
+    DECIMAL(38,6) (exact, associative), so the result cannot depend
+    on which engine or partition order performed the fold; every
+    remaining float op is a fixed closed-form sequence from
+    identical exact inputs. Sums of squares are reported in
+    dollars² (cents²/1e4).
+
+    Scale shape: one scan, O(groups) rows after the first agg —
+    the same moment-not-sample pattern as q_ab_test_welch, just
+    k-ary. Reference parity: none (north-star statistics depth).
+    """
+    x = load_table(spark, sf_dir, "orders") \
+        .select(F.col("o_orderpriority").alias("grp"),
+                _cents().alias("c"))
+    cdec = F.col("c").cast("decimal(38,0)")
+    g = x.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum("c").alias("s_j"),
+        F.sum(cdec * cdec).cast("decimal(38,0)").alias("sxx_j"))
+    term = F.round(F.col("s_j").cast("double")
+                   * F.col("s_j").cast("double") / F.col("n_j"), 6) \
+        .cast("decimal(38,6)")
+    t = g.agg(F.count(F.lit(1)).alias("k"),
+              F.sum("n_j").alias("n"),
+              F.sum("s_j").alias("s"),
+              F.sum("sxx_j").cast("decimal(38,0)").alias("sxx"),
+              F.sum(term).cast("decimal(38,6)").alias("sum_term"))
+    ssb = (F.col("sum_term").cast("double")
+           - F.col("s").cast("double") * F.col("s").cast("double")
+           / F.col("n"))
+    ssw = F.col("sxx").cast("double") - F.col("sum_term").cast("double")
+    return t.select(
+        "k", "n",
+        F.round(ssb / 10000.0, 2).alias("ssb_dollars2"),
+        F.round(ssw / 10000.0, 2).alias("ssw_dollars2"),
+        F.round((ssb / (F.col("k") - 1))
+                / (ssw / (F.col("n") - F.col("k"))), 6).alias("f_stat"))
+
+
+@register(
+    "q_kruskal_wallis",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderpriority AS grp, {_CENTS_SQL} AS c FROM orders),
+    v AS (  -- tie groups: one row per distinct value
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM x GROUP BY c),
+    vc AS ( -- 2*avg_rank of a tie group = 2*(#smaller) + t + 1
+        SELECT c, t,
+               2 * (CAST(SUM(t) OVER (ORDER BY c) AS BIGINT) - t)
+                   + t + 1 AS ar2
+        FROM v),
+    gv AS (
+        SELECT x.grp, CAST(COUNT(*) AS BIGINT) AS cnt, vc.ar2
+        FROM x JOIN vc ON x.c = vc.c GROUP BY x.grp, vc.ar2),
+    r AS (  -- doubled rank-sum per group stays an exact bigint
+        SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_j,
+               CAST(SUM(cnt * ar2) AS BIGINT) AS r2_j
+        FROM gv GROUP BY grp),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_j) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(CAST(r2_j AS DOUBLE)
+                                   * CAST(r2_j AS DOUBLE)
+                                   / (4.0 * n_j), 6)
+                             AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                   AS sum_term
+        FROM r),
+    tie AS (
+        SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tt FROM v)
+    SELECT k, n,
+           ROUND((12.0 / (CAST(n AS DOUBLE) * (n + 1))
+                  * CAST(sum_term AS DOUBLE) - 3.0 * (n + 1))
+                 / (1.0 - CAST(tt AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * n - n)),
+                 6) AS h_stat
+    FROM t, tie
+    """,
+    tags=("stats", "rank", "kruskal-wallis", "inference", "orders"),
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H (tie-corrected rank ANOVA) of order value
+    across the five priorities — the distribution-free counterpart
+    of q_anova_oneway.
+
+    Rank algebra kept EXACT: a tie group of t copies of value v with
+    C smaller rows has average rank C + (t+1)/2, so DOUBLED rank
+    2·avg = 2C + t + 1 is an exact bigint; doubled per-group rank
+    sums R2_j = Σ cnt·ar2 stay bigint, and R_j²/n_j enters the H
+    formula as R2_j²/(4 n_j). The only cross-group float fold sums
+    per-group ROUNDed terms in DECIMAL(38,6) — exact and
+    order-free (same seam discipline as q_anova_oneway). Tie
+    correction 1 − Σ(t³−t)/(N³−N) is exact-integer until one final
+    division.
+
+    Scale shape: rows collapse to TIE GROUPS (|distinct values|
+    ≤ N, typically ≪ N) before any ordering; the cumulative
+    "#smaller rows" base uses distributed_prefix_sum's two-pass
+    range-partition machinery — never Spark's single-partition
+    ORDER-BY-only window (the audit smell). Everything after is
+    O(groups × distinct-values-per-group) hash-agg.
+    Reference parity: none (north-star statistics depth).
+    """
+    x = load_table(spark, sf_dir, "orders") \
+        .select(F.col("o_orderpriority").alias("grp"),
+                _cents().alias("c"))
+    v = x.groupBy("c").agg(F.count(F.lit(1)).alias("t"))
+    vc = (distributed_prefix_sum(v, [F.col("c")], F.col("t"),
+                                 out="cum")
+          .withColumn("ar2", 2 * (F.col("cum") - F.col("t"))
+                      + F.col("t") + 1)
+          .select("c", "ar2"))
+    gv = (x.join(vc, "c")
+          .groupBy("grp", "ar2").agg(F.count(F.lit(1)).alias("cnt")))
+    r = gv.groupBy("grp").agg(
+        F.sum("cnt").alias("n_j"),
+        F.sum(F.col("cnt") * F.col("ar2")).alias("r2_j"))
+    term = F.round(F.col("r2_j").cast("double")
+                   * F.col("r2_j").cast("double")
+                   / (4.0 * F.col("n_j")), 6).cast("decimal(38,6)")
+    t = r.agg(F.count(F.lit(1)).alias("k"),
+              F.sum("n_j").alias("n"),
+              F.sum(term).cast("decimal(38,6)").alias("sum_term"))
+    tie = v.agg(F.sum(F.col("t") * F.col("t") * F.col("t")
+                      - F.col("t")).alias("tt"))
+    nd = F.col("n").cast("double")
+    h = ((12.0 / (nd * (F.col("n") + 1))
+          * F.col("sum_term").cast("double") - 3.0 * (F.col("n") + 1))
+         / (1.0 - F.col("tt").cast("double") / (nd * nd * F.col("n")
+                                                - F.col("n"))))
+    return t.crossJoin(tie).select("k", "n", F.round(h, 6).alias("h_stat"))
+
+
+@register(
+    "q_naive_bayes_train",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, u.tok
+        FROM documents,
+             UNNEST(list_filter(
+                 regexp_split_to_array(text, '[^a-z0-9]+'),
+                 x -> x <> '')) AS u(tok)),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM t),
+    cls AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tok FROM t
+        GROUP BY lang),
+    prior AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+        GROUP BY lang),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+    tc AS (
+        SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM t
+        GROUP BY lang, tok),
+    ranked AS (
+        SELECT lang, tok, c,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY c DESC, tok) AS rk
+        FROM tc)
+    SELECT r.lang, r.tok AS token, r.c AS token_count, r.rk AS rank,
+           ROUND(ln((r.c + {_NB_ALPHA}) * 1.0
+                    / (cls.n_tok + {_NB_ALPHA} * v.vocab)), 6)
+               AS log_likelihood,
+           ROUND(ln(prior.n_docs * 1.0 / nd.total), 6) AS log_prior
+    FROM ranked r
+    JOIN cls USING (lang)
+    JOIN prior USING (lang)
+    CROSS JOIN v CROSS JOIN nd
+    WHERE r.rk <= {_NB_TOP}
+    """,
+    tags=("text", "classifier", "naive-bayes", "curation", "documents"),
+)
+def q_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes TRAINING pass over the corpus
+    (class = lang): Laplace-smoothed token log-likelihoods
+    ln((c_tc+α)/(n_c+α·V)) and class log-priors ln(n_docs_c/N),
+    reported for each class's top-10 tokens (count desc, token asc —
+    a total order, so top-k is deterministic). This is the
+    counting half of the fastText-style language/quality classifiers
+    that curation pipelines train over the full corpus; scoring a
+    held-out doc is then one sum of these per-token terms.
+
+    Engine shape: one token explode feeding two hash-aggs — (class,
+    token) counts (combiner-reduced: partial counts shuffle, never
+    raw tokens) and per-class totals — plus a global distinct-token
+    count for V. All moments are exact bigints; ln appears once per
+    output row on exact-integer ratios and is rounded to 6 places
+    on both engines. The top-k window partitions BY CLASS over the
+    vocab-bounded (class, token, count) relation — never a
+    data-sized unpartitioned sort.
+
+    Scale shape (100 TB): everything after the explode is
+    vocabulary-bounded (|classes|×|vocab|); the explode itself is
+    the one corpus-sized pass and carries only (lang, token) pairs.
+    Reference parity: wc's token-count loop (mrapps/wc.go) is the
+    degenerate one-class case of exactly this aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", F.explode(tokens()).alias("tok"))
+    tc = t.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # class totals and the vocabulary both DERIVE from tc, not from a
+    # fresh corpus pass: the (lang, tok) exchange canonicalizes
+    # identically across the three consumers, so Catalyst plans
+    # ReusedExchange and documents is scanned once for all token
+    # statistics (the audit's dup-scan gate counts plan scans)
+    cls = tc.groupBy("lang").agg(F.sum("c").alias("n_tok"))
+    vocab = tc.select("tok").distinct().agg(
+        F.count(F.lit(1)).alias("vocab"))
+    prior = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    nd = prior.agg(F.sum("n_docs").alias("total"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = (tc.withColumn("rk", F.row_number().over(w))
+              .where(F.col("rk") <= _NB_TOP))
+    return (ranked
+            .join(cls, "lang")
+            .join(prior, "lang")
+            .crossJoin(F.broadcast(vocab))
+            .crossJoin(F.broadcast(nd))
+            .select(
+                "lang", F.col("tok").alias("token"),
+                F.col("c").alias("token_count"),
+                F.col("rk").cast("bigint").alias("rank"),
+                F.round(F.log((F.col("c") + _NB_ALPHA)
+                              / (F.col("n_tok")
+                                 + _NB_ALPHA * F.col("vocab"))), 6)
+                .alias("log_likelihood"),
+                F.round(F.log(F.col("n_docs") / F.col("total")), 6)
+                .alias("log_prior")))
+
+
+@register(
+    "q_dpp_join",
+    oracle=f"""
+    WITH dim AS (
+        SELECT event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+        HAVING SUM(CAST(ROUND(value * 100) AS BIGINT)) * 1.0
+               / COUNT(*) >= {_DPP_MIN_AVG} * 100)
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM events e JOIN dim USING (event_type)
+    GROUP BY e.event_type
+    """,
+    tags=("join", "partitioning", "dpp", "pruning", "events"),
+)
+def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the
+    Hive-partitioned events layout (event_type=<v>/ directories,
+    shared with q_partitioned_write_prune) and the partition filter
+    is NOT a literal — the dim side keeps only event types whose
+    global mean value ≥ $50, a predicate resolvable only at
+    runtime. Catalyst plans a DynamicPruningExpression on the fact
+    scan's PartitionFilters: the broadcast dim result doubles as
+    the partition selector, so the scan opens only surviving types'
+    directories (tests/test_inference_ext.py pins the dynamicpruning
+    subquery in the plan and that static pruning could NOT have
+    done it).
+
+    Why it matters at 100 TB: production facts are partitioned by
+    date/type, and real selections come from dimension joins
+    ("active sources this week"), not literals. Static pruning
+    covers literals only; DPP is what keeps the scan
+    O(selected partitions) for join-derived selections — without
+    it this plan reads every partition of a 100 TB table to join
+    away most of them.
+
+    The dim is built from the RAW events parquet (one aggregation
+    pass, O(|event types|) rows, broadcast), so fact bytes read are
+    pruned-partitions-only. Oracle runs the same semantics on the
+    unpartitioned table — equality also re-proves the partitioned
+    sink round-trip.
+    """
+    path = partitioned_events(spark, sf_dir)
+    base = load_table(spark, sf_dir, "events") \
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd")) \
+        .drop("event_type").schema.add("event_type", "string")
+    fact = spark.read.schema(base).parquet(path)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    dim = (load_table(spark, sf_dir, "events")
+           .groupBy("event_type")
+           .agg(F.sum(cents).alias("cents"),
+                F.count(F.lit(1)).alias("n"))
+           .where(F.col("cents") * 1.0 / F.col("n")
+                  >= _DPP_MIN_AVG * 100)
+           .select("event_type"))
+    return (fact.join(F.broadcast(dim), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum(cents) / 100.0).alias("sum_value")))

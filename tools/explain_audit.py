@@ -45,6 +45,12 @@ from my_mapreduce_spark.session import get_spark  # noqa: E402
 _ALLOW_NESTED_LOOP = {
     "q_theta_join_price_band",   # non-equi price band join (declared)
     "q_scalar_subquery",         # scalar subquery = 1-row broadcast NLJ
+    "q_kruskal_wallis",          # crossJoin(broadcast(1-row tie-sum))
+                                 # onto the 1-row moment relation, the
+                                 # scalar-subquery shape
+    "q_naive_bayes_train",       # crossJoin(broadcast(1-row vocab size,
+                                 # 1-row doc total)), same scalar-
+                                 # subquery shape over O(classes*k) rows
     "q_cuped_adjustment",        # crossJoin(broadcast(1-row theta/mean
                                  # moments)), the scalar-subquery shape
     "q_diff_in_diff",            # crossJoin(broadcast(1-row control-arm
@@ -321,6 +327,9 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
                             "(the within-source window is partitioned)",
     "q_shard_pack_cumsum": "distributed_prefix_sum: window over "
                            "per-partition TOTALS, conf-bounded",
+    "q_kruskal_wallis": "distributed_prefix_sum over tie-group counts: "
+                        "window input is the per-partition TOTALS "
+                        "relation, conf-bounded",
     "q_vocab_coverage_curve": "both rank and cumsum ride the two-pass "
                               "machinery: windows over per-partition "
                               "summaries, conf-bounded",
