@@ -17,7 +17,7 @@ for _mod in ("reference_parity", "relational_ext", "windows", "scalar_funcs",
              "coverage_ext", "bucketed", "pipeline_ext", "corpus_ops",
              "sketches", "retrieval", "graph", "indexing",
              "sampling_stats", "timeseries", "stats_ext", "experiment_ext",
-             "lexical_ext", "curation_ext", "inference_ext"):
+             "lexical_ext", "curation_ext", "inference_ext", "geo_ext"):
     __import__(f"my_mapreduce_spark.queries.{_mod}")
 del _mod
 

@@ -1,0 +1,286 @@
+"""Geospatial operators — a new §2D family: distributed spatial
+join, nearest-facility assignment, and spatial density rollup.
+
+The fixture tables carry no coordinates, so each entity gets a
+DETERMINISTIC synthetic position derived from md5 of its key (the
+same engine-portable idiom as q_ab_test_welch's arm assignment):
+lat ∈ [-60, 60) and lon ∈ [-179, 179) on a 0.001° grid. Both
+engines derive identical doubles from identical md5 hex, so every
+trig input — and therefore every haversine output — is bit-stable.
+
+- ``q_geo_radius_join``: all customer pairs within 50 km, via the
+  GRID-CELL bucketed spatial join (the geohash/S2 pattern): each
+  point replicates to its 3×3 neighbor cells on one side only and
+  equi-joins the other side's home cell, so candidate volume is
+  collision-bounded and the O(n²) haversine cross join never
+  exists. Losslessness: cells are sized so two points within the
+  radius can never sit more than one cell apart in either axis
+  (lat: 50 km / 111.195 km/° = 0.4497° ≤ 0.5° cell; lon: at
+  |lat| ≤ 60°, 50 km / (111.195 · cos 60°) = 0.8994° ≤ 1° cell),
+  and the lon domain [-179, 179) leaves a 2° antimeridian gap so
+  no sub-threshold pair wraps (production layouts use S2/geohash
+  cell coverings, which handle wrap natively).
+- ``q_geo_nearest_hub``: assign every customer to the nearest of
+  25 nation "hubs" (the k-means-assign / nearest-facility shape):
+  a broadcast of the O(k) hub table against one customer scan,
+  per-customer top-1 by a PARTITIONED window with a total-order
+  tiebreak.
+- ``q_geo_grid_density``: per-1° cell count + exact-cent balance
+  rollup, top-20 densest cells — the heat-map aggregation, one
+  hash-agg.
+
+Float discipline: haversine is transcendental, so per-ROW values
+are bit-identical across engines (same md5-derived inputs, same
+IEEE op sequence) but cross-row SUMS would be order-dependent —
+every distance that feeds an aggregate is therefore rounded to 6
+decimals and summed as DECIMAL(38,6) (exact, associative), the
+q_anova_oneway fold discipline.
+
+Scale shape (100 TB): the radius join shuffles each side once by
+cell (9× replication on one side only); uniform synthetic points
+skew nowhere, and the docstring contract for real city-skewed data
+is finer cells + AQE skew join (the same salting playbook as
+q_skew_salted_join). The hub assign is a broadcast nested loop
+over O(k) hubs — the one cross-join shape that is CORRECT to
+broadcast. Density is one combiner-reduced hash-agg.
+Reference parity: none — north-star §2D spatial depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.registry import register
+
+_R_KM = 6371.0          # mean earth radius
+_RADIUS_KM = 50.0       # radius-join threshold
+_LAT_CELL = 0.5         # degrees; >= 50/111.195
+_LON_CELL = 1.0         # degrees; >= 50/(111.195*cos(60deg))
+_TOP_CELLS = 20
+
+
+def _coord(key: Column, lo: float, span_milli: int, offset: int) -> Column:
+    """Deterministic coordinate in [lo, lo + span_milli/1000) on a
+    0.001° grid from an md5 slice of the key — identical doubles on
+    both engines (same hex → same bigint → same division)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), offset, 8),
+               16, 10).cast("long")
+    return (h % span_milli) / 1000.0 + lo
+
+
+def _coord_sql(key: str, lo: float, span_milli: int, offset: int) -> str:
+    return (f"(CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), "
+            f"{offset}, 8)) AS BIGINT) % {span_milli}) / 1000.0 + ({lo})")
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with synthetic (lat, lon): lat ∈ [-60, 60),
+    lon ∈ [-179, 179) — the lon domain leaves the antimeridian gap
+    the module docstring's losslessness argument needs."""
+    c = load_table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    return c.select(
+        "c_custkey", "c_acctbal",
+        _coord(key, -60.0, 120_000, 1).alias("lat"),
+        _coord(key, -179.0, 358_000, 9).alias("lon"))
+
+
+_POINTS_CTE = f"""
+    pts AS (
+        SELECT c_custkey, c_acctbal,
+               {_coord_sql('c_custkey', -60.0, 120_000, 1)} AS lat,
+               {_coord_sql('c_custkey', -179.0, 358_000, 9)} AS lon
+        FROM customer)
+"""
+
+
+def _haversine(lat1: Column, lon1: Column,
+               lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km; the asin argument is clamped at
+    1.0 (floating roundoff can push antipodal-ish sums over 1)."""
+    dphi = F.radians(lat2 - lat1) / 2
+    dlam = F.radians(lon2 - lon1) / 2
+    a = (F.sin(dphi) * F.sin(dphi)
+         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+         * F.sin(dlam) * F.sin(dlam))
+    return 2 * _R_KM * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+
+
+def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (f"2 * {_R_KM} * asin(least(1.0, sqrt("
+            f"pow(sin(radians({lat2} - {lat1}) / 2), 2)"
+            f" + cos(radians({lat1})) * cos(radians({lat2}))"
+            f" * pow(sin(radians({lon2} - {lon1}) / 2), 2))))")
+
+
+@register(
+    "q_geo_radius_join",
+    oracle=f"""
+    WITH {_POINTS_CTE},
+    cells AS (
+        SELECT c_custkey, lat, lon,
+               CAST(FLOOR(lat / {_LAT_CELL}) AS BIGINT) AS cy,
+               CAST(FLOOR(lon / {_LON_CELL}) AS BIGINT) AS cx
+        FROM pts),
+    a AS (
+        SELECT c.c_custkey, c.lat, c.lon,
+               c.cy + dy.d AS cy, c.cx + dx.d AS cx
+        FROM cells c,
+             (SELECT UNNEST([-1, 0, 1]) AS d) dy,
+             (SELECT UNNEST([-1, 0, 1]) AS d) dx),
+    cand AS (
+        SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+               {_haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} AS d
+        FROM a JOIN cells b
+          ON a.cy = b.cy AND a.cx = b.cx
+         AND a.c_custkey < b.c_custkey)
+    SELECT cust_a, cust_b, ROUND(d, 3) AS dist_km
+    FROM cand WHERE d <= {_RADIUS_KM}
+    """,
+    tags=("geo", "spatial-join", "radius", "customer"),
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 50 km — the distributed SPATIAL
+    JOIN via grid-cell bucketing. One side replicates each point to
+    its 3×3 neighbor cells (a 9× map-side expansion of a narrow
+    relation), the other side keeps home cells only, and the join
+    is a plain hash equi-join on (cell_y, cell_x) with the key
+    inequality — so each true pair is produced EXACTLY once (the
+    replica of a that lands in b's home cell) and no O(n²) shape
+    exists anywhere. Haversine runs per candidate, never per pair
+    of the cross product.
+
+    Losslessness of the cell size (module docstring): within the
+    50 km threshold, |Δlat| ≤ 0.4497° < one 0.5° lat cell and, at
+    |lat| ≤ 60°, |Δlon| ≤ 0.8994° < one 1° lon cell — so true
+    pairs are never more than one cell apart per axis and the 3×3
+    expansion covers them all; the lon domain's 2° antimeridian gap
+    rules out wrap pairs. tests/test_geo_ext.py re-proves the pair
+    set against a from-scratch numpy brute force.
+
+    At 100 TB: candidate volume is density-bounded per cell;
+    city-skewed real data takes finer cells + AQE skew join (the
+    q_skew_salted_join playbook). The oracle runs the same
+    cell-bucketed algebra in DuckDB — candidate-bounded there too.
+    """
+    pts = _points(spark, sf_dir)
+    cells = pts.select(
+        "c_custkey", "lat", "lon",
+        F.floor(F.col("lat") / _LAT_CELL).alias("cy"),
+        F.floor(F.col("lon") / _LON_CELL).alias("cx"))
+    off = F.array([F.lit(d) for d in (-1, 0, 1)])
+    a = (cells
+         .withColumn("dy", F.explode(off))
+         .withColumn("dx", F.explode(off))
+         .select("c_custkey", "lat", "lon",
+                 (F.col("cy") + F.col("dy")).alias("cy"),
+                 (F.col("cx") + F.col("dx")).alias("cx")))
+    b = cells.select(F.col("c_custkey").alias("cust_b"),
+                     F.col("lat").alias("lat_b"),
+                     F.col("lon").alias("lon_b"), "cy", "cx")
+    d = _haversine(F.col("lat"), F.col("lon"),
+                   F.col("lat_b"), F.col("lon_b"))
+    return (a.join(b, ["cy", "cx"])
+            .where(F.col("c_custkey") < F.col("cust_b"))
+            .withColumn("d", d)
+            .where(F.col("d") <= _RADIUS_KM)
+            .select(F.col("c_custkey").alias("cust_a"), "cust_b",
+                    F.round("d", 3).alias("dist_km")))
+
+
+@register(
+    "q_geo_nearest_hub",
+    oracle=f"""
+    WITH {_POINTS_CTE},
+    hubs AS (
+        SELECT n_nationkey AS hub_key,
+               {_coord_sql('n_nationkey', -60.0, 120_000, 1)} AS hlat,
+               {_coord_sql('n_nationkey', -179.0, 358_000, 9)} AS hlon
+        FROM nation),
+    scored AS (
+        SELECT p.c_custkey, h.hub_key,
+               {_haversine_sql('p.lat', 'p.lon', 'h.hlat', 'h.hlon')} AS d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.c_custkey
+                   ORDER BY {_haversine_sql('p.lat', 'p.lon',
+                                            'h.hlat', 'h.hlon')},
+                            h.hub_key) AS rk
+        FROM pts p CROSS JOIN hubs h)
+    SELECT hub_key,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CAST(ROUND(d, 6) AS DECIMAL(38,6)))
+                      AS DOUBLE) / COUNT(*), 3) AS avg_dist_km
+    FROM scored WHERE rk = 1
+    GROUP BY hub_key
+    """,
+    tags=("geo", "nearest-neighbor", "assignment", "customer", "nation"),
+)
+def q_geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every customer to its nearest nation hub (25 hubs at
+    md5-derived positions) and roll up per-hub membership + mean
+    distance — the k-means-assign / nearest-facility operator.
+
+    Engine shape: the hub table is O(k) and BROADCAST — the one
+    cross-join shape that is correct to broadcast at any corpus
+    size — then per-customer top-1 via a window PARTITIONED by
+    customer (never global) with the (distance, hub_key) total-order
+    tiebreak. The rollup sums per-row distances rounded to 6
+    decimals as DECIMAL(38,6): transcendental per-row values are
+    bit-stable across engines, but a double SUM across rows would
+    be order-dependent — the module's float fold discipline.
+    """
+    pts = _points(spark, sf_dir)
+    hubs = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("hub_key"),
+        _coord(F.col("n_nationkey"), -60.0, 120_000, 1).alias("hlat"),
+        _coord(F.col("n_nationkey"), -179.0, 358_000, 9).alias("hlon"))
+    d = _haversine(F.col("lat"), F.col("lon"),
+                   F.col("hlat"), F.col("hlon"))
+    scored = (pts.crossJoin(F.broadcast(hubs))
+              .withColumn("d", d))
+    w = Window.partitionBy("c_custkey").orderBy("d", "hub_key")
+    best = scored.withColumn("rk", F.row_number().over(w)) \
+        .where(F.col("rk") == 1)
+    return (best.groupBy("hub_key")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(
+                     F.sum(F.round(F.col("d"), 6).cast("decimal(38,6)"))
+                     .cast("double") / F.count(F.lit(1)), 3)
+                 .alias("avg_dist_km")))
+
+
+@register(
+    "q_geo_grid_density",
+    oracle=f"""
+    WITH {_POINTS_CTE}
+    SELECT CAST(FLOOR(lat) AS BIGINT) AS cell_lat,
+           CAST(FLOOR(lon) AS BIGINT) AS cell_lon,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+    FROM pts
+    GROUP BY 1, 2
+    ORDER BY n_customers DESC, cell_lat, cell_lon
+    LIMIT {_TOP_CELLS}
+    """,
+    tags=("geo", "density", "rollup", "customer"),
+)
+def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 densest 1°×1° cells with exact-cent balance totals —
+    the spatial heat-map rollup: one combiner-reduced hash-agg over
+    (floor(lat), floor(lon)), then a top-k by the (count desc,
+    cell) total order (TakeOrderedAndProject, never a global sort
+    of all cells). The cents scaling keeps the money SUM exact
+    (the q_partitioned_write_prune idiom); counts and cents are the
+    only aggregates, so no float fold exists at all."""
+    pts = _points(spark, sf_dir)
+    return (pts.groupBy(
+        F.floor("lat").alias("cell_lat"),
+        F.floor("lon").alias("cell_lon"))
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+             .alias("balance_cents"))
+        .orderBy(F.desc("n_customers"), "cell_lat", "cell_lon")
+        .limit(_TOP_CELLS))

@@ -51,6 +51,11 @@ _ALLOW_NESTED_LOOP = {
     "q_naive_bayes_train",       # crossJoin(broadcast(1-row vocab size,
                                  # 1-row doc total)), same scalar-
                                  # subquery shape over O(classes*k) rows
+    "q_geo_nearest_hub",         # crossJoin(broadcast(O(k)=25 hub
+                                 # table)) — the nearest-facility
+                                 # assign; the small side is nation-
+                                 # bounded, correct to broadcast at
+                                 # any corpus size
     "q_cuped_adjustment",        # crossJoin(broadcast(1-row theta/mean
                                  # moments)), the scalar-subquery shape
     "q_diff_in_diff",            # crossJoin(broadcast(1-row control-arm
