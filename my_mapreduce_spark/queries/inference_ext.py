@@ -402,3 +402,163 @@ def q_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  (F.sum(cents) / 100.0).alias("sum_value")))
+
+
+@register(
+    "q_logreg_irls",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS cents,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+          ON c.c_custkey = o.o_custkey),
+    m AS (  -- exact first-iteration moments (beta = 0 => p = 1/2)
+        SELECT seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(SUM(cents) AS BIGINT) AS sc,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS scc,
+               CAST(SUM(CASE WHEN y = 1 THEN cents ELSE 0 END) AS BIGINT)
+                   AS sc_pos
+        FROM base GROUP BY seg),
+    b1 AS (  -- closed-form IRLS step 1: beta = 4*inv([[n,Sx],[Sx,Sxx]])*z
+        SELECT seg, n, n_pos,
+               CAST(sc AS DOUBLE) / 100.0 AS sx,
+               CAST(scc AS DOUBLE) / 10000.0 AS sxx,
+               (n_pos - CAST(n AS DOUBLE) / 2) AS z0,
+               (CAST(sc_pos AS DOUBLE) - CAST(sc AS DOUBLE) / 2) / 100.0
+                   AS z1
+        FROM m),
+    b2 AS (
+        SELECT seg, n, n_pos,
+               4 * (sxx * z0 - sx * z1) / (n * sxx - sx * sx) AS beta0,
+               4 * (-sx * z0 + CAST(n AS DOUBLE) * z1)
+                   / (n * sxx - sx * sx) AS beta1
+        FROM b1),
+    it2 AS (  -- per-row weights at the step-1 beta, decimal-folded
+        SELECT b.seg,
+               CAST(ROUND(p * (1 - p), 12) AS DECIMAL(38,12)) AS w,
+               CAST(ROUND(p * (1 - p) * x, 12) AS DECIMAL(38,12)) AS wx,
+               CAST(ROUND(p * (1 - p) * x * x, 12) AS DECIMAL(38,12))
+                   AS wxx,
+               CAST(ROUND(b.y - p, 12) AS DECIMAL(38,12)) AS r,
+               CAST(ROUND((b.y - p) * x, 12) AS DECIMAL(38,12)) AS rx
+        FROM (
+            SELECT base.seg, base.y,
+                   CAST(base.cents AS DOUBLE) / 100.0 AS x,
+                   1.0 / (1.0 + exp(-(b2.beta0 + b2.beta1
+                          * (CAST(base.cents AS DOUBLE) / 100.0)))) AS p
+            FROM base JOIN b2 ON base.seg = b2.seg) b(seg, y, x, p)),
+    s2 AS (
+        SELECT seg,
+               CAST(SUM(w) AS DOUBLE) AS sw,
+               CAST(SUM(wx) AS DOUBLE) AS swx,
+               CAST(SUM(wxx) AS DOUBLE) AS swxx,
+               CAST(SUM(r) AS DOUBLE) AS sr,
+               CAST(SUM(rx) AS DOUBLE) AS srx
+        FROM it2 GROUP BY seg)
+    SELECT b2.seg AS segment, b2.n, b2.n_pos,
+           ROUND(b2.beta0 + (s2.swxx * s2.sr - s2.swx * s2.srx)
+                 / (s2.sw * s2.swxx - s2.swx * s2.swx), 6) AS beta0,
+           ROUND(b2.beta1 + (-s2.swx * s2.sr + s2.sw * s2.srx)
+                 / (s2.sw * s2.swxx - s2.swx * s2.swx), 6) AS beta1
+    FROM b2 JOIN s2 ON b2.seg = s2.seg
+    """,
+    tags=("ml", "logistic-regression", "irls", "inference", "customer"),
+)
+def q_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING, two IRLS iterations
+    per market segment: P(customer has ordered | acctbal) =
+    sigmoid(beta0 + beta1*x). The whole optimizer is DataFrame
+    algebra — no UDF, no driver-side numpy, no MLlib — so the
+    training loop IS the aggregation layer and scales like any
+    other groupBy.
+
+    Iteration 1 is CLOSED FORM from exact integer moments: at
+    beta=0 every p_i = 1/2, so the weighted normal equations
+    collapse to 4*inv([[n, Sx], [Sx, Sxx]]) * [S(y-1/2), S(y-1/2)x]
+    with Sx, Sxx, and the class-conditional sums all exact
+    bigint/decimal cent moments — no float crosses a row boundary.
+    Iteration 2 needs per-row weights w_i = p_i(1-p_i) at the new
+    beta (transcendental, bit-stable per row from identical
+    doubles); every cross-row SUM of those floats is rounded to 12
+    decimals and folded as DECIMAL(38,12) — exact and
+    order-independent (the q_anova_oneway discipline) — then one
+    2x2 solve per group finishes in fixed IEEE arithmetic. Both
+    engines therefore produce identical bits at ROUND(.,6).
+
+    Scale shape (100 TB): two corpus passes (one per iteration),
+    each a combiner-reduced hash-agg to O(groups) rows; the
+    iteration-1 coefficients rejoin the rows as an O(groups)
+    BROADCAST. This is exactly how a fleet trains a per-domain
+    quality classifier over the full corpus without sampling.
+    Reference parity: none — north-star §2D ML-training depth.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    ordered = (load_table(spark, sf_dir, "orders")
+               .select("o_custkey").distinct())
+    base = (c.join(ordered, c.c_custkey == ordered.o_custkey, "left")
+            .select(F.col("c_mktsegment").alias("seg"),
+                    F.round(F.col("c_acctbal") * 100).cast("bigint")
+                    .alias("cents"),
+                    F.when(F.col("o_custkey").isNotNull(), 1)
+                    .otherwise(0).alias("y")))
+    cdec = F.col("cents").cast("decimal(38,0)")
+    m = base.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum("cents").alias("sc"),
+        F.sum(cdec * cdec).cast("decimal(38,0)").alias("scc"),
+        F.sum(F.when(F.col("y") == 1, F.col("cents")).otherwise(0))
+        .alias("sc_pos"))
+    sx = F.col("sc").cast("double") / 100.0
+    sxx = F.col("scc").cast("double") / 10000.0
+    z0 = F.col("n_pos") - F.col("n").cast("double") / 2
+    z1 = (F.col("sc_pos").cast("double")
+          - F.col("sc").cast("double") / 2) / 100.0
+    det = F.col("n") * sxx - sx * sx
+    b2 = m.select(
+        "seg", "n", "n_pos",
+        (4 * (sxx * z0 - sx * z1) / det).alias("beta0"),
+        (4 * (-sx * z0 + F.col("n").cast("double") * z1) / det)
+        .alias("beta1"))
+    x = F.col("cents").cast("double") / 100.0
+    p = 1.0 / (1.0 + F.exp(-(F.col("beta0") + F.col("beta1") * x)))
+    it2 = (base.join(F.broadcast(b2.select("seg", "beta0", "beta1")),
+                     "seg")
+           .withColumn("x", x).withColumn("p", p)
+           .select(
+               "seg",
+               F.round(F.col("p") * (1 - F.col("p")), 12)
+               .cast("decimal(38,12)").alias("w"),
+               F.round(F.col("p") * (1 - F.col("p")) * F.col("x"), 12)
+               .cast("decimal(38,12)").alias("wx"),
+               F.round(F.col("p") * (1 - F.col("p"))
+                       * F.col("x") * F.col("x"), 12)
+               .cast("decimal(38,12)").alias("wxx"),
+               F.round(F.col("y") - F.col("p"), 12)
+               .cast("decimal(38,12)").alias("r"),
+               F.round((F.col("y") - F.col("p")) * F.col("x"), 12)
+               .cast("decimal(38,12)").alias("rx")))
+    s2 = it2.groupBy("seg").agg(
+        F.sum("w").cast("double").alias("sw"),
+        F.sum("wx").cast("double").alias("swx"),
+        F.sum("wxx").cast("double").alias("swxx"),
+        F.sum("r").cast("double").alias("sr"),
+        F.sum("rx").cast("double").alias("srx"))
+    det2 = (F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx"))
+    return (b2.join(s2, "seg")
+            .select(
+                F.col("seg").alias("segment"), "n", "n_pos",
+                F.round(F.col("beta0")
+                        + (F.col("swxx") * F.col("sr")
+                           - F.col("swx") * F.col("srx")) / det2, 6)
+                .alias("beta0"),
+                F.round(F.col("beta1")
+                        + (-F.col("swx") * F.col("sr")
+                           + F.col("sw") * F.col("srx")) / det2, 6)
+                .alias("beta1")))

@@ -100,3 +100,29 @@ def test_dpp_join_matches_unpartitioned_semantics(spark):
     want = {r.event_type: (r.n, round(r.cents / 100.0, 2))
             for r in agg if r.cents * 1.0 / r.n >= 50.0 * 100}
     assert got == want
+
+
+def test_logreg_irls_matches_numpy(spark):
+    from my_mapreduce_spark.queries.inference_ext import q_logreg_irls
+
+    c = load_table(spark, SF_DIR, "customer") \
+        .select("c_custkey", "c_mktsegment", "c_acctbal").toPandas()
+    o = load_table(spark, SF_DIR, "orders") \
+        .select("o_custkey").drop_duplicates().toPandas()
+    c["y"] = c["c_custkey"].isin(set(o["o_custkey"])).astype(float)
+    c["x"] = (c["c_acctbal"] * 100).round() / 100.0
+
+    got = {r.segment: r for r in q_logreg_irls(spark, SF_DIR).collect()}
+    for seg, g in c.groupby("c_mktsegment"):
+        X = np.column_stack([np.ones(len(g)), g["x"].to_numpy()])
+        y = g["y"].to_numpy()
+        beta = np.zeros(2)
+        for _ in range(2):
+            p = 1.0 / (1.0 + np.exp(-X @ beta))
+            W = p * (1 - p)
+            beta = beta + np.linalg.solve((X * W[:, None]).T @ X,
+                                          X.T @ (y - p))
+        row = got[seg]
+        assert row.n == len(g) and row.n_pos == int(y.sum())
+        assert math.isclose(row.beta0, beta[0], rel_tol=1e-5, abs_tol=1e-6)
+        assert math.isclose(row.beta1, beta[1], rel_tol=1e-5, abs_tol=1e-6)
