@@ -2081,8 +2081,22 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (F.col("na") + F.col("nb") - F.col("n_common"))
                    >= _FUNNEL_JACCARD)
             .select("doc_a", "doc_b"))
+    # localCheckpoint (eager), NOT persist: the q_dedup_clusters
+    # lesson applied to the funnel's inline edge skeleton. A merely
+    # persisted edges relation keeps the ENTIRE funnel DAG (shingle
+    # pipeline, suffix bitmaps, verification joins) in its lineage,
+    # and every CC round + the final label agg re-ANALYZES that tree
+    # before the cache lookup can hit — a pure plan-CONSTANT cost
+    # (measured ~11 s of the funnel's ~17 s warm wall at sf0.1 for a
+    # 482-edge graph). Truncating lineage first makes each round's
+    # plan edge-sized and lets the upstream caches release NOW
+    # instead of after the loop (no cascade risk — the checkpoint
+    # blocks, pairs-sized, are all the loop references).
     edges = (near.union(near.select(F.col("doc_b"), F.col("doc_a")))
-             .toDF("src", "dst").persist())
+             .toDF("src", "dst").localCheckpoint(eager=True))
+    sets.unpersist()
+    survivors.unpersist()
+    groups.unpersist()
     try:
         labels = (edges.select(F.col("src").alias("doc_id")).distinct()
                   .withColumn("cluster_id", F.col("doc_id")))
@@ -2111,10 +2125,9 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("cluster_id").alias("n_clusters")).first()
         collapsed = int(row.n_nodes) - int(row.n_clusters)
     finally:
+        # sets/survivors/groups were released at the checkpoint above;
+        # only the loop-scoped state remains
         edges.unpersist()
-        sets.unpersist()
-        survivors.unpersist()
-        groups.unpersist()
         if prev is not None:
             prev.unpersist()
     n2 = n1 - collapsed
