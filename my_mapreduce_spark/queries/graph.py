@@ -466,7 +466,11 @@ _LPA_ITERS = 3
 _LPA_TOP = 20
 
 
-def _lpa_oracle() -> str:
+def _lpa_cte() -> str:
+    """Shared WITH-body computing the bidirected trade graph and the
+    LPA fixpoint ``l{_LPA_ITERS}`` (node, label) — reused by the
+    q_label_propagation and q_graph_modularity oracles so both gate
+    the SAME deterministic synchronous-LPA semantics."""
     it = """,
     c{i} AS (
         SELECT e.dst AS node, l.label, COUNT(*) AS c
@@ -479,12 +483,17 @@ def _lpa_oracle() -> str:
     iters = "".join(it.format(i=i, p=i - 1)
                     for i in range(1, _LPA_ITERS + 1))
     return f"""
-    WITH el AS (
+    el AS (
         SELECT DISTINCT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
     edges AS (SELECT src, dst FROM el
               UNION ALL SELECT dst AS src, src AS dst FROM el),
-    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges){iters},
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges){iters}"""
+
+
+def _lpa_oracle() -> str:
+    return f"""
+    WITH {_lpa_cte()},
     sz AS (SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size
            FROM l{_LPA_ITERS} GROUP BY 1)
     SELECT community, size,
@@ -492,6 +501,39 @@ def _lpa_oracle() -> str:
     FROM sz
     QUALIFY rnk <= {_LPA_TOP}
     """
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """Shared synchronous-LPA fixpoint: returns (edges, labels) —
+    the src-partitioned persisted bidirected edge list (caller
+    releases via the harness release_caches contract) and the
+    (node, label) relation after ``_LPA_ITERS`` deterministic
+    plurality rounds. Consumed by q_label_propagation (community
+    sizes) and q_graph_modularity (partition quality)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    el = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+          .distinct())
+    edges = (el.unionAll(el.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+             .repartition(F.col("src")).persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(_LPA_ITERS):
+        votes = (edges.join(labels, edges.src == labels.node)
+                 .groupBy(F.col("dst").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        labels = (votes
+                  .groupBy("node")
+                  .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                      F.col("label").alias("label")))
+                       .alias("best"))
+                  .select("node", F.col("best.label").alias("label")))
+    return edges, labels
 
 
 @register(
@@ -531,34 +573,136 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mr/worker.go:39's fixed map/reduce alternation is the closest
     native analogue of a fixed iteration schedule).
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
-                                                      "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
-                                                   "o_custkey")
-    el = (li.join(o, li.l_orderkey == o.o_orderkey)
-          .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-                  F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
-          .distinct())
-    edges = (el.unionAll(el.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
-             .repartition(F.col("src")).persist())
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")))
-    for _ in range(_LPA_ITERS):
-        votes = (edges.join(labels, edges.src == labels.node)
-                 .groupBy(F.col("dst").alias("node"), "label")
-                 .agg(F.count(F.lit(1)).alias("c")))
-        labels = (votes
-                  .groupBy("node")
-                  .agg(F.min(F.struct((-F.col("c")).alias("nc"),
-                                      F.col("label").alias("label")))
-                       .alias("best"))
-                  .select("node", F.col("best.label").alias("label")))
+    edges, labels = _lpa_labels(spark, sf_dir)
     sz = (labels.groupBy(F.col("label").alias("community"))
           .agg(F.count(F.lit(1)).alias("size")))
     w_rank = Window.orderBy(F.col("size").desc(), "community")
     return (sz.orderBy(F.col("size").desc(), "community").limit(_LPA_TOP)
             .withColumn("rnk", F.row_number().over(w_rank).cast("bigint")))
+
+
+@register(
+    "q_graph_modularity",
+    oracle="""
+    WITH {LPA_CTE},
+    lab AS (
+        SELECT 'lpa' AS p, node, label FROM l{N}
+        UNION ALL
+        SELECT 'nation', 'c' || c_custkey, 'n' || c_nationkey
+        FROM customer
+        UNION ALL
+        SELECT 'nation', 's' || s_suppkey, 'n' || s_nationkey
+        FROM supplier),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ee FROM edges),
+    inn AS (  -- bidirected edges with both endpoints in the community
+        SELECT a.p, a.label AS community, CAST(COUNT(*) AS BIGINT) AS in2
+        FROM edges e
+        JOIN lab a ON e.src = a.node
+        JOIN lab b ON e.dst = b.node AND b.p = a.p
+        WHERE a.label = b.label
+        GROUP BY 1, 2),
+    dc AS (  -- degree mass per community (only graph nodes join deg)
+        SELECT lab.p, lab.label AS community,
+               CAST(SUM(deg.d) AS BIGINT) AS dsum
+        FROM lab JOIN deg ON lab.node = deg.node
+        GROUP BY 1, 2),
+    terms AS (
+        SELECT dc.p, dc.community,
+               CAST(ROUND(COALESCE(inn.in2, 0) * 1.0 / tot.ee
+                          - (dc.dsum * 1.0 / tot.ee)
+                            * (dc.dsum * 1.0 / tot.ee), 9)
+                    AS DECIMAL(38,9)) AS term
+        FROM dc
+        LEFT JOIN inn ON dc.p = inn.p AND dc.community = inn.community
+        CROSS JOIN tot)
+    SELECT p AS partitioning,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           (SELECT ee // 2 FROM tot) AS m_edges,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS modularity
+    FROM terms GROUP BY p
+    """.replace("{LPA_CTE}", _lpa_cte()).replace("{N}", str(_LPA_ITERS)),
+    tags=("graph", "community", "modularity"),
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q = SUM_c (in_c/2m - (d_c/2m)^2) of TWO
+    partitions of the trade graph, side by side: the LPA fixpoint
+    (q_label_propagation's labels, via the shared _lpa_labels) and
+    the natural nation partition (every customer/supplier labeled by
+    its nation). This is the quality score that turns "some
+    communities" into a measured clustering — and the comparison is
+    the real analytics: on this graph the 3-round LPA fixpoint
+    COLLAPSES toward a giant label (Q < 0, worse than random — the
+    plurality cascade on a dense bipartite graph), while the nation
+    partition scores near zero (trade crosses nations almost
+    uniformly). A pipeline alerts on exactly this contrast when an
+    ingest change reshapes the graph.
+
+    Exactness: edge counts and degree sums are exact bigints; the
+    only cross-community float fold (the per-community term sum) is
+    rounded to 9 decimals and folded as DECIMAL(38,9) — exact,
+    order-free (the q_anova_oneway discipline); one final
+    ROUND(,6). The oracle re-runs the full unrolled LPA fixpoint
+    through the SHARED _lpa_cte() body, so both queries gate
+    identical label semantics.
+
+    Engine shape: the LPA fixpoint is localCheckpoint'ed (eager)
+    before fan-out — it feeds the label union TWICE (both endpoint
+    joins); without truncation each consumer would re-run all three
+    label-vector shuffles (the q_dedup_funnel plan-constant
+    lesson). Then one union with the O(nodes) nation labels, two
+    label joins onto the persisted edge list, one degree agg —
+    everything keyed, community-bounded after the aggregates.
+    Reference parity: none; north-star §2D graph depth.
+    """
+    edges, labels = _lpa_labels(spark, sf_dir)
+    # eager checkpoint: lab feeds both endpoint joins; a lazy LPA
+    # fixpoint would re-run its 3 rounds per consumer branch
+    lpa = labels.localCheckpoint(eager=True)
+    cust = (load_table(spark, sf_dir, "customer")
+            .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
+                    F.concat(F.lit("n"), F.col("c_nationkey"))
+                    .alias("label")))
+    supp = (load_table(spark, sf_dir, "supplier")
+            .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+                    F.concat(F.lit("n"), F.col("s_nationkey"))
+                    .alias("label")))
+    lab = (lpa.withColumn("p", F.lit("lpa"))
+           .unionByName(cust.unionByName(supp)
+                        .withColumn("p", F.lit("nation")))
+           .select("p", "node", "label"))
+    deg = edges.groupBy(F.col("src").alias("node")) \
+        .agg(F.count(F.lit(1)).alias("d"))
+    tot = edges.agg(F.count(F.lit(1)).alias("ee"))
+    inn = (edges
+           .join(lab.select("p", F.col("node").alias("src"),
+                            F.col("label").alias("la")), "src")
+           .join(lab.select(F.col("p").alias("pb"),
+                            F.col("node").alias("dst"),
+                            F.col("label").alias("lb")), "dst")
+           .where((F.col("p") == F.col("pb"))
+                  & (F.col("la") == F.col("lb")))
+           .groupBy("p", F.col("la").alias("community"))
+           .agg(F.count(F.lit(1)).alias("in2")))
+    dc = (lab.join(deg, "node")
+          .groupBy("p", F.col("label").alias("community"))
+          .agg(F.sum("d").alias("dsum")))
+    terms = (dc.join(inn, ["p", "community"], "left")
+             .crossJoin(F.broadcast(tot))
+             .select("p", F.round(
+                 F.coalesce(F.col("in2"), F.lit(0)) / F.col("ee")
+                 - (F.col("dsum") / F.col("ee"))
+                 * (F.col("dsum") / F.col("ee")), 9)
+                 .cast("decimal(38,9)").alias("term")))
+    m_edges = tot.select((F.col("ee") / 2).cast("bigint").alias("m_edges"))
+    return (terms.groupBy(F.col("p").alias("partitioning"))
+            .agg(F.count(F.lit(1)).alias("n_communities"),
+                 F.round(F.sum("term").cast("double"), 6)
+                 .alias("modularity"))
+            .crossJoin(F.broadcast(m_edges))
+            .select("partitioning", "n_communities", "m_edges",
+                    "modularity"))
 
 
 _LP_MAX_DEG = 40     # hub cap: customers linked to > 40 suppliers carry

@@ -51,6 +51,10 @@ _ALLOW_NESTED_LOOP = {
     "q_naive_bayes_train",       # crossJoin(broadcast(1-row vocab size,
                                  # 1-row doc total)), same scalar-
                                  # subquery shape over O(classes*k) rows
+    "q_graph_modularity",        # crossJoin(broadcast(1-row edge total,
+                                 # 1-row m_edges)) onto the O(communities)
+                                 # term relation / 1-row final agg — the
+                                 # scalar-subquery shape twice
     "q_geo_nearest_hub",         # crossJoin(broadcast(O(k)=25 hub
                                  # table)) — the nearest-facility
                                  # assign; the small side is nation-
