@@ -428,38 +428,42 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
                   F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
           .distinct())
+    # per-round eager localCheckpoint, not persist: a persisted round
+    # keeps every prior round in its LOGICAL plan, and Spark resolves
+    # cache hits only after analyzing the full tree — with keep
+    # referenced twice per round the final union re-walked a
+    # 2^rounds-shaped plan (the q_dedup_funnel lesson). Truncating
+    # lineage each round keeps every analysis edge-sized: measured
+    # 3.7 s -> 1.4 s at sf0.001 / 6.2 s -> 4.0 s at sf0.1, results
+    # identical. (The earlier single-job persist design had itself
+    # beaten 2-actions-per-round at 9.7 s -> 5.0 s; this keeps its
+    # lazy-union shape — stats branches now read checkpoint blocks —
+    # and removes the analysis tax it still paid.)
     edges = el.unionAll(el.select(F.col("dst").alias("src"),
-                                  F.col("src").alias("dst"))).persist()
-    pinned = [edges]
+                                  F.col("src").alias("dst"))) \
+        .localCheckpoint(eager=True)
     stats = []
-    try:
-        for i in range(1, _KCORE_ROUNDS + 1):
-            # keep is consumed three times (stats + both join sides);
-            # persist so the degree aggregate runs once per round
-            keep = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-                    .where(F.col("d") >= _KCORE_K)
-                    .select(F.col("src").alias("node")).persist())
-            pinned.append(keep)
-            edges = (edges.join(keep.withColumnRenamed("node", "src"),
-                                "src")
-                     .join(keep.withColumnRenamed("node", "dst"), "dst")
-                     .select("src", "dst").persist())
-            pinned.append(edges)
-            stats.append(
-                keep.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
-                    edges.agg(F.count(F.lit(1)).alias("n_edges")))
-                .select(F.lit(i).cast("int").alias("round"),
-                        "n_nodes", "n_edges"))
-        out = stats[0]
-        for s in stats[1:]:
-            out = out.unionAll(s)
-        # localCheckpoint (not collect+createDataFrame): the 3-row
-        # result must outlive the unpersist below, but it should be
-        # materialized executor-side, not round-tripped via the driver.
-        return out.localCheckpoint(eager=True)
-    finally:
-        for df in pinned:
-            df.unpersist()
+    for i in range(1, _KCORE_ROUNDS + 1):
+        keep = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+                .where(F.col("d") >= _KCORE_K)
+                .select(F.col("src").alias("node"))
+                .localCheckpoint(eager=True))
+        edges = (edges.join(keep.withColumnRenamed("node", "src"),
+                            "src")
+                 .join(keep.withColumnRenamed("node", "dst"), "dst")
+                 .select("src", "dst").localCheckpoint(eager=True))
+        stats.append(
+            keep.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+                edges.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(F.lit(i).cast("int").alias("round"),
+                    "n_nodes", "n_edges"))
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    # localCheckpoint (not collect+createDataFrame): materialized
+    # executor-side, never round-tripped via the driver; the blocks
+    # above are released by the harness release_caches contract.
+    return out.localCheckpoint(eager=True)
 
 
 _LPA_ITERS = 3
