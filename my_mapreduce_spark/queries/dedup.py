@@ -832,7 +832,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (edges.select(F.col("src").alias("doc_id"))
               .distinct()
               .withColumn("cluster_id", F.col("doc_id")))
-    changed, prev_cached = -1, None
+    changed = -1
     with _scoped_shuffle(spark):  # rounds shuffle graph-sized relations
         for _ in range(20):  # >= diameter; breaks as soon as converged
             prop = (edges.join(labels, edges.src == labels.doc_id)
@@ -840,18 +840,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .agg(F.min("cluster_id").alias("nbr_min")))
             # the change flag is derivable in the same pass (a label only
             # ever decreases), so convergence costs a count over the
-            # cached relation instead of a second new-vs-old join
+            # materialized relation instead of a second new-vs-old join.
+            # localCheckpoint (eager), not cache: labels feeds BOTH the
+            # propagation join and the merge, so a cached round still
+            # accumulates a doubling logical tree that analysis re-walks
+            # before every cache hit (the q_kcore_peel finding);
+            # truncation keeps each round's plan edge-sized. Blocks are
+            # O(nodes) x 3 cols per round, released by the harness
+            # release_caches(force_checkpointed=True) contract.
             new = (labels.join(prop, "doc_id", "left")
                    .select("doc_id",
                            F.least("cluster_id", F.coalesce("nbr_min", "cluster_id"))
                            .alias("cluster_id"),
                            (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id"))
                            .alias("chg"))
-                   .cache())
+                   .localCheckpoint(eager=True))
             changed = new.where("chg").count()
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached, labels = new, new.drop("chg")
+            labels = new.drop("chg")
             if changed == 0:
                 break
     edges.unpersist()
@@ -896,11 +901,16 @@ def q_dedup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
              .toDF("src", "dst").localCheckpoint(eager=True))
     jsets.unpersist()
+    # eager localCheckpoint throughout the doubling loop (not cache):
+    # hop is referenced TWICE per round (the merge and its own parent
+    # lookup), so a cached round still leaves a doubling logical tree
+    # for analysis to re-walk before any cache hit (the q_kcore_peel
+    # finding); truncation keeps every round's plan edge-sized
     labels = (edges.select(F.col("src").alias("doc_id"))
               .distinct()
               .withColumn("cluster_id", F.col("doc_id"))
-              .cache())
-    changed, prev_cached = -1, labels
+              .localCheckpoint(eager=True))
+    changed = -1
     with _scoped_shuffle(spark):  # rounds shuffle graph-sized relations
         for _ in range(10):  # O(log diameter); breaks once converged
             # (a) 1-hop min over neighbors' labels
@@ -922,10 +932,9 @@ def q_dedup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .alias("cluster_id"),
                            (F.least("h", F.coalesce("parent_label", "h"))
                             < F.col("old_label")).alias("chg"))
-                   .cache())
+                   .localCheckpoint(eager=True))
             changed = new.where("chg").count()
-            prev_cached.unpersist()
-            prev_cached, labels = new, new.drop("chg")
+            labels = new.drop("chg")
             if changed == 0:
                 break
     edges.unpersist()
@@ -2100,8 +2109,11 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         labels = (edges.select(F.col("src").alias("doc_id")).distinct()
                   .withColumn("cluster_id", F.col("doc_id")))
-        prev = None
         with _scoped_shuffle(spark):
+            # per-round eager localCheckpoint (not cache): labels is
+            # referenced twice per round, so a cached chain still grows
+            # a doubling logical tree for analysis (q_kcore_peel
+            # finding); truncation keeps each round edge-sized
             for _ in range(20):
                 prop = (edges.join(labels, edges.src == labels.doc_id)
                         .groupBy(F.col("dst").alias("doc_id"))
@@ -2113,11 +2125,9 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                                .alias("cluster_id"),
                                (F.coalesce("nbr_min", "cluster_id")
                                 < F.col("cluster_id")).alias("chg"))
-                       .cache())
+                       .localCheckpoint(eager=True))
                 changed = new.where("chg").count()
-                if prev is not None:
-                    prev.unpersist()
-                prev, labels = new, new.drop("chg")
+                labels = new.drop("chg")
                 if changed == 0:
                     break
         row = labels.agg(
@@ -2126,10 +2136,8 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         collapsed = int(row.n_nodes) - int(row.n_clusters)
     finally:
         # sets/survivors/groups were released at the checkpoint above;
-        # only the loop-scoped state remains
+        # loop-round checkpoint blocks go via release_caches
         edges.unpersist()
-        if prev is not None:
-            prev.unpersist()
     n2 = n1 - collapsed
     return spark.createDataFrame(
         [("ingest", n0, n0, 0),

@@ -262,15 +262,19 @@ def q_sssp_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         relaxed = (edges.join(d, edges.src == d.node)
                    .select(F.col("dst").alias("node"),
                            (F.col("dist") + F.col("w")).alias("dist")))
-        # persist each tentative-distance vector: d feeds BOTH the
-        # union branch and the relaxation join, and without a cache
-        # that double reference re-evaluates the whole prior round's
-        # subtree on each side — geometric re-execution by round 4.
-        # The vector is O(nodes) x (string, bigint); caller releases
-        # (caching.release_caches), same contract as pagerank.
+        # eager localCheckpoint, not persist: d feeds BOTH the union
+        # branch and the relaxation join, so an uncached double
+        # reference re-executes geometrically — but a mere cache
+        # still leaves every prior round in the LOGICAL plan, and
+        # analysis re-walks that 2^rounds-shaped tree before any
+        # cache hit resolves (the q_kcore_peel finding; ~25% of this
+        # query's wall was plan analysis). Truncating lineage per
+        # round keeps each analysis edge-sized; the vector is
+        # O(nodes) x (string, bigint), blocks released by the
+        # harness release_caches contract.
         d = (d.unionAll(relaxed)
              .groupBy("node").agg(F.min("dist").alias("dist"))
-             .persist())
+             .localCheckpoint(eager=True))
     top = (d.where(F.col("node").isNotNull())
            .orderBy("dist", "node").limit(_SSSP_TOP))
     w_rank = Window.orderBy("dist", "node")
