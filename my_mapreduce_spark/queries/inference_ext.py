@@ -562,3 +562,107 @@ def q_logreg_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + (-F.col("swx") * F.col("sr")
                            + F.col("sw") * F.col("srx")) / det2, 6)
                 .alias("beta1")))
+
+
+_CORR_COLS = (  # (name, integer scaling that makes the value exact)
+    ("l_quantity", 1),
+    ("l_extendedprice", 100),
+    ("l_discount", 100),
+    ("l_tax", 100),
+)
+
+
+def _corr_moment_sql() -> str:
+    sums = []
+    for c, s in _CORR_COLS:
+        sums.append(f"CAST(SUM(i_{c}) AS DECIMAL(38,0)) AS s_{c}")
+        sums.append(f"CAST(SUM(CAST(i_{c} AS DECIMAL(38,0))"
+                    f" * CAST(i_{c} AS DECIMAL(38,0)))"
+                    f" AS DECIMAL(38,0)) AS ss_{c}")
+    for i, (a, _) in enumerate(_CORR_COLS):
+        for b, _s in _CORR_COLS[i + 1:]:
+            sums.append(f"CAST(SUM(CAST(i_{a} AS DECIMAL(38,0))"
+                        f" * CAST(i_{b} AS DECIMAL(38,0)))"
+                        f" AS DECIMAL(38,0)) AS x_{a}_{b}")
+    scaled = ", ".join(
+        f"CAST(ROUND({c} * {s}) AS BIGINT) AS i_{c}" for c, s in _CORR_COLS)
+    pair_rows = "\nUNION ALL\n".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+               ROUND((n * CAST(x_{a}_{b} AS DOUBLE)
+                      - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                     / sqrt((n * CAST(ss_{a} AS DOUBLE)
+                             - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                            * (n * CAST(ss_{b} AS DOUBLE)
+                               - CAST(s_{b} AS DOUBLE)
+                                 * CAST(s_{b} AS DOUBLE))), 6) AS pearson_r
+        FROM m"""
+        for i, (a, _) in enumerate(_CORR_COLS)
+        for b, _s in _CORR_COLS[i + 1:])
+    return f"""
+    WITH scaled AS (SELECT {scaled} FROM lineitem),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {', '.join(sums)}
+          FROM scaled)
+    {pair_rows}
+    """
+
+
+@register(
+    "q_corr_matrix",
+    oracle=_corr_moment_sql(),
+    tags=("stats", "profiling", "correlation", "lineitem"),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's four
+    numeric measures (quantity, extendedprice, discount, tax) — the
+    column-profiling pass that decides which measures carry
+    independent signal before any modeling (the multivariate sibling
+    of q_profile_columns). All six coefficients come from ONE scan:
+    a single hash-agg computes every first/second/cross moment as
+    exact integer-scaled decimals (cents, tax-points), and each
+    r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)) is a
+    fixed IEEE expression over those exact inputs — bit-identical
+    on both engines, no cross-row float fold anywhere.
+
+    Scale shape (100 TB): one combiner-reduced aggregate to a
+    single moment row (15 decimals wide), then six O(1) expressions
+    — the moment-not-sample pattern at its purest. Adding a column
+    costs O(k) more moments in the same pass, never another scan.
+    Reference parity: none — north-star profiling depth.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    scaled = li.select(*[
+        F.round(F.col(c) * s).cast("bigint").alias(f"i_{c}")
+        for c, s in _CORR_COLS])
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, _s in _CORR_COLS:
+        d = F.col(f"i_{c}").cast("decimal(38,0)")
+        aggs.append(F.sum(d).cast("decimal(38,0)").alias(f"s_{c}"))
+        aggs.append(F.sum(d * d).cast("decimal(38,0)").alias(f"ss_{c}"))
+    for i, (a, _) in enumerate(_CORR_COLS):
+        for b, _s in _CORR_COLS[i + 1:]:
+            aggs.append(
+                F.sum(F.col(f"i_{a}").cast("decimal(38,0)")
+                      * F.col(f"i_{b}").cast("decimal(38,0)"))
+                .cast("decimal(38,0)").alias(f"x_{a}_{b}"))
+    # eager checkpoint of the 1-row moment relation: the six pair
+    # expressions fan out as union branches, and without truncation
+    # each branch re-plans (and re-scans) the full aggregate subtree
+    # — the corpus is scanned once, the fan-out reads 15 decimals
+    m = scaled.agg(*aggs).localCheckpoint(eager=True)
+    outs = []
+    for i, (a, _) in enumerate(_CORR_COLS):
+        for b, _s in _CORR_COLS[i + 1:]:
+            nd = F.col("n").cast("double")
+            sa, sb = (F.col(f"s_{a}").cast("double"),
+                      F.col(f"s_{b}").cast("double"))
+            r = ((nd * F.col(f"x_{a}_{b}").cast("double") - sa * sb)
+                 / F.sqrt((nd * F.col(f"ss_{a}").cast("double") - sa * sa)
+                          * (nd * F.col(f"ss_{b}").cast("double")
+                             - sb * sb)))
+            outs.append(m.select(F.lit(a).alias("col_a"),
+                                 F.lit(b).alias("col_b"),
+                                 F.round(r, 6).alias("pearson_r")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
