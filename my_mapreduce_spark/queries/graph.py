@@ -665,35 +665,51 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: none; north-star §2D graph depth.
     """
     edges, labels = _lpa_labels(spark, sf_dir)
-    # eager checkpoint: lab feeds both endpoint joins; a lazy LPA
-    # fixpoint would re-run its 3 rounds per consumer branch
+    # eager checkpoint: the fixpoint feeds both endpoint joins; a
+    # lazy LPA would re-run its 3 rounds per consumer branch
     lpa = labels.localCheckpoint(eager=True)
     cust = (load_table(spark, sf_dir, "customer")
             .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
                     F.concat(F.lit("n"), F.col("c_nationkey"))
-                    .alias("label")))
+                    .alias("nat")))
     supp = (load_table(spark, sf_dir, "supplier")
             .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
                     F.concat(F.lit("n"), F.col("s_nationkey"))
-                    .alias("label")))
-    lab = (lpa.withColumn("p", F.lit("lpa"))
-           .unionByName(cust.unionByName(supp)
-                        .withColumn("p", F.lit("nation")))
-           .select("p", "node", "label"))
+                    .alias("nat")))
+    # ONE label map carrying BOTH partitions per node: the edge list
+    # is joined once per endpoint (not once per endpoint PER
+    # partition — the union-doubled shape cost 2x the join work),
+    # then the per-partition rows stack via a 2-element explode
+    both = (cust.unionByName(supp)
+            .join(lpa.withColumnRenamed("node", "n2"),
+                  F.col("node") == F.col("n2"), "left")
+            .select("node", "nat", F.col("label").alias("lpa")))
     deg = edges.groupBy(F.col("src").alias("node")) \
         .agg(F.count(F.lit(1)).alias("d"))
     tot = edges.agg(F.count(F.lit(1)).alias("ee"))
-    inn = (edges
-           .join(lab.select("p", F.col("node").alias("src"),
-                            F.col("label").alias("la")), "src")
-           .join(lab.select(F.col("p").alias("pb"),
-                            F.col("node").alias("dst"),
-                            F.col("label").alias("lb")), "dst")
-           .where((F.col("p") == F.col("pb"))
-                  & (F.col("la") == F.col("lb")))
+    joined = (edges
+              .join(both.select(F.col("node").alias("src"),
+                                F.col("lpa").alias("la_l"),
+                                F.col("nat").alias("la_n")), "src")
+              .join(both.select(F.col("node").alias("dst"),
+                                F.col("lpa").alias("lb_l"),
+                                F.col("nat").alias("lb_n")), "dst"))
+    stacked = joined.select(F.explode(F.array(
+        F.struct(F.lit("lpa").alias("p"), F.col("la_l").alias("la"),
+                 F.col("lb_l").alias("lb")),
+        F.struct(F.lit("nation").alias("p"), F.col("la_n").alias("la"),
+                 F.col("lb_n").alias("lb")))).alias("e")) \
+        .select("e.p", "e.la", "e.lb")
+    inn = (stacked.where(F.col("la") == F.col("lb"))
            .groupBy("p", F.col("la").alias("community"))
            .agg(F.count(F.lit(1)).alias("in2")))
-    dc = (lab.join(deg, "node")
+    node_stack = both.join(deg, "node").select(
+        "d", F.explode(F.array(
+            F.struct(F.lit("lpa").alias("p"), F.col("lpa").alias("label")),
+            F.struct(F.lit("nation").alias("p"),
+                     F.col("nat").alias("label")))).alias("s")) \
+        .select("d", "s.p", "s.label")
+    dc = (node_stack
           .groupBy("p", F.col("label").alias("community"))
           .agg(F.sum("d").alias("dsum")))
     terms = (dc.join(inn, ["p", "community"], "left")
