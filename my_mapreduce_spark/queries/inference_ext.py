@@ -666,3 +666,153 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@register(
+    "q_poisson_glm",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS cents,
+               COALESCE(o.n, 0) AS y
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM orders GROUP BY 1) o
+          ON c.c_custkey = o.o_custkey),
+    m AS (  -- exact step-1 moments: at beta = 0 every rate is 1
+        SELECT seg,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(cents) AS BIGINT) AS sc,
+               CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS scc,
+               CAST(SUM(y * cents) AS BIGINT) AS syc
+        FROM base GROUP BY seg),
+    b1 AS (
+        SELECT seg, n, sy,
+               CAST(sc AS DOUBLE) / 100.0 AS sx,
+               CAST(scc AS DOUBLE) / 10000.0 AS sxx,
+               (CAST(sy AS DOUBLE) - n) AS z0,
+               (CAST(syc AS DOUBLE) - CAST(sc AS DOUBLE)) / 100.0 AS z1
+        FROM m),
+    b2 AS (
+        SELECT seg, n, sy,
+               (sxx * z0 - sx * z1) / (n * sxx - sx * sx) AS beta0,
+               (-sx * z0 + CAST(n AS DOUBLE) * z1)
+                   / (n * sxx - sx * sx) AS beta1
+        FROM b1),
+    it2 AS (  -- per-row Poisson weights at the step-1 beta
+        SELECT b.seg,
+               CAST(ROUND(lam, 12) AS DECIMAL(38,12)) AS w,
+               CAST(ROUND(lam * x, 12) AS DECIMAL(38,12)) AS wx,
+               CAST(ROUND(lam * x * x, 12) AS DECIMAL(38,12)) AS wxx,
+               CAST(ROUND(b.y - lam, 12) AS DECIMAL(38,12)) AS r,
+               CAST(ROUND((b.y - lam) * x, 12) AS DECIMAL(38,12)) AS rx
+        FROM (
+            SELECT base.seg, base.y,
+                   CAST(base.cents AS DOUBLE) / 100.0 AS x,
+                   exp(b2.beta0 + b2.beta1
+                       * (CAST(base.cents AS DOUBLE) / 100.0)) AS lam
+            FROM base JOIN b2 ON base.seg = b2.seg) b(seg, y, x, lam)),
+    s2 AS (
+        SELECT seg,
+               CAST(SUM(w) AS DOUBLE) AS sw,
+               CAST(SUM(wx) AS DOUBLE) AS swx,
+               CAST(SUM(wxx) AS DOUBLE) AS swxx,
+               CAST(SUM(r) AS DOUBLE) AS sr,
+               CAST(SUM(rx) AS DOUBLE) AS srx
+        FROM it2 GROUP BY seg)
+    SELECT b2.seg AS segment, b2.n, b2.sy AS total_orders,
+           ROUND(b2.beta0 + (s2.swxx * s2.sr - s2.swx * s2.srx)
+                 / (s2.sw * s2.swxx - s2.swx * s2.swx), 6) AS beta0,
+           ROUND(b2.beta1 + (-s2.swx * s2.sr + s2.sw * s2.srx)
+                 / (s2.sw * s2.swxx - s2.swx * s2.swx), 6) AS beta1
+    FROM b2 JOIN s2 ON b2.seg = s2.seg
+    """,
+    tags=("ml", "poisson", "glm", "irls", "inference", "customer"),
+)
+def q_poisson_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson regression (log link) of per-customer ORDER COUNT on
+    account balance, per market segment, two IRLS iterations — the
+    second GLM on the q_logreg_irls template, proving the template
+    is a family, not a one-off: swap the link (sigmoid -> exp) and
+    the weight (p(1-p) -> lambda) and the whole optimizer is still
+    two combiner-reduced hash-aggs plus an O(groups) broadcast.
+
+    Iteration 1 is closed form from EXACT moments: at beta = 0 the
+    rate is 1 for every row, so the weighted normal equations use
+    [[n, Sx], [Sx, Sxx]] and the residual vector (Sy - n,
+    Syx - Sx) — counts, cents, and count*cents products are all
+    exact bigint/decimal. Iteration 2 computes per-row
+    lambda = exp(beta0 + beta1 x) (bit-stable per row), folds every
+    cross-row sum through ROUND(.,12) + DECIMAL(38,12) (exact,
+    order-free), and finishes with one 2x2 solve per group.
+    tests/test_inference_ext.py cross-checks against an independent
+    numpy IRLS.
+
+    Scale shape: identical to q_logreg_irls — two corpus passes, an
+    O(groups) coefficient broadcast between them, nothing else
+    leaves the executors. Reference parity: none — north-star §2D
+    ML-training depth.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    counts = (load_table(spark, sf_dir, "orders")
+              .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("yo")))
+    base = (c.join(counts, c.c_custkey == counts.o_custkey, "left")
+            .select(F.col("c_mktsegment").alias("seg"),
+                    F.round(F.col("c_acctbal") * 100).cast("bigint")
+                    .alias("cents"),
+                    F.coalesce(F.col("yo"), F.lit(0)).alias("y")))
+    cdec = F.col("cents").cast("decimal(38,0)")
+    m = base.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("cents").alias("sc"),
+        F.sum(cdec * cdec).cast("decimal(38,0)").alias("scc"),
+        F.sum(F.col("y") * F.col("cents")).alias("syc"))
+    sx = F.col("sc").cast("double") / 100.0
+    sxx = F.col("scc").cast("double") / 10000.0
+    z0 = F.col("sy").cast("double") - F.col("n")
+    z1 = (F.col("syc").cast("double") - F.col("sc").cast("double")) / 100.0
+    det = F.col("n") * sxx - sx * sx
+    b2 = m.select(
+        "seg", "n", "sy",
+        ((sxx * z0 - sx * z1) / det).alias("beta0"),
+        ((-sx * z0 + F.col("n").cast("double") * z1) / det).alias("beta1"))
+    x = F.col("cents").cast("double") / 100.0
+    lam = F.exp(F.col("beta0") + F.col("beta1") * x)
+    it2 = (base.join(F.broadcast(b2.select("seg", "beta0", "beta1")),
+                     "seg")
+           .withColumn("x", x).withColumn("lam", lam)
+           .select(
+               "seg",
+               F.round(F.col("lam"), 12)
+               .cast("decimal(38,12)").alias("w"),
+               F.round(F.col("lam") * F.col("x"), 12)
+               .cast("decimal(38,12)").alias("wx"),
+               F.round(F.col("lam") * F.col("x") * F.col("x"), 12)
+               .cast("decimal(38,12)").alias("wxx"),
+               F.round(F.col("y") - F.col("lam"), 12)
+               .cast("decimal(38,12)").alias("r"),
+               F.round((F.col("y") - F.col("lam")) * F.col("x"), 12)
+               .cast("decimal(38,12)").alias("rx")))
+    s2 = it2.groupBy("seg").agg(
+        F.sum("w").cast("double").alias("sw"),
+        F.sum("wx").cast("double").alias("swx"),
+        F.sum("wxx").cast("double").alias("swxx"),
+        F.sum("r").cast("double").alias("sr"),
+        F.sum("rx").cast("double").alias("srx"))
+    det2 = (F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx"))
+    return (b2.join(s2, "seg")
+            .select(
+                F.col("seg").alias("segment"), "n",
+                F.col("sy").alias("total_orders"),
+                F.round(F.col("beta0")
+                        + (F.col("swxx") * F.col("sr")
+                           - F.col("swx") * F.col("srx")) / det2, 6)
+                .alias("beta0"),
+                F.round(F.col("beta1")
+                        + (-F.col("swx") * F.col("sr")
+                           + F.col("sw") * F.col("srx")) / det2, 6)
+                .alias("beta1")))

@@ -126,3 +126,29 @@ def test_logreg_irls_matches_numpy(spark):
         assert row.n == len(g) and row.n_pos == int(y.sum())
         assert math.isclose(row.beta0, beta[0], rel_tol=1e-5, abs_tol=1e-6)
         assert math.isclose(row.beta1, beta[1], rel_tol=1e-5, abs_tol=1e-6)
+
+
+def test_poisson_glm_matches_numpy(spark):
+    from my_mapreduce_spark.queries.inference_ext import q_poisson_glm
+
+    c = load_table(spark, SF_DIR, "customer") \
+        .select("c_custkey", "c_mktsegment", "c_acctbal").toPandas()
+    o = load_table(spark, SF_DIR, "orders") \
+        .select("o_custkey").toPandas()
+    counts = o["o_custkey"].value_counts()
+    c["y"] = c["c_custkey"].map(counts).fillna(0).astype(float)
+    c["x"] = (c["c_acctbal"] * 100).round() / 100.0
+
+    got = {r.segment: r for r in q_poisson_glm(spark, SF_DIR).collect()}
+    for seg, g in c.groupby("c_mktsegment"):
+        X = np.column_stack([np.ones(len(g)), g["x"].to_numpy()])
+        y = g["y"].to_numpy()
+        beta = np.zeros(2)
+        for _ in range(2):
+            lam = np.exp(X @ beta)
+            beta = beta + np.linalg.solve((X * lam[:, None]).T @ X,
+                                          X.T @ (y - lam))
+        row = got[seg]
+        assert row.n == len(g) and row.total_orders == int(y.sum())
+        assert math.isclose(row.beta0, beta[0], rel_tol=1e-5, abs_tol=1e-6)
+        assert math.isclose(row.beta1, beta[1], rel_tol=1e-5, abs_tol=1e-6)
