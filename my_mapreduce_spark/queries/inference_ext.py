@@ -816,3 +816,116 @@ def q_poisson_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + (-F.col("swx") * F.col("sr")
                            + F.col("sw") * F.col("srx")) / det2, 6)
                 .alias("beta1")))
+
+
+@register(
+    "q_decision_stump",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS cents,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+          ON c.c_custkey = o.o_custkey),
+    v AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM base GROUP BY cents),
+    cum AS (
+        SELECT cents,
+               CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT) AS nl,
+               CAST(SUM(pos) OVER (ORDER BY cents) AS BIGINT) AS pl
+        FROM v),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(pos) AS BIGINT) AS p FROM v),
+    cand AS (
+        SELECT cents, nl, pl, tot.n - nl AS nr, tot.p - pl AS pr,
+               (CAST(nl AS DOUBLE) * nl
+                - CAST(pl AS DOUBLE) * pl
+                - CAST(nl - pl AS DOUBLE) * (nl - pl))
+                   / (CAST(tot.n AS DOUBLE) * nl)
+               + (CAST(tot.n - nl AS DOUBLE) * (tot.n - nl)
+                  - CAST(tot.p - pl AS DOUBLE) * (tot.p - pl)
+                  - CAST((tot.n - nl) - (tot.p - pl) AS DOUBLE)
+                    * ((tot.n - nl) - (tot.p - pl)))
+                   / (CAST(tot.n AS DOUBLE) * (tot.n - nl)) AS g
+        FROM cum CROSS JOIN tot
+        WHERE nl > 0 AND tot.n - nl > 0)
+    SELECT cents AS split_cents, nl AS n_left, pl AS pos_left,
+           nr AS n_right, pr AS pos_right,
+           ROUND(g, 6) AS weighted_gini,
+           ROUND(1.0 - (CAST(p AS DOUBLE) / n) * (CAST(p AS DOUBLE) / n)
+                 - (CAST(n - p AS DOUBLE) / n)
+                   * (CAST(n - p AS DOUBLE) / n), 6) AS parent_gini
+    FROM cand CROSS JOIN tot
+    ORDER BY g, cents LIMIT 1
+    """,
+    tags=("ml", "decision-tree", "gini", "inference", "customer"),
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal decision STUMP (one-split tree) for "has this
+    customer ever ordered?" on account balance: evaluate EVERY
+    distinct balance as a candidate threshold and pick the split
+    minimizing weighted Gini impurity — tree learning expressed
+    entirely as aggregation, the third member of the
+    ML-in-the-aggregation-layer family (q_logreg_irls,
+    q_poisson_glm). This is one boosting round's weak learner and
+    the split-finder inner loop of every distributed
+    GBDT/random-forest system.
+
+    Exactness: candidates collapse to TIE GROUPS (one row per
+    distinct cents value, the q_kruskal_wallis move), cumulative
+    class counts ride the two-pass distributed prefix sum (never a
+    data-sized single-partition window), and each candidate's
+    impurity (nl² − pl² − (nl−pl)²)/(n·nl) + symmetric is one fixed
+    IEEE expression over exact bigints — identical doubles on both
+    engines, so even the argmin's tie-break (impurity, then
+    threshold) is deterministic cross-engine. The winner emerges
+    via a global ORDER BY + LIMIT 1 (TakeOrderedAndProject — top-k
+    machinery, not a full sort).
+
+    Scale shape (100 TB): one scan to value-level tie groups
+    (|distinct values|-bounded), one range-partitioned prefix sum,
+    one top-1. Adding features = repeating per feature column —
+    embarrassingly parallel across features, which is exactly how
+    production GBDT histogram split-finders are laid out.
+    Reference parity: none — north-star §2D ML-training depth.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    ordered = (load_table(spark, sf_dir, "orders")
+               .select("o_custkey").distinct())
+    base = (c.join(ordered, c.c_custkey == ordered.o_custkey, "left")
+            .select(F.round(F.col("c_acctbal") * 100).cast("bigint")
+                    .alias("cents"),
+                    F.when(F.col("o_custkey").isNotNull(), 1)
+                    .otherwise(0).alias("y")))
+    v = base.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"),
+                                  F.sum("y").alias("pos"))
+    cum = distributed_prefix_sum(v, [F.col("cents")], F.col("cnt"),
+                                 out="nl")
+    cum = distributed_prefix_sum(cum, [F.col("cents")], F.col("pos"),
+                                 out="pl").select("cents", "nl", "pl")
+    tot = v.agg(F.sum("cnt").alias("n"), F.sum("pos").alias("p"))
+    nl, pl = F.col("nl").cast("double"), F.col("pl").cast("double")
+    nr = (F.col("n") - F.col("nl")).cast("double")
+    pr = (F.col("p") - F.col("pl")).cast("double")
+    g = ((nl * nl - pl * pl - (nl - pl) * (nl - pl))
+         / (F.col("n").cast("double") * nl)
+         + (nr * nr - pr * pr - (nr - pr) * (nr - pr))
+         / (F.col("n").cast("double") * nr))
+    pd_ = F.col("p").cast("double") / F.col("n")
+    nd_ = (F.col("n") - F.col("p")).cast("double") / F.col("n")
+    return (cum.crossJoin(F.broadcast(tot))
+            .where((F.col("nl") > 0) & (F.col("n") - F.col("nl") > 0))
+            .select(F.col("cents").alias("split_cents"),
+                    F.col("nl").alias("n_left"),
+                    F.col("pl").alias("pos_left"),
+                    (F.col("n") - F.col("nl")).alias("n_right"),
+                    (F.col("p") - F.col("pl")).alias("pos_right"),
+                    g.alias("g"),
+                    F.round(1.0 - pd_ * pd_ - nd_ * nd_, 6)
+                    .alias("parent_gini"))
+            .orderBy("g", "split_cents").limit(1)
+            .select("split_cents", "n_left", "pos_left", "n_right",
+                    "pos_right", F.round("g", 6).alias("weighted_gini"),
+                    "parent_gini"))

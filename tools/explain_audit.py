@@ -48,6 +48,9 @@ _ALLOW_NESTED_LOOP = {
     "q_kruskal_wallis",          # crossJoin(broadcast(1-row tie-sum))
                                  # onto the 1-row moment relation, the
                                  # scalar-subquery shape
+    "q_decision_stump",          # crossJoin(broadcast(1-row class
+                                 # totals)) onto the candidate-split
+                                 # relation, same scalar-subquery shape
     "q_naive_bayes_train",       # crossJoin(broadcast(1-row vocab size,
                                  # 1-row doc total)), same scalar-
                                  # subquery shape over O(classes*k) rows
@@ -339,6 +342,9 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_kruskal_wallis": "distributed_prefix_sum over tie-group counts: "
                         "window input is the per-partition TOTALS "
                         "relation, conf-bounded",
+    "q_decision_stump": "two distributed_prefix_sum passes (counts, "
+                        "positives): windows over per-partition "
+                        "TOTALS, conf-bounded",
     "q_vocab_coverage_curve": "both rank and cumsum ride the two-pass "
                               "machinery: windows over per-partition "
                               "summaries, conf-bounded",
