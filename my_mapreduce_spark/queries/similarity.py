@@ -1256,3 +1256,124 @@ def q_knn_rp_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") <= _K)
             .select("query_id", "neighbor_id",
                     F.round("cos_raw", 6).alias("cosine"), "rnk"))
+
+
+_KM_K = 4        # clusters
+_KM_ITERS = 2    # Lloyd iterations (fixed budget => SQL-reproducible)
+
+
+def _km_assign_sql(vec: str, cent_cte: str) -> str:
+    """Assignment CTE body: nearest of the k centroids by squared
+    L2, sequential-fold distance (list_sum is a left fold in both
+    engines, so the bits match Spark's aggregate())."""
+    return f"""
+        SELECT v.vec_id, v.v, c.cluster,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_sum(list_transform(
+                       list_zip(v.v, c.cv),
+                       x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cluster)
+                   AS rk
+        FROM {vec} v CROSS JOIN {cent_cte} c"""
+
+
+@register(
+    "q_kmeans_lloyd",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {_DIM}),
+    c0 AS (  -- deterministic seeds: the k smallest vec_ids
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+               v AS cv
+        FROM e ORDER BY vec_id LIMIT {_KM_K}),
+    a1 AS ({_km_assign_sql('e', 'c0')}),
+    m1 AS (  -- decimal-folded per-(cluster, dim) means
+        SELECT cluster, u.i AS pos,
+               CAST(SUM(CAST(ROUND(v[u.i], 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) / COUNT(*) AS cm
+        FROM a1, UNNEST(range(1, {_DIM} + 1)) AS u(i)
+        WHERE rk = 1 GROUP BY cluster, u.i),
+    c1 AS (
+        SELECT cluster, list(cm ORDER BY pos) AS cv
+        FROM m1 GROUP BY cluster),
+    a2 AS ({_km_assign_sql('e', 'c1')}),
+    d2 AS (
+        SELECT a.vec_id, a.cluster,
+               list_sum(list_transform(
+                   list_zip(a.v, c.cv),
+                   x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+        FROM a2 a JOIN c1 c ON a.cluster = c.cluster
+        WHERE a.rk = 1)
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(ROUND(d, 9) AS DECIMAL(38,9)))
+                      AS DOUBLE), 6) AS inertia
+    FROM d2 GROUP BY cluster
+    """,
+    tags=("similarity", "kmeans", "clustering", "iterative"),
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 fixed iterations) over the embedding
+    corpus with a FULL equality oracle — distributed clustering
+    where every float step is engine-reproducible: distances are
+    SEQUENTIAL left folds (Spark ``aggregate`` and DuckDB
+    ``list_sum`` both fold left-to-right over identical doubles, so
+    even the argmin tie-break order matches bit-for-bit), and every
+    cross-ROW fold (centroid means, inertia) is rounded per term
+    and summed as DECIMAL — the q_anova_oneway discipline applied
+    to an iterative ML algorithm. Seeds are the k smallest vec_ids
+    (deterministic, sf-independent).
+
+    Engine shape per iteration: assignment = one corpus scan
+    against k BROADCAST centroids (k struct rows — the correct
+    broadcast), update = posexplode to (cluster, dim) partial sums
+    (combiner-reduced, k*dim rows out) re-assembled into ordered
+    centroid arrays. Iteration count is fixed, so at 100 TB the
+    cost is exactly 2 corpus scans + 2 k*dim-bounded shuffles; the
+    O(k*dim) centroid relation is the only state that moves between
+    them (the same coefficients-broadcast template as
+    q_logreg_irls). Reference parity: none — north-star §2D
+    ML-training depth; q_knn_ivf's trained coarse quantizer is this
+    op's rows-only production sibling.
+    """
+    e = (load_table(spark, sf_dir, "embeddings")
+         .where(F.col("embedding").isNotNull()
+                & (F.size("embedding") == _DIM))
+         .select("vec_id", _as_double("embedding").alias("v")))
+
+    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        d = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+        return (vecs.crossJoin(F.broadcast(cents))
+                .withColumn("d", d)
+                .withColumn("rk", F.row_number().over(w))
+                .where(F.col("rk") == 1)
+                .select("vec_id", "v", "cluster", "d"))
+
+    c0 = (e.orderBy("vec_id").limit(_KM_K)
+          .select((F.row_number().over(Window.orderBy("vec_id")) - 1)
+                  .alias("cluster"), F.col("v").alias("cv")))
+    cents = c0
+    a = None
+    for _ in range(_KM_ITERS):
+        a = assign(e, cents)
+        m = (a.select("cluster", F.posexplode("v").alias("pos", "x"))
+             .groupBy("cluster", "pos")
+             .agg((F.sum(F.round(F.col("x"), 9).cast("decimal(38,9)"))
+                   .cast("double") / F.count(F.lit(1))).alias("cm")))
+        cents = (m.groupBy("cluster")
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct("pos", "cm"))).alias("s"))
+                 .select("cluster", F.col("s.cm").alias("cv")))
+    # final inertia uses the LAST assignment against ITS centroids
+    # (the oracle's d2 shape: assignment a2 scored on c1)
+    return (a.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.sum(F.round(F.col("d"), 9)
+                               .cast("decimal(38,9)")).cast("double"), 6)
+                 .alias("inertia")))

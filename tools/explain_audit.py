@@ -111,6 +111,10 @@ _ALLOW_NESTED_LOOP = {
     "q_dedup_ngram_jaccard",     # pair join carries a < on doc_id
     "q_dedup_exact_pairs",
     "q_knn_bruteforce",          # declared O(n^2) verifier
+    "q_kmeans_lloyd",            # corpus scan x broadcast of k=4
+                                 # centroid rows per iteration — the
+                                 # assign step; k is a constant, the
+                                 # correct broadcast
     "q_knn_lsh_buckets",         # corpus scan x broadcast query sketches:
                                  # the hamming prune lives in the join cond
     "q_tfidf_top_terms",         # crossJoin(broadcast(1-row doc count)) =
@@ -395,6 +399,9 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
 # grids) — a corpus-growing array relation in this list would be the
 # exact 30x-tier OOM replayed.
 _ALLOW_ARRAY_BROADCAST: dict[str, str] = {
+    "q_kmeans_lloyd": "broadcast side is the k x dim centroid "
+                      "relation (4 x 64 doubles) — constant-bounded "
+                      "by the algorithm, never corpus-growing",
     # the broadcast is the QUERY SET — a caller parameter of bounded
     # cardinality (|queries| x d doubles), not a corpus-growing
     # relation; the corpus side streams past it un-broadcast
