@@ -443,6 +443,18 @@ def q_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # beaten 2-actions-per-round at 9.7 s -> 5.0 s; this keeps its
     # lazy-union shape — stats branches now read checkpoint blocks —
     # and removes the analysis tax it still paid.)
+    # Adjudicated fixture-scale byte delta (COST gate, this round):
+    # the old persisted keep carried cache size stats, so AQE
+    # auto-broadcast it and the fixture's edge list never shuffled
+    # (amplification 2.1); checkpointed relations expose no stats,
+    # so the keep-joins plan as sort-merge (4.3). At 100 TB keep is
+    # node-sized — NEITHER version can broadcast it — so the
+    # at-scale shuffle bytes are identical, while the analysis tax
+    # the truncation removes is a per-round driver cost at ANY
+    # scale. A repartition-before-checkpoint variant (hoping the
+    # preserved partitioning would de-shuffle the degree agg) was
+    # measured WORSE (5.2: the repartition IS an extra full
+    # shuffle) and rejected.
     edges = el.unionAll(el.select(F.col("dst").alias("src"),
                                   F.col("src").alias("dst"))) \
         .localCheckpoint(eager=True)
