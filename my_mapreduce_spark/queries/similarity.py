@@ -1377,3 +1377,116 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.round(F.col("d"), 9)
                                .cast("decimal(38,9)")).cast("double"), 6)
                  .alias("inertia")))
+
+
+_PI_V0 = 0.125   # 1/sqrt(64): the deterministic unit start vector
+
+
+def _pi_wsum(scored: DataFrame) -> DataFrame:
+    """(dim, w) rows of w = A'(A v) from per-row scores: posexplode
+    to per-(row, dim) terms, decimal-fold the cross-row sum."""
+    return (scored
+            .select(F.col("s"), F.posexplode("v").alias("pos", "x"))
+            .select((F.col("pos") + 1).alias("dim"),
+                    F.round(F.col("s") * F.col("x"), 12)
+                    .cast("decimal(38,12)").alias("t"))
+            .groupBy("dim")
+            .agg(F.sum("t").cast("double").alias("w")))
+
+
+def _pi_norm(w: DataFrame) -> DataFrame:
+    """1-row ||w||_2 via the same decimal-fold discipline."""
+    return w.agg(F.sqrt(
+        F.sum(F.round(F.col("w") * F.col("w"), 12)
+              .cast("decimal(38,12)")).cast("double")).alias("lam"))
+
+
+@register(
+    "q_power_iteration_pc1",
+    oracle=f"""
+    WITH e AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = {_DIM}),
+    s1 AS (  -- x . v0 with v0 = 1/8 everywhere: fold first, scale once
+        SELECT v, list_sum(v) * {_PI_V0} AS s FROM e),
+    w1 AS (
+        SELECT u.i AS dim,
+               CAST(SUM(CAST(ROUND(s * v[u.i], 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS w
+        FROM s1, UNNEST(range(1, {_DIM} + 1)) AS u(i)
+        GROUP BY u.i),
+    n1 AS (
+        SELECT sqrt(CAST(SUM(CAST(ROUND(w * w, 12) AS DECIMAL(38,12)))
+                         AS DOUBLE)) AS lam
+        FROM w1),
+    v1 AS (
+        SELECT list(w / n1.lam ORDER BY dim) AS arr
+        FROM w1 CROSS JOIN n1 GROUP BY n1.lam),
+    s2 AS (
+        SELECT e.v,
+               list_sum(list_transform(list_zip(e.v, v1.arr),
+                                       x -> x[1] * x[2])) AS s
+        FROM e CROSS JOIN v1),
+    w2 AS (
+        SELECT u.i AS dim,
+               CAST(SUM(CAST(ROUND(s * v[u.i], 12) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS w
+        FROM s2, UNNEST(range(1, {_DIM} + 1)) AS u(i)
+        GROUP BY u.i),
+    n2 AS (
+        SELECT sqrt(CAST(SUM(CAST(ROUND(w * w, 12) AS DECIMAL(38,12)))
+                         AS DOUBLE)) AS lam
+        FROM w2)
+    SELECT dim, ROUND(w / n2.lam, 6) AS pc1,
+           ROUND(n2.lam, 4) AS eig1
+    FROM w2 CROSS JOIN n2
+    """,
+    tags=("embedding", "matrix", "pca", "power-iteration", "iterative"),
+)
+def q_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading (uncentered) principal direction of the embedding
+    matrix by TWO power iterations — numerical linear algebra as
+    aggregation, with a FULL equality oracle (q_embedding_pca's
+    exact eigensolve stays rows-only; this fixed-budget iteration
+    is SQL-reproducible, the same trick as q_pagerank). One
+    iteration of v <- normalize(A'(A v)) is: per-row score
+    s_i = x_i . v (a SEQUENTIAL left fold — bit-identical in both
+    engines), per-dim fold w_d = sum_i s_i x_id (rounded-then-
+    decimal-summed, order-free), and a 64-row norm under the same
+    discipline. The start vector 1/sqrt(64) = 0.125 is exactly
+    representable, and its dot products are computed fold-first
+    (list_sum(v) * 0.125) so both engines share the op order; the
+    fixed start also pins the eigenvector's sign.
+
+    Scale shape (100 TB): each iteration is ONE corpus scan
+    (scores + scaled contributions in the same pass) into a
+    dim-bounded (64-row) aggregate; the O(dim) direction vector is
+    the only state between iterations — the coefficients-broadcast
+    template (q_logreg_irls, q_kmeans_lloyd) applied to an
+    eigenproblem. This is how production computes top components
+    of corpus-scale Gram matrices without ever materializing one.
+    Reference parity: none — north-star §2D matrix depth.
+    """
+    e = (load_table(spark, sf_dir, "embeddings")
+         .where(F.col("embedding").isNotNull()
+                & (F.size("embedding") == _DIM))
+         .select(_as_double("embedding").alias("v")))
+    fold = F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x)
+    s1 = e.select("v", (fold * _PI_V0).alias("s"))
+    w1 = _pi_wsum(s1)
+    v1 = (w1.crossJoin(F.broadcast(_pi_norm(w1)))
+          .groupBy(F.col("lam"))
+          .agg(F.array_sort(
+              F.collect_list(F.struct("dim", (F.col("w") / F.col("lam"))
+                                      .alias("c")))).alias("sa"))
+          .select(F.col("sa.c").alias("arr")))
+    dot2 = F.aggregate(F.zip_with(F.col("v"), F.col("arr"),
+                                  lambda a, b: a * b),
+                       F.lit(0.0), lambda a, x: a + x)
+    s2 = e.crossJoin(F.broadcast(v1)).select("v", dot2.alias("s"))
+    w2 = _pi_wsum(s2)
+    return (w2.crossJoin(F.broadcast(_pi_norm(w2)))
+            .select("dim", F.round(F.col("w") / F.col("lam"), 6)
+                    .alias("pc1"),
+                    F.round(F.col("lam"), 4).alias("eig1")))

@@ -228,3 +228,36 @@ def test_rp_forest_leaves_are_balanced(spark):
     n_leaves = _RP_TREES * 2 ** _RP_DEPTH
     assert len(sizes) == n_leaves
     assert max(sizes) - min(sizes) <= _RP_DEPTH, sizes
+
+
+def test_power_iteration_matches_numpy(spark):
+    """Two power iterations from the fixed 1/8 start must agree with
+    a from-scratch numpy run (direction AND sign), and the Rayleigh
+    estimate must be within the iteration's convergence band of the
+    true top eigenvalue."""
+    import numpy as np
+
+    from my_mapreduce_spark.io import load_table
+    from my_mapreduce_spark.queries.similarity import (
+        q_power_iteration_pc1,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").toPandas()
+    A = np.stack(emb["embedding"].to_numpy()).astype(float)
+    v = np.full(A.shape[1], 0.125)
+    for _ in range(2):
+        w = A.T @ (A @ v)
+        lam = np.linalg.norm(w)
+        v = w / lam
+    rows = q_power_iteration_pc1(spark, SF_DIR).collect()
+    got = np.array([r.pc1 for r in sorted(rows, key=lambda r: r.dim)])
+    assert np.allclose(got, v, atol=1e-4)
+    # the Rayleigh estimate after a FIXED 2-iteration budget
+    # under-shoots on flat spectra (the fixture's eigenvalues are
+    # clustered); the guaranteed bounds are 0 < ||A'Av|| <= lam_max
+    # for unit v, and monotone improvement over the start vector
+    true_top = np.linalg.eigvalsh(A.T @ A)[-1]
+    v0 = np.full(A.shape[1], 0.125)
+    start_rayleigh = np.linalg.norm(A.T @ (A @ v0))
+    assert 0 < rows[0].eig1 <= true_top * (1 + 1e-9)
+    assert rows[0].eig1 >= start_rayleigh * (1 - 1e-6)

@@ -115,6 +115,10 @@ _ALLOW_NESTED_LOOP = {
                                  # centroid rows per iteration — the
                                  # assign step; k is a constant, the
                                  # correct broadcast
+    "q_power_iteration_pc1",     # corpus scan x broadcast of the
+                                 # 1-row direction vector per
+                                 # iteration + 1-row norm scalars —
+                                 # the coefficients-broadcast shape
     "q_knn_lsh_buckets",         # corpus scan x broadcast query sketches:
                                  # the hamming prune lives in the join cond
     "q_tfidf_top_terms",         # crossJoin(broadcast(1-row doc count)) =
@@ -402,6 +406,9 @@ _ALLOW_ARRAY_BROADCAST: dict[str, str] = {
     "q_kmeans_lloyd": "broadcast side is the k x dim centroid "
                       "relation (4 x 64 doubles) — constant-bounded "
                       "by the algorithm, never corpus-growing",
+    "q_power_iteration_pc1": "broadcast side is the 1 x dim direction "
+                             "vector (64 doubles) — dim-bounded, "
+                             "never corpus-growing",
     # the broadcast is the QUERY SET — a caller parameter of bounded
     # cardinality (|queries| x d doubles), not a corpus-growing
     # relation; the corpus side streams past it un-broadcast
