@@ -284,3 +284,72 @@ def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("balance_cents"))
         .orderBy(F.desc("n_customers"), "cell_lat", "cell_lon")
         .limit(_TOP_CELLS))
+
+
+_PATH_TOP = 20
+
+
+@register(
+    "q_geo_path_length",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               {_coord_sql('event_id', -60.0, 120_000, 1)} AS lat,
+               {_coord_sql('event_id', -179.0, 358_000, 9)} AS lon
+        FROM events),
+    hops AS (
+        SELECT user_id,
+               LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+               lat, lon
+        FROM ev WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)),
+    d AS (
+        SELECT user_id,
+               CAST(ROUND({_haversine_sql('plat', 'plon', 'lat', 'lon')},
+                          6) AS DECIMAL(38,6)) AS hop_km
+        FROM hops WHERE plat IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hops,
+           ROUND(CAST(SUM(hop_km) AS DOUBLE), 3) AS path_km
+    FROM d GROUP BY user_id
+    ORDER BY path_km DESC, user_id LIMIT {_PATH_TOP}
+    """,
+    tags=("geo", "trajectory", "window", "events"),
+)
+def q_geo_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory length: each event gets a deterministic
+    md5-derived position (the module's coordinate idiom, keyed by
+    event_id), a user's path is their events in time order, and the
+    path length is the haversine sum over consecutive hops — the
+    windowed-geo operator (fleet mileage, user roaming, GPS-track
+    rollups) composing the family's distance kernel with the
+    engine's lag machinery. Top-20 longest paths.
+
+    Engine shape: one scan, one USER-partitioned window (never
+    global) for the lag pair, then a per-user hash-agg; hop
+    distances are transcendental so each is rounded to 6 decimals
+    and summed as DECIMAL(38,6) — the module's float fold
+    discipline, making the km total order-independent and
+    engine-exact. Top-k via TakeOrderedAndProject. The tie-break
+    (ts, then event_id) makes the hop sequence — and therefore the
+    sum — deterministic under same-timestamp events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        _coord(F.col("event_id"), -60.0, 120_000, 1).alias("lat"),
+        _coord(F.col("event_id"), -179.0, 358_000, 9).alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = ev.select(
+        "user_id",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        "lat", "lon").where(F.col("plat").isNotNull())
+    hop_km = F.round(_haversine(F.col("plat"), F.col("plon"),
+                                F.col("lat"), F.col("lon")), 6) \
+        .cast("decimal(38,6)")
+    return (hops.select("user_id", hop_km.alias("hop_km"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_hops"),
+                 F.round(F.sum("hop_km").cast("double"), 3)
+                 .alias("path_km"))
+            .orderBy(F.desc("path_km"), "user_id").limit(_PATH_TOP))
