@@ -353,3 +353,114 @@ def q_geo_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("hop_km").cast("double"), 3)
                  .alias("path_km"))
             .orderBy(F.desc("path_km"), "user_id").limit(_PATH_TOP))
+
+
+@register(
+    "q_geo_morans_i",
+    oracle=f"""
+    WITH {_POINTS_CTE},
+    cells AS (
+        SELECT c_custkey, lat, lon,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+               CAST(FLOOR(lat / {_LAT_CELL}) AS BIGINT) AS cy,
+               CAST(FLOOR(lon / {_LON_CELL}) AS BIGINT) AS cx
+        FROM pts),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s FROM cells),
+    a AS (
+        SELECT c.c_custkey, c.lat, c.lon, c.cents,
+               c.cy + dy.d AS cy, c.cx + dx.d AS cx
+        FROM cells c,
+             (SELECT UNNEST([-1, 0, 1]) AS d) dy,
+             (SELECT UNNEST([-1, 0, 1]) AS d) dx),
+    nbr AS (  -- ordered pairs within eps: both directions counted
+        SELECT a.cents AS ca, b.cents AS cb
+        FROM a JOIN cells b ON a.cy = b.cy AND a.cx = b.cx
+         AND a.c_custkey <> b.c_custkey
+        WHERE {_haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')}
+              <= {_RADIUS_KM}),
+    num AS (  -- centered cross products, exact: X_i = n*x_i - S
+        SELECT CAST(COUNT(*) AS BIGINT) AS w,
+               CAST(SUM(CAST(tot.n * ca - tot.s AS DECIMAL(38,0))
+                        * CAST(tot.n * cb - tot.s AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxx
+        FROM nbr CROSS JOIN tot GROUP BY tot.n, tot.s),
+    den AS (
+        SELECT CAST(SUM(CAST(tot.n * cents - tot.s AS DECIMAL(38,0))
+                        * CAST(tot.n * cents - tot.s AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sdd
+        FROM cells CROSS JOIN tot GROUP BY tot.n, tot.s)
+    SELECT tot.n, num.w AS w_pairs,
+           ROUND(CAST(tot.n AS DOUBLE) / num.w
+                 * (CAST(num.sxx AS DOUBLE) / CAST(den.sdd AS DOUBLE)),
+                 6) AS morans_i,
+           ROUND(-1.0 / (tot.n - 1), 6) AS expected_i
+    FROM tot CROSS JOIN num CROSS JOIN den
+    """,
+    tags=("geo", "spatial-stats", "autocorrelation", "customer"),
+)
+def q_geo_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I — IS account balance spatially clustered?
+    The canonical spatial-autocorrelation statistic over the
+    customer point set, with the binary 50 km neighbor matrix
+    produced by the SAME lossless grid join as q_geo_radius_join
+    (both directions this time — w_ij is symmetric, so pairs count
+    twice, which is exactly W = Σw_ij). On md5-uniform synthetic
+    positions the statistic correctly hovers near its null
+    expectation E[I] = -1/(n-1): the query is the instrument, the
+    fixture is the null calibration.
+
+    Exactness: centered values stay INTEGER by scaling with n
+    (X_i = n·x_i − S — exact cents moments, no float mean), so
+    every cross product and the denominator are exact
+    DECIMAL(38,0) sums; the statistic is one fixed IEEE expression
+    at the end (the q_anova_oneway discipline with zero rounding
+    before the final step). Engine shape: one scan to cells, the
+    candidate-bounded grid join for the numerator, one hash-agg
+    for the denominator — no O(n²) anywhere, same scale posture as
+    the radius join. Reference parity: none — north-star §2D
+    spatial-statistics depth.
+    """
+    pts = _points(spark, sf_dir)
+    cells = pts.select(
+        "c_custkey", "lat", "lon",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        F.floor(F.col("lat") / _LAT_CELL).alias("cy"),
+        F.floor(F.col("lon") / _LON_CELL).alias("cx"))
+    tot = cells.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("cents").alias("s"))
+    off = F.array([F.lit(d) for d in (-1, 0, 1)])
+    a = (cells
+         .withColumn("dy", F.explode(off))
+         .withColumn("dx", F.explode(off))
+         .select("c_custkey", "lat", "lon",
+                 F.col("cents").alias("ca"),
+                 (F.col("cy") + F.col("dy")).alias("cy"),
+                 (F.col("cx") + F.col("dx")).alias("cx")))
+    b = cells.select(F.col("c_custkey").alias("ck_b"),
+                     F.col("lat").alias("lat_b"),
+                     F.col("lon").alias("lon_b"),
+                     F.col("cents").alias("cb"), "cy", "cx")
+    d = _haversine(F.col("lat"), F.col("lon"),
+                   F.col("lat_b"), F.col("lon_b"))
+    nbr = (a.join(b, ["cy", "cx"])
+           .where((F.col("c_custkey") != F.col("ck_b"))
+                  & (d <= _RADIUS_KM))
+           .select("ca", "cb"))
+    xa = (F.col("n") * F.col("ca") - F.col("s")).cast("decimal(38,0)")
+    xb = (F.col("n") * F.col("cb") - F.col("s")).cast("decimal(38,0)")
+    num = (nbr.crossJoin(F.broadcast(tot))
+           .agg(F.count(F.lit(1)).alias("w"),
+                F.sum(xa * xb).cast("decimal(38,0)").alias("sxx"),
+                F.first("n").alias("n"), F.first("s").alias("s")))
+    xc = (F.col("n") * F.col("cents") - F.col("s")).cast("decimal(38,0)")
+    den = (cells.crossJoin(F.broadcast(tot))
+           .agg(F.sum(xc * xc).cast("decimal(38,0)").alias("sdd")))
+    return (num.crossJoin(F.broadcast(den))
+            .select("n", F.col("w").alias("w_pairs"),
+                    F.round(F.col("n").cast("double") / F.col("w")
+                            * (F.col("sxx").cast("double")
+                               / F.col("sdd").cast("double")), 6)
+                    .alias("morans_i"),
+                    F.round(-1.0 / (F.col("n") - 1), 6)
+                    .alias("expected_i")))

@@ -115,6 +115,10 @@ _ALLOW_NESTED_LOOP = {
                                  # centroid rows per iteration — the
                                  # assign step; k is a constant, the
                                  # correct broadcast
+    "q_geo_morans_i",            # crossJoin(broadcast(1-row cents
+                                 # moments / 1-row denominator)) onto
+                                 # the cells and pair relations — the
+                                 # scalar-subquery shape
     "q_power_iteration_pc1",     # corpus scan x broadcast of the
                                  # 1-row direction vector per
                                  # iteration + 1-row norm scalars —
