@@ -449,10 +449,14 @@ def q_geo_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("ca", "cb"))
     xa = (F.col("n") * F.col("ca") - F.col("s")).cast("decimal(38,0)")
     xb = (F.col("n") * F.col("cb") - F.col("s")).cast("decimal(38,0)")
+    # groupBy the (n, s) moments, not a global agg: with ZERO pairs
+    # (sparse fixtures) a global agg would emit one null row while
+    # the oracle's grouped agg emits none — the statistic is
+    # undefined without neighbors, so zero rows is the contract
     num = (nbr.crossJoin(F.broadcast(tot))
+           .groupBy("n", "s")
            .agg(F.count(F.lit(1)).alias("w"),
-                F.sum(xa * xb).cast("decimal(38,0)").alias("sxx"),
-                F.first("n").alias("n"), F.first("s").alias("s")))
+                F.sum(xa * xb).cast("decimal(38,0)").alias("sxx")))
     xc = (F.col("n") * F.col("cents") - F.col("s")).cast("decimal(38,0)")
     den = (cells.crossJoin(F.broadcast(tot))
            .agg(F.sum(xc * xc).cast("decimal(38,0)").alias("sdd")))
