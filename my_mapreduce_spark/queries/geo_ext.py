@@ -468,3 +468,52 @@ def q_geo_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("morans_i"),
                     F.round(-1.0 / (F.col("n") - 1), 6)
                     .alias("expected_i")))
+
+
+@register(
+    "q_geo_bounding_box",
+    oracle=f"""
+    WITH {_POINTS_CTE}
+    SELECT c.c_nationkey AS nation_key,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(MIN(p.lat), 6) AS min_lat,
+           ROUND(MAX(p.lat), 6) AS max_lat,
+           ROUND(MIN(p.lon), 6) AS min_lon,
+           ROUND(MAX(p.lon), 6) AS max_lon,
+           ROUND(CAST(SUM(CAST(ROUND(p.lat, 6) AS DECIMAL(38,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS centroid_lat,
+           ROUND(CAST(SUM(CAST(ROUND(p.lon, 6) AS DECIMAL(38,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS centroid_lon
+    FROM pts p JOIN customer c ON p.c_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    tags=("geo", "extent", "rollup", "customer"),
+)
+def q_geo_bounding_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation spatial EXTENT of the customer point set — the
+    ST_Extent/ST_Centroid analog: bounding box (min/max lat/lon)
+    plus the centroid, one hash-agg per nation. Extents feed every
+    spatial planner (tile prefetch, viewport queries, partition
+    pruning by region); this is the rollup that sizes them.
+
+    Exactness: MIN/MAX over identical doubles are fold-order-FREE
+    (no rounding discipline needed); only the centroid means fold
+    floats across rows, so they ride the rounded-then-decimal sum
+    (the module discipline). One combiner-reduced aggregate,
+    O(nations) output — the cheapest member of the family, and the
+    one a production job runs first to bound all the others."""
+    pts = _points(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_nationkey")
+    dec6 = lambda col: F.round(F.col(col), 6).cast("decimal(38,6)")  # noqa: E731
+    return (pts.join(c, "c_custkey")
+            .groupBy(F.col("c_nationkey").alias("nation_key"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.min("lat"), 6).alias("min_lat"),
+                 F.round(F.max("lat"), 6).alias("max_lat"),
+                 F.round(F.min("lon"), 6).alias("min_lon"),
+                 F.round(F.max("lon"), 6).alias("max_lon"),
+                 F.round(F.sum(dec6("lat")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("centroid_lat"),
+                 F.round(F.sum(dec6("lon")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("centroid_lon")))
