@@ -34,7 +34,12 @@ are bit-identical across engines (same md5-derived inputs, same
 IEEE op sequence) but cross-row SUMS would be order-dependent —
 every distance that feeds an aggregate is therefore rounded to 6
 decimals and summed as DECIMAL(38,6) (exact, associative), the
-q_anova_oneway fold discipline.
+q_anova_oneway fold discipline. Threshold CUTS (d ≤ 50 km) compare
+on ROUND(d, 6) in BOTH engines: bit-identical trig is empirically
+true here but not an IEEE guarantee (libm implementations may
+differ by an ulp), and rounding to 6 decimals (~0.1 mm) absorbs
+any sub-ulp divergence so a boundary pair can never flip in/out of
+the oracle comparison on another platform.
 
 Scale shape (100 TB): the radius join shuffles each side once by
 cell (9× replication on one side only); uniform synthetic points
@@ -137,7 +142,7 @@ def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
           ON a.cy = b.cy AND a.cx = b.cx
          AND a.c_custkey < b.c_custkey)
     SELECT cust_a, cust_b, ROUND(d, 3) AS dist_km
-    FROM cand WHERE d <= {_RADIUS_KM}
+    FROM cand WHERE ROUND(d, 6) <= {_RADIUS_KM}
     """,
     tags=("geo", "spatial-join", "radius", "customer"),
 )
@@ -185,7 +190,7 @@ def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.join(b, ["cy", "cx"])
             .where(F.col("c_custkey") < F.col("cust_b"))
             .withColumn("d", d)
-            .where(F.col("d") <= _RADIUS_KM)
+            .where(F.round(F.col("d"), 6) <= _RADIUS_KM)
             .select(F.col("c_custkey").alias("cust_a"), "cust_b",
                     F.round("d", 3).alias("dist_km")))
 
@@ -377,8 +382,8 @@ def q_geo_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.cents AS ca, b.cents AS cb
         FROM a JOIN cells b ON a.cy = b.cy AND a.cx = b.cx
          AND a.c_custkey <> b.c_custkey
-        WHERE {_haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')}
-              <= {_RADIUS_KM}),
+        WHERE ROUND({_haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')},
+                    6) <= {_RADIUS_KM}),
     num AS (  -- centered cross products, exact: X_i = n*x_i - S
         SELECT CAST(COUNT(*) AS BIGINT) AS w,
                CAST(SUM(CAST(tot.n * ca - tot.s AS DECIMAL(38,0))
@@ -445,7 +450,7 @@ def q_geo_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("lat_b"), F.col("lon_b"))
     nbr = (a.join(b, ["cy", "cx"])
            .where((F.col("c_custkey") != F.col("ck_b"))
-                  & (d <= _RADIUS_KM))
+                  & (F.round(d, 6) <= _RADIUS_KM))
            .select("ca", "cb"))
     xa = (F.col("n") * F.col("ca") - F.col("s")).cast("decimal(38,0)")
     xb = (F.col("n") * F.col("cb") - F.col("s")).cast("decimal(38,0)")

@@ -692,10 +692,15 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is joined once per endpoint (not once per endpoint PER
     # partition — the union-doubled shape cost 2x the join work),
     # then the per-partition rows stack via a 2-element explode
+    # eager checkpoint: 'both' is consumed three times (two endpoint
+    # joins + node_stack) — without truncation the customer∪supplier
+    # scan and its join against the LPA labels re-execute per
+    # consumer; it is O(nodes) x 3 narrow cols (round-8 advice seam)
     both = (cust.unionByName(supp)
             .join(lpa.withColumnRenamed("node", "n2"),
                   F.col("node") == F.col("n2"), "left")
-            .select("node", "nat", F.col("label").alias("lpa")))
+            .select("node", "nat", F.col("label").alias("lpa"))
+            .localCheckpoint(eager=True))
     deg = edges.groupBy(F.col("src").alias("node")) \
         .agg(F.count(F.lit(1)).alias("d"))
     tot = edges.agg(F.count(F.lit(1)).alias("ee"))

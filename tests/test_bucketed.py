@@ -51,3 +51,43 @@ def test_bucketed_readback_matches_source(spark):
     assert orders.count() == src.count()
     assert orders.select("o_orderkey").exceptAll(
         src.select("o_orderkey")).count() == 0
+
+
+def test_fixture_tag_changes_when_source_regenerated(tmp_path):
+    """The derived-layout cache key MUST change when the fixture file
+    at the same path is regenerated (round-8 advice: keying by sf-dir
+    basename alone served stale sink data). Forces the stale case:
+    same path, same byte size, new mtime -> new tag; different bytes
+    -> new tag; untouched -> stable tag."""
+    import os
+    import shutil
+
+    from my_mapreduce_spark.queries.bucketed import _fixture_tag
+
+    sf = tmp_path / "sf_fake"
+    sf.mkdir()
+    src = sf / "events.parquet"
+    src.write_bytes(b"0" * 64)
+    t1 = _fixture_tag(str(sf), "events")
+    assert t1 == _fixture_tag(str(sf), "events")  # stable when untouched
+
+    # regeneration with identical size but a new mtime must re-key
+    os.utime(src, ns=(os.stat(src).st_atime_ns,
+                      os.stat(src).st_mtime_ns + 1_000_000))
+    t2 = _fixture_tag(str(sf), "events")
+    assert t2 != t1, "same-size regeneration served a stale cache key"
+
+    # regeneration with different bytes must re-key too
+    src.write_bytes(b"1" * 65)
+    t3 = _fixture_tag(str(sf), "events")
+    assert t3 not in (t1, t2)
+
+    # directory-style parquet (part files) also fingerprints content
+    shutil.rmtree(sf)
+    sf.mkdir()
+    d = sf / "events.parquet"
+    d.mkdir()
+    (d / "part-0000.parquet").write_bytes(b"a" * 10)
+    t4 = _fixture_tag(str(sf), "events")
+    (d / "part-0000.parquet").write_bytes(b"b" * 11)
+    assert _fixture_tag(str(sf), "events") != t4
