@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.io import load_table
-from my_mapreduce_spark.registry import register
+from my_mapreduce_spark.registry import register, register_audit_plan
 
 _N_BUCKETS = 8
 _BUCKET_ROOT = os.path.join(tempfile.gettempdir(), "mmr_bucketed")
@@ -760,6 +760,32 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register_audit_plan(
+    "q_schema_evolution_merge",
+    note="the mergeSchema read-back aggregate over freshly written "
+         "generation dirs — the query's only corpus-scale plan; the "
+         "shipped fn materializes it before removing the dirs, so the "
+         "audit writes its own generations and leaves them for the "
+         "plan's lifetime (tool-context temp dir).")
+def _q_schema_evo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    o = load_table(spark, sf_dir, "orders")
+    work = _tf.mkdtemp(prefix="mmr_schema_evo_audit_")
+    (o.where(F.expr("o_orderkey % 2 = 0"))
+     .select("o_orderkey", "o_custkey", "o_totalprice")
+     .write.mode("overwrite").parquet(os.path.join(work, "gen1")))
+    (o.where(F.expr("o_orderkey % 2 = 1"))
+     .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+     .write.mode("overwrite").parquet(os.path.join(work, "gen2")))
+    merged = (spark.read.option("mergeSchema", "true")
+              .option("recursiveFileLookup", "true").parquet(work))
+    return (merged.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.round(F.col("o_totalprice") * 100)
+                       .cast("bigint")).alias("sum_cents")))
+
+
 _COMPACT_TARGET_FILES = 4
 
 
@@ -814,6 +840,30 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(pdf, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register_audit_plan(
+    "q_compaction_roundtrip",
+    note="the post-compaction read-back checksum aggregate — the "
+         "maintenance job's verification plan (the writes themselves "
+         "are repartition passes with no join/window surface); dirs "
+         "written fresh and left for the plan's lifetime.")
+def _q_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    docs = load_table(spark, sf_dir, "documents")
+    work = _tf.mkdtemp(prefix="mmr_compact_audit_")
+    frag = os.path.join(work, "frag")
+    compact = os.path.join(work, "compact")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    (spark.read.parquet(frag)
+     .repartition(_COMPACT_TARGET_FILES)
+     .write.mode("overwrite").parquet(compact))
+    h = F.expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+    return (spark.read.parquet(compact)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.bit_xor(h).alias("content_xxh")))
 
 
 _XML_ROOT = os.path.join(tempfile.gettempdir(), "mmr_xml")

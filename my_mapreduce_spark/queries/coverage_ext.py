@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from my_mapreduce_spark.functions.text import shingles, tokens
 from my_mapreduce_spark.io import load_table
-from my_mapreduce_spark.registry import register
+from my_mapreduce_spark.registry import register, register_audit_plan
 
 
 @register(
@@ -518,6 +518,36 @@ def q_mrout_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register_audit_plan(
+    "q_mrout_connector_roundtrip",
+    note="the connector read-back + pushdown-filtered aggregate over a "
+         "freshly written mr-out sink (left on disk for the plan's "
+         "lifetime) — the shipped fn pins the same plan's RESULT with "
+         "localCheckpoint before removing the sink, so this is the "
+         "plan it executed.")
+def _q_mrout_connector_audit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from my_mapreduce_spark.mapreduce import write_text_output
+    from my_mapreduce_spark.sources_custom import register_mrout
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (docs.groupBy(F.col("lang").alias("key"))
+              .agg(F.count(F.lit(1)).cast("string").alias("value")))
+    work = tempfile.mkdtemp(prefix="mmr_mrout_audit_")
+    write_text_output(counts, work, n_reduce=4)
+    register_mrout(spark)
+    back = spark.read.format("mrout").load(work)
+    ge_f = (spark.read.format("mrout").load(work)
+            .where(F.col("key") >= "f"))
+    return (back.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("value").cast("bigint")).alias("n_docs"))
+        .crossJoin(F.broadcast(
+            ge_f.agg(F.count(F.lit(1)).alias("n_keys_ge_f")))))
 
 
 @register(

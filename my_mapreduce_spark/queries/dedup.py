@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from my_mapreduce_spark.functions.text import minhash_expr, shingles, tokens
 from my_mapreduce_spark.io import load_table
-from my_mapreduce_spark.registry import register
+from my_mapreduce_spark.registry import register, register_audit_plan
 
 _N_MINHASH = 9          # 3 bands x 3 rows
 _BANDS = ((0, 1, 2), (3, 4, 5), (6, 7, 8))
@@ -816,22 +816,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # pairs via the production ppjoin generator (value-identical to
     # the brute-force join, 22.7x vs 27.9x amplification — the round-8
-    # suffix filter made it strictly cheaper for every consumer)
-    jpairs, jsets = exact_jaccard_pairs(spark, sf_dir)
-    pairs = jpairs.select("doc_a", "doc_b")
-    # localCheckpoint (eager), NOT cache+count: unpersisting the
-    # generator's shingle cache CASCADES to caches whose plans depend
-    # on it (Spark's correctness-preserving cascade), so a cached
-    # edge skeleton would silently drop and every CC round would
-    # re-run the full generator (measured 6.1 s -> 19.9 s on the pj
-    # variant). Checkpointing truncates the lineage first, making
-    # the release safe; the blocks are pairs-sized.
-    edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-             .toDF("src", "dst").localCheckpoint(eager=True))
-    jsets.unpersist()
-    labels = (edges.select(F.col("src").alias("doc_id"))
-              .distinct()
-              .withColumn("cluster_id", F.col("doc_id")))
+    # suffix filter made it strictly cheaper for every consumer);
+    # setup shared with the first-round audit plan so the audited
+    # plan cannot drift from the shipped one
+    edges, labels = _cc_edges_and_labels(spark, sf_dir)
     changed = -1
     with _scoped_shuffle(spark):  # rounds shuffle graph-sized relations
         for _ in range(20):  # >= diameter; breaks as soon as converged
@@ -889,27 +877,14 @@ def q_dedup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
     is two key-colocated joins + one min-agg; the driver still sees
     only a changed-row count.
     """
-    jpairs, jsets = exact_jaccard_pairs(spark, sf_dir)
-    pairs = jpairs.select("doc_a", "doc_b")
-    # localCheckpoint (eager), NOT cache+count: unpersisting the
-    # generator's shingle cache CASCADES to caches whose plans depend
-    # on it (Spark's correctness-preserving cascade), so a cached
-    # edge skeleton would silently drop and every CC round would
-    # re-run the full generator (measured 6.1 s -> 19.9 s on the pj
-    # variant). Checkpointing truncates the lineage first, making
-    # the release safe; the blocks are pairs-sized.
-    edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-             .toDF("src", "dst").localCheckpoint(eager=True))
-    jsets.unpersist()
-    # eager localCheckpoint throughout the doubling loop (not cache):
-    # hop is referenced TWICE per round (the merge and its own parent
+    # setup shared with the first-round audit plan (no drift); eager
+    # localCheckpoint throughout the doubling loop (not cache): hop is
+    # referenced TWICE per round (the merge and its own parent
     # lookup), so a cached round still leaves a doubling logical tree
     # for analysis to re-walk before any cache hit (the q_kcore_peel
     # finding); truncation keeps every round's plan edge-sized
-    labels = (edges.select(F.col("src").alias("doc_id"))
-              .distinct()
-              .withColumn("cluster_id", F.col("doc_id"))
-              .localCheckpoint(eager=True))
+    edges, labels0 = _cc_edges_and_labels(spark, sf_dir)
+    labels = labels0.localCheckpoint(eager=True)
     changed = -1
     with _scoped_shuffle(spark):  # rounds shuffle graph-sized relations
         for _ in range(10):  # O(log diameter); breaks once converged
@@ -943,6 +918,78 @@ def q_dedup_clusters_pj(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_dedup_clusters_pj: did not converge in 10 doubling rounds "
             f"({changed} labels still changing) — component diameter > 2^10")
     return labels
+
+
+def _cc_edges_and_labels(spark: SparkSession,
+                         sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The CC loops' shared setup, reused by the first-round audit
+    plans: checkpointed edge skeleton + initial self-labels.
+
+    localCheckpoint (eager), NOT cache+count, for the skeleton:
+    unpersisting the generator's shingle cache CASCADES to caches
+    whose plans depend on it (Spark's correctness-preserving
+    cascade), so a cached edge skeleton would silently drop and every
+    CC round would re-run the full generator (measured 6.1 s ->
+    19.9 s on the pj variant). Checkpointing truncates the lineage
+    first, making the release safe; the blocks are pairs-sized."""
+    jpairs, jsets = exact_jaccard_pairs(spark, sf_dir)
+    pairs = jpairs.select("doc_a", "doc_b")
+    edges = (pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+             .toDF("src", "dst").localCheckpoint(eager=True))
+    jsets.unpersist()
+    labels = (edges.select(F.col("src").alias("doc_id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("doc_id")))
+    return edges, labels
+
+
+@register_audit_plan(
+    "q_dedup_clusters",
+    note="round 1 of the min-label propagation (edge join + min-agg + "
+         "label merge) over the checkpointed edge skeleton — the exact "
+         "per-round plan the loop re-executes; the pair generator "
+         "feeding the skeleton is audited via q_dedup_exact_pairs. One "
+         "round IS representative: every round runs this same plan "
+         "over relations of non-increasing size.")
+def _q_dedup_clusters_round1(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    edges, labels = _cc_edges_and_labels(spark, sf_dir)
+    prop = (edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min")))
+    return (labels.join(prop, "doc_id", "left")
+            .select("doc_id",
+                    F.least("cluster_id",
+                            F.coalesce("nbr_min", "cluster_id"))
+                    .alias("cluster_id"),
+                    (F.coalesce("nbr_min", "cluster_id")
+                     < F.col("cluster_id")).alias("chg")))
+
+
+@register_audit_plan(
+    "q_dedup_clusters_pj",
+    note="round 1 of min-propagation + pointer jump (two joins + one "
+         "min-agg) — the exact per-round plan of the doubling loop; "
+         "same setup sharing as q_dedup_clusters.")
+def _q_dedup_clusters_pj_round1(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    edges, labels = _cc_edges_and_labels(spark, sf_dir)
+    prop = (edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min")))
+    hop = (labels.join(prop, "doc_id", "left")
+           .select("doc_id", F.col("cluster_id").alias("old_label"),
+                   F.least("cluster_id",
+                           F.coalesce("nbr_min", "cluster_id"))
+                   .alias("h")))
+    parent = hop.select(F.col("doc_id").alias("h"),
+                        F.col("h").alias("parent_label"))
+    return (hop.join(parent, "h", "left")
+            .select("doc_id",
+                    F.least("h", F.coalesce("parent_label", "h"))
+                    .alias("cluster_id"),
+                    (F.least("h", F.coalesce("parent_label", "h"))
+                     < F.col("old_label")).alias("chg")))
 
 
 @register(
@@ -1081,6 +1128,19 @@ def q_dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("langs")))
 
 
+def _sem_nassign(k: int) -> int:
+    """Multi-assign width schedule for semantic dedup: ~0.7*sqrt(k)
+    clusters per vector, floored at the original 3 and capped at k.
+    A FIXED width loses recall as k grows with the corpus (the
+    probability two near-dups share at least one of their 3 clusters
+    falls with k: measured 0.88 at sf0.001/k=16 but 0.69 at
+    sf0.1/k=44 — below the 0.75 floor); sqrt growth keeps the
+    replication factor tiny relative to k (at the 4096 cap: 45
+    assignments) while the within-cluster block size still shrinks
+    as ~n/k, preserving the SemDeDup cost argument."""
+    return min(k, max(3, round(0.7 * k ** 0.5)))
+
+
 @register(
     "q_dedup_semantic",
     oracle=None,  # k-means clusters are iterative float math, not
@@ -1099,9 +1159,12 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str,
 
     Build: reuses the IVF machinery (similarity._train_quantizer) —
     k ~ sqrt(n) capped at 4096 centroids, O(k*d) driver traffic.
-    Each vector is indexed under its 3 nearest centroids (the same
-    multi-assign that bought IVF its recall: a pair is found if ANY
-    cluster contains both endpoints). Scoring is one applyInPandas
+    Each vector is indexed under its ~0.7*sqrt(k) nearest centroids
+    (_sem_nassign — the multi-assign that buys recall: a pair is
+    found if ANY cluster contains both endpoints; the width GROWS
+    with k because a fixed width loses recall as the corpus — and
+    hence k — grows, measured 0.69 < floor at sf0.1 with the old
+    fixed 3, 0.90 with the schedule). Scoring is one applyInPandas
     per cluster — a vectorized numpy matmul over the cluster block,
     emitting only above-threshold (a < b) pairs; duplicates from
     shared clusters collapse with one distinct.
@@ -1132,7 +1195,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str,
     k = _ivf_k(n)
     dim = len(seed[0].v)
     c_mat = _train_quantizer(e, seed, k, dim)
-    nassign = min(3, k)
+    nassign = _sem_nassign(k)
 
     def assign(batches):
         for pdf in batches:
@@ -1628,9 +1691,17 @@ _WJ_SCALE = 1000   # idf milli-units: weights are exact bigints
 _WJ_THRESH = 0.5   # report pairs with weighted Jaccard >= 0.5
 
 
-@register(
-    "q_dedup_weighted_jaccard",
-    oracle=f"""
+# DuckDB twin of the weighted-Jaccard VERIFIER below. The verifier is
+# deliberately NOT in the benched registry (round-8 verdict #3): it
+# was the registry's last >40x shuffle-amplification row (42.7x), and
+# its declared role was always fixture-scale verification of the
+# banded production operators (q_dedup_weighted_minhash, q_dedup_icws
+# — 12.9x and 17.5x, recall 1.0 vs this exact pair set). The equality
+# gate survives the demotion: tests/test_weighted_minhash.py checks
+# the verifier against this oracle at sf0.001, and
+# tools/recall_report.py still scores both banded operators against
+# its exact pair set at every SF.
+WEIGHTED_JACCARD_ORACLE = f"""
     WITH {_SHINGLES_CTE},
     nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM s),
     w AS (
@@ -1656,9 +1727,9 @@ _WJ_THRESH = 0.5   # report pairs with weighted Jaccard >= 0.5
     JOIN dw x ON doc_a = x.doc_id
     JOIN dw y ON doc_b = y.doc_id
     WHERE iw * 2 >= x.wt + y.wt - iw
-    """,
-    tags=("dedup", "weighted-jaccard", "idf", "near-dup"),
-)
+    """
+
+
 def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IDF-weighted Jaccard near-dup pairs: every shingle carries an
     idf weight (ln(N/df), integer-milli-scaled), so two documents
@@ -1689,11 +1760,14 @@ def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     this join's groupBy combines map-side; COST_LOCAL.json is the
     arbiter).
 
-    SCALE PATH: this exact join is the fixture-scale VERIFIER; the
-    production operator is q_dedup_weighted_minhash (banded weighted
-    MinHash via integer-weight replication — 12.9x shuffle
-    amplification vs this plan's 42.7x, recall 1.0 at both fixture
-    scales, RECALL_LOCAL.json), the round-6 verdict's top ask.
+    SCALE PATH: this exact join is the fixture-scale VERIFIER — and
+    per round-8 verdict #3 it is exactly that, NOT a benched registry
+    entry: the production operators are q_dedup_weighted_minhash /
+    q_dedup_icws (banded weighted MinHash / ICWS — 12.9x / 17.5x
+    shuffle amplification vs this plan's 42.7x, recall 1.0 at both
+    fixture scales against THIS pair set, RECALL_LOCAL.json). Its
+    oracle equality is pinned at sf0.001 by
+    tests/test_weighted_minhash.py::test_weighted_jaccard_verifier_matches_oracle.
     """
     s = _shingle_rows(spark, sf_dir)
     # s is already (doc, shingle)-distinct, so per-shingle COUNT is df
@@ -2306,9 +2380,18 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(F.col("x.sg"), F.col("y.sg"),
                    lambda p, q: p["m"] == q["m"]),
         lambda b: b))
+    # merge hints: sig is CORPUS-sized and carries the signature
+    # array — its parquet-compressed size lies to AQE, whose runtime
+    # shuffle-to-broadcast conversion of exactly this build OOM'd the
+    # 30x tier (the q_dedup_funnel rationale); the hint pins the
+    # sort-merge strategy AQE would otherwise override. Caught by the
+    # executed plan-audit pass (aqe-array-broadcast) the moment it
+    # could see final adaptive plans.
     return (cand
-            .join(sig.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-            .join(sig.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+            .join(sig.alias("x").hint("merge"),
+                  F.col("doc_a") == F.col("x.doc_id"))
+            .join(sig.alias("y").hint("merge"),
+                  F.col("doc_b") == F.col("y.doc_id"))
             .select("doc_a", "doc_b",
                     n_matches.cast("bigint").alias("n_matches"),
                     F.round(n_matches / F.lit(float(_ICWS_N)), 6)

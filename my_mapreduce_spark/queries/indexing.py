@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from my_mapreduce_spark.functions.text import tokens
 from my_mapreduce_spark.io import load_table
-from my_mapreduce_spark.registry import register
+from my_mapreduce_spark.registry import register, register_audit_plan
 
 _TOP_TERMS = 20          # positional-index term budget
 _PHRASE = ("small", "query", "line")
@@ -415,6 +415,24 @@ def q_udtf_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ITERS = 3
 
 
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial BPE state: the distinct-word frequency table with each
+    term split to its symbol array — shared by the training loop and
+    its first-round audit plan (no drift)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                           lambda x: x != "")).alias("term"))
+        .groupBy("term").agg(F.count("*").alias("freq"))
+        .where(F.length("term") >= 2)
+        .select(F.expr("filter(split(term, ''), x -> x <> '')").alias("syms"),
+                "freq"))
+
+
+_BPE_PAIRS_EXPR = ("transform(sequence(1, size(syms) - 1), "
+                   "i -> struct(syms[i - 1] AS l, syms[i] AS r))")
+
+
 @register(
     "q_bpe_train_merges",
     oracle=None,  # iterative argmax+merge is not reasonably ANSI-SQL-
@@ -436,24 +454,13 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     — array-local, no shuffle. State between iterations is the
     re-segmented vocabulary (persisted; unpersisted on exit).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    vocab = (docs.select(
-        F.explode(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
-                           lambda x: x != "")).alias("term"))
-        .groupBy("term").agg(F.count("*").alias("freq"))
-        .where(F.length("term") >= 2)
-        .select(F.expr("filter(split(term, ''), x -> x <> '')").alias("syms"),
-                "freq"))
-    vocab = vocab.persist()
+    vocab = _bpe_vocab(spark, sf_dir).persist()
     out_rows = []
     to_unpersist = [vocab]
     try:
         for it in range(1, _BPE_ITERS + 1):
             pairs = vocab.select(
-                F.explode(F.expr(
-                    "transform(sequence(1, size(syms) - 1), "
-                    "i -> struct(syms[i - 1] AS l, syms[i] AS r))"))
-                .alias("p"), "freq")
+                F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"), "freq")
             best = (pairs.groupBy("p.l", "p.r")
                     .agg(F.sum("freq").alias("pair_count"))
                     .orderBy(F.col("pair_count").desc(), "l", "r")
@@ -488,6 +495,23 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for df in to_unpersist:
             df.unpersist()
+
+
+@register_audit_plan(
+    "q_bpe_train_merges",
+    note="iteration 1's pair-count + argmax plan over the initial "
+         "symbol vocabulary (_bpe_vocab, shared with the loop — no "
+         "drift) — the loop's only shuffling per-round plan; the "
+         "in-place merge step is an array-local projection with no "
+         "exchange, and later rounds run this same plan over the "
+         "re-segmented (never larger) vocabulary.")
+def _q_bpe_train_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = _bpe_vocab(spark, sf_dir)
+    pairs = vocab.select(F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("p"),
+                         "freq")
+    return (pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "l", "r").limit(1))
 
 
 # Pinned merge table for the ENCODE side of BPE. The first three

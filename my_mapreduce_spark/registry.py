@@ -37,6 +37,13 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL twin; None => rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default=())
+    # For iterative/streaming queries whose RETURNED relation is a
+    # materialized result (the plan audit's _SKIP set): a builder for
+    # ONE representative round of the loop / one micro-batch transform
+    # as a standalone DataFrame, so the per-round plan the loop
+    # actually executes is still smell-checked (round-8 verdict #6).
+    audit_fn: QueryFn | None = None
+    audit_note: str = ""  # what the representative plan covers / omits
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -55,6 +62,31 @@ def register(name: str, oracle: str | None = None, doc: str = "",
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle,
                                    doc=doc or (fn.__doc__ or ""), tags=tuple(tags))
+        return fn
+
+    return wrap
+
+
+def register_audit_plan(name: str, note: str = "") \
+        -> Callable[[QueryFn], QueryFn]:
+    """Attach a first-iteration plan builder to an ALREADY-registered
+    query (same module, right under the query def — the builder reuses
+    the query's private helpers so it cannot drift silently). The plan
+    audit runs this builder's DataFrame through the full smell check in
+    place of the query's materialized result.
+
+    >>> @register_audit_plan("q_loop", note="round 1 of the fixpoint")
+    ... def q_loop_round(spark, sf_dir): ...
+    """
+    import dataclasses
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name not in REGISTRY:
+            raise ValueError(f"register_audit_plan before register: {name!r}")
+        if REGISTRY[name].audit_fn is not None:
+            raise ValueError(f"duplicate audit plan for {name!r}")
+        REGISTRY[name] = dataclasses.replace(REGISTRY[name],
+                                             audit_fn=fn, audit_note=note)
         return fn
 
     return wrap

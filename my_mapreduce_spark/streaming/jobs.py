@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from my_mapreduce_spark.io import (_ensure_runtime_confs, load_table,
                                    normalize_event_ts)
-from my_mapreduce_spark.registry import register
+from my_mapreduce_spark.registry import register, register_audit_plan
 
 
 def _run_to_memory(spark: SparkSession, out: DataFrame, prefix: str,
@@ -90,8 +90,25 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us", F.expr("ts_ns DIV 1000"))
 
 
+def _event_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH twin of :func:`_event_stream` — the identical columns
+    (``ts`` timestamp, ``ts_ns``, ``ts_us``) from a plain read. Used
+    by the ``_batch_plan`` seam below: each run_* function can build
+    its TRANSFORM (joins, windows, aggregates — everything that
+    shapes shuffles and state) on this relation and return it
+    un-executed, so the plan audit smell-checks the exact per-batch
+    dataflow the streaming job runs; only the source node and the
+    state-store machinery differ, and ``withWatermark`` is a
+    documented no-op on batch input."""
+    from my_mapreduce_spark.io import load_table
+
+    return (load_table(spark, sf_dir, "events")
+            .withColumn("ts_us", F.expr("ts_ns DIV 1000")))
+
+
 def run_hourly_stream(spark: SparkSession, sf_dir: str,
-                      watermark: str = "2 hours") -> DataFrame:
+                      watermark: str = "2 hours", *,
+                      _batch_plan: bool = False) -> DataFrame:
     """Run the hourly tumbling aggregation as a streaming query over
     the events parquet, to completion (availableNow), and return the
     materialized result.
@@ -102,7 +119,8 @@ def run_hourly_stream(spark: SparkSession, sf_dir: str,
     output it does not drop anything, so the result equals the batch
     q_events_hourly exactly.
     """
-    stream = _event_stream(spark, sf_dir).withWatermark("ts", watermark)
+    src = _event_batch if _batch_plan else _event_stream
+    stream = src(spark, sf_dir).withWatermark("ts", watermark)
     cents = F.round(F.col("value") * 100).cast("bigint")
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -113,6 +131,8 @@ def run_hourly_stream(spark: SparkSession, sf_dir: str,
                 (F.expr("(2 * sc * 100 + n) DIV (2 * n)") / 10000.0)
                 .alias("avg_value"))
     )
+    if _batch_plan:
+        return agg
     # exact bigint cents + integer half-up 4-dp average: identical to
     # the batch twin q_events_hourly, immune to float summation order
     return _run_to_memory(spark, agg, "hourly", "complete")
@@ -237,7 +257,8 @@ _SESSION_WINDOW_GAP_MIN = 30
 _SESSION_WINDOW_GAP_US = _SESSION_WINDOW_GAP_MIN * 60 * 1_000_000
 
 
-def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_session_window_stream(spark: SparkSession, sf_dir: str, *,
+                              _batch_plan: bool = False) -> DataFrame:
     """Per-user session aggregation via the BUILT-IN
     ``F.session_window`` — the native dynamic-gap session operator
     (vs. the hand-rolled applyInPandasWithState sessionizer above,
@@ -252,7 +273,7 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     last event's timestamp — both exact micro-integers, so the
     DuckDB oracle matches bit-for-bit with no float/timezone seam.
     """
-    stream = _event_stream(spark, sf_dir)
+    stream = (_event_batch if _batch_plan else _event_stream)(spark, sf_dir)
     agg = (
         stream.groupBy(
             "user_id",
@@ -265,6 +286,8 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("last_us"),
                 "n_events", "sum_value")
     )
+    if _batch_plan:
+        return agg
     return _run_to_memory(spark, agg, "sesswin", "complete")
 
 
@@ -303,7 +326,8 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming joins
 # ---------------------------------------------------------------------------
 
-def run_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_enrich_stream(spark: SparkSession, sf_dir: str, *,
+                      _batch_plan: bool = False) -> DataFrame:
     """Stream-static enrichment: the events stream joined to the
     static ``customer`` dimension, then aggregated per market
     segment.
@@ -317,7 +341,7 @@ def run_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from my_mapreduce_spark.io import load_table
 
-    stream = _event_stream(spark, sf_dir)
+    stream = (_event_batch if _batch_plan else _event_stream)(spark, sf_dir)
     customer = F.broadcast(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
     agg = (
@@ -326,6 +350,8 @@ def run_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value"))
     )
+    if _batch_plan:
+        return agg
     return _run_to_memory(spark, agg, "enrich", "complete")
 
 
@@ -347,7 +373,8 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ATTRIB_WINDOW_MIN = 30   # purchase attributed to a click <= 30 min before
 
 
-def run_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_attribution_stream(spark: SparkSession, sf_dir: str, *,
+                           _batch_plan: bool = False) -> DataFrame:
     """Stream-stream join: attribute each purchase to every click by
     the same user in the preceding {window} minutes.
 
@@ -359,7 +386,8 @@ def run_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     they form. With availableNow over a finite source the emitted
     set equals the batch inner join, so a full oracle applies.
     """
-    ev = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    ev = ((_event_batch if _batch_plan else _event_stream)(spark, sf_dir)
+          .withWatermark("ts", "2 hours"))
     clicks = (ev.where(F.col("event_type") == "click")
               .select(F.col("event_id").alias("click_id"),
                       F.col("user_id").alias("c_user"),
@@ -379,6 +407,8 @@ def run_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = joined.select(
         F.col("c_user").alias("user_id"), "click_id", "purchase_id",
         (F.col("p_ts_us") - F.col("c_ts_us")).alias("lag_us"))
+    if _batch_plan:
+        return out
     return _run_to_memory(spark, out, "attrib", "append")
 
 
@@ -403,7 +433,8 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_attribution_stream(spark, sf_dir)
 
 
-def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_dedup_stream(spark: SparkSession, sf_dir: str, *,
+                     _batch_plan: bool = False) -> DataFrame:
     """Streaming exactly-once dedup: the events stream is unioned
     with itself (simulating at-least-once redelivery) and
     ``dropDuplicates`` on the event id restores each event exactly
@@ -411,13 +442,16 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark are evicted, which is the production contract for
     infinite streams (a redelivery later than the watermark would
     NOT be caught — that is the documented trade)."""
-    ev = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
-    doubled = ev.unionAll(_event_stream(spark, sf_dir)
+    src = _event_batch if _batch_plan else _event_stream
+    ev = src(spark, sf_dir).withWatermark("ts", "2 hours")
+    doubled = ev.unionAll(src(spark, sf_dir)
                           .withWatermark("ts", "2 hours"))
     deduped = (doubled.dropDuplicates(["event_id"])
                .groupBy("event_type")
                .agg(F.count(F.lit(1)).alias("n_events"),
                     (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value")))
+    if _batch_plan:
+        return deduped
     return _run_to_memory(spark, deduped, "dedup", "complete")
 
 
@@ -434,6 +468,23 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then deduplicating on event id must equal the plain per-type
     aggregate over the original events."""
     return run_dedup_stream(spark, sf_dir)
+
+
+def _sketch_partial(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's HLL partial — factored from the foreachBatch
+    merge so the first-iteration audit plan is the shipped plan."""
+    return (batch_df.groupBy("event_type")
+            .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def _sketch_merged(partial: DataFrame, prev: DataFrame) -> DataFrame:
+    """The sketch-state merge: register-wise HLL union of the batch
+    partial into the persisted O(|event types|) state table."""
+    return (prev.unionByName(partial)
+            .groupBy("event_type")
+            .agg(F.hll_union_agg("sk").alias("sk"),
+                 F.sum("n_events").alias("n_events")))
 
 
 def run_sketch_maintenance_stream(spark: SparkSession, sf_dir: str):
@@ -477,15 +528,9 @@ def run_sketch_maintenance_stream(spark: SparkSession, sf_dir: str):
 
         def merge_batch(batch_df, epoch_id):
             sess = batch_df.sparkSession
-            partial = (batch_df.groupBy("event_type")
-                       .agg(F.hll_sketch_agg("user_id").alias("sk"),
-                            F.count(F.lit(1)).alias("n_events")))
+            partial = _sketch_partial(batch_df)
             if glob.glob(os.path.join(state, "*.parquet")):
-                prev = sess.read.parquet(state)
-                merged = (prev.unionByName(partial)
-                          .groupBy("event_type")
-                          .agg(F.hll_union_agg("sk").alias("sk"),
-                               F.sum("n_events").alias("n_events")))
+                merged = _sketch_merged(partial, sess.read.parquet(state))
             else:
                 merged = partial
             # materialize BEFORE overwriting the path being read —
@@ -562,6 +607,35 @@ def _neardup_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "bh.band_idx", "bh.band_hash")
 
 
+def _neardup_scored(bsig: DataFrame, all_sig: DataFrame) -> DataFrame:
+    """One micro-batch's candidate generation + verification plan:
+    LSH band join of the batch signatures against (index ∪ batch),
+    pair-id dedup, then the minhash-agreement score cut. Factored
+    from :func:`_neardup_merge` so the first-iteration audit plan is
+    the exact per-epoch dataflow the stream executes."""
+    from my_mapreduce_spark.queries.dedup import _MIN_MATCHES, _N_MINHASH
+
+    cand = (_neardup_bands(bsig).alias("a")
+            .join(_neardup_bands(all_sig).alias("b"),
+                  (F.col("a.band_idx") == F.col("b.band_idx"))
+                  & (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col("a.doc_id") != F.col("b.doc_id")))
+            .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
+            .distinct())
+    n_matches = sum(
+        F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
+        for i in range(_N_MINHASH))
+    return (cand
+            .join(all_sig.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+            .join(all_sig.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+            .select("doc_a", "doc_b",
+                    n_matches.cast("bigint").alias("n_matches"),
+                    F.round(n_matches / float(_N_MINHASH), 6)
+                    .alias("est_jaccard"))
+            .where(F.col("n_matches") >= _MIN_MATCHES))
+
+
 def _neardup_merge(batch_df: DataFrame, epoch_id: int, index: str,
                    pairs: str) -> None:
     """One micro-batch of the streaming near-dup job: sign the batch,
@@ -582,8 +656,6 @@ def _neardup_merge(batch_df: DataFrame, epoch_id: int, index: str,
     side from the current batch)."""
     import os
 
-    from my_mapreduce_spark.queries.dedup import _MIN_MATCHES, _N_MINHASH
-
     sess = batch_df.sparkSession
     # Sign ONCE per batch: the signature relation feeds five consumers
     # (own bands, union bands, both scored join sides, the state
@@ -596,25 +668,7 @@ def _neardup_merge(batch_df: DataFrame, epoch_id: int, index: str,
         all_sig = sess.read.parquet(index).drop("epoch").unionByName(bsig)
     else:
         all_sig = bsig
-    cand = (_neardup_bands(bsig).alias("a")
-            .join(_neardup_bands(all_sig).alias("b"),
-                  (F.col("a.band_idx") == F.col("b.band_idx"))
-                  & (F.col("a.band_hash") == F.col("b.band_hash"))
-                  & (F.col("a.doc_id") != F.col("b.doc_id")))
-            .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"))
-            .distinct())
-    n_matches = sum(
-        F.when(F.col(f"x.m{i}") == F.col(f"y.m{i}"), 1).otherwise(0)
-        for i in range(_N_MINHASH))
-    scored = (cand
-              .join(all_sig.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-              .join(all_sig.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
-              .select("doc_a", "doc_b",
-                      n_matches.cast("bigint").alias("n_matches"),
-                      F.round(n_matches / float(_N_MINHASH), 6)
-                      .alias("est_jaccard"))
-              .where(F.col("n_matches") >= _MIN_MATCHES))
+    scored = _neardup_scored(bsig, all_sig)
     # pairs first, then signatures: a crash in between replays the
     # epoch, and both writes land in this epoch's partition only.
     try:
@@ -744,7 +798,8 @@ _OUTER_WATERMARK_H = 2
 _OUTER_MARGIN_US = _OUTER_WINDOW_MIN * 60 * 1_000_000 + 60_000_000
 
 
-def run_left_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_left_outer_join_stream(spark: SparkSession, sf_dir: str, *,
+                               _batch_plan: bool = False) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER join: every click, with
     its attributed purchase(s) in the next {window} minutes — or a
     null-extended row if none arrived.
@@ -768,8 +823,8 @@ def run_left_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff_us = (max_us or 0) \
         - (_OUTER_WATERMARK_H * 3600 + _OUTER_WINDOW_MIN * 60) * 1_000_000 \
         - _OUTER_MARGIN_US
-    ev = _event_stream(spark, sf_dir).withWatermark(
-        "ts", f"{_OUTER_WATERMARK_H} hours")
+    ev = ((_event_batch if _batch_plan else _event_stream)(spark, sf_dir)
+          .withWatermark("ts", f"{_OUTER_WATERMARK_H} hours"))
     clicks = (ev.where((F.col("event_type") == "click")
                        & (F.col("ts_us") < cutoff_us))
               .select(F.col("event_id").alias("click_id"),
@@ -792,6 +847,8 @@ def run_left_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"), "click_id", "purchase_id",
         (F.col("p_ts_us") - F.col("c_ts_us")).alias("lag_us"),
         F.col("purchase_id").isNotNull().cast("int").alias("matched"))
+    if _batch_plan:
+        return out
     return _run_to_memory(spark, out, "louter", "append")
 
 
@@ -827,7 +884,8 @@ def q_streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_left_outer_join_stream(spark, sf_dir)
 
 
-def run_dedup_within_wm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_dedup_within_wm_stream(spark: SparkSession, sf_dir: str, *,
+                               _batch_plan: bool = False) -> DataFrame:
     """Dedup via ``dropDuplicatesWithinWatermark`` — the API built
     for at-least-once sources whose duplicates carry DIFFERENT event
     times (a redelivery gets a new ingestion timestamp, so exact
@@ -838,14 +896,24 @@ def run_dedup_within_wm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Here the doubled source replays identical rows, a superset of
     the different-ts case; the per-type aggregate must equal the
     plain batch answer."""
-    ev = _event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
-    doubled = ev.unionAll(_event_stream(spark, sf_dir)
+    src = _event_batch if _batch_plan else _event_stream
+    ev = src(spark, sf_dir).withWatermark("ts", "2 hours")
+    doubled = ev.unionAll(src(spark, sf_dir)
                           .withWatermark("ts", "2 hours"))
-    deduped = (doubled.select("event_id", "event_type", "value", "ts")
-               .dropDuplicatesWithinWatermark(["event_id"])
+    picked = doubled.select("event_id", "event_type", "value", "ts")
+    # dropDuplicatesWithinWatermark is streaming-only by API contract;
+    # the audit plan substitutes plain dropDuplicates — identical
+    # exchange (hashpartitioning on event_id) and aggregate shape,
+    # differing only in the state-eviction operator the batch planner
+    # has no equivalent for
+    dd = (picked.dropDuplicates(["event_id"]) if _batch_plan
+          else picked.dropDuplicatesWithinWatermark(["event_id"]))
+    deduped = (dd
                .groupBy("event_type")
                .agg(F.count(F.lit(1)).alias("n_events"),
                     (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("sum_value")))
+    if _batch_plan:
+        return deduped
     return _run_to_memory(spark, deduped, "dedupwm", "complete")
 
 
@@ -864,7 +932,8 @@ def q_streaming_dedup_within_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_dedup_within_wm_stream(spark, sf_dir)
 
 
-def run_full_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_full_outer_join_stream(spark: SparkSession, sf_dir: str, *,
+                               _batch_plan: bool = False) -> DataFrame:
     """Watermarked stream-stream FULL OUTER join — the last cell of
     the streaming join matrix (inner, left-outer, full-outer):
     every click with its purchase(s) within the next
@@ -901,8 +970,8 @@ def run_full_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (_OUTER_WATERMARK_H * 3600 + _OUTER_WINDOW_MIN * 60) * 1_000_000
         - _OUTER_MARGIN_US
     )
-    ev = _event_stream(spark, sf_dir).withWatermark(
-        "ts", f"{_OUTER_WATERMARK_H} hours")
+    ev = ((_event_batch if _batch_plan else _event_stream)(spark, sf_dir)
+          .withWatermark("ts", f"{_OUTER_WATERMARK_H} hours"))
     clicks = (ev.where((F.col("event_type") == "click")
                        & (F.col("ts_us") < cutoff_us))
               .select(F.col("event_id").alias("click_id"),
@@ -929,6 +998,8 @@ def run_full_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_ts_us") - F.col("c_ts_us")).alias("lag_us"),
         (F.col("click_id").isNotNull()
          & F.col("purchase_id").isNotNull()).cast("int").alias("matched"))
+    if _batch_plan:
+        return out
     return _run_to_memory(spark, out, "fouter", "append")
 
 
@@ -982,6 +1053,48 @@ def _cdc_epochs_on_disk(state: str) -> list[int]:
     return sorted(ids)
 
 
+def _cdc_partial(ev: DataFrame) -> DataFrame:
+    """One CDC micro-batch's per-user reduction (latest event by
+    (ts_us, event_id) + batch count) — factored from the merge so the
+    first-iteration audit plan is the shipped plan."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc())
+    return (ev
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(
+                Window.partitionBy("user_id")))
+            .where(F.col("rn") == 1)
+            .select("user_id",
+                    F.col("event_type").alias("last_type"),
+                    F.col("ts_us").alias("last_ts_us"),
+                    F.col("event_id").alias("last_eid"),
+                    F.col("n").alias("n_events")))
+
+
+def _cdc_merged(partial: DataFrame, prev: DataFrame) -> DataFrame:
+    """The CDC upsert merge: full-outer join of the batch partial
+    into the predecessor state, argmax by (ts_us, event_id) + count
+    sum — associative and commutative across batches."""
+    b, p = partial.alias("b"), prev.alias("p")
+    newer = (
+        F.col("p.user_id").isNull()
+        | (F.col("b.last_ts_us") > F.col("p.last_ts_us"))
+        | ((F.col("b.last_ts_us") == F.col("p.last_ts_us"))
+           & (F.col("b.last_eid") > F.col("p.last_eid"))))
+    take_b = F.col("b.user_id").isNotNull() & newer
+    return (b.join(p, F.col("b.user_id") == F.col("p.user_id"), "full")
+            .select(
+                F.coalesce("b.user_id", "p.user_id").alias("user_id"),
+                F.when(take_b, F.col("b.last_type"))
+                .otherwise(F.col("p.last_type")).alias("last_type"),
+                F.when(take_b, F.col("b.last_ts_us"))
+                .otherwise(F.col("p.last_ts_us")).alias("last_ts_us"),
+                F.when(take_b, F.col("b.last_eid"))
+                .otherwise(F.col("p.last_eid")).alias("last_eid"),
+                (F.coalesce("b.n_events", F.lit(0))
+                 + F.coalesce("p.n_events", F.lit(0))).alias("n_events")))
+
+
 def _cdc_merge_batch(ev: DataFrame, epoch_id: int, state: str) -> None:
     """One CDC micro-batch merge, fully distributed and replay-safe.
 
@@ -1004,45 +1117,11 @@ def _cdc_merge_batch(ev: DataFrame, epoch_id: int, state: str) -> None:
     import shutil
 
     sess = ev.sparkSession
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts_us").desc(), F.col("event_id").desc())
-    partial = (ev
-               .withColumn("rn", F.row_number().over(w))
-               .withColumn("n", F.count(F.lit(1)).over(
-                   Window.partitionBy("user_id")))
-               .where(F.col("rn") == 1)
-               .select("user_id",
-                       F.col("event_type").alias("last_type"),
-                       F.col("ts_us").alias("last_ts_us"),
-                       F.col("event_id").alias("last_eid"),
-                       F.col("n").alias("n_events")))
+    partial = _cdc_partial(ev)
     prior = [e for e in _cdc_epochs_on_disk(state) if e < int(epoch_id)]
     if prior:
         prev = sess.read.parquet(os.path.join(state, f"epoch={prior[-1]}"))
-        b, p = partial.alias("b"), prev.alias("p")
-        newer = (
-            F.col("p.user_id").isNull()
-            | (F.col("b.last_ts_us") > F.col("p.last_ts_us"))
-            | ((F.col("b.last_ts_us") == F.col("p.last_ts_us"))
-               & (F.col("b.last_eid") > F.col("p.last_eid"))))
-        take_b = F.col("b.user_id").isNotNull() & newer
-        merged = (b.join(p, F.col("b.user_id")
-                         == F.col("p.user_id"), "full")
-                  .select(
-                      F.coalesce("b.user_id", "p.user_id")
-                      .alias("user_id"),
-                      F.when(take_b, F.col("b.last_type"))
-                      .otherwise(F.col("p.last_type"))
-                      .alias("last_type"),
-                      F.when(take_b, F.col("b.last_ts_us"))
-                      .otherwise(F.col("p.last_ts_us"))
-                      .alias("last_ts_us"),
-                      F.when(take_b, F.col("b.last_eid"))
-                      .otherwise(F.col("p.last_eid"))
-                      .alias("last_eid"),
-                      (F.coalesce("b.n_events", F.lit(0))
-                       + F.coalesce("p.n_events", F.lit(0)))
-                      .alias("n_events")))
+        merged = _cdc_merged(partial, prev)
     else:
         merged = partial
     merged.write.mode("overwrite").parquet(
@@ -1158,7 +1237,8 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def run_psi_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_psi_drift_stream(spark: SparkSession, sf_dir: str, *,
+                         _batch_plan: bool = False) -> DataFrame:
     """Streaming drift monitor: documents arrive as a stream, the
     per-(source, bin) drift COUNTERS are a streaming aggregation
     (complete mode — exactly the counter table a continuous monitor
@@ -1192,11 +1272,16 @@ def run_psi_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn = int(ref["mn"]) if ref["mn"] is not None else 0
     mx = int(ref["mx"]) if ref["mx"] is not None else 0
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (spark.readStream.schema(schema)
-              .format("parquet")
-              .option("pathGlobFilter", "documents.parquet")
-              .load(sf_dir)
-              .select("source", "n_chars"))
+    if _batch_plan:
+        stream = (spark.read.schema(schema)
+                  .parquet(f"{sf_dir}/documents.parquet")
+                  .select("source", "n_chars"))
+    else:
+        stream = (spark.readStream.schema(schema)
+                  .format("parquet")
+                  .option("pathGlobFilter", "documents.parquet")
+                  .load(sf_dir)
+                  .select("source", "n_chars"))
     # the literal-inlined twin of the batch q_psi_drift bin: same
     # exact integer DIV arithmetic, bounds as calibration constants
     binned = stream.select(
@@ -1207,6 +1292,10 @@ def run_psi_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"))
     counts = binned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("c"))
+    if _batch_plan:
+        # the full composition (counter agg + PSI closed form) as one
+        # un-executed plan — the monitor's per-trigger dataflow
+        return psi_terms_from_counts(spark, counts)
     c = _run_to_memory(spark, counts, "psi_counts", "complete")
     return psi_terms_from_counts(spark, c)
 
@@ -1339,7 +1428,8 @@ def q_streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame
 _TIER_CENTS = 2500  # signup value >= 25.00 => "premium" tier
 
 
-def run_scd2_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_scd2_enrich_stream(spark: SparkSession, sf_dir: str, *,
+                           _batch_plan: bool = False) -> DataFrame:
     """Stream enriched against an SCD2 (validity-interval) dimension:
     signup events build the slowly-changing per-user tier table in
     BATCH (each signup opens a version, closed by the next one), and
@@ -1368,7 +1458,8 @@ def run_scd2_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit(2 ** 62)).alias("valid_to"),
         F.when(F.round(F.col("value") * 100).cast("bigint")
                >= _TIER_CENTS, "premium").otherwise("basic").alias("tier")))
-    purchases = (_event_stream(spark, sf_dir)
+    purchases = ((_event_batch if _batch_plan else _event_stream)
+                 (spark, sf_dir)
                  .where(F.col("event_type") == "purchase")
                  .select("user_id", "ts_us", "value"))
     joined = purchases.join(
@@ -1380,6 +1471,8 @@ def run_scd2_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n_purchases"),
                 F.sum(F.round(purchases.value * 100).cast("bigint"))
                 .alias("sum_cents")))
+    if _batch_plan:
+        return agg
     return _run_to_memory(spark, agg, "scd2", "complete")
 
 
@@ -1414,7 +1507,8 @@ def q_streaming_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_scd2_enrich_stream(spark, sf_dir)
 
 
-def run_right_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_right_outer_join_stream(spark: SparkSession, sf_dir: str, *,
+                                _batch_plan: bool = False) -> DataFrame:
     """Watermarked stream-stream RIGHT OUTER join — the mirror of
     run_left_outer_join_stream completing the stream-stream join
     family (inner / left / right / full): every purchase with the
@@ -1447,8 +1541,8 @@ def run_right_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (_OUTER_WATERMARK_H * 3600 + 2 * _OUTER_WINDOW_MIN * 60) \
         * 1_000_000 \
         - _OUTER_MARGIN_US
-    ev = _event_stream(spark, sf_dir).withWatermark(
-        "ts", f"{_OUTER_WATERMARK_H} hours")
+    ev = ((_event_batch if _batch_plan else _event_stream)(spark, sf_dir)
+          .withWatermark("ts", f"{_OUTER_WATERMARK_H} hours"))
     clicks = (ev.where(F.col("event_type") == "click")
               .select(F.col("event_id").alias("click_id"),
                       F.col("user_id").alias("c_user"),
@@ -1471,6 +1565,8 @@ def run_right_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_ts_us",
         (F.col("p_ts_us") - F.col("c_ts_us")).alias("lag_us"),
         F.col("click_id").isNotNull().cast("int").alias("attributed"))
+    if _batch_plan:
+        return out.where(F.col("p_ts_us") < cutoff_us).drop("p_ts_us")
     landed = _run_to_memory(spark, out, "router", "append")
     # filter on the MATERIALIZED result, not the streaming plan: a
     # pre-join stream filter (or a post-join filter, which the
@@ -1515,7 +1611,8 @@ _DG_SHORT_US = 15 * 60 * 1_000_000   # click/view gap: 15 min
 _DG_LONG_US = 45 * 60 * 1_000_000    # other events keep sessions alive 45 min
 
 
-def run_session_dynamic_gap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def run_session_dynamic_gap_stream(spark: SparkSession, sf_dir: str, *,
+                                   _batch_plan: bool = False) -> DataFrame:
     """Per-user sessions with a DYNAMIC gap: ``F.session_window``
     takes a gap EXPRESSION evaluated per event (clicks/views time out
     after 15 minutes; purchases/signups/errors hold the session open
@@ -1532,7 +1629,7 @@ def run_session_dynamic_gap_stream(spark: SparkSession, sf_dir: str) -> DataFram
     gap = F.when(F.col("event_type").isin("click", "view"),
                  F.expr("make_interval(0, 0, 0, 0, 0, 15, 0)")) \
         .otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 45, 0)"))
-    stream = _event_stream(spark, sf_dir)
+    stream = (_event_batch if _batch_plan else _event_stream)(spark, sf_dir)
     agg = (
         stream.groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"),
@@ -1543,6 +1640,8 @@ def run_session_dynamic_gap_stream(spark: SparkSession, sf_dir: str) -> DataFram
                 F.unix_micros("w.end").alias("end_us"),
                 "n_events", "sum_cents")
     )
+    if _batch_plan:
+        return agg
     return _run_to_memory(spark, agg, "dynsess", "complete")
 
 
@@ -1587,3 +1686,98 @@ def q_streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFra
     """Dynamic-gap session windows, gated by the exact batch
     running-max gaps-islands oracle."""
     return run_session_dynamic_gap_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# First-iteration audit plans (round-8 verdict #6): each streaming
+# job's per-trigger TRANSFORM, built by the SAME run_* code path on
+# the batch twin of its source (_batch_plan seam), so the plan audit
+# smell-checks the exact dataflow every micro-batch executes. What
+# the batch plan cannot show — and the audit therefore does not
+# claim — is the state-store machinery (watermark eviction, join
+# state, streaming dedup state); those semantics are oracle-gated
+# and restart-tested instead.
+# ---------------------------------------------------------------------------
+
+_BATCH_PLAN_NOTE = (
+    "the per-micro-batch transform built by the shipped run_* code "
+    "path on the batch source twin (_batch_plan seam — no duplicated "
+    "logic); state-store machinery is outside any static plan and is "
+    "covered by the oracle + restart tests")
+
+
+def _register_batch_plan(name, runner, note=_BATCH_PLAN_NOTE):
+    @register_audit_plan(name, note=note)
+    def _plan(spark, sf_dir, _runner=runner):
+        return _runner(spark, sf_dir, _batch_plan=True)
+    return _plan
+
+
+_register_batch_plan("q_streaming_hourly", run_hourly_stream)
+_register_batch_plan("q_streaming_session_window", run_session_window_stream)
+_register_batch_plan("q_streaming_enrich", run_enrich_stream)
+_register_batch_plan("q_streaming_click_attribution", run_attribution_stream)
+_register_batch_plan("q_streaming_dedup", run_dedup_stream)
+_register_batch_plan("q_streaming_left_outer_join",
+                     run_left_outer_join_stream)
+_register_batch_plan("q_streaming_right_outer_join",
+                     run_right_outer_join_stream)
+_register_batch_plan("q_streaming_full_outer_join",
+                     run_full_outer_join_stream)
+_register_batch_plan(
+    "q_streaming_dedup_within_wm", run_dedup_within_wm_stream,
+    note=_BATCH_PLAN_NOTE + "; dropDuplicatesWithinWatermark is "
+    "streaming-only by API contract, so the audit plan substitutes "
+    "plain dropDuplicates — identical event_id exchange, different "
+    "state-eviction operator")
+_register_batch_plan("q_streaming_psi_drift", run_psi_drift_stream)
+_register_batch_plan("q_streaming_scd2_enrich", run_scd2_enrich_stream)
+_register_batch_plan("q_streaming_session_dynamic_gap",
+                     run_session_dynamic_gap_stream)
+
+
+@register_audit_plan(
+    "q_streaming_sketch_state",
+    note="epoch 2's merge plan (_sketch_partial + _sketch_merged, the "
+         "factored foreachBatch body — no duplicated logic): the batch "
+         "partial HLL union-merged into an epoch-1 state built the "
+         "same way; the file landing around it has no dataflow plan")
+def _q_sketch_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _event_batch(spark, sf_dir)
+    prev = (_sketch_partial(ev.where(F.expr("user_id % 2 = 0")))
+            .localCheckpoint(eager=True))  # epoch-1 state, materialized
+    return _sketch_merged(_sketch_partial(
+        ev.where(F.expr("user_id % 2 = 1"))), prev)
+
+
+@register_audit_plan(
+    "q_streaming_cdc_upsert",
+    note="epoch 2's merge plan (_cdc_partial + _cdc_merged, the "
+         "factored foreachBatch body — no duplicated logic): the batch "
+         "per-user reduction full-outer-merged into an epoch-1 state "
+         "built the same way; the epoch-dir landing has no dataflow "
+         "plan")
+def _q_cdc_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (_event_batch(spark, sf_dir)
+          .select("user_id", "event_id", "event_type", "ts_us"))
+    prev = (_cdc_partial(ev.where(F.expr("user_id % 2 = 0")))
+            .localCheckpoint(eager=True))  # epoch-1 state, materialized
+    return _cdc_merged(_cdc_partial(ev.where(F.expr("user_id % 2 = 1"))),
+                       prev)
+
+
+@register_audit_plan(
+    "q_streaming_near_dup",
+    note="one epoch's sign + LSH-band join + verify plan "
+         "(_neardup_sign/_neardup_bands/_neardup_scored, the factored "
+         "foreachBatch body — no duplicated logic): batch signatures "
+         "joined against (index ∪ batch) where the index is the other "
+         "half of the corpus signed the same way")
+def _q_near_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from my_mapreduce_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bsig = _neardup_sign(docs.where(F.expr("doc_id % 2 = 1")))
+    index_sig = (_neardup_sign(docs.where(F.expr("doc_id % 2 = 0")))
+                 .localCheckpoint(eager=True))  # the persisted index
+    return _neardup_scored(bsig, index_sig.unionByName(bsig))

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.io import _ensure_runtime_confs, normalize_event_ts
-from my_mapreduce_spark.registry import register
+from my_mapreduce_spark.registry import register, register_audit_plan
 from my_mapreduce_spark.streaming.jobs import _run_to_memory
 
 
@@ -225,3 +225,23 @@ def q_streaming_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-read across sources)."""
     out, _ = run_union_sources_stream(spark, sf_dir)
     return out
+
+
+@register_audit_plan(
+    "q_streaming_union_sources",
+    note="the two-source union transform on batch reads of the same "
+         "hash-split slices (the per-trigger dataflow: unionByName + "
+         "normalize + per-type partial agg); the two readStream "
+         "progress trackers are source machinery outside any static "
+         "plan")
+def _q_union_sources_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = ev.where(F.expr("user_id % 2 = 0"))
+    b = ev.where(F.expr("user_id % 2 = 1"))
+    evn = normalize_event_ts(a.unionByName(b))
+    return (evn.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                 .alias("sc"))
+            .select("event_type", "n_events",
+                    (F.col("sc") / 100.0).alias("sum_value")))

@@ -94,7 +94,7 @@ SPREAD = [
     "q_bh_fdr_screen", "q_ht_estimator",
     # retrieval/dedup/embedding batch: WAND's cached impacts on zero
     # postings, the weighted pair join, the centroid half-join
-    "q_wand_upper_bounds", "q_dedup_weighted_jaccard", "q_centroid_drift",
+    "q_wand_upper_bounds", "q_centroid_drift",
     # causal/uncertainty batch: arm self-join and order-statistic
     # windows on zero rows
     "q_diff_in_diff", "q_conformal_interval",

@@ -91,3 +91,60 @@ def test_shipped_ntile_plan_clean_and_oracle_shape(spark):
     q, rem = divmod(n, 4)
     expect = {i + 1: q + (1 if i < rem else 0) for i in range(4)}
     assert rows == expect
+
+
+def test_aqe_shuffle_to_broadcast_array_build_caught(spark):
+    """Round-8 verdict #1: an AQE runtime shuffle-to-broadcast
+    conversion of an ARRAY build side is invisible to the static
+    walker (the initial adaptive plan still shows a shuffled join)
+    but MUST be caught by the executed pass. Injection: static
+    broadcasts disabled, AQE conversion enabled, build side carries
+    a column-dependent array (a constant array would be folded
+    above the join)."""
+    from tools.explain_audit import (_array_broadcast_builds,
+                                     adaptive_array_broadcasts)
+
+    saved = {k: spark.conf.get(k, None) for k in
+             ("spark.sql.adaptive.enabled",
+              "spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # threshold sits BETWEEN the two sides' runtime sizes (~16 MB vs
+    # ~100 KB) so AQE can only ever pick the array side as the build —
+    # with both sides under threshold it may broadcast either
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                   str(256 * 1024))
+    try:
+        big = spark.range(1_000_000).withColumn("k", F.col("id") % 1000)
+        small = (spark.range(1000)
+                 .select(F.col("id").alias("k"),
+                         F.array(F.col("id") * 1.0,
+                                 F.col("id") * 2.0).alias("arr")))
+        df = big.join(small, "k")
+        qe = df._jdf.queryExecution()
+        assert _array_broadcast_builds(qe) == [], (
+            "static planner must NOT broadcast here (threshold -1) — "
+            "the injection needs the conversion to be runtime-only")
+        hits = adaptive_array_broadcasts(df)
+        assert hits, ("AQE converted the shuffled join to a broadcast "
+                      "of an array build side and the executed walker "
+                      "missed it")
+        assert all("array<" in h for h in hits)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_adaptive_pass_clean_on_honest_broadcast(spark):
+    """The dynamic walker must NOT flag a plan whose broadcast side
+    carries no arrays (the routine dim-table broadcast)."""
+    from tools.explain_audit import adaptive_array_broadcasts
+
+    big = spark.range(50_000).withColumn("k", F.col("id") % 100)
+    small = spark.range(100).select(F.col("id").alias("k"),
+                                    (F.col("id") * 2).alias("v"))
+    assert adaptive_array_broadcasts(big.join(small, "k")) == []

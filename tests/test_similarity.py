@@ -175,15 +175,14 @@ def test_embedding_pca_matches_numpy(spark, duck):
 
 
 def test_rp_forest_recall_vs_bruteforce(spark):
-    """Median-split RP forest (6 trees, depth 3): recall measured
-    0.84 at sf0.001 / 0.84 at sf0.01 / 0.80 at sf0.1 against exact
-    top-5 — near-uniform 64-d fixtures are the space-partitioning
-    worst case, so the floor carries margin below the weakest
-    measured point. Leaf balance (the family's guarantee) is
-    asserted exactly: every (tree, leaf) holds n/8 members ±1."""
-    from my_mapreduce_spark.queries.similarity import (_RP_DEPTH,
-                                                       _RP_TREES,
-                                                       q_knn_bruteforce,
+    """Median-split RP forest (6 trees, depth scheduled by corpus
+    count): the depth schedule pins sf0.1 (n=2000) to depth 3, the
+    measured recall-0.80 operating point, and shallower trees at
+    smaller SFs (n=500 -> depth 1) can only raise candidate mass —
+    near-uniform 64-d fixtures are the space-partitioning worst
+    case, so the 0.75 floor carries margin below the weakest
+    measured point."""
+    from my_mapreduce_spark.queries.similarity import (q_knn_bruteforce,
                                                        q_knn_rp_forest)
 
     exact = _topk(q_knn_bruteforce(spark, SF_DIR))
@@ -198,23 +197,32 @@ def test_rp_forest_leaves_are_balanced(spark):
     """The median-split invariant: every tree partitions the corpus
     into 2^depth leaves whose sizes differ by at most depth (each
     exact-median split of m rows yields sides within 1 of m/2; the
-    imbalance compounds at most once per level)."""
+    imbalance compounds at most once per level) — with depth taken
+    from the corpus-count schedule, and the schedule itself pinned
+    at its three designed operating points."""
     import pyspark.sql.functions as F
 
-    from my_mapreduce_spark.queries.similarity import (_RP_DEPTH,
-                                                       _RP_TREES,
+    from my_mapreduce_spark.queries.similarity import (_RP_TREES,
                                                        _normed,
+                                                       _rp_depth,
                                                        _with_rp_projections)
     from my_mapreduce_spark.io import load_table
 
-    pts = _with_rp_projections(
-        _normed(load_table(spark, SF_DIR, "embeddings")))
+    # schedule pins: the fixture operating points + one level per
+    # doubling beyond them
+    assert _rp_depth(500) == 1
+    assert _rp_depth(2000) == 3
+    assert _rp_depth(20000) == 7
+
+    base = _normed(load_table(spark, SF_DIR, "embeddings"))
+    depth = _rp_depth(base.count())
+    pts = _with_rp_projections(base, depth)
     pts = pts.withColumn(
         "tree", F.explode(F.array(*[F.lit(t) for t in range(_RP_TREES)]))
     ).withColumn("node", F.lit(0))
-    for lvl in range(_RP_DEPTH):
+    for lvl in range(depth):
         prj = F.element_at(
-            "pj", (F.col("tree") * _RP_DEPTH + lvl + 1).cast("int"))
+            "pj", (F.col("tree") * depth + lvl + 1).cast("int"))
         pts = pts.withColumn("prj", prj)
         meds = (pts.groupBy("tree", "node")
                 .agg(F.expr("percentile(prj, 0.5)").alias("med")))
@@ -225,9 +233,9 @@ def test_rp_forest_leaves_are_balanced(spark):
     sizes = [r.n for r in
              pts.groupBy("tree", "node").agg(F.count("*").alias("n"))
              .collect()]
-    n_leaves = _RP_TREES * 2 ** _RP_DEPTH
+    n_leaves = _RP_TREES * 2 ** depth
     assert len(sizes) == n_leaves
-    assert max(sizes) - min(sizes) <= _RP_DEPTH, sizes
+    assert max(sizes) - min(sizes) <= depth, sizes
 
 
 def test_power_iteration_matches_numpy(spark):

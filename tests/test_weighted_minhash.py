@@ -91,3 +91,23 @@ def test_icws_recall_floor(spark):
     assert exact
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"ICWS recall {recall:.2f} below floor"
+
+
+def test_weighted_jaccard_verifier_matches_oracle(spark):
+    """The demoted verifier (round-8 verdict #3: out of the benched
+    registry, still the family's exactness reference) must stay
+    oracle-equal — the same DuckDB twin it carried while registered,
+    now pinned here so deregistration cannot silently rot it."""
+    import duckdb
+
+    from my_mapreduce_spark.queries.dedup import (
+        WEIGHTED_JACCARD_ORACLE,
+        q_dedup_weighted_jaccard,
+    )
+    from tests.oracle_utils import assert_matches_oracle
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'")
+    assert_matches_oracle(q_dedup_weighted_jaccard(spark, SF_DIR),
+                          con, WEIGHTED_JACCARD_ORACLE)

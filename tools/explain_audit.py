@@ -58,6 +58,10 @@ _ALLOW_NESTED_LOOP = {
                                  # 1-row m_edges)) onto the O(communities)
                                  # term relation / 1-row final agg — the
                                  # scalar-subquery shape twice
+    "q_mrout_connector_roundtrip",  # crossJoin(broadcast(1-row filtered
+                                    # key count)) onto the 1-row totals
+                                    # agg — scalar-subquery shape (first-
+                                    # iteration audit plan)
     "q_geo_nearest_hub",         # crossJoin(broadcast(O(k)=25 hub
                                  # table)) — the nearest-facility
                                  # assign; the small side is nation-
@@ -79,9 +83,6 @@ _ALLOW_NESTED_LOOP = {
     "q_wand_upper_bounds",       # crossJoin(broadcast(1-row N/avgdl
                                  # stats, 1-row theta)), same
                                  # scalar-subquery shape
-    "q_dedup_weighted_jaccard",  # pair join carries a < on doc_id (the
-                                 # q_dedup_ngram_jaccard shape) +
-                                 # crossJoin(broadcast(1-row doc count))
     "q_dedup_weighted_minhash",  # crossJoin(broadcast(1-row doc count))
                                  # for the idf weights, same
                                  # scalar-subquery shape
@@ -231,6 +232,10 @@ _ALLOW_NESTED_LOOP = {
                                  # the scan + the |sources| x 10-bin
                                  # completion grid — both whitelisted
                                  # tiny-broadcast shapes
+    "q_streaming_psi_drift",     # first-iteration audit plan composes
+                                 # the SAME psi_terms_from_counts
+                                 # finishing math as q_psi_drift — the
+                                 # identical tiny-broadcast shapes
     "q_spearman_corr",           # crossJoin(broadcast(1-row totals))
                                  # inside distributed_row_number (x2),
                                  # same scalar-subquery shape
@@ -249,54 +254,56 @@ _ALLOW_NESTED_LOOP = {
                                  # against the hour-bounded count
                                  # series, same tiny-broadcast shape
 }
+# Queries whose RETURNED relation is a materialized result (micro-
+# batch streaming sinks, converged loop states, write-then-read
+# jobs), so the returned plan is not the executed dataflow. Round-8
+# verdict #6: each entry now carries a FIRST-ITERATION audit plan
+# (QuerySpec.audit_fn, registered next to the query) that the audit
+# runs through the full smell check instead — one representative
+# round of the loop / one micro-batch transform. Only the three
+# entries marked NO-BUILDER below remain un-audited, each with the
+# reason one round is not statically representable.
 _SKIP = {
-    "q_streaming_hourly", "q_streaming_sessionize",  # micro-batch exec
+    "q_streaming_hourly",
+    "q_streaming_sessionize",  # NO-BUILDER: applyInPandasWithState is
+                               # streaming-only by API contract; its
+                               # per-batch plan is exchange-on-user_id
+                               # + a Python state worker, with no batch
+                               # operator that plans the same tree.
+                               # Semantics oracle-gated + restart-
+                               # pinned (test_sessionize_restart).
     "q_streaming_enrich", "q_streaming_click_attribution",
     "q_streaming_dedup", "q_streaming_session_window",
-    "q_streaming_sketch_state",  # foreachBatch merge loop, micro-batch exec
-    "q_streaming_left_outer_join",  # micro-batch exec (materialized sink)
-    "q_streaming_right_outer_join",  # micro-batch exec (materialized sink)
-    "q_streaming_full_outer_join",  # micro-batch exec (materialized sink)
-    "q_streaming_cdc_upsert",  # foreachBatch CDC merge loop,
-                               # micro-batch exec (materialized state)
-    "q_streaming_dedup_within_wm",  # micro-batch exec (materialized sink)
-    "q_streaming_near_dup",  # foreachBatch LSH-index merge loop,
-                             # micro-batch exec (materialized state)
-    "q_streaming_psi_drift",  # micro-batch exec (materialized counter
-                              # table; the batch finishing math is
-                              # audited via q_psi_drift)
-    "q_streaming_exactly_once_sink",  # foreachBatch file landing +
-                                      # replay proof, micro-batch exec
-                                      # (materialized read-back agg)
-    "q_streaming_session_dynamic_gap",  # micro-batch exec
-                                        # (materialized sink)
-    "q_streaming_stateful_counts",  # applyInPandasWithState micro-batch
-                                    # exec (materialized update sink)
-    "q_streaming_union_sources",  # two-source union, micro-batch exec
-                                  # (materialized complete sink)
-    "q_schema_evolution_merge",  # write-two-generations-then-read job;
-                                 # returns a materialized aggregate
-                                 # (temp generation dirs removed)
-    "q_compaction_roundtrip",  # write-fragment-compact-read job;
-                               # returns a materialized checksum table
-                               # (temp dirs removed)
-    "q_mrout_connector_roundtrip",  # write-sink-then-connector-read job;
-                                    # returns a localCheckpoint pinned
-                                    # before the temp sink dir is removed
-    "q_streaming_scd2_enrich",  # micro-batch exec (materialized sink);
-                                # the dim build + containment join run
-                                # inside the stream plan
-    "q_dedup_clusters",  # returns the converged cached relation; the
-                         # per-round join+agg plans (which do codegen)
-                         # already executed inside the driver loop
-    "q_dedup_clusters_pj",  # same iterative shape as q_dedup_clusters
-    "q_bpe_train_merges",   # iterative argmax+merge loop; returns the
-                            # collected 3-row merge trace (per-iteration
-                            # plans executed inside the loop)
-    "q_embedding_pca",      # distributed cov reduction + driver-side
-                            # d×d eigensolve; returns the 8-row spectrum
-                            # (the moments plan is audited via
-                            # q_embedding_covariance)
+    "q_streaming_sketch_state",
+    "q_streaming_left_outer_join",
+    "q_streaming_right_outer_join",
+    "q_streaming_full_outer_join",
+    "q_streaming_cdc_upsert",
+    "q_streaming_dedup_within_wm",
+    "q_streaming_near_dup",
+    "q_streaming_psi_drift",
+    "q_streaming_exactly_once_sink",  # NO-BUILDER: the query IS the
+                                      # two-phase file-sink landing +
+                                      # crash-replay proof; its only
+                                      # dataflow plans are a pass-
+                                      # through projection and a read-
+                                      # back per-type agg, both shapes
+                                      # audited via q_streaming_hourly/
+                                      # q_events_hourly. The landing
+                                      # protocol itself has no plan.
+    "q_streaming_session_dynamic_gap",
+    "q_streaming_stateful_counts",  # NO-BUILDER: applyInPandasWithState
+                                    # — same API gate as
+                                    # q_streaming_sessionize.
+    "q_streaming_union_sources",
+    "q_schema_evolution_merge",
+    "q_compaction_roundtrip",
+    "q_mrout_connector_roundtrip",
+    "q_streaming_scd2_enrich",
+    "q_dedup_clusters",
+    "q_dedup_clusters_pj",
+    "q_bpe_train_merges",
+    "q_embedding_pca",
 }
 
 # Queries whose filters provably CAN reach a parquet reader (they
@@ -420,6 +427,8 @@ _ALLOW_ARRAY_BROADCAST: dict[str, str] = {
     "q_knn_lsh_buckets": "query-set vectors + sketch keys (parameter)",
     "q_knn_ivf": "query-set vectors + probe buckets (parameter)",
     "q_knn_pq_adc": "query-set vectors / ADC tables (parameter)",
+    "q_knn_rp_forest": "query-set vectors (parameter-bounded); the "
+                       "corpus-side vector join is merge-hinted",
     "q_ndcg_eval": "query-set vectors + labels (parameter-bounded)",
     "q_hard_negatives": "query-set vectors + labels (parameter)",
     "q_retrieval_recall_mrr": "query-set vectors + labels (parameter)",
@@ -522,27 +531,11 @@ def _limit_bounded(plan: str, node_id: int) -> bool:
     return False
 
 
-def _array_broadcast_builds(qe) -> list[str]:
-    """Schema catalog strings (truncated) of every BroadcastExchange
-    build side carrying an array-typed column — the compressed-size-
-    lies-to-AQE pathology the 30x scale tier exposed.
-
-    Scope (exact, so the guarantee is honest): walks
-    ``qe.executedPlan()`` WITHOUT executing it — under AQE that is
-    the initial ``AdaptiveSparkPlanExec`` plan, i.e. only broadcasts
-    the STATIC planner chose (stats-/hint-driven) are visible here.
-    AQE's *runtime* shuffle-to-broadcast conversions (the exact move
-    that OOM'd the 30x tier) happen mid-execution and cannot appear
-    in an unexecuted plan; the real at-scale guard against those is
-    the explicit ``merge``/``shuffle_hash`` hints carried by the
-    array-heavy dedup joins themselves (see q_dedup_funnel). This
-    check therefore catches statically-planned array broadcasts —
-    a regression where someone broadcast-hints or under-stats an
-    array build side — and the hints, asserted by their queries'
-    tests, cover the dynamic case. executedPlan (not sparkPlan) is
-    required because exchanges are inserted by EnsureRequirements.
-    Subquery plans are separate trees and not walked — the main-tree
-    build sides are where the 30x OOM lived."""
+def _walk_array_broadcasts(root) -> list[str]:
+    """Walk a physical-plan tree (recursing INTO QueryStage wrappers,
+    which report no children() but hold their stage plan behind
+    ``.plan()``) and collect the schema catalog string of every
+    BroadcastExchange build side carrying an array-typed column."""
     found = []
 
     def walk(node):
@@ -551,11 +544,55 @@ def _array_broadcast_builds(qe) -> list[str]:
             cat = node.children().apply(0).schema().catalogString()
             if "array<" in cat:
                 found.append(cat[:100])
+        if "QueryStage" in cls:
+            walk(node.plan())
         for i in range(node.children().size()):
             walk(node.children().apply(i))
 
-    walk(qe.executedPlan())
+    walk(root)
     return found
+
+
+def _array_broadcast_builds(qe) -> list[str]:
+    """STATIC pass: schema catalog strings (truncated) of every
+    BroadcastExchange build side carrying an array-typed column — the
+    compressed-size-lies-to-AQE pathology the 30x scale tier exposed.
+
+    Walks ``qe.executedPlan()`` WITHOUT executing it — under AQE that
+    is the initial ``AdaptiveSparkPlanExec`` plan, i.e. only
+    broadcasts the STATIC planner chose (stats-/hint-driven) are
+    visible here. AQE's *runtime* shuffle-to-broadcast conversions
+    (the exact move that OOM'd the 30x tier) are covered by the
+    EXECUTED second pass, :func:`adaptive_array_broadcasts`, which
+    main() runs for every audited query whose static plan carries a
+    shuffled join (the only shape AQE can convert). executedPlan
+    (not sparkPlan) is required because exchanges are inserted by
+    EnsureRequirements. Subquery plans are separate trees and not
+    walked — the main-tree build sides are where the 30x OOM lived."""
+    return _walk_array_broadcasts(qe.executedPlan())
+
+
+def adaptive_array_broadcasts(df) -> list[str]:
+    """DYNAMIC pass (round-8 verdict #1): EXECUTE the plan under AQE
+    and walk the FINAL adaptive plan, so runtime shuffle-to-broadcast
+    conversions of an array build side — invisible to the static
+    pass by construction — are caught too. Executes via
+    ``AdaptiveSparkPlanExec.execute().count()`` on the dataframe's
+    OWN QueryExecution instance (a write/collect would plan a fresh
+    one and leave this instance un-finalized), then reads the
+    materialized final plan back with ``.executedPlan()``; QueryStage
+    wrappers (how a finalized AQE tree packages exchanges) are
+    unwrapped by the shared walker. Cost: one full execution of the
+    query at the audit SF — main() only pays it where a conversion
+    is possible (static plan has SortMergeJoin/ShuffledHashJoin)."""
+    ep = df._jdf.queryExecution().executedPlan()
+    cls = ep.getClass().getSimpleName()
+    if "AdaptiveSparkPlan" not in cls:
+        # AQE off or plan not adaptive-eligible: the static pass
+        # already saw the only plan there is
+        return _walk_array_broadcasts(ep)
+    ep.execute().count()  # triggers getFinalPhysicalPlan on THIS instance
+    return _walk_array_broadcasts(ep.executedPlan())
 
 
 def audit(name: str, plan: str, codegen_subtrees: int,
@@ -615,6 +652,11 @@ def main() -> int:
                     help="write per-query audit records (merge-updates "
                          "an existing file when auditing a subset, the "
                          "check_correctness --out contract)")
+    ap.add_argument("--static-only", action="store_true",
+                    help="skip the executed AQE pass (adaptive_array_"
+                         "broadcasts) — plans-only mode for fast "
+                         "iteration; the sealed artifact must be "
+                         "produced WITHOUT this flag")
     args = ap.parse_args()
     _ensure_loaded()
     spark = get_spark("explain-audit")
@@ -624,28 +666,48 @@ def main() -> int:
     # (production sessions keep it on — session.py).
     spark.conf.set("spark.sql.adaptive.enabled", "false")
 
-    names = args.names or [n for n in REGISTRY if n not in _SKIP]
+    # _SKIP queries WITH a registered first-iteration plan builder are
+    # audited through it (round-8 verdict #6: the loop families' plans
+    # were never smell-checked); only builderless skips remain skipped
+    names = args.names or [n for n in REGISTRY
+                           if n not in _SKIP or REGISTRY[n].audit_fn]
     widths = _table_widths(args.sf)
     bad = 0
     record: dict[str, dict] = {}
     for name in names:
-        if name in _SKIP:
+        spec = REGISTRY[name]
+        first_round = name in _SKIP
+        if first_round and spec.audit_fn is None:
             continue
         # audit each plan standalone: a prior query's persist() would
         # otherwise substitute InMemoryRelation for plan-identical
         # scans (CacheManager matches at registration, even without
         # execution), hiding the parquet scan this audit inspects
         spark.catalog.clearCache()
-        df = REGISTRY[name].fn(spark, args.sf)
+        df = (spec.audit_fn if first_round else spec.fn)(spark, args.sf)
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
         qe = df._jdf.queryExecution()
         plan = qe.explainString(mode.fromString("formatted"))
         m = re.search(r"Found (\d+) WholeStageCodegen subtrees",
                       qe.explainString(mode.fromString("codegen")))
         smells = audit(name, plan, int(m.group(1)) if m else 0, widths)
+        aqe_checked = False
         if name not in _ALLOW_ARRAY_BROADCAST:
             for cat in _array_broadcast_builds(qe):
                 smells.append(f"array-broadcast:{cat[:60]}")
+            # dynamic pass: only a shuffled join can be converted to a
+            # broadcast at runtime, so only those plans are executed
+            if not args.static_only and re.search(
+                    r"SortMergeJoin|ShuffledHashJoin", plan):
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
+                try:
+                    adf = (spec.audit_fn if first_round
+                           else spec.fn)(spark, args.sf)
+                    for cat in adaptive_array_broadcasts(adf):
+                        smells.append(f"aqe-array-broadcast:{cat[:60]}")
+                    aqe_checked = True
+                finally:
+                    spark.conf.set("spark.sql.adaptive.enabled", "false")
         pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
         bcast = plan.count("BroadcastHashJoin")
         tag = "SMELL " + ",".join(smells) if smells else "ok"
@@ -654,7 +716,11 @@ def main() -> int:
             print(plan)
         record[name] = {"clean": not smells, "smells": smells,
                         "pushed_scans": pushed, "bcast_joins": bcast,
+                        "aqe_checked": aqe_checked,
                         "codegen_subtrees": int(m.group(1)) if m else 0}
+        if first_round:
+            record[name]["audited_via"] = "first-iteration"
+            record[name]["audit_note"] = spec.audit_note
         bad += bool(smells)
     print(f"{len(names) - bad}/{len(names)} clean")
     if args.out:
@@ -664,11 +730,13 @@ def main() -> int:
                 merged = json.load(f)
             merged.update(record)
             record = {k: v for k, v in merged.items()
-                      if k in REGISTRY and k not in _SKIP}
-        # _SKIP queries carry their skip reason so the artifact still
-        # covers the whole registry line for line
+                      if k in REGISTRY
+                      and (k not in _SKIP or REGISTRY[k].audit_fn)}
+        # _SKIP queries WITHOUT a first-iteration builder carry their
+        # skip reason so the artifact still covers the whole registry
+        # line for line
         for name in REGISTRY:
-            if name in _SKIP:
+            if name in _SKIP and name not in record:
                 record[name] = {"clean": None,
                                 "smells": ["skipped: micro-batch/iterative "
                                            "exec, see _SKIP comment"],
