@@ -1223,3 +1223,63 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("clen").alias("min_chunk"),
                  F.max("clen").alias("max_chunk"),
                  F.sum("clen").cast("bigint").alias("total_chars")))
+
+
+_CURR_STAGES_SQL = """CASE WHEN n_chars < 200 THEN 0
+             WHEN n_chars < 350 THEN 1
+             WHEN n_chars < 450 THEN 2
+             ELSE 3 END"""
+
+
+@register(
+    "q_curriculum_order",
+    oracle=f"""
+    WITH staged AS (
+        SELECT doc_id,
+               {_CURR_STAGES_SQL} AS stage,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents)
+    SELECT doc_id, CAST(stage AS INT) AS stage,
+           CAST(ROW_NUMBER() OVER (ORDER BY stage, h, doc_id)
+                AS BIGINT) AS position
+    FROM staged
+    """,
+    tags=("corpus", "curriculum", "training-order", "documents"),
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM ORDERING for training: every document gets a
+    global training position — easy (short) docs first, stages by
+    fixed length boundaries, DETERMINISTIC shuffle within each stage
+    (order by md5 of the doc id, so the within-stage order is
+    reproducible across runs and engines without any RNG state).
+    This is the batch-ordering operator curriculum-learning
+    pipelines put between curation and sharding: downstream packing
+    (q_pack_sequences) and sharding (q_shard_pack_cumsum) consume
+    exactly this position column.
+
+    Engine shape: the global position comes from
+    functions.ranking.distributed_row_number — repartitionByRange on
+    (stage, md5, doc_id) with per-partition local ranks + broadcast
+    prefix offsets — NOT a global ROW_NUMBER window (the
+    single-task WindowExec smell the plan audit flags; the oracle
+    states it as the global window because DuckDB is single-node —
+    same relation, different physical strategy). Everything is
+    integer/string comparison: a FULL equality oracle with no float
+    anywhere.
+
+    At 100 TB: one scan + one range shuffle; stage boundaries are
+    data-independent constants, so the range partitioner's sample
+    pass is the only extra cost — the standard total-order price
+    already paid by q_window_ntile and the packing family.
+    """
+    from my_mapreduce_spark.functions.ranking import distributed_row_number
+
+    staged = (load_table(spark, sf_dir, "documents")
+              .select("doc_id",
+                      F.expr(_CURR_STAGES_SQL).cast("int").alias("stage"),
+                      F.md5(F.col("doc_id").cast("string")).alias("h")))
+    ranked = distributed_row_number(
+        staged, [F.col("stage"), F.col("h"), F.col("doc_id")],
+        out="position")
+    return ranked.select("doc_id", "stage",
+                         F.col("position").cast("bigint").alias("position"))

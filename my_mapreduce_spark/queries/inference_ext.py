@@ -929,3 +929,114 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("split_cents", "n_left", "pos_left", "n_right",
                     "pos_right", F.round("g", 6).alias("weighted_gini"),
                     "parent_gini"))
+
+
+@register(
+    "q_levene_test",
+    oracle=f"""
+    WITH x AS (
+        SELECT o_orderpriority AS grp, {_CENTS_SQL} AS c FROM orders),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_j,
+               CAST(SUM(c) AS BIGINT) AS s_j
+        FROM x GROUP BY grp),
+    z AS (  -- |x - mean_j| = |n_j*x - S_j| / n_j: exact integers, one
+            -- division -> the per-row double is engine-identical
+        SELECT x.grp,
+               CAST(ABS(g.n_j * x.c - g.s_j) AS DOUBLE) / g.n_j AS z
+        FROM x JOIN g USING (grp)),
+    zg AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS m_j,
+               CAST(SUM(CAST(ROUND(z, 2) AS DECIMAL(38,2)))
+                    AS DECIMAL(38,2)) AS zs_j,
+               CAST(SUM(CAST(ROUND(z * z, 2) AS DECIMAL(38,2)))
+                    AS DECIMAL(38,2)) AS zxx_j
+        FROM z GROUP BY grp),
+    t AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(m_j) AS BIGINT) AS n,
+               CAST(SUM(zs_j) AS DECIMAL(38,2)) AS zs,
+               CAST(SUM(zxx_j) AS DECIMAL(38,2)) AS zxx,
+               CAST(SUM(CAST(ROUND(CAST(zs_j AS DOUBLE)
+                                   * CAST(zs_j AS DOUBLE) / m_j, 6)
+                             AS DECIMAL(38,6))) AS DECIMAL(38,6))
+                   AS sum_term
+        FROM zg)
+    SELECT k, n,
+           ROUND((CAST(sum_term AS DOUBLE)
+                  - CAST(zs AS DOUBLE) * CAST(zs AS DOUBLE) / n)
+                 / (k - 1) / 10000.0, 2) AS msb_z_dollars2,
+           ROUND((CAST(zxx AS DOUBLE) - CAST(sum_term AS DOUBLE))
+                 / (n - k) / 10000.0, 2) AS msw_z_dollars2,
+           ROUND(((CAST(sum_term AS DOUBLE)
+                   - CAST(zs AS DOUBLE) * CAST(zs AS DOUBLE) / n)
+                  / (k - 1))
+                 / ((CAST(zxx AS DOUBLE) - CAST(sum_term AS DOUBLE))
+                    / (n - k)), 6) AS levene_w
+    FROM t
+    """,
+    tags=("stats", "variance", "levene", "inference", "orders"),
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEVENE'S TEST (mean-centered) for variance homogeneity: is
+    the SPREAD of order value the same across the five priorities?
+    The companion every ANOVA needs — q_anova_oneway's F assumes
+    equal group variances, and this is the test of that assumption
+    (W = the one-way F applied to z_ij = |x_ij - mean_j|).
+
+    Exactness: the per-row centered deviation is |n_j·x - S_j| / n_j
+    — an ABS over exact bigints (n_j·cents ≤ ~3e12, inside int64)
+    and ONE division, so every z is the identical double on both
+    engines; the cross-row folds of z and z² ride the
+    ROUND(,2)→DECIMAL(38,2) discipline (2 decimals, not the usual 6:
+    z² sums reach ~8e17, and a finer scale pushes the decimal past
+    double's 53-bit mantissa so the final decimal→double CAST itself
+    rounds DIFFERENTLY per engine — the seam the first cut hit), and
+    Σ_j Zs_j²/m_j rounds per group exactly like q_anova_oneway's
+    sum_term. Outputs are MEAN squares (dollars², ÷(k-1)/(n-k) —
+    magnitudes where a 1-ulp cast wobble sits far below the 2-decimal
+    report) and W, each one fixed closed-form IEEE sequence.
+
+    Scale shape: two scans of orders (moments, then the z pass —
+    rejoining the 5-row group moments broadcast) + O(groups)
+    aggregates; no data-sized shuffle anywhere. Reference parity:
+    none — north-star statistics depth beside q_anova_oneway /
+    q_kruskal_wallis (parametric location, rank location, and now
+    SCALE).
+    """
+    x = load_table(spark, sf_dir, "orders") \
+        .select(F.col("o_orderpriority").alias("grp"),
+                _cents().alias("c"))
+    g = x.groupBy("grp").agg(F.count(F.lit(1)).alias("n_j"),
+                             F.sum("c").alias("s_j"))
+    z = (x.join(F.broadcast(g), "grp")
+         .select("grp",
+                 (F.abs(F.col("n_j") * F.col("c") - F.col("s_j"))
+                  .cast("double") / F.col("n_j")).alias("z")))
+    dec2 = lambda col: F.round(col, 2).cast("decimal(38,2)")  # noqa: E731
+    zg = z.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("m_j"),
+        F.sum(dec2(F.col("z"))).cast("decimal(38,2)").alias("zs_j"),
+        F.sum(dec2(F.col("z") * F.col("z"))).cast("decimal(38,2)")
+        .alias("zxx_j"))
+    term = F.round(F.col("zs_j").cast("double")
+                   * F.col("zs_j").cast("double") / F.col("m_j"), 6) \
+        .cast("decimal(38,6)")
+    t = zg.agg(F.count(F.lit(1)).alias("k"),
+               F.sum("m_j").alias("n"),
+               F.sum("zs_j").cast("decimal(38,2)").alias("zs"),
+               F.sum("zxx_j").cast("decimal(38,2)").alias("zxx"),
+               F.sum(term).cast("decimal(38,6)").alias("sum_term"))
+    ssb = (F.col("sum_term").cast("double")
+           - F.col("zs").cast("double") * F.col("zs").cast("double")
+           / F.col("n"))
+    ssw = F.col("zxx").cast("double") - F.col("sum_term").cast("double")
+    return t.select(
+        "k", "n",
+        F.round(ssb / (F.col("k") - 1) / 10000.0, 2)
+        .alias("msb_z_dollars2"),
+        F.round(ssw / (F.col("n") - F.col("k")) / 10000.0, 2)
+        .alias("msw_z_dollars2"),
+        F.round((ssb / (F.col("k") - 1))
+                / (ssw / (F.col("n") - F.col("k"))), 6)
+        .alias("levene_w"))

@@ -1538,3 +1538,179 @@ def q_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("dim", F.round(F.col("w") / F.col("lam"), 6)
                     .alias("pc1"),
                     F.round(F.col("lam"), 4).alias("eig1")))
+
+
+@register(
+    "q_knn_classifier",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND len(embedding) = {_DIM}),
+    n AS (SELECT vec_id, label, v,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE {_QUERY_FILTER}),
+    scored AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               c.label AS nbr_label,
+               list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_raw,
+               c.vec_id AS neighbor_id
+        FROM q JOIN n c ON q.vec_id <> c.vec_id),
+    topk AS (
+        SELECT query_id, true_label, nbr_label
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cos_raw DESC, neighbor_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {_K}),
+    votes AS (
+        SELECT query_id, true_label, nbr_label,
+               CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM topk GROUP BY 1, 2, 3)
+    SELECT query_id, true_label,
+           nbr_label AS predicted_label, n_votes,
+           CAST(nbr_label = true_label AS INT) AS correct
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY n_votes DESC, nbr_label) AS vr
+          FROM votes)
+    WHERE vr = 1
+    """,
+    tags=("similarity", "knn", "classifier", "ml-eval"),
+)
+def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN CLASSIFICATION — the supervised consumer of the ANN
+    family: each query vector takes the MAJORITY LABEL of its exact
+    cosine top-5 (tie-break: more votes, then smaller label), with a
+    per-query correctness flag against the stored label. This is the
+    operator that turns a similarity index into a labeler (dedup
+    triage, taxonomy propagation, weak supervision) and the
+    evaluation harness for every ANN family above (swap the exact
+    top-k for any approximate one and the same vote/compare applies).
+
+    Engine shape: the exact q_knn_bruteforce skeleton (broadcast
+    query set against one corpus scan, per-query top-k window moving
+    k*|queries| rows) + one (query, label) vote aggregate + one
+    row_number argmax — all shuffles are queries-sized. Exactness:
+    cosine ordering is a fixed IEEE sequence from identical doubles
+    (the knn-family argument); votes and the argmax are integer/
+    lexicographic, so the oracle is a FULL equality.
+
+    At 100 TB: identical posture to q_knn_bruteforce — corpus
+    partition-parallel, query set broadcast; production swaps the
+    brute-force candidate stage for the IVF/LSH/RP index, leaving
+    this query's vote plan untouched.
+    """
+    e = _normed(load_table(spark, sf_dir, "embeddings"), "label")
+    q = (e.where(F.expr(_QUERY_FILTER))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("label").alias("true_label"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qnrm")))
+    cos_raw = (_dot(F.col("qv"), F.col("v"))
+               / (F.col("qnrm") * F.col("nrm")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(),
+                                               "vec_id")
+    topk = (F.broadcast(q)
+            .join(e.select("vec_id", "v", "nrm",
+                           F.col("label").alias("nbr_label")),
+                  F.col("query_id") != F.col("vec_id"))
+            .withColumn("cos_raw", cos_raw)
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _K)
+            .select("query_id", "true_label", "nbr_label"))
+    votes = (topk.groupBy("query_id", "true_label", "nbr_label")
+             .agg(F.count(F.lit(1)).alias("n_votes")))
+    vw = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(),
+                                                "nbr_label")
+    return (votes.withColumn("vr", F.row_number().over(vw))
+            .where(F.col("vr") == 1)
+            .select("query_id", "true_label",
+                    F.col("nbr_label").alias("predicted_label"),
+                    "n_votes",
+                    (F.col("nbr_label") == F.col("true_label"))
+                    .cast("int").alias("correct")))
+
+
+@register(
+    "q_nearest_centroid_confusion",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND len(embedding) = {_DIM}),
+    nums AS (SELECT unnest(generate_series(1, {_DIM})) AS pos),
+    dims AS (
+        SELECT label, nums.pos, v[nums.pos] AS x
+        FROM e JOIN nums ON nums.pos <= len(v)),
+    cm AS (  -- per-(label, dim) mean from a rounded-decimal fold
+        SELECT label, pos,
+               CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(38,9)))
+                    AS DOUBLE) / COUNT(*) AS c
+        FROM dims GROUP BY label, pos),
+    cents AS (
+        SELECT label AS cl, list(c ORDER BY pos) AS cv
+        FROM cm GROUP BY label),
+    assigned AS (
+        SELECT e.vec_id, e.label AS true_label, c.cl AS predicted_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_sum(list_transform(
+                       list_zip(e.v, c.cv),
+                       x -> (x[1] - x[2]) * (x[1] - x[2]))), c.cl) AS rk
+        FROM e CROSS JOIN cents c)
+    SELECT true_label, predicted_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM assigned WHERE rk = 1
+    GROUP BY 1, 2
+    """,
+    tags=("similarity", "classifier", "centroid", "confusion", "ml-eval"),
+)
+def q_nearest_centroid_confusion(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """NEAREST-CENTROID classification + CONFUSION MATRIX — the
+    Rocchio classifier and the evaluation rollup in one pass family:
+    per-label centroids from the training labels, every vector
+    re-assigned to its nearest centroid by squared L2, and the
+    (true, predicted) count matrix out — the label-quality
+    diagnostic that tells an embedding-curation pipeline WHICH
+    classes bleed into which (q_label_noise_screen's per-row flag,
+    aggregated to the class level).
+
+    Exactness: centroid means fold per-(label, dim) as
+    ROUND(x, 9) -> DECIMAL(38,9) sums (exact, order-free) divided
+    once; distances are SEQUENTIAL left folds over identical doubles
+    (Spark ``aggregate`` vs DuckDB ``list_sum`` — the q_kmeans_lloyd
+    argument), so assignment and the matrix match bit-for-bit under
+    a FULL oracle.
+
+    At 100 TB: the centroid state is O(labels * dim) (combiner-
+    reduced posexplode agg, broadcast back); assignment is one
+    corpus scan against the broadcast centroids; the matrix is
+    O(labels^2). Same posture as q_kmeans_lloyd's assign step with
+    labels as fixed clusters.
+    """
+    e = (load_table(spark, sf_dir, "embeddings")
+         .where(F.col("embedding").isNotNull()
+                & (F.size("embedding") == _DIM))
+         .select("vec_id", "label", _as_double("embedding").alias("v")))
+    m = (e.select("label", F.posexplode("v").alias("pos", "x"))
+         .groupBy("label", "pos")
+         .agg((F.sum(F.round(F.col("x"), 9).cast("decimal(38,9)"))
+               .cast("double") / F.count(F.lit(1))).alias("c")))
+    cents = (m.groupBy("label")
+             .agg(F.array_sort(
+                 F.collect_list(F.struct("pos", "c"))).alias("s"))
+             .select(F.col("label").alias("cl"),
+                     F.col("s.c").alias("cv")))
+    d = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("vec_id").orderBy("d", "cl")
+    return (e.crossJoin(F.broadcast(cents))
+            .withColumn("d", d)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .groupBy(F.col("label").alias("true_label"),
+                     F.col("cl").alias("predicted_label"))
+            .agg(F.count(F.lit(1)).alias("n_vectors")))

@@ -112,10 +112,17 @@ _ALLOW_NESTED_LOOP = {
     "q_dedup_ngram_jaccard",     # pair join carries a < on doc_id
     "q_dedup_exact_pairs",
     "q_knn_bruteforce",          # declared O(n^2) verifier
+    "q_knn_classifier",          # same broadcast-query-set != join as
+                                 # q_knn_bruteforce (the vote consumer
+                                 # of the exact top-k)
     "q_kmeans_lloyd",            # corpus scan x broadcast of k=4
                                  # centroid rows per iteration — the
                                  # assign step; k is a constant, the
                                  # correct broadcast
+    "q_nearest_centroid_confusion",  # corpus scan x broadcast of the
+                                     # |labels| centroid rows — the
+                                     # q_kmeans_lloyd assign shape with
+                                     # labels as fixed clusters
     "q_geo_morans_i",            # crossJoin(broadcast(1-row cents
                                  # moments / 1-row denominator)) onto
                                  # the cells and pair relations — the
@@ -358,6 +365,8 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
                             "(the within-source window is partitioned)",
     "q_shard_pack_cumsum": "distributed_prefix_sum: window over "
                            "per-partition TOTALS, conf-bounded",
+    "q_curriculum_order": "distributed_row_number: window over "
+                          "per-partition counts, conf-bounded",
     "q_kruskal_wallis": "distributed_prefix_sum over tie-group counts: "
                         "window input is the per-partition TOTALS "
                         "relation, conf-bounded",
@@ -429,6 +438,11 @@ _ALLOW_ARRAY_BROADCAST: dict[str, str] = {
     "q_knn_pq_adc": "query-set vectors / ADC tables (parameter)",
     "q_knn_rp_forest": "query-set vectors (parameter-bounded); the "
                        "corpus-side vector join is merge-hinted",
+    "q_knn_classifier": "query-set vectors + labels (parameter)",
+    "q_nearest_centroid_confusion": "|labels| x dim centroid arrays — "
+                                    "constant-bounded by the label "
+                                    "vocabulary (the q_kmeans_lloyd "
+                                    "centroid shape)",
     "q_ndcg_eval": "query-set vectors + labels (parameter-bounded)",
     "q_hard_negatives": "query-set vectors + labels (parameter)",
     "q_retrieval_recall_mrr": "query-set vectors + labels (parameter)",
