@@ -1102,3 +1102,131 @@ def q_er_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("score"), 4).alias("avg_score"),
                  F.round(F.min("score"), 4).alias("min_score"),
                  F.round(F.max("score"), 4).alias("max_score")))
+
+
+@register(
+    "q_er_blocking_metrics",
+    oracle=f"""
+    WITH r AS (
+        SELECT p_partkey,
+               split_part(p_name, ' ', 2) AS noun,
+               p_type, p_brand, p_size,
+               row_number() OVER (ORDER BY split_part(p_name, ' ', 2),
+                                  p_size, p_partkey) AS seq
+        FROM part),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records FROM r),
+    cand AS (
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+        FROM r a JOIN r b
+          ON b.seq > a.seq AND b.seq <= a.seq + {_SN_WINDOW - 1}),
+    truth AS (
+        SELECT LEAST(a.p_partkey, b.p_partkey) AS key_a,
+               GREATEST(a.p_partkey, b.p_partkey) AS key_b
+        FROM r a JOIN r b
+          ON a.noun = b.noun AND a.p_type = b.p_type
+         AND a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey),
+    found AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+        FROM truth t JOIN cand c
+          ON (t.key_a = LEAST(c.key_a, c.key_b)
+              AND t.key_b = GREATEST(c.key_a, c.key_b))),
+    agg AS (
+        SELECT n.n_records,
+               n.n_records * (n.n_records - 1) / 2 AS total_pairs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+                   AS n_candidates,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+               found.n_found
+        FROM n CROSS JOIN found)
+    SELECT n_records, CAST(total_pairs AS BIGINT) AS total_pairs,
+           n_candidates, n_true, n_found,
+           ROUND(1.0 - CAST(n_candidates AS DOUBLE) / total_pairs, 6)
+               AS reduction_ratio,
+           ROUND(CAST(n_found AS DOUBLE) / n_true, 6)
+               AS pair_completeness,
+           ROUND(CAST(n_found AS DOUBLE) / n_candidates, 6)
+               AS pair_quality
+    FROM agg
+    """,
+    tags=("entity-resolution", "record-linkage", "blocking",
+          "evaluation", "part"),
+)
+def q_er_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKING-QUALITY EVALUATION for the ER pipeline — the three
+    numbers every record-linkage deployment tunes its blocker by
+    (Christen 2012): REDUCTION RATIO (how much of the n² pair space
+    the sorted-neighborhood window prunes), PAIR COMPLETENESS (what
+    fraction of true matches survive into the candidate set — the
+    blocker's recall, the number that bounds the whole pipeline's
+    recall), and PAIR QUALITY (candidate precision). Ground truth =
+    exact agreement on (name noun, type, brand) — the deterministic
+    match definition both engines state identically; candidates =
+    the SAME w-window generator q_er_fuzzy_pipeline runs, so this
+    query IS the missing eval stage of that pipeline.
+
+    Exactness: every count is an exact bigint; the three ratios are
+    single divisions rounded at 6 — a FULL equality oracle.
+
+    Scale shape: one range-shuffle rank (distributed_row_number, no
+    global window), the O(w*n) candidate explode-join, the
+    equality-blocked truth self-join (group-bounded by the
+    (noun, type, brand) key), and one candidate-keyed semi-ish join
+    for the intersection — nothing n². At 100 TB the truth join is
+    the only data-shaped term and it is the SAME equality-block
+    whose skew the sorted-neighborhood blocker exists to avoid:
+    the eval is allowed what the pipeline is not, because it runs
+    once per tuning round, not per ingest.
+    """
+    from my_mapreduce_spark.functions.ranking import distributed_row_number
+
+    part = load_table(spark, sf_dir, "part")
+    r = part.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+        "p_type", "p_brand", "p_size")
+    ranked = distributed_row_number(
+        r, [F.col("noun"), F.col("p_size"), F.col("p_partkey")],
+        out="seq")
+    a = (ranked
+         .select(F.col("p_partkey").alias("key_a"),
+                 F.col("seq").alias("seq_a"),
+                 F.explode(F.array(*[F.lit(k)
+                                     for k in range(1, _SN_WINDOW)]))
+                 .alias("k"))
+         .select("key_a", (F.col("seq_a") + F.col("k")).alias("probe")))
+    b = ranked.select(F.col("p_partkey").alias("key_b"),
+                      F.col("seq").alias("seq_b"))
+    cand = (a.join(b, F.col("probe") == F.col("seq_b"))
+            .select(F.least("key_a", "key_b").alias("key_a"),
+                    F.greatest("key_a", "key_b").alias("key_b")))
+    t_a = ranked.select(F.col("p_partkey").alias("ka"), "noun",
+                        "p_type", "p_brand")
+    t_b = ranked.select(F.col("p_partkey").alias("kb"),
+                        F.col("noun").alias("noun_b"),
+                        F.col("p_type").alias("type_b"),
+                        F.col("p_brand").alias("brand_b"))
+    truth = (t_a.join(t_b, (F.col("noun") == F.col("noun_b"))
+                      & (F.col("p_type") == F.col("type_b"))
+                      & (F.col("p_brand") == F.col("brand_b"))
+                      & (F.col("ka") < F.col("kb")))
+             .select(F.col("ka").alias("key_a"),
+                     F.col("kb").alias("key_b")))
+    n_rec = ranked.agg(F.count(F.lit(1)).alias("n_records"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_found = (truth.join(cand, ["key_a", "key_b"])
+               .agg(F.count(F.lit(1)).alias("n_found")))
+    agg = (n_rec.crossJoin(F.broadcast(n_cand))
+           .crossJoin(F.broadcast(n_true))
+           .crossJoin(F.broadcast(n_found))
+           .withColumn("total_pairs",
+                       (F.col("n_records") * (F.col("n_records") - 1)
+                        / 2).cast("bigint")))
+    return agg.select(
+        "n_records", "total_pairs", "n_candidates", "n_true", "n_found",
+        F.round(1.0 - F.col("n_candidates").cast("double")
+                / F.col("total_pairs"), 6).alias("reduction_ratio"),
+        F.round(F.col("n_found").cast("double") / F.col("n_true"), 6)
+        .alias("pair_completeness"),
+        F.round(F.col("n_found").cast("double") / F.col("n_candidates"),
+                6).alias("pair_quality"))

@@ -62,6 +62,9 @@ _ALLOW_NESTED_LOOP = {
                                     # key count)) onto the 1-row totals
                                     # agg — scalar-subquery shape (first-
                                     # iteration audit plan)
+    "q_er_blocking_metrics",     # crossJoin(broadcast(1-row counts)) x3
+                                 # assembling the metrics row — the
+                                 # scalar-subquery shape
     "q_geo_nearest_hub",         # crossJoin(broadcast(O(k)=25 hub
                                  # table)) — the nearest-facility
                                  # assign; the small side is nation-
@@ -367,6 +370,8 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
                            "per-partition TOTALS, conf-bounded",
     "q_curriculum_order": "distributed_row_number: window over "
                           "per-partition counts, conf-bounded",
+    "q_er_blocking_metrics": "distributed_row_number: window over "
+                             "per-partition counts, conf-bounded",
     "q_kruskal_wallis": "distributed_prefix_sum over tie-group counts: "
                         "window input is the per-partition TOTALS "
                         "relation, conf-bounded",
