@@ -1137,7 +1137,13 @@ def _sem_nassign(k: int) -> int:
     sf0.1/k=44 — below the 0.75 floor); sqrt growth keeps the
     replication factor tiny relative to k (at the 4096 cap: 45
     assignments) while the within-cluster block size still shrinks
-    as ~n/k, preserving the SemDeDup cost argument."""
+    as ~n/k, preserving the SemDeDup cost argument.
+
+    Cost adjudication (round 9): shuffle amplification rose 3.05 ->
+    4.82 at sf0.1 — the 5/3 assignment replication, exactly the
+    bytes the recall repair costs. Recall floors are GATES (0.69 was
+    a violation); amplification is the priced trade, re-baselined in
+    COST_LOCAL.json with this rationale."""
     return min(k, max(3, round(0.7 * k ** 0.5)))
 
 
