@@ -159,6 +159,31 @@ def test_round_close_artifacts_cover_registry():
     assert not crashed, f"queries crashing on zero-row input: {crashed}"
 
 
+def _committed_bench_queries(root):
+    """The bench tail the cost gate covers must come from the SEALED
+    (committed) BENCH_LOCAL.json, not the working tree: the driver
+    reruns bench.py after round close and its ambient-noise spikes can
+    push queries past the tail threshold that the committed cost probe
+    never saw — that exact skew flipped the suite red in rounds 7 AND 9
+    (the only pytest failures those rounds).  `git show HEAD:` reads the
+    sealed artifact; outside a git checkout (sdist, CI export) fall
+    back to the file on disk."""
+    import json
+    import os
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_LOCAL.json"],
+            cwd=root, capture_output=True, timeout=30)
+        if out.returncode == 0:
+            return json.loads(out.stdout)["queries"]
+    except (OSError, subprocess.TimeoutExpired, ValueError, KeyError):
+        pass
+    with open(os.path.join(root, "BENCH_LOCAL.json")) as f:
+        return json.load(f)["queries"]
+
+
 def test_cost_probe_covers_bench_tail_without_regressions():
     """COST_LOCAL.json (shuffle-byte accounting — the number that
     prices a 100 TB run) must cover every query in the bench tail
@@ -173,19 +198,59 @@ def test_cost_probe_covers_bench_tail_without_regressions():
     everything >=1.5 s, but this test asserts missing only >=2.5 s —
     so a boundary query drifting across 2 s on timing noise cannot
     redden the gate, while any genuinely heavy uncovered query still
-    does."""
+    does.  The tail is computed from the COMMITTED bench artifact
+    (round-9 verdict item 1): an uncommitted driver re-bench in the
+    working tree must not move the gate."""
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "BENCH_LOCAL.json")) as f:
-        bench = json.load(f)["queries"]
+    bench = _committed_bench_queries(root)
     with open(os.path.join(root, "COST_LOCAL.json")) as f:
         cost = json.load(f)
     tail = {n for n, t in bench.items() if t >= 2.5 and n in REGISTRY}
     missing = sorted(tail - set(cost["queries"]))
     assert not missing, f"bench-tail queries with no byte accounting: {missing}"
     assert cost.get("regressions") == [], cost.get("regressions")
+
+
+def test_cost_gate_immune_to_uncommitted_bench_rerun(tmp_path):
+    """Regression test for the round-7/round-9 failure class: simulate
+    a driver bench rerun clobbering the working-tree BENCH_LOCAL.json
+    with noise-inflated timings (every query 5x slower, dragging dozens
+    of uncovered queries past the 2.5 s tail threshold) and assert the
+    gate still reads the sealed tail.  _committed_bench_queries must
+    return the committed artifact, ignoring the noisy file on disk."""
+    import json
+    import os
+    import shutil
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    committed = _committed_bench_queries(root)
+
+    # A scratch clone-shaped dir with a noisy working-tree artifact AND
+    # a .git pointing at the real repo would be fragile; instead verify
+    # the two contracts separately:
+    # (a) in the real repo, the helper's answer matches `git show HEAD:`
+    #     byte-for-byte even if the on-disk file differs;
+    out = subprocess.run(["git", "show", "HEAD:BENCH_LOCAL.json"],
+                         cwd=root, capture_output=True, timeout=30)
+    if out.returncode == 0:
+        sealed = json.loads(out.stdout)["queries"]
+        assert committed == sealed
+        # and a noisy on-disk file would NOT be what the helper returns
+        noisy = {n: t * 5.0 for n, t in sealed.items()}
+        assert committed != noisy
+
+    # (b) outside a git repo the helper falls back to the file on disk
+    #     (so exported trees still gate on something) — build one.
+    fake = tmp_path / "norepo"
+    fake.mkdir()
+    noisy_doc = {"queries": {"q_fake": 9.9}, "n_queries": 1}
+    with open(fake / "BENCH_LOCAL.json", "w") as f:
+        json.dump(noisy_doc, f)
+    assert _committed_bench_queries(str(fake)) == {"q_fake": 9.9}
 
 
 def test_no_unformatted_docstring_placeholders():
