@@ -121,3 +121,31 @@ def compact_parquet(spark: SparkSession, src: str, dst: str,
     n = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
     return n
+
+
+def audit_workdir(name: str) -> str:
+    """Per-query scratch dir for write-then-read AUDIT plan builders.
+
+    The audit builders (q_schema_evolution_merge / q_compaction_roundtrip
+    / q_mrout_connector_roundtrip) must leave their written files alive
+    for the returned plan's lifetime, so they cannot rmtree in a
+    ``finally`` like the shipped query fns do. mkdtemp leaked two dirs
+    per query per audit run (explain_audit's executed-AQE pass rebuilds
+    every plan a second time — round-9 advice item): instead, each
+    builder now reuses ONE directory keyed by query name under a
+    shared root, so reruns overwrite in place (every write inside is
+    mode("overwrite")), and the whole root is removed at process exit.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "mmr_audit_plans")
+    if not getattr(audit_workdir, "_cleanup_registered", False):
+        # once per process — even if a crashed previous process left
+        # the root behind, this process still owns its removal
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        audit_workdir._cleanup_registered = True
+    work = os.path.join(root, name)
+    os.makedirs(work, exist_ok=True)
+    return work

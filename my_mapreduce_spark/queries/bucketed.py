@@ -768,10 +768,10 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
          "audit writes its own generations and leaves them for the "
          "plan's lifetime (tool-context temp dir).")
 def _q_schema_evo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile as _tf
+    from my_mapreduce_spark.io import audit_workdir
 
     o = load_table(spark, sf_dir, "orders")
-    work = _tf.mkdtemp(prefix="mmr_schema_evo_audit_")
+    work = audit_workdir("q_schema_evolution_merge")
     (o.where(F.expr("o_orderkey % 2 = 0"))
      .select("o_orderkey", "o_custkey", "o_totalprice")
      .write.mode("overwrite").parquet(os.path.join(work, "gen1")))
@@ -849,10 +849,10 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
          "are repartition passes with no join/window surface); dirs "
          "written fresh and left for the plan's lifetime.")
 def _q_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile as _tf
+    from my_mapreduce_spark.io import audit_workdir
 
     docs = load_table(spark, sf_dir, "documents")
-    work = _tf.mkdtemp(prefix="mmr_compact_audit_")
+    work = audit_workdir("q_compaction_roundtrip")
     frag = os.path.join(work, "frag")
     compact = os.path.join(work, "compact")
     docs.repartition(64).write.mode("overwrite").parquet(frag)

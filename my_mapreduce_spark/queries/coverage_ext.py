@@ -529,15 +529,14 @@ def q_mrout_connector_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
          "plan it executed.")
 def _q_mrout_connector_audit(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from my_mapreduce_spark.io import audit_workdir
     from my_mapreduce_spark.mapreduce import write_text_output
     from my_mapreduce_spark.sources_custom import register_mrout
 
     docs = load_table(spark, sf_dir, "documents")
     counts = (docs.groupBy(F.col("lang").alias("key"))
               .agg(F.count(F.lit(1)).cast("string").alias("value")))
-    work = tempfile.mkdtemp(prefix="mmr_mrout_audit_")
+    work = audit_workdir("q_mrout_connector_roundtrip")
     write_text_output(counts, work, n_reduce=4)
     register_mrout(spark)
     back = spark.read.format("mrout").load(work)

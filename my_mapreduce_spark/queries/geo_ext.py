@@ -545,10 +545,12 @@ def _skew_u_sql(key: str) -> str:
 
 
 def _skewed_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with CITY-SKEWED synthetic positions: a u^3 transform
+    """Customers with CITY-SKEWED synthetic positions: a u^2 transform
     of a uniform md5 draw picks one of _N_CITIES cities (power-law
-    occupancy — city 0 alone holds ~29% of all points, city 1 ~8%,
-    a long tail after), and the point lands within ±0.25° of the
+    occupancy — city 0 alone holds ~11% of all points, with a long
+    tail after; the u^3 first cut concentrated 29% in one city, which
+    the _N_CITIES comment documents), and the point lands within
+    ±0.25° of the
     city's md5-derived center. Cell occupancy is therefore power-law
     — the workload the uniform _points fixture cannot produce and
     the module's 'finer cells + AQE skew join' contract was written
@@ -630,8 +632,9 @@ def q_geo_radius_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     city-skewed workload the uniform q_geo_radius_join cannot stress
     (round-8 verdict #8: the family's 'finer cells + AQE skew join'
     scale contract was asserted but unmeasured because md5 points
-    are uniform). Synthetic cities via a u^3 zipf transform: the
-    hottest cell holds ~29% of ALL customers, so the (cy, cx) join
+    are uniform). Synthetic cities via a u^2 zipf transform: the
+    hottest cell holds ~11% of ALL customers (asserted >=8% in
+    test_geo_ext), so the (cy, cx) join
     key distribution is exactly the pathology real check-in /
     delivery data shows.
 

@@ -1157,8 +1157,13 @@ def _rp_depth(n: int) -> int:
 def _rp_weights(depth: int):
     """(trees*depth) x dim projection matrix, md5-derived like
     _plane_weights — deterministic, reproducible anywhere. Level l of
-    tree t uses plane t*depth+l, so two corpora of different sizes
-    share their shallow levels' hyperplanes per tree."""
+    tree t uses plane t*depth+l — so for a FIXED depth the forest is
+    fully determined by (trees, depth), but across corpora of
+    different sizes (different scheduled depths) only tree 0's
+    shallow levels reuse the same hyperplanes: for t>=1 the flat
+    index shifts with depth (tree 1 uses planes 3,4,5 at depth 3 but
+    4,5,6 at depth 4). Cross-depth sharing is NOT a property the
+    recall floors rely on; determinism per (trees, depth) is."""
     import hashlib
 
     import numpy as np

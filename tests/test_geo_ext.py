@@ -108,7 +108,7 @@ def test_skewed_radius_join_matches_numpy_brute_force(spark):
     the grid stays lossless under city-clustered points and that the
     conditional salting is value-invariant (a salt-mismatch bug
     would drop hot-cell pairs, exactly where this fixture piles
-    29%+ of its rows)."""
+    ~11% of its rows)."""
     from my_mapreduce_spark.queries.geo_ext import q_geo_radius_join_skewed
 
     sf = "/root/testdata/sf0.01"

@@ -43,11 +43,17 @@ def test_audit_exemptions_reference_real_queries():
     # the whitelist set name differs per revision; find set-of-str
     # module attrs and check them all
     for attr, val in vars(ea).items():
+        if isinstance(val, dict):
+            val = set(val)  # whitelist dicts: check keys for staleness
         if isinstance(val, (set, frozenset)) and val \
                 and all(isinstance(x, str) for x in val):
             stale = [n for n in val
                      if n.startswith("q") and n not in REGISTRY]
             assert not stale, (attr, stale)
+    # every per-query hit-budget override must be a whitelisted name
+    stale_hits = [n for n in ea._ALLOW_ARRAY_BROADCAST_MAX_HITS
+                  if n not in ea._ALLOW_ARRAY_BROADCAST]
+    assert not stale_hits, stale_hits
 
 
 def test_every_oracle_parses_in_duckdb(duck):
