@@ -46,6 +46,22 @@ class QuerySpec:
     audit_note: str = ""  # what the representative plan covers / omits
 
 
+@dataclass(frozen=True)
+class CapturedPlan:
+    """An EXECUTED micro-batch plan captured from a finished streaming
+    query (``StreamExecution.lastExecution`` — the IncrementalExecution
+    of the LAST micro-batch), for audit builders whose dataflow only
+    exists inside the streaming runtime (applyInPandasWithState,
+    foreachBatch landings). ``explain_audit`` runs the same smell
+    checks on ``formatted``/``codegen`` and walks ``jplan`` (the JVM
+    executed SparkPlan) for array-typed broadcast build sides; the
+    dynamic AQE pass is moot — this plan already executed (round-9
+    verdict item 2)."""
+    formatted: str
+    codegen: str
+    jplan: object
+
+
 REGISTRY: dict[str, QuerySpec] = {}
 
 

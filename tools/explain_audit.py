@@ -36,7 +36,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
+from my_mapreduce_spark.registry import (REGISTRY, CapturedPlan,  # noqa: E402
+                                         _ensure_loaded)
 from my_mapreduce_spark.session import get_spark  # noqa: E402
 
 # Queries where a nested-loop/cartesian shape is the declared intent
@@ -275,13 +276,12 @@ _ALLOW_NESTED_LOOP = {
 # reason one round is not statically representable.
 _SKIP = {
     "q_streaming_hourly",
-    "q_streaming_sessionize",  # NO-BUILDER: applyInPandasWithState is
-                               # streaming-only by API contract; its
-                               # per-batch plan is exchange-on-user_id
-                               # + a Python state worker, with no batch
-                               # operator that plans the same tree.
-                               # Semantics oracle-gated + restart-
-                               # pinned (test_sessionize_restart).
+    "q_streaming_sessionize",  # audited via last-microbatch capture
+                               # (CapturedPlan): applyInPandasWithState
+                               # has no batch twin, so the builder runs
+                               # the stream and audits lastExecution's
+                               # executed plan. Semantics oracle-gated
+                               # + restart-pinned.
     "q_streaming_enrich", "q_streaming_click_attribution",
     "q_streaming_dedup", "q_streaming_session_window",
     "q_streaming_sketch_state",
@@ -292,18 +292,17 @@ _SKIP = {
     "q_streaming_dedup_within_wm",
     "q_streaming_near_dup",
     "q_streaming_psi_drift",
-    "q_streaming_exactly_once_sink",  # NO-BUILDER: the query IS the
-                                      # two-phase file-sink landing +
-                                      # crash-replay proof; its only
-                                      # dataflow plans are a pass-
-                                      # through projection and a read-
-                                      # back per-type agg, both shapes
-                                      # audited via q_streaming_hourly/
-                                      # q_events_hourly. The landing
-                                      # protocol itself has no plan.
+    "q_streaming_exactly_once_sink",  # audited via last-microbatch
+                                      # capture of the foreachBatch
+                                      # landing query (the per-epoch
+                                      # pass-through projection); the
+                                      # landing PROTOCOL (overwrite-by-
+                                      # epoch + replay) has no plan and
+                                      # the read-back agg shape is
+                                      # audited via q_events_hourly.
     "q_streaming_session_dynamic_gap",
-    "q_streaming_stateful_counts",  # NO-BUILDER: applyInPandasWithState
-                                    # — same API gate as
+    "q_streaming_stateful_counts",  # audited via last-microbatch
+                                    # capture — same mechanism as
                                     # q_streaming_sessionize.
     "q_streaming_union_sources",
     "q_schema_evolution_merge",
@@ -718,10 +717,20 @@ def main() -> int:
         spark.catalog.clearCache()
         df = (spec.audit_fn if first_round else spec.fn)(spark, args.sf)
         mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode
-        qe = df._jdf.queryExecution()
-        plan = qe.explainString(mode.fromString("formatted"))
+        captured = isinstance(df, CapturedPlan)
+        if captured:
+            # streaming-only dataflow: the builder ran the stream and
+            # captured the LAST micro-batch's IncrementalExecution —
+            # same smell checks over its formatted/codegen strings,
+            # array walk over its (already-executed) physical tree
+            plan = df.formatted
+            codegen_str = df.codegen
+        else:
+            qe = df._jdf.queryExecution()
+            plan = qe.explainString(mode.fromString("formatted"))
+            codegen_str = qe.explainString(mode.fromString("codegen"))
         m = re.search(r"Found (\d+) WholeStageCodegen subtrees",
-                      qe.explainString(mode.fromString("codegen")))
+                      codegen_str)
         smells = audit(name, plan, int(m.group(1)) if m else 0, widths)
         # array-broadcast passes run for EVERY query; whitelisted
         # names get their documented per-pass hit budget suppressed
@@ -730,12 +739,17 @@ def main() -> int:
         allowed_hits = (_ALLOW_ARRAY_BROADCAST_MAX_HITS.get(name, 1)
                         if name in _ALLOW_ARRAY_BROADCAST else 0)
         aqe_checked = False
-        static_hits = _array_broadcast_builds(qe)
+        static_hits = (_walk_array_broadcasts(df.jplan) if captured
+                       else _array_broadcast_builds(qe))
         for cat in static_hits[allowed_hits:]:
             smells.append(f"array-broadcast:{cat[:60]}")
         # dynamic pass: only a shuffled join can be converted to a
-        # broadcast at runtime, so only those plans are executed
-        if not args.static_only and re.search(
+        # broadcast at runtime, so only those plans are executed.
+        # Captured micro-batch plans skip it — they ARE executed
+        # plans, and micro-batches never re-plan under AQE.
+        if captured:
+            aqe_checked = True
+        elif not args.static_only and re.search(
                 r"SortMergeJoin|ShuffledHashJoin", plan):
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             try:
@@ -757,7 +771,8 @@ def main() -> int:
                         "aqe_checked": aqe_checked,
                         "codegen_subtrees": int(m.group(1)) if m else 0}
         if first_round:
-            record[name]["audited_via"] = "first-iteration"
+            record[name]["audited_via"] = ("last-microbatch" if captured
+                                           else "first-iteration")
             record[name]["audit_note"] = spec.audit_note
         bad += bool(smells)
     print(f"{len(names) - bad}/{len(names)} clean")
