@@ -1,23 +1,17 @@
-"""Multimodal plumbing: binary schema, stub gating, determinism."""
+"""Multimodal plumbing: binary schema, real decode, determinism."""
 
 from __future__ import annotations
 
-import pytest
-
-from my_mapreduce_spark.multimodal import (build_asset_table, decode_image,
-                                           extract_features, fake_decode)
+from my_mapreduce_spark.multimodal import (build_asset_table,
+                                           byte_raster_features,
+                                           extract_features)
 from tests.conftest import SF_DIR
 
 
-def test_decode_stub_is_gated():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
-
-
-def test_fake_decode_deterministic():
-    assert fake_decode(b"payload") == fake_decode(b"payload")
-    w, h, n = fake_decode(b"payload")
-    assert 64 <= w <= 319 and 64 <= h <= 319 and 0.0 <= n <= 1.0
+def test_byte_raster_deterministic():
+    assert byte_raster_features(b"payload") == byte_raster_features(b"payload")
+    w, h, n = byte_raster_features(b"payload")
+    assert (w, h) == (7, 1) and 0.0 <= n <= 1.0
 
 
 def test_asset_table_schema(spark):

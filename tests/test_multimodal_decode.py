@@ -1,78 +1,116 @@
-"""Real-codec decode path (multimodal.decode_image), dependency-gated
-the tws way: where PIL exists the decode contract is EXERCISED against
-an in-memory codec round-trip; where it doesn't, the gate itself is
-asserted (NotImplementedError, never a fake success). No fixture
-synthesis — payloads are built in-memory inside the test.
+"""Real header-decode path (multimodal.parse_image_header /
+decode_image) — exercised UNCONDITIONALLY, no dependency gate
+(round-9 verdict item 3): the parser reads container headers with
+pure Python, so every environment runs the real path. Fixtures are
+the checked-in files under my_mapreduce_spark/data/images (committed
+bytes; tools/make_image_fixtures.py regenerates them) plus in-memory
+constructions for edge cases.
 """
 
 from __future__ import annotations
 
+import os
+import zlib
+
 import pytest
+from pyspark.sql import functions as F
 
-from my_mapreduce_spark.multimodal import (FEATURE_SCHEMA, _pil_available,
-                                           decode_image, fake_decode)
-
-
-def test_decode_gate_is_honest():
-    """decode_image must either work (PIL present) or raise
-    NotImplementedError (PIL absent) — never silently fake."""
-    if _pil_available():
-        # a 1x1 PNG round-trip is exercised by the gated test below;
-        # here just assert the gate reports the capability it has
-        assert callable(decode_image)
-    else:
-        with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG\r\n\x1a\n")
+from my_mapreduce_spark.multimodal import (IMAGE_FIXTURES, FEATURE_SCHEMA,
+                                           byte_raster_features,
+                                           decode_image, image_fixture_dir,
+                                           parse_image_header)
 
 
-@pytest.mark.skipif(not _pil_available(),
-                    reason="PIL not available in sandbox")
-def test_decode_image_contract_roundtrip():
-    """Encode a known image in memory, decode it back, and check the
-    (width, height, feat_norm) contract — the same tuple shape
-    fake_decode emits, so the two are interchangeable in
-    extract_features."""
-    import io
-
-    from PIL import Image
-
-    img = Image.new("L", (6, 4))
-    img.putdata([0, 255] * 12)          # mean intensity exactly 0.5
-    buf = io.BytesIO()
-    img.save(buf, format="PNG")
-    w, h, feat = decode_image(buf.getvalue())
-    assert (w, h) == (6, 4)
-    assert feat == 0.5
-    # contract parity with the stand-in: same arity and types
-    fw, fh, ff = fake_decode(buf.getvalue())
-    assert isinstance(fw, int) and isinstance(fh, int)
-    assert 0.0 <= ff <= 1.0
+def _fixture_bytes(fname: str) -> bytes:
+    with open(os.path.join(image_fixture_dir(), fname), "rb") as f:
+        return f.read()
 
 
-@pytest.mark.skipif(not _pil_available(),
-                    reason="PIL not available in sandbox")
+@pytest.mark.parametrize("fname,mime,w,h,ch", IMAGE_FIXTURES)
+def test_checked_in_fixtures_parse_exactly(fname, mime, w, h, ch):
+    """Every committed fixture parses to its expected
+    (mime, width, height, channels) — the same constants the
+    q_multimodal_image_meta oracle states as VALUES rows."""
+    assert parse_image_header(_fixture_bytes(fname)) == (mime, w, h, ch)
+
+
+def test_decode_image_real_dims_and_byte_mean():
+    p = _fixture_bytes("px_3x2.png")
+    w, h, feat = decode_image(p)
+    assert (w, h) == (3, 2)
+    assert feat == round(sum(p) / (255.0 * len(p)), 6)
+
+
+def test_decode_image_rejects_non_images():
+    with pytest.raises(ValueError):
+        decode_image(b"plain text payload")
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG...")  # truncated signature
+
+
+def test_truncated_headers_return_none_not_crash():
+    for fname, *_ in IMAGE_FIXTURES:
+        # 9 bytes is shorter than every container's dimension fields
+        assert parse_image_header(_fixture_bytes(fname)[:9]) is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"\xff\xd8\xff") is None  # JPEG, no SOF
+
+
+def test_png_parse_against_independent_construction():
+    """Construct a PNG with DIFFERENT dims than any fixture, straight
+    from the spec (IHDR big-endian fields), and parse it back — the
+    parser is checked against the format, not against the generator
+    that shares its constants."""
+    import struct
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 640, 480, 8, 6, 0, 0, 0)  # RGBA
+    raw = b"".join(b"\x00" + b"\x10" * (640 * 4) for _ in range(480))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert parse_image_header(png) == ("image/png", 640, 480, 4)
+
+
+def test_jpeg_sof_after_skippable_segments():
+    """A JPEG whose SOF0 sits behind several variable-length segments
+    (APPn/COM/DQT) — the marker walk must skip by length fields."""
+    import struct
+
+    seg = lambda m, body: bytes([0xFF, m]) + struct.pack(  # noqa: E731
+        ">H", len(body) + 2) + body
+    jpg = (b"\xff\xd8"
+           + seg(0xE1, b"Exif\x00\x00" + b"\x00" * 30)   # APP1
+           + seg(0xFE, b"a comment")                       # COM
+           + seg(0xDB, b"\x00" + bytes(64))                # DQT
+           + seg(0xC0, b"\x08" + struct.pack(">HH", 33, 47)
+                 + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"))
+    assert parse_image_header(jpg) == ("image/jpeg", 47, 33, 3)
+
+
+def test_byte_raster_contract():
+    w, h, feat = byte_raster_features(b"\x00\xff")
+    assert (w, h) == (2, 1)
+    assert feat == round((255 / 2) / 255.0, 6)
+    assert byte_raster_features(b"") == (0, 1, 0.0)
+
+
 def test_real_decode_through_spark_plumbing(spark):
-    """Drive decode_image through the SAME mapInPandas batch shape
-    extract_features uses — proving the Spark-side plumbing (binary
-    column in, typed feature rows out, zero shuffle) is codec-ready,
-    not fake_decode-shaped."""
-    import io
+    """Drive the real header decode through the SAME mapInPandas batch
+    shape extract_features uses — binary column in, typed feature
+    rows out, zero shuffle — over the committed fixture files read
+    via Spark's binaryFile source (the production media-lake path)."""
     from collections.abc import Iterator
 
     import pandas as pd
-    from PIL import Image
 
-    def png(w, h, val):
-        img = Image.new("L", (w, h), val)
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        return buf.getvalue()
+    from my_mapreduce_spark.multimodal import load_image_assets
 
-    rows = [(1, png(2, 3, 255), "image/png"),
-            (2, png(8, 8, 0), "image/png")]
-    assets = spark.createDataFrame(
-        [(d, p, m, len(p)) for d, p, m in rows],
-        "doc_id bigint, payload binary, mime string, n_bytes bigint")
+    assets = load_image_assets(spark).withColumn(
+        "doc_id", F.xxhash64("file_name")).withColumn(
+        "mime", F.lit("sniff"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -84,7 +122,6 @@ def test_real_decode_through_spark_plumbing(spark):
                 "height": [d[1] for d in dims],
                 "feat_norm": [d[2] for d in dims]})
 
-    got = {r.doc_id: r for r in
-           assets.mapInPandas(run, schema=FEATURE_SCHEMA).collect()}
-    assert (got[1].width, got[1].height, got[1].feat_norm) == (2, 3, 1.0)
-    assert (got[2].width, got[2].height, got[2].feat_norm) == (8, 8, 0.0)
+    got = {(r.width, r.height) for r in
+           assets.mapInPandas(run, FEATURE_SCHEMA).collect()}
+    assert got == {(w, h) for _, _, w, h, _ in IMAGE_FIXTURES}
