@@ -51,6 +51,22 @@ def _cw_params(n: int, seed: int = _CW_SEED) -> tuple[list, int]:
               rnd.randrange(_CW_PRIME)) for _ in range(n)], _CW_PRIME)
 
 
+def _cw_params4(n: int, seed: int = _CW_SEED + 13) -> tuple[list, int]:
+    """n deterministic (a, b, d, c) quadruples mod _CW_PRIME for the
+    ARITHMETIC-REPLICA weighted scheme: permutation i of replica r of
+    a shingle with 28-bit md5 halves (h1, h2) is
+    (a*h1 + b*h2 + d*r + c) mod p. Magnitudes: a*h1, b*h2 < 2^59 and
+    d*r < 2^36 (replica counts are idf-bounded, r <= ln N ~ 26 even
+    at 10^11 docs), so the sum stays under 2^60 — exact int64 on both
+    engines, same budget argument as :func:`_cw_params`."""
+    import random
+
+    rnd = random.Random(seed)
+    return ([(rnd.randrange(1, _CW_PRIME), rnd.randrange(1, _CW_PRIME),
+              rnd.randrange(1, _CW_PRIME), rnd.randrange(_CW_PRIME))
+             for _ in range(n)], _CW_PRIME)
+
+
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — the common input of every
     shingle-based dedup query."""
@@ -351,6 +367,16 @@ def minhash_lsh_pairs(shingle_df: DataFrame, n_bands: int = 3,
                                         .cast("string")
                                         for k in range(n_rows)])
                      for j in range(n_bands)]
+    return _banded_pairs(sig, n, n_bands, band_cols, min_matches)
+
+
+def _banded_pairs(sig: DataFrame, n: int, n_bands: int,
+                  band_cols: list, min_matches: int | None) -> DataFrame:
+    """Shared LSH tail over a signature relation (doc_id, m0..m{n-1}):
+    band hashing, the (band_idx, band_hash) candidate equi-join, and
+    per-pair component match counting. Factored out of
+    minhash_lsh_pairs so the weighted arithmetic-replica scheme
+    (q_dedup_weighted_minhash) reuses the identical machinery."""
     for j in range(n_bands):
         sig = sig.withColumn(f"b{j}", F.md5(band_cols[j]))
     sig = sig.cache()  # reused by the band explode and both pair-side joins
@@ -1810,31 +1836,69 @@ def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WMH_BANDS, _WMH_ROWS = 16, 2   # 32 perms: P[cand] at s=0.5 is 0.990
 _WMH_MIN_MATCHES = 16           # report est weighted Jaccard >= 0.5
 
-# Expanded (doc_id, element) relation: each shingle with UNIT-scaled
-# integer idf weight w >= 1 becomes elements shingle#1..shingle#w, so
-# plain Jaccard over elements IS weighted Jaccard over the quantized
-# weights (sum-min / sum-max == |intersect| / |union| of replicas).
-_WMH_CTE = f"""{_SHINGLES_CTE},
+def _wmh_arith_oracle(n_bands: int, n_rows: int, min_matches: int) -> str:
+    """SQL twin of the ARITHMETIC-REPLICA weighted MinHash below —
+    every step (md5 halves, (h1,h2)-keyed idf, replica range,
+    quadruple multiply-adds mod p, banding, match counts) is exact
+    int64 arithmetic reproduced verbatim, the _minhash_oracle_cw
+    discipline."""
+    n = n_bands * n_rows
+    params, prime = _cw_params4(n)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h1 + {b} * h2 + {d} * r + {c}) % {prime}) AS m{i}"
+        for i, (a, b, d, c) in enumerate(params))
+    bands = ",\n               ".join(
+        "md5(" + " || '|' || ".join(
+            f"CAST(m{j * n_rows + k} AS VARCHAR)" for k in range(n_rows))
+        + f") AS b{j}" for j in range(n_bands))
+    band_union = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {j} AS band_idx, b{j} AS band_hash FROM sig"
+        for j in range(n_bands))
+    matches = " + ".join(
+        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END" for i in range(n))
+    return f"""
+    WITH {_SHINGLES_CTE},
     wnd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM s),
     wv AS (
         SELECT shingle,
-               CAST(ROUND(ln(wnd.n * 1.0 / COUNT(DISTINCT doc_id)))
-                    AS BIGINT) AS w
+               CAST(ROUND(ln(wnd.n * 1.0 / COUNT(*))) AS BIGINT) AS w
         FROM s CROSS JOIN wnd GROUP BY shingle, wnd.n
-        HAVING CAST(ROUND(ln(wnd.n * 1.0 / COUNT(DISTINCT doc_id)))
-                    AS BIGINT) > 0),
+        HAVING CAST(ROUND(ln(wnd.n * 1.0 / COUNT(*))) AS BIGINT) > 0),
     e AS (
         SELECT s.doc_id,
-               s.shingle || '#' || CAST(u.r AS VARCHAR) AS shingle
+               CAST(('0x' || substr(md5(s.shingle), 1, 7)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(s.shingle), 8, 7)) AS BIGINT) AS h2,
+               CAST(u.r AS BIGINT) AS r
         FROM s JOIN wv USING (shingle),
-             UNNEST(range(1, wv.w + 1)) AS u(r))
-"""
+             UNNEST(range(1, wv.w + 1)) AS u(r)),
+    sig0 AS (
+        SELECT doc_id,
+               {mins}
+        FROM e GROUP BY doc_id),
+    sig AS (
+        SELECT *,
+               {bands}
+        FROM sig0),
+    bands AS (
+{band_union}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST({matches} AS BIGINT) AS n_matches,
+           ROUND(({matches}) / {n}.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sig x ON doc_a = x.doc_id
+    JOIN sig y ON doc_b = y.doc_id
+    WHERE {matches} >= {min_matches}
+    """
 
 
 @register(
     "q_dedup_weighted_minhash",
-    oracle=_minhash_oracle_cw(_WMH_BANDS, _WMH_ROWS, _WMH_MIN_MATCHES,
-                              cte=_WMH_CTE, rel="e"),
+    oracle=_wmh_arith_oracle(_WMH_BANDS, _WMH_ROWS, _WMH_MIN_MATCHES),
     tags=("dedup", "weighted-jaccard", "minhash", "lsh", "idf",
           "near-dup"),
 )
@@ -1844,47 +1908,79 @@ def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join, which stays as the fixture-scale verifier).
 
     Weights are quantized to UNIT-scaled integer idf (round(ln(N/df)),
-    vs the exact query's milli-scale), and each shingle of weight w is
-    replicated into w distinct elements shingle#1..shingle#w. For
-    integer weights that replication is an IDENTITY, not a heuristic:
-    weighted Jaccard sum-min/sum-max over weight vectors equals plain
-    Jaccard over the expanded element sets. Plain banded MinHash-LSH
-    over the elements (16 bands x 2 rows, Carter-Wegman scheme —
-    minhash_lsh_pairs) then estimates the quantized weighted Jaccard,
-    reporting pairs at >= 16/32 matching components (est >= 0.5, the
+    vs the exact query's milli-scale), and each shingle of weight w
+    contributes w replica elements. For integer weights that
+    replication is an IDENTITY, not a heuristic: weighted Jaccard
+    sum-min/sum-max over weight vectors equals plain Jaccard over the
+    expanded element sets. Replicas are ARITHMETIC, not string-typed
+    (round-9 verdict #5 — the old shape built w shingle#r concat
+    strings per occurrence and md5'd every one): each shingle hashes
+    ONCE to its two 28-bit md5 halves (h1, h2) after the doc_id
+    repartition, and permutation i of replica r is the exact int64
+    chain (a_i*h1 + b_i*h2 + d_i*r + c_i) mod p — the _cw_params
+    scheme extended with a replica term (every sum under 2^60, exact
+    on both engines; a hashed-keys-on-the-wire variant was measured
+    and REJECTED — see the inline exchange note). 16 bands x 2 rows;
+    pairs report >= 16/32 matching components (est >= 0.5, the
     q_dedup_weighted_jaccard threshold).
 
     Scale posture: replication is bounded by max idf ~ ln(N) (<= ~26
-    even at 10^11 docs) and applies BEFORE any pair work; candidates
-    come from the (band_idx, band_hash) equi-join — key-colocated,
-    never all-pairs — so the exact join's df^2 per-shingle fan-out
-    (42.7x shuffle amplification, COST_LOCAL's worst row) is replaced
-    by collision-sized band buckets. idf-0 elements (df ~ N
-    boilerplate) are dropped exactly as in the exact query. Recall vs
-    the exact milli-scaled pairs is recorded in RECALL_LOCAL.json and
-    floored in tests/test_weighted_minhash.py; the DuckDB oracle
-    reproduces the quantization, replication, and every permutation
-    bit-for-bit, so the correctness gate stays hash-exact.
+    even at 10^11 docs) and the exploded replicas never shuffle — the
+    signature aggregate's partial min combiner collapses them to 32
+    longs per (partition, doc) before any wire; candidates come from
+    the (band_idx, band_hash) equi-join
+    — key-colocated, never all-pairs — so the exact join's df^2
+    per-shingle fan-out (42.7x shuffle amplification, COST_LOCAL's
+    worst row) is replaced by collision-sized band buckets. idf-0
+    elements (df ~ N boilerplate) are dropped exactly as in the exact
+    query. Recall vs the exact milli-scaled pairs is recorded in
+    RECALL_LOCAL.json and floored in tests/test_weighted_minhash.py;
+    the DuckDB oracle reproduces the hashing, quantization, replica
+    arithmetic, and every permutation bit-for-bit, so the correctness
+    gate stays hash-exact.
     """
+    # Exchange structure (round-9 verdict #5 — four variants measured
+    # at sf0.1 before keeping this one): exact distributed idf
+    # weighting irreducibly pays a vocabulary aggregate + a weight
+    # join-back on top of the one signature exchange the unweighted
+    # q_dedup_minhash_lsh_prod needs. Variants: (a) md5-halves keyed,
+    # + doc_id repartition: 11.0 MB; (b) packed 56-bit key +
+    # repartition: 9.2 MB / 5.7 s; (c) strings + repartition:
+    # 11.9 MB; (d) THIS shape — strings through agg+join (lz4 strips
+    # redundant n-gram text), NO re-key, partial-combined signature
+    # agg: 7.7 MB / 7.0 s, the measured floor and the committed
+    # 12.89x baseline. The md5 halves are derived once per occurrence
+    # after the join; replicas are pure integer arithmetic (never the
+    # old per-replica shingle#r string build + md5).
     s = _shingle_rows(spark, sf_dir)
-    df_rel = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     nd = s.agg(F.count_distinct("doc_id").alias("n"))
-    w = (df_rel.crossJoin(F.broadcast(nd))
+    w = (dfc.crossJoin(F.broadcast(nd))
          .select("shingle",
                  F.round(F.log(F.col("n") * 1.0 / F.col("df")))
                  .cast("bigint").alias("w"))
          .where(F.col("w") > 0))
-    expanded = (s.join(w, "shingle")
-                .select("doc_id", "shingle",
-                        F.explode(F.sequence(F.lit(1), F.col("w")))
-                        .alias("r"))
-                .select("doc_id",
-                        F.concat_ws("#", "shingle",
-                                    F.col("r").cast("string"))
-                        .alias("shingle")))
-    return minhash_lsh_pairs(expanded, n_bands=_WMH_BANDS,
-                             n_rows=_WMH_ROWS,
-                             min_matches=_WMH_MIN_MATCHES, scheme="cw")
+    base = s.join(w, "shingle")
+    md = F.md5("shingle")
+    ex = base.select(
+        "doc_id",
+        F.conv(F.substring(md, 1, 7), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(md, 8, 7), 16, 10).cast("bigint").alias("h2"),
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("w")))
+        .alias("r"))
+    n = _WMH_BANDS * _WMH_ROWS
+    params, prime = _cw_params4(n)
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")
+                 + F.lit(d) * F.col("r") + F.lit(c)) % prime)
+          .alias(f"m{i}")
+          for i, (a, b, d, c) in enumerate(params)])
+    band_cols = [F.concat_ws("|", *[F.col(f"m{j * _WMH_ROWS + k}")
+                                    .cast("string")
+                                    for k in range(_WMH_ROWS)])
+                 for j in range(_WMH_BANDS)]
+    return _banded_pairs(sig, n, _WMH_BANDS, band_cols,
+                         _WMH_MIN_MATCHES)
 
 
 _SC_SCALE = 100      # idf centi-units: weights stay exact bigints
@@ -2262,7 +2358,9 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = floor(ln w / r + beta), y = exp(r (t - beta)), a = c/(y e^r),
     and the k-th signature component is (shingle, t) of the argmin-a
     shingle (``min_by`` over (doc, k) — combiner-reduced, no UDF:
-    the whole sampler is JVM expressions inside codegen).
+    the whole sampler is JVM expressions inside codegen), stored as
+    the 8-byte xxhash64(f, t) since only component equality is ever
+    tested downstream.
     Banding and candidate generation are the standard 16x2 LSH
     shapes; pairs report >= 16/32 matching components (est >= 0.5,
     the q_dedup_weighted_jaccard threshold).
@@ -2277,14 +2375,26 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampler is O(n_samples) md5s + arithmetic per shingle row,
     all map-side.
     """
+    # Narrow-key idf pipeline (round-9 verdict #5: this query's 17.5x
+    # shuffle amplification was dominated by the df join-back moving
+    # SHINGLE STRINGS on both sides): the 60-bit _tok60 hash is taken
+    # FIRST, so the vocabulary aggregate shuffles 8-byte keys with
+    # partial counts and the join-back ships 16-byte rows — the
+    # sampler only ever needed the hash (its uniforms derive from
+    # xxhash64(f)), so signatures and pairs are unchanged.
     s = _shingle_rows(spark, sf_dir)
-    df_rel = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    nd = s.agg(F.count_distinct("doc_id").alias("n"))
+    sf_ = s.select("doc_id", _tok60("shingle").alias("f"))
+    df_rel = sf_.groupBy("f").agg(F.count(F.lit(1)).alias("df"))
+    nd = sf_.agg(F.count_distinct("doc_id").alias("n"))
+    # join-back ships (f, df-as-int): w = ln(N/df) > 0 is exactly
+    # df < N, and the weight chain (lnw = ln ln (N/df)) derives
+    # POST-shuffle from df + the 1-row broadcast count — small
+    # mostly-1 ints cross the wire (lz4 strips them) instead of
+    # incompressible random doubles
     w = (df_rel.crossJoin(F.broadcast(nd))
-         .select("shingle",
-                 F.log(F.col("n") * 1.0 / F.col("df")).alias("w"))
-         .where(F.col("w") > 0))
-    sw = s.join(w, "shingle")
+         .where(F.col("df") < F.col("n"))
+         .select("f", F.col("df").cast("int").alias("df")))
+    sw = sf_.join(w, "f")
 
     # two independent 31-bit hash keys per shingle; every uniform is
     # a 2-universal multiply-add over them — integer-only, codegen-
@@ -2316,14 +2426,20 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
                    for j, n in ((0, "a"), (1, "b"), (2, "c"))])
         for k in range(_ICWS_N)])
     # the repartitioned row is the NARROWEST sufficient one (doc_id,
-    # 60-bit shingle hash, ln w — 24 payload bytes): the shingle
-    # string never crosses this shuffle, and the two 31-bit sampler
-    # keys derive from the 60-bit hash on the receiving side
-    # (signature components carry the hash too — equality is all
-    # banding and match counting need, the _tok60 argument)
-    base = (sw.select("doc_id", _tok60("shingle").alias("f"),
-                      F.log("w").alias("lnw"))
-            .repartition("doc_id"))
+    # 60-bit shingle hash, df-as-int — the lnw double is derived
+    # POST-shuffle from df + the 1-row broadcast count, so mostly-1
+    # compressible ints cross the wire instead of random doubles):
+    # the shingle string never crosses ANY shuffle (hashed before the
+    # df agg above), and the two 31-bit sampler keys derive from the
+    # 60-bit hash on the receiving side (signature components carry
+    # the hash too — equality is all banding and match counting need,
+    # the _tok60 argument)
+    base = (sw.select("doc_id", "f", "df")
+            .repartition("doc_id")
+            .crossJoin(F.broadcast(nd))
+            .select("doc_id", "f",
+                    F.log(F.log(F.col("n") * 1.0 / F.col("df")))
+                    .alias("lnw")))
     ex = base.select(
         "doc_id", "f", "lnw",
         F.pmod(F.xxhash64("f"), F.lit(prime)).alias("h1"),
@@ -2351,21 +2467,27 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min_by(comp, a).alias("m")))
     # k-sorted signature ARRAY per doc (both aggs are exchange-free
     # after the repartition); bands and the match count are shallow
-    # element_at / zip_with trees over it
+    # element_at / zip_with trees over it. Each component collapses
+    # to ONE long, xxhash64(f, t): banding and match counting only
+    # ever test component EQUALITY, so an 8-byte hash is sufficient
+    # (within-pair collision odds ~2^-64 per component) and the
+    # corpus-sized sig relation the verification sort-merge ships
+    # drops from 24B+struct-overhead to 8B per component (round-9
+    # verdict #5: part two of the amplification cut).
     sig = (mins.groupBy("doc_id")
-           .agg(F.array_sort(F.collect_list(F.struct("k", "m")))
-                .alias("sg"))
+           .agg(F.array_sort(F.collect_list(F.struct(
+               "k", F.xxhash64(F.col("m.f"), F.col("m.t")).alias("c"))))
+               .alias("kc"))
+           .select("doc_id", F.col("kc.c").alias("sg"))
            .persist())  # caller releases (caching.py contract)
 
     def band_hash(j):
         # 8-byte band key (xxhash64 over the band's components) —
         # the md5-hex strings the unrolled shape used tripled the
         # band self-join's bytes for no extra safety at 64 bits
-        parts = []
-        for i in range(_ICWS_ROWS):
-            e = F.element_at(F.col("sg"), j * _ICWS_ROWS + i + 1)
-            parts += [e["m"]["f"], e["m"]["t"]]
-        return F.xxhash64(*parts)
+        return F.xxhash64(*[
+            F.element_at(F.col("sg"), j * _ICWS_ROWS + i + 1)
+            for i in range(_ICWS_ROWS)])
 
     bands = sig.select(
         "doc_id",
@@ -2384,7 +2506,7 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
     n_matches = F.size(F.filter(
         F.zip_with(F.col("x.sg"), F.col("y.sg"),
-                   lambda p, q: p["m"] == q["m"]),
+                   lambda p, q: p == q),
         lambda b: b))
     # merge hints: sig is CORPUS-sized and carries the signature
     # array — its parquet-compressed size lies to AQE, whose runtime
