@@ -714,3 +714,132 @@ def q_geo_radius_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.round(F.col("d"), 6)
                                .cast("decimal(38,6)")).cast("double"), 3)
                  .alias("sum_dist_km")))
+
+
+_DBSCAN_EPS_KM = 25.0   # eps <= 50 km, so the radius-join cell sizing
+                        # (0.5 deg lat / 1 deg lon) stays lossless
+_DBSCAN_MIN_PTS = 5     # |N_eps(p)| including p itself
+
+
+@register(
+    "q_geo_dbscan_labels",
+    oracle=f"""
+    WITH {_SKEWED_POINTS_CTE},
+    cells AS (
+        SELECT c_custkey, lat, lon,
+               CAST(FLOOR(lat / {_LAT_CELL}) AS BIGINT) AS cy,
+               CAST(FLOOR(lon / {_LON_CELL}) AS BIGINT) AS cx
+        FROM pts),
+    reps AS (
+        SELECT c.c_custkey, c.lat, c.lon,
+               c.cy + dy.d AS cy, c.cx + dx.d AS cx
+        FROM cells c,
+             (VALUES (-1), (0), (1)) AS dy(d),
+             (VALUES (-1), (0), (1)) AS dx(d)),
+    nbr AS (
+        SELECT a.c_custkey AS p, b.c_custkey AS q
+        FROM reps a JOIN cells b USING (cy, cx)
+        WHERE a.c_custkey <> b.c_custkey
+          AND ROUND({_haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')},
+                    6) <= {_DBSCAN_EPS_KM}),
+    cnt AS (
+        SELECT c.c_custkey,
+               CAST(COUNT(nbr.q) AS BIGINT) AS n_nbr
+        FROM cells c LEFT JOIN nbr ON nbr.p = c.c_custkey
+        GROUP BY c.c_custkey),
+    flags AS (
+        SELECT c_custkey, n_nbr,
+               n_nbr + 1 >= {_DBSCAN_MIN_PTS} AS is_core
+        FROM cnt),
+    lab AS (
+        SELECT f.c_custkey, f.n_nbr,
+               CASE WHEN f.is_core THEN 'core'
+                    WHEN EXISTS (
+                        SELECT 1 FROM nbr JOIN flags g
+                          ON g.c_custkey = nbr.q AND g.is_core
+                        WHERE nbr.p = f.c_custkey) THEN 'border'
+                    ELSE 'noise' END AS label
+        FROM flags f)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(n_nbr) AS BIGINT) AS sum_nbrs,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM lab GROUP BY label
+    """,
+    tags=("geo", "dbscan", "density", "clustering", "skew", "customer"),
+)
+def q_geo_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density classification (core / border / noise) over the
+    city-skewed point fixture — the density-based clustering family
+    beside the partition-based q_kmeans_lloyd: city cores are dense
+    (eps = 25 km, minPts = 5 including self), city fringes become
+    border points reachable from a core, and the zipf tail's isolated
+    customers are noise. The expensive step — |N_eps(p)| for every
+    point — is the SAME grid-cell candidate algebra as
+    q_geo_radius_join (3x3 replication on one side, home cells on
+    the other; eps <= 50 km keeps the cell sizing lossless), so no
+    O(n^2) shape exists; core flags are one aggregate over the
+    candidate pairs and border reachability is ONE more semi-join of
+    the pair relation against the core flags. Full-cluster expansion
+    (the transitive labeling) is q_dedup_clusters' CC machinery over
+    core-core edges; this operator is the per-point classification
+    stage every distributed DBSCAN (e.g. MR-DBSCAN) runs first, and
+    its output is grouped per label (counts + exact neighbor-degree
+    sums + key range) so the oracle is order-free.
+
+    Distance cuts compare ROUND(d, 6) on both engines (the module's
+    threshold discipline); neighbor counts are exact integers.
+
+    At 100 TB: candidate volume is density-bounded per cell; the
+    city-hot cells are exactly the q_geo_radius_join_skewed workload,
+    where conditional salting parallelizes the hot cell (documented
+    there — this fixture's hottest cell holds ~11% of points).
+    """
+    pts = _skewed_points(spark, sf_dir)
+    cells = pts.select(
+        "c_custkey", "lat", "lon",
+        F.floor(F.col("lat") / _LAT_CELL).alias("cy"),
+        F.floor(F.col("lon") / _LON_CELL).alias("cx"))
+    off = F.array([F.lit(d) for d in (-1, 0, 1)])
+    reps = (cells
+            .withColumn("dy", F.explode(off))
+            .withColumn("dx", F.explode(off))
+            .select(F.col("c_custkey").alias("p"),
+                    F.col("lat").alias("lat_a"),
+                    F.col("lon").alias("lon_a"),
+                    (F.col("cy") + F.col("dy")).alias("cy"),
+                    (F.col("cx") + F.col("dx")).alias("cx")))
+    home = cells.select(F.col("c_custkey").alias("q"),
+                        F.col("lat").alias("lat_b"),
+                        F.col("lon").alias("lon_b"), "cy", "cx")
+    d = _haversine(F.col("lat_a"), F.col("lon_a"),
+                   F.col("lat_b"), F.col("lon_b"))
+    nbr = (reps.join(home, ["cy", "cx"])
+           .where(F.col("p") != F.col("q"))
+           .where(F.round(d, 6) <= _DBSCAN_EPS_KM)
+           .select("p", "q"))
+    # nbr feeds the degree count AND the border semi-join: pin it so
+    # the grid join runs once (pairs-sized blocks; caller releases)
+    nbr = nbr.persist()
+    cnt = (cells.select(F.col("c_custkey").alias("p"))
+           .join(nbr.groupBy("p").agg(F.count(F.lit(1)).alias("n_nbr")),
+                 "p", "left")
+           .select("p", F.coalesce("n_nbr", F.lit(0)).alias("n_nbr")))
+    flags = cnt.select(
+        "p", "n_nbr",
+        (F.col("n_nbr") + 1 >= _DBSCAN_MIN_PTS).alias("is_core"))
+    core_reach = (nbr.join(flags.where("is_core")
+                           .select(F.col("p").alias("q")), "q")
+                  .select("p").distinct()
+                  .withColumn("reach", F.lit(True)))
+    lab = (flags.join(core_reach, "p", "left")
+           .select("p", "n_nbr",
+                   F.when(F.col("is_core"), "core")
+                   .when(F.coalesce("reach", F.lit(False)), "border")
+                   .otherwise("noise").alias("label")))
+    return (lab.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum("n_nbr").alias("sum_nbrs"),
+                 F.min("p").alias("min_key"),
+                 F.max("p").alias("max_key")))

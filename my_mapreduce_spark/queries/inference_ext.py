@@ -1040,3 +1040,86 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ssb / (F.col("k") - 1))
                 / (ssw / (F.col("n") - F.col("k"))), 6)
         .alias("levene_w"))
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS pr, o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM orders GROUP BY 1, 2),
+    rt AS (SELECT pr, CAST(SUM(n_obs) AS BIGINT) AS n_r
+           FROM cells GROUP BY pr),
+    ct AS (SELECT st, CAST(SUM(n_obs) AS BIGINT) AS n_c
+           FROM cells GROUP BY st),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT cells.n_obs, rt.n_r, ct.n_c, tot.n,
+               (CAST(cells.n_obs * tot.n - rt.n_r * ct.n_c AS DOUBLE)
+                * CAST(cells.n_obs * tot.n - rt.n_r * ct.n_c AS DOUBLE))
+               / (CAST(tot.n AS DOUBLE) * rt.n_r * ct.n_c) AS contrib
+        FROM cells JOIN rt USING (pr) JOIN ct USING (st) CROSS JOIN tot)
+    SELECT CAST(COUNT(DISTINCT n_r) AS BIGINT) AS n_row_levels,
+           CAST(COUNT(DISTINCT n_c) AS BIGINT) AS n_col_levels,
+           CAST((COUNT(DISTINCT n_r) - 1) * (COUNT(DISTINCT n_c) - 1)
+                AS BIGINT) AS dof,
+           MAX(n) AS n_total,
+           ROUND(CAST(SUM(CAST(ROUND(contrib, 9) AS DECIMAL(38, 9)))
+                      AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+    tags=("stats", "inference", "chi-square", "contingency", "orders"),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence over the order
+    priority x status contingency table — the categorical-association
+    staple beside the location tests (q_anova_oneway / q_levene_test
+    / q_kruskal_wallis).
+
+    Float discipline (the documented fold rules): each cell's
+    contribution is the ALGEBRAIC form (obs*N - rowtot*coltot)^2 /
+    (N*rowtot*coltot) — the integer products are exact int64 at
+    fixture scale and cast to double BEFORE squaring (so the square
+    cannot overflow int64 at any scale), giving a fixed IEEE sequence
+    from identical exact inputs on both engines; per-cell contribs
+    are ROUND(,9)-quantized and summed as DECIMAL(38,9) (cell count
+    is enum-bounded, so the decimal total stays far inside 15
+    significant digits before its double CAST).
+
+    Engine shape: one partial-combined cell aggregate (|priorities x
+    statuses| rows — enum-bounded), two tiny marginal aggregates
+    broadcast back onto the cells, a 1-row total via broadcast
+    crossJoin (the scalar-subquery shape), and a single-row final
+    fold. Nothing corpus-sized ever shuffles twice; at 100 TB the
+    only data-sized pass is the first scan.
+
+    n_row_levels/n_col_levels are derived with COUNT(DISTINCT
+    marginal) over the joined cells on BOTH engines, so the two
+    sides agree even if a level is absent at some SF.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"))
+    cells = o.groupBy("pr", "st").agg(F.count(F.lit(1)).alias("n_obs"))
+    rt = cells.groupBy("pr").agg(F.sum("n_obs").alias("n_r"))
+    ct = cells.groupBy("st").agg(F.sum("n_obs").alias("n_c"))
+    tot = cells.agg(F.sum("n_obs").alias("n"))
+    num = (F.col("n_obs") * F.col("n")
+           - F.col("n_r") * F.col("n_c")).cast("double")
+    contrib = (num * num) / (F.col("n").cast("double")
+                             * F.col("n_r") * F.col("n_c"))
+    terms = (cells.join(F.broadcast(rt), "pr")
+             .join(F.broadcast(ct), "st")
+             .crossJoin(F.broadcast(tot))
+             .select("n_obs", "n_r", "n_c", "n",
+                     contrib.alias("contrib")))
+    return terms.agg(
+        F.count_distinct("n_r").alias("n_row_levels"),
+        F.count_distinct("n_c").alias("n_col_levels"),
+        ((F.count_distinct("n_r") - 1)
+         * (F.count_distinct("n_c") - 1)).alias("dof"),
+        F.max("n").alias("n_total"),
+        F.round(F.sum(F.round(F.col("contrib"), 9)
+                      .cast("decimal(38,9)")).cast("double"), 6)
+        .alias("chi2"))

@@ -1348,3 +1348,89 @@ def q_snaive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ae24") * 1.0 / F.col("n_hours"), 6)
         .alias("mae_snaive"),
         F.round(F.col("ae24") * 1.0 / F.col("ae1"), 6).alias("mase"))
+
+
+@register(
+    "q_holt_linear",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2),
+    seq AS (
+        SELECT event_type, CAST(y AS DOUBLE) AS y,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS t,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d),
+    st AS (
+        SELECT event_type, t, n, y AS l,
+               CAST(0.0 AS DOUBLE) AS b  -- a bare 0.0 types the whole
+                                         -- recursion DECIMAL(2,1)
+        FROM seq WHERE t = 1
+        UNION ALL
+        SELECT s.event_type, q.t, s.n,
+               0.5 * q.y + 0.5 * (s.l + s.b),
+               0.25 * ((0.5 * q.y + 0.5 * (s.l + s.b)) - s.l)
+                   + 0.75 * s.b
+        FROM st s JOIN seq q
+          ON q.event_type = s.event_type AND q.t = s.t + 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           ROUND(l, 6) AS level,
+           ROUND(b, 6) AS trend,
+           ROUND(l + b, 6) AS forecast_next
+    FROM st WHERE t = n
+    """,
+    tags=("timeseries", "events", "holt", "smoothing", "forecast"),
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over each event
+    type's daily count series: level l_t = a*y_t + (1-a)(l_{t-1} +
+    b_{t-1}), trend b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}, with
+    a = 0.5 and g = 0.25 — both EXACT binary fractions, so every
+    multiply is a clean IEEE operation. This is the trend-aware
+    sibling of q_ewma_events (which is level-only): the one-step
+    forecast l+b extrapolates drift instead of lagging behind it.
+
+    The recursion is a SEQUENTIAL LEFT FOLD — the documented
+    determinism class (SCALE.md float rules): Spark ``F.aggregate``
+    over the date-sorted per-type array and a DuckDB RECURSIVE CTE
+    stepping t -> t+1 execute the identical IEEE sequence from
+    identical exact integer inputs, so the oracle matches bit-for-bit
+    before the final ROUND(,6). (DuckDB's ``list_reduce`` was
+    rejected for the oracle: its struct-lambda updates accumulator
+    fields IN SEQUENCE, so a field reading acc.l after l's slot was
+    computed sees the NEW value — measured, not guessed; the
+    recursive CTE has plain immutable-row semantics.) Initialization
+    l_1 = y_1, b_1 = 0 (the fold's identity for 1-day series).
+
+    Engine shape: one partial-combined daily-count aggregate, one
+    per-type collect into a days-bounded array (|days| is
+    calendar-bounded, never corpus-bounded — the q_pack_sequences
+    array-bound argument), and a JVM fold. One shuffle total; at
+    100 TB the scan dominates and the fold is O(types x days).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    series = (daily.groupBy("event_type")
+              .agg(F.array_sort(F.collect_list(F.struct("day", "y")))
+                   .alias("s")))
+    init = F.struct(
+        F.element_at(F.col("s"), 1)["y"].cast("double").alias("l"),
+        F.lit(0.0).alias("b"))
+    lvl = lambda acc, e: (F.lit(0.5) * e["y"].cast("double")  # noqa: E731
+                          + F.lit(0.5) * (acc["l"] + acc["b"]))
+    fold = F.aggregate(
+        F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0))),
+        init,
+        lambda acc, e: F.struct(
+            lvl(acc, e).alias("l"),
+            (F.lit(0.25) * (lvl(acc, e) - acc["l"])
+             + F.lit(0.75) * acc["b"]).alias("b")))
+    return series.select(
+        "event_type",
+        F.size("s").cast("bigint").alias("n_days"),
+        F.round(fold["l"], 6).alias("level"),
+        F.round(fold["b"], 6).alias("trend"),
+        F.round(fold["l"] + fold["b"], 6).alias("forecast_next"))

@@ -93,10 +93,38 @@ def main() -> int:
     args = ap.parse_args()
 
     _ensure_loaded()
+    # Pool isolation (round-9 verdict #7: one batch query paid 2.03x
+    # beside the ingest): an explicit allocation file down-weights the
+    # ingest pool 1:4 against every batch pool, so ingest micro-batch
+    # tasks only backfill cores the batch streams are not claiming —
+    # FAIR weights throttle concurrent task grants per pool (there is
+    # no hard core cap in FAIR; the weight ratio is the lever, and the
+    # ingest's own slowdown is the accepted price — the verdict bounds
+    # BATCH slowdown, not ingest). minShare=1 keeps ingest live so its
+    # micro-batches never fully starve.
+    import tempfile
+
+    pools = "\n".join(
+        f'  <pool name="stream-{i}">\n'
+        f"    <schedulingMode>FIFO</schedulingMode>\n"
+        f"    <weight>4</weight>\n    <minShare>2</minShare>\n  </pool>"
+        for i in range(args.streams))
+    alloc_xml = ('<?xml version="1.0"?>\n<allocations>\n'
+                 f"{pools}\n"
+                 '  <pool name="ingest">\n'
+                 "    <schedulingMode>FIFO</schedulingMode>\n"
+                 "    <weight>1</weight>\n    <minShare>1</minShare>\n"
+                 "  </pool>\n</allocations>\n")
+    alloc = tempfile.NamedTemporaryFile("w", suffix="_fairscheduler.xml",
+                                        delete=False)
+    alloc.write(alloc_xml)
+    alloc.close()
     # FAIR must be set at CONTEXT creation (an application conf, not
     # a job-local property — only spark.scheduler.pool is per-thread)
     spark = get_spark("concurrency-probe",
-                      extra_confs={"spark.scheduler.mode": "FAIR"})
+                      extra_confs={
+                          "spark.scheduler.mode": "FAIR",
+                          "spark.scheduler.allocation.file": alloc.name})
     spark.sparkContext.setLogLevel("ERROR")
     fair = spark.sparkContext.getConf().get("spark.scheduler.mode")
 
@@ -217,6 +245,9 @@ def main() -> int:
     report = {
         "sf": args.sf,
         "scheduler_mode": fair,
+        "pool_weights": {"batch_streams": 4, "ingest": 1,
+                         "note": "allocation-file isolation, round-9 "
+                                 "verdict #7"},
         "streams": args.streams,
         "workload": WORKLOAD,
         "sequential_wall_s": sequential_wall,

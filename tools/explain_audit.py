@@ -45,6 +45,10 @@ from my_mapreduce_spark.session import get_spark  # noqa: E402
 # hides the batch plan.
 _ALLOW_NESTED_LOOP = {
     "q_theta_join_price_band",   # non-equi price band join (declared)
+    "q_chi2_independence",       # crossJoin(broadcast(1-row grand
+                                 # total)) onto the enum-bounded
+                                 # contingency cells — scalar-subquery
+                                 # shape
     "q_scalar_subquery",         # scalar subquery = 1-row broadcast NLJ
     "q_kruskal_wallis",          # crossJoin(broadcast(1-row tie-sum))
                                  # onto the 1-row moment relation, the
@@ -481,8 +485,18 @@ def _table_widths(sf_dir: str) -> dict[str, int]:
 
     widths = {}
     for f in os.listdir(sf_dir):
-        if f.endswith(".parquet"):
-            widths[f[:-8]] = len(pq.read_schema(os.path.join(sf_dir, f)).names)
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(sf_dir, f)
+        if os.path.isdir(path):
+            # Spark-written dataset dir (the scale_probe tiers): read
+            # the footer of any one part file
+            parts = [p for p in os.listdir(path)
+                     if p.endswith(".parquet") and not p.startswith(("_", "."))]
+            if not parts:
+                continue
+            path = os.path.join(path, parts[0])
+        widths[f[:-8]] = len(pq.read_schema(path).names)
     return widths
 
 
