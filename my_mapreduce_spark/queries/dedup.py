@@ -2880,3 +2880,94 @@ def q_dedup_overlap_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("nc") / F.least(n_a, n_b), 6)
         .alias("overlap_coeff"))
         .distinct())
+
+
+@register(
+    "q_dedup_cluster_reps",
+    oracle=_CLUSTERS_ORACLE.replace(
+        "SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id",
+        """, cc AS (SELECT doc_id, MIN(r) AS cluster_id
+              FROM reach GROUP BY doc_id),
+    members AS (
+        SELECT cc.cluster_id, cc.doc_id,
+               CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM cc JOIN documents d USING (doc_id)),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id) AS rn
+        FROM members)
+    SELECT m.cluster_id AS cluster_id,
+           r.doc_id AS rep_doc_id,
+           r.n_chars AS rep_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+    FROM members m
+    JOIN ranked r ON r.cluster_id = m.cluster_id AND r.rn = 1
+    GROUP BY 1, 2, 3"""),
+    tags=("dedup", "near-dup", "clusters", "curation", "iterative"),
+)
+def q_dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per near-dup cluster — the
+    curation ACTION the clustering enables: inside each connected
+    component of the exact-Jaccard >= 0.6 graph (q_dedup_clusters'
+    fixpoint), keep the longest document (n_chars, ties to the
+    smallest doc_id) and count what the collapse removes. This is the
+    "keep best-of-cluster" step every production dedup pipeline runs
+    between pair detection and corpus rewrite (the funnel's
+    near_dup_collapse stage reports counts; this operator names the
+    survivors).
+
+    Engine shape: the CC labels come from the driver-controlled
+    min-label propagation (cluster-count-bounded rounds, the
+    q_dedup_clusters plan — audited via its registered first-round
+    builder), then ONE broadcastable join onto documents for lengths
+    and ONE cluster-partitioned window (clusters are tiny cliques, so
+    the window input is pairs-bounded, never corpus-bounded). The
+    DuckDB oracle extends the recursive-CTE fixpoint with the same
+    ranked selection, so representative choice is equality-gated, not
+    asserted.
+    """
+    labels = q_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    members = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    agg = (members.groupBy("cluster_id")
+           .agg(F.count(F.lit(1)).alias("n_members")))
+    return (ranked.where(F.col("rn") == 1)
+            .select("cluster_id",
+                    F.col("doc_id").alias("rep_doc_id"),
+                    F.col("n_chars").alias("rep_chars"))
+            .join(agg, "cluster_id")
+            .select("cluster_id", "rep_doc_id", "rep_chars",
+                    "n_members",
+                    (F.col("n_members") - 1).alias("n_removed")))
+
+
+@register_audit_plan(
+    "q_dedup_cluster_reps",
+    note="the representative-selection consumer (documents join + "
+         "cluster-partitioned window + member-count join) over round-1 "
+         "CC labels standing in for the converged fixpoint — the loop "
+         "itself is audited via q_dedup_clusters' round-1 builder; "
+         "this plan is what runs AFTER convergence, on an "
+         "identically-shaped labels relation.")
+def _q_dedup_cluster_reps_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    labels = _q_dedup_clusters_round1(spark, sf_dir).drop("chg")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    members = labels.join(docs, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    agg = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return (ranked.where(F.col("rn") == 1)
+            .select("cluster_id", F.col("doc_id").alias("rep_doc_id"),
+                    F.col("n_chars").alias("rep_chars"))
+            .join(agg, "cluster_id")
+            .select("cluster_id", "rep_doc_id", "rep_chars", "n_members",
+                    (F.col("n_members") - 1).alias("n_removed")))

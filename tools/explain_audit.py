@@ -315,6 +315,9 @@ _SKIP = {
     "q_streaming_scd2_enrich",
     "q_dedup_clusters",
     "q_dedup_clusters_pj",
+    "q_dedup_cluster_reps",   # consumes the converged CC loop; audited
+                              # via its registered round-1 + consumer
+                              # builder
     "q_bpe_train_merges",
     "q_embedding_pca",
 }
