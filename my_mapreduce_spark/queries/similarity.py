@@ -1719,3 +1719,151 @@ def q_nearest_centroid_confusion(spark: SparkSession,
             .groupBy(F.col("label").alias("true_label"),
                      F.col("cl").alias("predicted_label"))
             .agg(F.count(F.lit(1)).alias("n_vectors")))
+
+
+@register(
+    "q_knn_ivf_pq",
+    oracle=None,  # recall-bounded vs q_knn_bruteforce (the ANN family
+                  # contract); floor in tests/test_similarity.py and
+                  # tools/recall_report.py
+    tags=("similarity", "knn", "ivf", "pq", "adc", "ann"),
+)
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str,
+                 refine: int = 20 * _K) -> DataFrame:
+    """Approximate top-5 via IVF + PQ-ADC COMPOSED — the production
+    FAISS IVFPQ shape, and the only family member where BOTH scan
+    dimensions shrink: the IVF coarse quantizer prunes WHICH rows are
+    scanned (|corpus| * nprobe / k per query) and product-quantization
+    codes shrink WHAT is read per row (m bytes instead of 4*d float
+    bytes). The standalone operators bound each axis separately
+    (q_knn_ivf: rows; q_knn_pq_adc: bytes); at 100 TB only their
+    composition is the memory-AND-compute-bounded index.
+
+    Build: the trained spherical-k-means coarse quantizer
+    (_train_quantizer, k ~ sqrt(n) capped, O(k*d) driver traffic per
+    round) assigns each vector to its _IVF_ASSIGN nearest buckets;
+    the same corpus trains the per-subspace PQ codebooks
+    (_train_pq_codebooks). Codes here quantize the RAW vector, not
+    the residual (IVFFlat-ADC hybrid): residual encoding buys PQ
+    precision at the cost of coupling the codebooks to the coarse
+    index — with the exact-cosine rerank tail, raw-vector codes reach
+    the same floors and keep the code column index-independent (it
+    can serve q_knn_pq_adc unchanged).
+
+    Search: per query the driver picks nprobe = sqrt(k)-scaled
+    nearest buckets (a |q| x k matmul on the O(k*d) broadcast
+    centroids); the scan FILTERS to the union of probed buckets
+    BEFORE the Arrow pass (at scale: partition pruning on a
+    bucket-partitioned inverted file), scores codes per query via the
+    ADC lookup table masked to that query's probed buckets, and emits
+    per-task top-refine partials; a global limit-bounded window and
+    an exact-cosine rerank over |q| * refine candidate ids finish it
+    — the q_knn_pq_adc tail verbatim.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = _normed(load_table(spark, sf_dir, "embeddings")).persist()
+    seed, n = _ivf_seed(e)
+    if n == 0:  # empty corpus: typed empty result, not a crash
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk int")
+    k = _ivf_k(n)
+    c_mat = _train_quantizer(e, seed, k, _DIM)
+    # one probe wider than standalone IVF: the composition multiplies
+    # the two stages' losses (measured 0.72/0.84/0.78 at the IVF
+    # settings), and +1 probe + a 2x refine shortlist buy the floor
+    # back for O(n/k) extra code reads per query, no extra exact work
+    nprobe = min(k, _ivf_nprobe(k) + 1)
+    nassign = min(_IVF_ASSIGN, k)
+    ksub = _pq_ksub(n)
+    books = _train_pq_codebooks(e, ksub)          # (m, ksub, dsub)
+    dsub = _DIM // _PQ_M
+
+    q_rows = (e.where(F.expr(_QUERY_FILTER))
+              .select("vec_id", "v", "nrm").collect())
+    q_ids = np.array([r.vec_id for r in q_rows])
+    q_mat = np.stack([np.asarray(r.v) / r.nrm for r in q_rows])
+    lut = np.einsum("qsd,skd->qsk",
+                    q_mat.reshape(len(q_mat), _PQ_M, dsub), books)
+    # per-query probed buckets (|q| x k driver matmul on the O(k*d)
+    # centroid matrix — the q_knn_ivf probe shape)
+    probes = np.argsort(-(q_mat @ c_mat.T), axis=1)[:, :nprobe]
+    probed_any = sorted({int(b) for row in probes for b in row})
+    # bitmap mask[q, bucket] — |q| x k booleans in the task closure
+    mask = np.zeros((len(q_ids), k), dtype=bool)
+    for qi, row in enumerate(probes):
+        mask[qi, row] = True
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["v"].to_numpy())
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            top = np.argsort(-(vm @ c_mat.T), axis=1)[:, :nassign]
+            n_c = len(pdf)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nassign),
+                "v": np.repeat(pdf["v"].to_numpy(), nassign),
+                "bucket": top.reshape(n_c * nassign)})
+
+    inv = e.mapInPandas(
+        assign, schema="vec_id long, v array<double>, bucket int")
+    # the inverted-file prune: only probed buckets are scanned (at
+    # scale this is partition pruning on the bucket-partitioned file)
+    probed = inv.where(F.col("bucket").isin(probed_any))
+
+    def adc_scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["v"].to_numpy())
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            codes = np.empty((len(vm), _PQ_M), dtype="int64")
+            for s in range(_PQ_M):
+                sub = vm[:, s * dsub:(s + 1) * dsub]
+                d2 = (np.sum(sub * sub, axis=1, keepdims=True)
+                      - 2.0 * sub @ books[s].T
+                      + np.sum(books[s] * books[s], axis=1))
+                codes[:, s] = np.argmin(d2, axis=1)
+            scores = np.zeros((len(q_ids), len(vm)))
+            for s in range(_PQ_M):
+                scores += lut[:, s, codes[:, s]]
+            # mask rows outside each query's probed buckets
+            buckets = pdf["bucket"].to_numpy()
+            scores = np.where(mask[:, buckets], scores, -np.inf)
+            r = min(refine, len(vm))
+            top = np.argpartition(-scores, r - 1, axis=1)[:, :r]
+            ids = pdf["vec_id"].to_numpy()
+            sc = np.take_along_axis(scores, top, axis=1)
+            keep = np.isfinite(sc)
+            yield pd.DataFrame({
+                "query_id": np.repeat(q_ids, r)[keep.ravel()],
+                "neighbor_id": ids[top].ravel()[keep.ravel()],
+                "adc": sc.ravel()[keep.ravel()]})
+
+    cand = probed.mapInPandas(
+        adc_scan, schema="query_id long, neighbor_id long, adc double")
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), "neighbor_id")
+    shortlist = (cand.where(F.col("query_id") != F.col("neighbor_id"))
+                 .distinct()   # nassign=2 can emit a row from 2 buckets
+                 .withColumn("r", F.row_number().over(w_adc))
+                 .where(F.col("r") <= refine)
+                 .select("query_id", "neighbor_id"))
+
+    qn = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+                  F.col("nrm").alias("qnrm"))
+    cn = e.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+    cos_raw = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(),
+                                               "neighbor_id")
+    return (shortlist
+            .join(F.broadcast(qn), "query_id")
+            .join(cn, "neighbor_id")
+            .select("query_id", "neighbor_id", cos_raw.alias("cos_raw"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _K)
+            .select("query_id", "neighbor_id",
+                    F.round("cos_raw", 6).alias("cosine"), "rnk"))

@@ -269,3 +269,21 @@ def test_power_iteration_matches_numpy(spark):
     start_rayleigh = np.linalg.norm(A.T @ (A @ v0))
     assert 0 < rows[0].eig1 <= true_top * (1 + 1e-9)
     assert rows[0].eig1 >= start_rayleigh * (1 - 1e-6)
+
+
+def test_ivf_pq_recall_vs_bruteforce(spark):
+    """The COMPOSED IVF + PQ-ADC index (q_knn_ivf_pq): composition
+    multiplies the two stages' losses, so it runs one probe wider
+    than standalone IVF and a 2x refine shortlist — measured recall
+    0.84 / 0.88 / 0.82 at sf0.001 / 0.01 / 0.1; the 0.75 floor
+    carries margin below the weakest measured point (the RP-forest
+    convention)."""
+    from my_mapreduce_spark.queries.similarity import (q_knn_bruteforce,
+                                                       q_knn_ivf_pq)
+
+    exact = _topk(q_knn_bruteforce(spark, SF_DIR))
+    appr = _topk(q_knn_ivf_pq(spark, SF_DIR))
+    hits = sum(len(exact[q] & appr.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert total and hits / total >= 0.75, \
+        f"IVF+PQ recall {hits / total:.2f} below floor"

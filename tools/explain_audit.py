@@ -459,6 +459,9 @@ _ALLOW_ARRAY_BROADCAST: dict[str, str] = {
     "q_knn_bruteforce": "query-set vectors (parameter-bounded)",
     "q_knn_lsh_buckets": "query-set vectors + sketch keys (parameter)",
     "q_knn_ivf": "query-set vectors + probe buckets (parameter)",
+    "q_knn_ivf_pq": "query-set vectors (parameter-bounded) — the "
+                    "exact-rerank tail's broadcast, same shape as "
+                    "q_knn_pq_adc",
     "q_knn_pq_adc": "query-set vectors / ADC tables (parameter)",
     "q_knn_rp_forest": "query-set vectors (parameter-bounded); the "
                        "corpus-side vector join is merge-hinted",

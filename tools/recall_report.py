@@ -50,6 +50,7 @@ def main() -> int:
                                                   q_dedup_semantic)  # noqa: F401
     from my_mapreduce_spark.queries.similarity import (q_knn_bruteforce,
                                                        q_knn_ivf,
+                                                       q_knn_ivf_pq,
                                                        q_knn_lsh_buckets,
                                                        q_knn_pq_adc,
                                                        q_knn_rp_forest)
@@ -60,7 +61,8 @@ def main() -> int:
     for name, fn, floor in (("q_knn_lsh_buckets", q_knn_lsh_buckets, 0.85),
                             ("q_knn_ivf", q_knn_ivf, 0.80),
                             ("q_knn_pq_adc", q_knn_pq_adc, 0.84),
-                            ("q_knn_rp_forest", q_knn_rp_forest, 0.75)):
+                            ("q_knn_rp_forest", q_knn_rp_forest, 0.75),
+                            ("q_knn_ivf_pq", q_knn_ivf_pq, 0.75)):
         r = _recall(exact, _topk(fn(spark, args.sf)))
         release_caches(spark, force_checkpointed=True)
         report[name] = {"recall": round(r, 4), "asserted_floor": floor,
