@@ -507,6 +507,18 @@ def q_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     §2D analytics depth next to q_cohort_retention (calendar
     cohorts; this is relative-duration with censoring).
     """
+    return _survival_risk(spark, sf_dir).select(
+        "minute", "n_at_risk", "n_ended", "n_censored",
+        F.round(F.col("n_ended")
+                / F.col("n_at_risk").cast("double"), 6)
+        .alias("hazard"))
+
+
+def _survival_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared risk table (minute, n_at_risk, n_ended, n_censored) of
+    session durations — the life table's and the KM estimator's
+    common core. All integers; the at-risk suffix sum runs over the
+    gap-bounded duration-minute relation."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("user_id", F.unix_micros("ts").alias("t"))
     w_u = Window.partitionBy("user_id").orderBy("t")
@@ -537,7 +549,103 @@ def q_survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("minute").cast("bigint").alias("minute"),
                 F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
                 F.col("n_ended").cast("bigint").alias("n_ended"),
-                F.col("n_censored").cast("bigint").alias("n_censored"),
-                F.round(F.col("n_ended")
-                        / F.col("n_at_risk").cast("double"), 6)
-                .alias("hazard")))
+                F.col("n_censored").cast("bigint").alias("n_censored")))
+
+
+_SURV_RISK_CTES = f"""e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    g AS (
+        SELECT user_id, t,
+               CASE WHEN LAG(t) OVER w IS NULL
+                         OR t - LAG(t) OVER w > {_SURV_GAP_US}
+                    THEN 1 ELSE 0 END AS ns
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+    s AS (
+        SELECT user_id, t,
+               SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS sid
+        FROM g),
+    mx AS (SELECT MAX(t) AS corpus_end FROM e),
+    lt AS (
+        SELECT (MAX(s.t) - MIN(s.t)) // {_SURV_MIN_US} AS dur_min,
+               CASE WHEN MAX(s.t) < mx.corpus_end - {_SURV_GAP_US}
+                    THEN 1 ELSE 0 END AS ended
+        FROM s CROSS JOIN mx
+        GROUP BY s.user_id, s.sid, mx.corpus_end),
+    byd AS (
+        SELECT dur_min AS minute,
+               CAST(SUM(ended) AS BIGINT) AS n_ended,
+               CAST(SUM(1 - ended) AS BIGINT) AS n_censored
+        FROM lt GROUP BY 1),
+    risk AS (
+        SELECT minute, n_ended, n_censored,
+               SUM(n_ended + n_censored) OVER (
+                   ORDER BY minute DESC ROWS UNBOUNDED PRECEDING)
+                   AS n_at_risk
+        FROM byd)"""
+
+
+@register(
+    "q_kaplan_meier",
+    oracle=f"""
+    WITH {_SURV_RISK_CTES},
+    km AS (
+        SELECT minute, n_at_risk, n_ended, n_censored,
+               SUM(CASE WHEN n_ended > 0 AND n_ended < n_at_risk
+                        THEN ln((n_at_risk - n_ended) * 1.0 / n_at_risk)
+                        ELSE 0.0 END) OVER (
+                   ORDER BY minute ASC ROWS UNBOUNDED PRECEDING)
+                   AS log_s,
+               MAX(CASE WHEN n_ended = n_at_risk AND n_ended > 0
+                        THEN 1 ELSE 0 END) OVER (
+                   ORDER BY minute ASC ROWS UNBOUNDED PRECEDING)
+                   AS hit_zero
+        FROM risk)
+    SELECT CAST(minute AS BIGINT) AS minute,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_ended, n_censored,
+           CASE WHEN hit_zero = 1 THEN 0.0
+                ELSE ROUND(exp(log_s), 6) END AS survival
+    FROM km
+    """,
+    tags=("analytics", "survival", "kaplan-meier", "sessions", "stats"),
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kaplan-Meier product-limit SURVIVAL CURVE over the session
+    durations — the running product S(k) = prod_{j <= k, d_j > 0}
+    (1 - d_j / n_j) the life table (q_survival_life_table) ships the
+    factors for. Censored sessions leave the risk set without
+    contributing a factor — the estimator's whole point vs naive
+    completion rates.
+
+    Float discipline: a literal float PRODUCT chain is
+    order-sensitive, so the curve is computed as exp of the RUNNING
+    ORDERED SUM of ln((n-d)/n) terms — each term an IEEE ln of the
+    same exact-integer ratio on both engines, the prefix sum walks
+    the identical minute-ascending sequence on both engines
+    (sequential left fold, the q_holt_linear determinism class), and
+    exp of identical doubles is identical before the final ROUND(,6).
+
+    Engine shape: the shared _survival_risk core (one user window +
+    one combiner-reduced session agg + the gap-bounded risk suffix
+    sum) plus one more prefix sum over the SAME gap-bounded minute
+    relation — both unpartitioned windows ride inputs bounded by
+    gap-width/granularity, never by corpus size (the life table's
+    documented bound).
+    """
+    risk = _survival_risk(spark, sf_dir)
+    term = F.when(
+        (F.col("n_ended") > 0) & (F.col("n_ended") < F.col("n_at_risk")),
+        F.log((F.col("n_at_risk") - F.col("n_ended")) * 1.0
+              / F.col("n_at_risk"))).otherwise(F.lit(0.0))
+    # the terminal minute can exhaust the whole risk set (d = n):
+    # S hits exactly 0 there and stays 0 — flagged instead of ln(0)
+    zero = F.when((F.col("n_ended") == F.col("n_at_risk"))
+                  & (F.col("n_ended") > 0), 1).otherwise(0)
+    w = (Window.orderBy(F.col("minute").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (risk.withColumn("log_s", F.sum(term).over(w))
+            .withColumn("hit_zero", F.max(zero).over(w))
+            .select("minute", "n_at_risk", "n_ended", "n_censored",
+                    F.when(F.col("hit_zero") == 1, F.lit(0.0))
+                    .otherwise(F.round(F.exp("log_s"), 6))
+                    .alias("survival")))

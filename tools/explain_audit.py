@@ -186,6 +186,8 @@ _ALLOW_NESTED_LOOP = {
                                  # |event types| rows (docstring)
     "q_survival_life_table",     # crossJoin(broadcast(1-row corpus-end
                                  # scalar)), same scalar-subquery shape
+    "q_kaplan_meier",            # same 1-row corpus-end broadcast (the
+                                 # shared _survival_risk core)
     "q_ks_test",                 # broadcast(|sources| rows) x the
                                  # distinct-value relation = the declared
                                  # ECDF evaluation grid (both sides
@@ -411,6 +413,11 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
                              "relation (gap-bounded: <= gap-width/"
                              "granularity + tail rows, independent of "
                              "corpus size — docstring)",
+    "q_kaplan_meier": "risk suffix sum + KM prefix sum + zero-flag "
+                      "cummax, all over the SAME gap-bounded "
+                      "duration-minute relation as "
+                      "q_survival_life_table (shared _survival_risk "
+                      "core — docstring)",
     "q_ks_test": "cumulative/total windows over the DISTINCT n_chars "
                  "value relation (value-cardinality bounded; continuous "
                  "columns must pre-bucket — docstring contract shared "
