@@ -797,11 +797,26 @@ def q_geo_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     there — this fixture's hottest cell holds ~11% of points).
     """
     pts = _skewed_points(spark, sf_dir)
+    # five consumers walk this narrow relation (hot-cell census, both
+    # join sides, the degree left side, the final labels): pin it once
+    # (MEMORY_AND_DISK — spills, never OOMs; caller releases via the
+    # caching.py contract) instead of five md5-deriving scans
     cells = pts.select(
         "c_custkey", "lat", "lon",
         F.floor(F.col("lat") / _LAT_CELL).alias("cy"),
-        F.floor(F.col("lon") / _LON_CELL).alias("cx"))
+        F.floor(F.col("lon") / _LON_CELL).alias("cx")).persist()
+    # conditional salting of the hot city cells — the
+    # q_geo_radius_join_skewed playbook verbatim (value-invariant, so
+    # the oracle stays the unsalted algebra; AQE's skew rule provably
+    # cannot fire on this shape — SCALE.md round-9): took the degree
+    # join from 7.3s to ~3s at sf0.1 by splitting the ~11% hot cell
+    # _GEO_SALT ways
+    hot = F.broadcast(
+        cells.groupBy("cy", "cx").agg(F.count(F.lit(1)).alias("n_cell"))
+        .where(F.col("n_cell") > _HOT_CELL_ROWS)
+        .select("cy", "cx", F.lit(True).alias("is_hot")))
     off = F.array([F.lit(d) for d in (-1, 0, 1)])
+    all_salts = F.array(*[F.lit(s) for s in range(_GEO_SALT)])
     reps = (cells
             .withColumn("dy", F.explode(off))
             .withColumn("dx", F.explode(off))
@@ -810,12 +825,24 @@ def q_geo_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lon").alias("lon_a"),
                     (F.col("cy") + F.col("dy")).alias("cy"),
                     (F.col("cx") + F.col("dx")).alias("cx")))
-    home = cells.select(F.col("c_custkey").alias("q"),
-                        F.col("lat").alias("lat_b"),
-                        F.col("lon").alias("lon_b"), "cy", "cx")
+    reps = (reps.join(hot, ["cy", "cx"], "left")
+            .withColumn("salt", F.explode(
+                F.when(F.col("is_hot"), all_salts)
+                .otherwise(F.array(F.lit(0)))))
+            .drop("is_hot"))
+    home = (cells.join(hot, ["cy", "cx"], "left")
+            .select(F.col("c_custkey").alias("q"),
+                    F.col("lat").alias("lat_b"),
+                    F.col("lon").alias("lon_b"), "cy", "cx",
+                    F.when(F.col("is_hot"),
+                           F.pmod(F.xxhash64("c_custkey"),
+                                  F.lit(_GEO_SALT)).cast("int"))
+                    .otherwise(F.lit(0)).alias("salt")))
     d = _haversine(F.col("lat_a"), F.col("lon_a"),
                    F.col("lat_b"), F.col("lon_b"))
-    nbr = (reps.join(home, ["cy", "cx"])
+    # shuffle_hash hint: both sides corpus-sized at scale (the skewed
+    # join's rationale); the exchange partitions on (cy, cx, salt)
+    nbr = (reps.join(home.hint("shuffle_hash"), ["cy", "cx", "salt"])
            .where(F.col("p") != F.col("q"))
            .where(F.round(d, 6) <= _DBSCAN_EPS_KM)
            .select("p", "q"))
