@@ -1123,3 +1123,97 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.round(F.col("contrib"), 9)
                       .cast("decimal(38,9)")).cast("double"), 6)
         .alias("chi2"))
+
+
+@register(
+    "q_mann_whitney_u",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')),
+    byv AS (
+        SELECT cents,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n1v
+        FROM x GROUP BY cents),
+    rk AS (
+        SELECT cents, n_all, n1v,
+               COALESCE(SUM(n_all) OVER (
+                   ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum
+        FROM byv),
+    agg AS (
+        SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+               CAST(SUM(n_all - n1v) AS BIGINT) AS n2,
+               CAST(SUM(n_all) AS BIGINT) AS n,
+               CAST(SUM(n1v * (2 * cum + n_all + 1)) AS BIGINT) AS r1_2,
+               CAST(SUM(n_all * n_all * n_all - n_all) AS BIGINT)
+                   AS tiesum
+        FROM rk)
+    SELECT n1, n2,
+           CAST(r1_2 - n1 * (n1 + 1) AS BIGINT) AS u1_doubled,
+           ROUND(((r1_2 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                        * ((n + 1) - CAST(tiesum AS DOUBLE)
+                                     / (CAST(n AS DOUBLE) * (n - 1)))),
+                 6) AS z
+    FROM agg
+    """,
+    tags=("stats", "inference", "rank-test", "mann-whitney", "events"),
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing purchase vs click
+    event values — the TWO-sample rank test beside the k-group
+    q_kruskal_wallis, with the normal approximation's tie-corrected
+    variance.
+
+    Rank arithmetic never touches rows: values quantize to exact
+    cents, the per-VALUE aggregate carries (total count, group-1
+    count), and average ranks come from a prefix sum over the
+    DISTINCT-cents relation (value-cardinality bounded — the q_ks_test
+    global-window contract; continuous metrics must pre-bucket).
+    Everything through the rank sums and the tie term sum(t^3 - t) is
+    exact int64 (ranks are half-integers, so the query carries 2x the
+    rank sum and reports u1_doubled as the exact statistic); the z
+    score is one fixed IEEE expression from those exact integers,
+    ROUND(,6) on both engines.
+
+    Engine shape: one filtered scan, one combiner-reduced value
+    aggregate, one tiny-window pass, one 1-row fold. At 100 TB the
+    scan dominates; rank tests over arbitrary-cardinality doubles
+    take the distributed_rank machinery instead.
+    """
+    x = (load_table(spark, sf_dir, "events")
+         .where(F.col("event_type").isin("purchase", "click"))
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("bigint")
+                 .alias("cents")))
+    byv = (x.groupBy("cents")
+           .agg(F.count(F.lit(1)).alias("n_all"),
+                F.sum(F.when(F.col("event_type") == "purchase", 1)
+                      .otherwise(0)).alias("n1v")))
+    w = (Window.orderBy("cents")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    rk = byv.withColumn("cum", F.coalesce(F.sum("n_all").over(w),
+                                          F.lit(0)))
+    agg = rk.agg(
+        F.sum("n1v").alias("n1"),
+        F.sum(F.col("n_all") - F.col("n1v")).alias("n2"),
+        F.sum("n_all").alias("n"),
+        F.sum(F.col("n1v") * (2 * F.col("cum") + F.col("n_all") + 1))
+        .alias("r1_2"),
+        F.sum(F.col("n_all") * F.col("n_all") * F.col("n_all")
+              - F.col("n_all")).alias("tiesum"))
+    u1d = F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)
+    mu = F.col("n1") * F.col("n2") / 2.0
+    var = ((F.col("n1").cast("double") * F.col("n2") / 12.0)
+           * ((F.col("n") + 1) - F.col("tiesum").cast("double")
+              / (F.col("n").cast("double") * (F.col("n") - 1))))
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        u1d.cast("bigint").alias("u1_doubled"),
+        F.round((u1d / 2.0 - mu) / F.sqrt(var), 6).alias("z"))

@@ -418,6 +418,10 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
                       "duration-minute relation as "
                       "q_survival_life_table (shared _survival_risk "
                       "core — docstring)",
+    "q_mann_whitney_u": "prefix sum over the DISTINCT-cents value "
+                        "relation (value-cardinality bounded; "
+                        "continuous metrics must pre-bucket — the "
+                        "q_ks_test contract, docstring)",
     "q_ks_test": "cumulative/total windows over the DISTINCT n_chars "
                  "value relation (value-cardinality bounded; continuous "
                  "columns must pre-bucket — docstring contract shared "
