@@ -641,3 +641,79 @@ def q_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("nation", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+_HIER_FANOUT = 10   # parent(k) = k DIV 10: a forest of decimal tries
+
+
+@register(
+    "q_hierarchy_rollup",
+    oracle=f"""
+    WITH p AS (
+        SELECT p_partkey AS k,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+        FROM part),
+    anc AS (
+        SELECT k, cents,
+               unnest([k,
+                       k // {_HIER_FANOUT},
+                       k // {_HIER_FANOUT ** 2},
+                       k // {_HIER_FANOUT ** 3},
+                       k // {_HIER_FANOUT ** 4},
+                       k // {_HIER_FANOUT ** 5},
+                       k // {_HIER_FANOUT ** 6},
+                       k // {_HIER_FANOUT ** 7}]) AS node
+        FROM p),
+    roll AS (
+        SELECT node,
+               CAST(COUNT(*) AS BIGINT) AS subtree_parts,
+               CAST(SUM(cents) AS BIGINT) AS subtree_cents
+        FROM anc GROUP BY node)
+    SELECT node,
+           CAST(CASE WHEN node = 0 THEN 0
+                ELSE length(CAST(node AS VARCHAR)) END AS BIGINT)
+               AS depth,
+           subtree_parts, subtree_cents
+    FROM roll
+    WHERE subtree_parts >= 2
+    """,
+    tags=("relational", "hierarchy", "rollup", "tree", "part"),
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (subtree) rollup over a part taxonomy — the
+    org-chart / category-tree aggregate warehouses express with
+    recursive CTEs: every node's subtree part count and exact-cents
+    retail value. The taxonomy is the synthetic decimal trie
+    parent(k) = k DIV 10 (key 4217 sits under 421 under 42 under 4
+    under root 0), so ancestry is CLOSED-FORM: each part explodes to
+    its <= 8 ancestors as a pure expression — no recursion, no
+    iteration, no join to a parent table — and the rollup is ONE
+    combiner-reduced aggregate over the exploded relation.
+
+    That closed form is the scale point: a recursive/iterative
+    ancestor walk shuffles per LEVEL (the CC-loop shape), while a
+    bounded-depth encoded hierarchy (materialized-path or digit-trie
+    keys, as here) rolls up any corpus in a single exchange with 8x
+    map-side fanout; DuckDB states the identical unnest. Depth is
+    digit count; single-part leaves are cut (subtree_parts >= 2) to
+    keep the output the aggregation surface, not a copy of the scan.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint")
+        .alias("cents"))
+    # integer DIV, not float division + cast: keys past 2^53 would
+    # silently round under double arithmetic at real scale
+    anc = p.select(
+        "cents",
+        F.explode(F.array(*[
+            F.expr(f"k DIV {_HIER_FANOUT ** i}") if i else F.col("k")
+            for i in range(8)])).alias("node"))
+    roll = (anc.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("subtree_parts"),
+                 F.sum("cents").alias("subtree_cents")))
+    depth = F.when(F.col("node") == 0, F.lit(0)).otherwise(
+        F.length(F.col("node").cast("string"))).cast("bigint")
+    return (roll.where(F.col("subtree_parts") >= 2)
+            .select("node", depth.alias("depth"),
+                    "subtree_parts", "subtree_cents"))
