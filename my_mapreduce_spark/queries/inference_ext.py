@@ -1217,3 +1217,276 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").cast("bigint").alias("n2"),
         u1d.cast("bigint").alias("u1_doubled"),
         F.round((u1d / 2.0 - mu) / F.sqrt(var), 6).alias("z"))
+
+
+@register(
+    "q_wasserstein_1d",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')),
+    n AS (
+        SELECT CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM x),
+    byv AS (
+        SELECT cents,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN event_type = 'click'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM x GROUP BY cents),
+    cum AS (
+        SELECT cents,
+               SUM(c1) OVER (ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING) AS f1,
+               SUM(c2) OVER (ORDER BY cents
+                             ROWS UNBOUNDED PRECEDING) AS f2,
+               LEAD(cents) OVER (ORDER BY cents) AS next_cents
+        FROM byv),
+    seg AS (
+        SELECT abs(f1 * n.n2 - f2 * n.n1) * (next_cents - cents)
+                   AS num
+        FROM cum CROSS JOIN n
+        WHERE next_cents IS NOT NULL)
+    SELECT n.n1, n.n2,
+           CAST(SUM(seg.num) AS BIGINT) AS w1_num,
+           CAST(n.n1 * n.n2 * 100 AS BIGINT) AS w1_den,
+           ROUND(SUM(seg.num) / (CAST(n.n1 AS DOUBLE) * n.n2 * 100), 6)
+               AS w1_dollars
+    FROM seg CROSS JOIN n
+    GROUP BY n.n1, n.n2
+    """,
+    tags=("stats", "inference", "wasserstein", "distribution-shift",
+          "events"),
+)
+def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between the
+    purchase and click value distributions — THE distribution-shift
+    metric for training-data drift monitoring (unlike KL it is
+    finite for non-overlapping supports and respects the metric on
+    values, unlike KS it weighs HOW FAR mass moved, not just the
+    worst gap).
+
+    W1 = integral |F1 - F2| dx over the empirical CDFs, which on
+    discrete cents is a SUM of |F1 - F2| x segment-width terms —
+    and every term is EXACT integer arithmetic after
+    cross-multiplying the two sample sizes: |f1*n2 - f2*n1| *
+    gap_cents, summed as int64, divided ONCE at the end. The query
+    ships the exact numerator/denominator pair (w1_num / w1_den)
+    plus the rounded dollar value, so the oracle comparison has a
+    bit-exact integer core (magnitudes: f*n <= n1*n2 ~ 2.2e7 at
+    sf0.1, x 100-cent gaps x segments — far inside int64).
+
+    Engine shape: one filtered scan, one combiner-reduced per-value
+    aggregate, one prefix-sum pass over the DISTINCT-cents relation
+    (value-cardinality bounded — the q_ks_test window contract), a
+    1-row total. At 100 TB the scan dominates; continuous metrics
+    pre-bucket exactly as KS does.
+    """
+    x = (load_table(spark, sf_dir, "events")
+         .where(F.col("event_type").isin("purchase", "click"))
+         .select("event_type",
+                 F.round(F.col("value") * 100).cast("bigint")
+                 .alias("cents")))
+    is1 = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    byv = (x.groupBy("cents")
+           .agg(F.sum(is1).alias("c1"),
+                F.sum(1 - is1).alias("c2")))
+    n = byv.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("cents")
+    cum = byv.select(
+        "cents",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+        F.lead("cents").over(wl).alias("next_cents"))
+    seg = (cum.where(F.col("next_cents").isNotNull())
+           .crossJoin(F.broadcast(n))
+           .select((F.abs(F.col("f1") * F.col("n2")
+                          - F.col("f2") * F.col("n1"))
+                    * (F.col("next_cents") - F.col("cents")))
+                   .alias("num"), "n1", "n2"))
+    return (seg.groupBy("n1", "n2")
+            .agg(F.sum("num").cast("bigint").alias("w1_num"),
+                 (F.first("n1") * F.first("n2") * 100).cast("bigint")
+                 .alias("w1_den"),
+                 F.round(F.sum("num")
+                         / (F.col("n1").cast("double")
+                            * F.col("n2") * 100), 6)
+                 .alias("w1_dollars"))
+            .select(F.col("n1").cast("bigint").alias("n1"),
+                    F.col("n2").cast("bigint").alias("n2"),
+                    "w1_num", "w1_den", "w1_dollars"))
+
+
+@register(
+    "q_mutual_information",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS pr, o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM orders GROUP BY 1, 2),
+    rt AS (SELECT pr, CAST(SUM(n_obs) AS BIGINT) AS n_r
+           FROM cells GROUP BY pr),
+    ct AS (SELECT st, CAST(SUM(n_obs) AS BIGINT) AS n_c
+           FROM cells GROUP BY st),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT cells.n_obs, rt.n_r, ct.n_c, tot.n,
+               (CAST(cells.n_obs AS DOUBLE) / tot.n)
+               * ln(CAST(cells.n_obs AS DOUBLE) * tot.n
+                    / (CAST(rt.n_r AS DOUBLE) * ct.n_c)) AS mi_term,
+               -(CAST(cells.n_obs AS DOUBLE) / tot.n)
+               * ln(CAST(cells.n_obs AS DOUBLE) / tot.n) AS h_term
+        FROM cells JOIN rt USING (pr) JOIN ct USING (st) CROSS JOIN tot)
+    SELECT MAX(n) AS n_total,
+           ROUND(CAST(SUM(CAST(ROUND(mi_term, 12) AS DECIMAL(38, 12)))
+                      AS DOUBLE), 6) AS mi_nats,
+           ROUND(CAST(SUM(CAST(ROUND(h_term, 12) AS DECIMAL(38, 12)))
+                      AS DOUBLE), 6) AS h_joint_nats,
+           ROUND(CAST(SUM(CAST(ROUND(mi_term, 12) AS DECIMAL(38, 12)))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(ROUND(h_term, 12) AS DECIMAL(38, 12)))
+                        AS DOUBLE), 6) AS iqr_normalized
+    FROM terms
+    """,
+    tags=("stats", "information-theory", "mutual-information",
+          "contingency", "orders"),
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(priority; status) over the same
+    contingency table as q_chi2_independence — the information-theoretic
+    association measure (MI is what feature-selection and
+    token/label leakage screens in data pipelines actually rank by;
+    chi-square is its second-order approximation). Also reports the
+    joint entropy and the normalized ratio MI/H (information quality
+    ratio).
+
+    Float discipline: each cell term is (n/N)·ln(nN/(n_r·n_c)) — a
+    fixed IEEE expression from exact int64 inputs, bit-identical per
+    row on both engines; the cross-cell sums are ROUND(,12)-quantized
+    DECIMAL(38,12) folds over the enum-bounded cell relation (terms
+    are O(1), so the decimal total stays far inside 15 significant
+    digits — the q_levene_test budget rule).
+
+    Engine shape: identical to q_chi2_independence — one
+    combiner-reduced cell aggregate, broadcast marginals, a 1-row
+    fold. Zero-count cells never appear (GROUP BY emits only observed
+    pairs), so no ln(0) guard is needed: the 0·ln(0) = 0 convention
+    is vacuous here by construction.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"))
+    cells = o.groupBy("pr", "st").agg(F.count(F.lit(1)).alias("n_obs"))
+    rt = cells.groupBy("pr").agg(F.sum("n_obs").alias("n_r"))
+    ct = cells.groupBy("st").agg(F.sum("n_obs").alias("n_c"))
+    tot = cells.agg(F.sum("n_obs").alias("n"))
+    nod = F.col("n_obs").cast("double")
+    mi_term = ((nod / F.col("n"))
+               * F.log(nod * F.col("n")
+                       / (F.col("n_r").cast("double") * F.col("n_c"))))
+    h_term = -(nod / F.col("n")) * F.log(nod / F.col("n"))
+    terms = (cells.join(F.broadcast(rt), "pr")
+             .join(F.broadcast(ct), "st")
+             .crossJoin(F.broadcast(tot))
+             .select("n", mi_term.alias("mi_term"),
+                     h_term.alias("h_term")))
+    fold = lambda c: F.sum(  # noqa: E731
+        F.round(F.col(c), 12).cast("decimal(38,12)")).cast("double")
+    return terms.agg(
+        F.max("n").alias("n_total"),
+        F.round(fold("mi_term"), 6).alias("mi_nats"),
+        F.round(fold("h_term"), 6).alias("h_joint_nats"),
+        F.round(fold("mi_term") / fold("h_term"), 6)
+        .alias("iqr_normalized"))
+
+
+@register(
+    "q_cramers_v",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS pr, o_orderstatus AS st,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM orders GROUP BY 1, 2),
+    rt AS (SELECT pr, CAST(SUM(n_obs) AS BIGINT) AS n_r
+           FROM cells GROUP BY pr),
+    ct AS (SELECT st, CAST(SUM(n_obs) AS BIGINT) AS n_c
+           FROM cells GROUP BY st),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells),
+    terms AS (
+        SELECT cells.n_obs, rt.n_r, ct.n_c, tot.n,
+               (CAST(cells.n_obs * tot.n - rt.n_r * ct.n_c AS DOUBLE)
+                * CAST(cells.n_obs * tot.n - rt.n_r * ct.n_c AS DOUBLE))
+               / (CAST(tot.n AS DOUBLE) * rt.n_r * ct.n_c) AS contrib
+        FROM cells JOIN rt USING (pr) JOIN ct USING (st) CROSS JOIN tot),
+    agg AS (
+        SELECT CAST(COUNT(DISTINCT n_r) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT n_c) AS BIGINT) AS c,
+               MAX(n) AS n,
+               CAST(SUM(CAST(ROUND(contrib, 9) AS DECIMAL(38, 9)))
+                    AS DOUBLE) AS chi2
+        FROM terms)
+    SELECT n AS n_total, r AS n_row_levels, c AS n_col_levels,
+           ROUND(sqrt(chi2 / (n * LEAST(r - 1, c - 1))), 6) AS cramers_v,
+           ROUND(sqrt(GREATEST(chi2 / n - (r - 1.0) * (c - 1.0) / (n - 1),
+                               0.0)
+                      / LEAST(r - (r - 1.0) * (r - 1.0) / (n - 1) - 1,
+                              c - (c - 1.0) * (c - 1.0) / (n - 1) - 1)),
+                 6) AS cramers_v_bias_corrected
+    FROM agg
+    """,
+    tags=("stats", "inference", "effect-size", "cramers-v",
+          "contingency", "orders"),
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size over the priority x status table — the
+    magnitude companion to q_chi2_independence's significance
+    statistic (a huge corpus makes ANY dependence 'significant'; V
+    in [0, 1] says whether it matters), plus the Bergsma
+    bias-corrected variant that de-inflates V on small tables.
+
+    Same exact-integer contingency machinery and ROUND(,9) decimal
+    fold as the chi-square query; the V formulas are one fixed IEEE
+    expression each from the folded chi2 and exact level counts,
+    ROUND(,6) on both engines (GREATEST guards the bias-corrected
+    numerator at 0, its defined floor).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"),
+        F.col("o_orderstatus").alias("st"))
+    cells = o.groupBy("pr", "st").agg(F.count(F.lit(1)).alias("n_obs"))
+    rt = cells.groupBy("pr").agg(F.sum("n_obs").alias("n_r"))
+    ct = cells.groupBy("st").agg(F.sum("n_obs").alias("n_c"))
+    tot = cells.agg(F.sum("n_obs").alias("n"))
+    num = (F.col("n_obs") * F.col("n")
+           - F.col("n_r") * F.col("n_c")).cast("double")
+    contrib = (num * num) / (F.col("n").cast("double")
+                             * F.col("n_r") * F.col("n_c"))
+    terms = (cells.join(F.broadcast(rt), "pr")
+             .join(F.broadcast(ct), "st")
+             .crossJoin(F.broadcast(tot))
+             .select("n_r", "n_c", "n", contrib.alias("contrib")))
+    agg = terms.agg(
+        F.count_distinct("n_r").alias("r"),
+        F.count_distinct("n_c").alias("c"),
+        F.max("n").alias("n"),
+        F.sum(F.round(F.col("contrib"), 9).cast("decimal(38,9)"))
+        .cast("double").alias("chi2"))
+    r, c, n, chi2 = (F.col("r"), F.col("c"), F.col("n"), F.col("chi2"))
+    phi2c = F.greatest(chi2 / n - (r - 1.0) * (c - 1.0) / (n - 1),
+                       F.lit(0.0))
+    kc = F.least(r - (r - 1.0) * (r - 1.0) / (n - 1) - 1,
+                 c - (c - 1.0) * (c - 1.0) / (n - 1) - 1)
+    return agg.select(
+        n.cast("bigint").alias("n_total"),
+        r.cast("bigint").alias("n_row_levels"),
+        c.cast("bigint").alias("n_col_levels"),
+        F.round(F.sqrt(chi2 / (n * F.least(r - 1, c - 1))), 6)
+        .alias("cramers_v"),
+        F.round(F.sqrt(phi2c / kc), 6)
+        .alias("cramers_v_bias_corrected"))

@@ -49,6 +49,11 @@ _ALLOW_NESTED_LOOP = {
                                  # total)) onto the enum-bounded
                                  # contingency cells — scalar-subquery
                                  # shape
+    "q_mutual_information",      # same contingency shape
+    "q_cramers_v",               # same contingency shape
+    "q_wasserstein_1d",          # crossJoin(broadcast(1-row sample
+                                 # sizes)) onto the distinct-cents
+                                 # segments — scalar-subquery shape
     "q_scalar_subquery",         # scalar subquery = 1-row broadcast NLJ
     "q_kruskal_wallis",          # crossJoin(broadcast(1-row tie-sum))
                                  # onto the 1-row moment relation, the
@@ -422,6 +427,10 @@ _ALLOW_GLOBAL_WINDOW: dict[str, str] = {
                         "relation (value-cardinality bounded; "
                         "continuous metrics must pre-bucket — the "
                         "q_ks_test contract, docstring)",
+    "q_wasserstein_1d": "CDF prefix sums + lead over the "
+                        "DISTINCT-cents value relation (same "
+                        "q_ks_test value-cardinality bound, "
+                        "docstring)",
     "q_ks_test": "cumulative/total windows over the DISTINCT n_chars "
                  "value relation (value-cardinality bounded; continuous "
                  "columns must pre-bucket — docstring contract shared "
