@@ -133,19 +133,24 @@ def audit_workdir(name: str) -> str:
     per query per audit run (explain_audit's executed-AQE pass rebuilds
     every plan a second time — round-9 advice item): instead, each
     builder now reuses ONE directory keyed by query name under a
-    shared root, so reruns overwrite in place (every write inside is
-    mode("overwrite")), and the whole root is removed at process exit.
+    PER-PROCESS root (mkdtemp once per process), so reruns within a
+    process overwrite in place (every write inside is
+    mode("overwrite")) while concurrent processes — explain_audit
+    running beside bench/pytest — never share a path (a fixed
+    world-shared root let one process's atexit rmtree delete plans
+    the other was still reading, and was a squatting hazard on
+    multi-user machines — round-10 advice item). The root is removed
+    at process exit.
     """
     import atexit
     import shutil
     import tempfile
 
-    root = os.path.join(tempfile.gettempdir(), "mmr_audit_plans")
-    if not getattr(audit_workdir, "_cleanup_registered", False):
-        # once per process — even if a crashed previous process left
-        # the root behind, this process still owns its removal
+    root = getattr(audit_workdir, "_root", None)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="mmr_audit_plans_")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        audit_workdir._cleanup_registered = True
+        audit_workdir._root = root
     work = os.path.join(root, name)
     os.makedirs(work, exist_ok=True)
     return work

@@ -1055,14 +1055,14 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM cells GROUP BY st),
     tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells),
     terms AS (
-        SELECT cells.n_obs, rt.n_r, ct.n_c, tot.n,
+        SELECT pr, st, cells.n_obs, rt.n_r, ct.n_c, tot.n,
                (CAST(cells.n_obs * tot.n - rt.n_r * ct.n_c AS DOUBLE)
                 * CAST(cells.n_obs * tot.n - rt.n_r * ct.n_c AS DOUBLE))
                / (CAST(tot.n AS DOUBLE) * rt.n_r * ct.n_c) AS contrib
         FROM cells JOIN rt USING (pr) JOIN ct USING (st) CROSS JOIN tot)
-    SELECT CAST(COUNT(DISTINCT n_r) AS BIGINT) AS n_row_levels,
-           CAST(COUNT(DISTINCT n_c) AS BIGINT) AS n_col_levels,
-           CAST((COUNT(DISTINCT n_r) - 1) * (COUNT(DISTINCT n_c) - 1)
+    SELECT CAST(COUNT(DISTINCT pr) AS BIGINT) AS n_row_levels,
+           CAST(COUNT(DISTINCT st) AS BIGINT) AS n_col_levels,
+           CAST((COUNT(DISTINCT pr) - 1) * (COUNT(DISTINCT st) - 1)
                 AS BIGINT) AS dof,
            MAX(n) AS n_total,
            ROUND(CAST(SUM(CAST(ROUND(contrib, 9) AS DECIMAL(38, 9)))
@@ -1094,9 +1094,10 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold. Nothing corpus-sized ever shuffles twice; at 100 TB the
     only data-sized pass is the first scan.
 
-    n_row_levels/n_col_levels are derived with COUNT(DISTINCT
-    marginal) over the joined cells on BOTH engines, so the two
-    sides agree even if a level is absent at some SF.
+    n_row_levels/n_col_levels count DISTINCT LEVEL KEYS (pr/st) over
+    the joined cells on BOTH engines — counting distinct marginal
+    totals instead would collapse two levels whose counts tie,
+    understating dof and inflating the downstream effect size.
     """
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("pr"),
@@ -1112,13 +1113,15 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = (cells.join(F.broadcast(rt), "pr")
              .join(F.broadcast(ct), "st")
              .crossJoin(F.broadcast(tot))
-             .select("n_obs", "n_r", "n_c", "n",
+             .select("pr", "st", "n_obs", "n_r", "n_c", "n",
                      contrib.alias("contrib")))
+    # dof counts LEVEL KEYS, not distinct marginal totals: two levels
+    # with identical marginal counts must still count as two levels
     return terms.agg(
-        F.count_distinct("n_r").alias("n_row_levels"),
-        F.count_distinct("n_c").alias("n_col_levels"),
-        ((F.count_distinct("n_r") - 1)
-         * (F.count_distinct("n_c") - 1)).alias("dof"),
+        F.count_distinct("pr").alias("n_row_levels"),
+        F.count_distinct("st").alias("n_col_levels"),
+        ((F.count_distinct("pr") - 1)
+         * (F.count_distinct("st") - 1)).alias("dof"),
         F.max("n").alias("n_total"),
         F.round(F.sum(F.round(F.col("contrib"), 9)
                       .cast("decimal(38,9)")).cast("double"), 6)
@@ -1419,14 +1422,14 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM cells GROUP BY st),
     tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cells),
     terms AS (
-        SELECT cells.n_obs, rt.n_r, ct.n_c, tot.n,
+        SELECT pr, st, cells.n_obs, rt.n_r, ct.n_c, tot.n,
                (CAST(cells.n_obs * tot.n - rt.n_r * ct.n_c AS DOUBLE)
                 * CAST(cells.n_obs * tot.n - rt.n_r * ct.n_c AS DOUBLE))
                / (CAST(tot.n AS DOUBLE) * rt.n_r * ct.n_c) AS contrib
         FROM cells JOIN rt USING (pr) JOIN ct USING (st) CROSS JOIN tot),
     agg AS (
-        SELECT CAST(COUNT(DISTINCT n_r) AS BIGINT) AS r,
-               CAST(COUNT(DISTINCT n_c) AS BIGINT) AS c,
+        SELECT CAST(COUNT(DISTINCT pr) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT st) AS BIGINT) AS c,
                MAX(n) AS n,
                CAST(SUM(CAST(ROUND(contrib, 9) AS DECIMAL(38, 9)))
                     AS DOUBLE) AS chi2
@@ -1470,10 +1473,13 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = (cells.join(F.broadcast(rt), "pr")
              .join(F.broadcast(ct), "st")
              .crossJoin(F.broadcast(tot))
-             .select("n_r", "n_c", "n", contrib.alias("contrib")))
+             .select("pr", "st", "n_r", "n_c", "n",
+                     contrib.alias("contrib")))
+    # level counts come from the LEVEL KEYS — distinct marginal totals
+    # would collapse two levels whose counts happen to tie
     agg = terms.agg(
-        F.count_distinct("n_r").alias("r"),
-        F.count_distinct("n_c").alias("c"),
+        F.count_distinct("pr").alias("r"),
+        F.count_distinct("st").alias("c"),
         F.max("n").alias("n"),
         F.sum(F.round(F.col("contrib"), 9).cast("decimal(38,9)"))
         .cast("double").alias("chi2"))

@@ -654,15 +654,18 @@ _HIER_FANOUT = 10   # parent(k) = k DIV 10: a forest of decimal tries
                CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
         FROM part),
     anc AS (
+        -- list_distinct: short keys hit node 0 on several quotients
+        -- (42 -> [42, 4, 0, 0, ...]); without dedup the root would
+        -- multiple-count each part by (8 - digits)
         SELECT k, cents,
-               unnest([k,
+               unnest(list_distinct([k,
                        k // {_HIER_FANOUT},
                        k // {_HIER_FANOUT ** 2},
                        k // {_HIER_FANOUT ** 3},
                        k // {_HIER_FANOUT ** 4},
                        k // {_HIER_FANOUT ** 5},
                        k // {_HIER_FANOUT ** 6},
-                       k // {_HIER_FANOUT ** 7}]) AS node
+                       k // {_HIER_FANOUT ** 7}])) AS node
         FROM p),
     roll AS (
         SELECT node,
@@ -704,11 +707,14 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"))
     # integer DIV, not float division + cast: keys past 2^53 would
     # silently round under double arithmetic at real scale
+    # array_distinct: a key with d < 8 digits reaches node 0 on every
+    # quotient past the d-th — without dedup the root (and only the
+    # root) would count each part (8 - d) extra times
     anc = p.select(
         "cents",
-        F.explode(F.array(*[
+        F.explode(F.array_distinct(F.array(*[
             F.expr(f"k DIV {_HIER_FANOUT ** i}") if i else F.col("k")
-            for i in range(8)])).alias("node"))
+            for i in range(8)]))).alias("node"))
     roll = (anc.groupBy("node")
             .agg(F.count(F.lit(1)).alias("subtree_parts"),
                  F.sum("cents").alias("subtree_cents")))
