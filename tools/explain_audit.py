@@ -351,6 +351,15 @@ _REQUIRE_PUSHDOWN = {
     "q_pivot_status", "q_grouping_sets", "q_bucketed_join_noshuffle",
 }
 
+# Queries whose read MUST resolve a filter against the partition
+# directory listing (PartitionFilters carrying the named column) —
+# the planning-time prune is the point of the query, so its absence
+# is a smell even though the result would still be correct.
+_REQUIRE_PARTITION_PRUNE = {
+    "q_partitioned_write_prune": "event_type",  # Hive date/type layout
+    "q_knn_ivf_file": "bucket",  # on-disk IVF: probed inverted lists
+}
+
 # Queries that genuinely consume (nearly) every column of a wide
 # table — e.g. faithful-copy / full-row surfaces.
 _ALLOW_FULL_WIDTH = {
@@ -688,6 +697,13 @@ def audit(name: str, plan: str, codegen_subtrees: int,
     # at least one scan with non-empty PushedFilters
     if name in _REQUIRE_PUSHDOWN and not any(p for _, _, p in scans):
         smells.append("no-pushdown")
+    # partition-prune: the declared column must reach PartitionFilters
+    # on some scan (planning-time listing prune, not a data filter)
+    if name in _REQUIRE_PARTITION_PRUNE:
+        col = _REQUIRE_PARTITION_PRUNE[name]
+        if not re.search(
+                rf"PartitionFilters: \[[^\]]*\b{col}\b", plan):
+            smells.append(f"no-partition-prune:{col}")
     # global-window: a Window with an empty partition spec funnels its
     # whole input through one task — forbidden on unbounded input
     # (auto-exempt when a limit operator bounds the input below it;

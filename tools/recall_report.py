@@ -48,8 +48,10 @@ def main() -> int:
     from my_mapreduce_spark.queries.dedup import (q_dedup_minhash_lsh,
                                                   q_dedup_ngram_jaccard,
                                                   q_dedup_semantic)  # noqa: F401
-    from my_mapreduce_spark.queries.similarity import (q_knn_bruteforce,
+    from my_mapreduce_spark.queries.similarity import (_IVF_FILE_QUERY_IDS,
+                                                       q_knn_bruteforce,
                                                        q_knn_ivf,
+                                                       q_knn_ivf_file,
                                                        q_knn_ivf_pq,
                                                        q_knn_lsh_buckets,
                                                        q_knn_pq_adc,
@@ -68,6 +70,16 @@ def main() -> int:
         report[name] = {"recall": round(r, 4), "asserted_floor": floor,
                         "vs": "q_knn_bruteforce top-k",
                         "pass": r >= floor}
+
+    # on-disk IVF serves a FIXED query batch (partition-pruned probe);
+    # recall is measured on that batch against the same ground truth
+    fexact = {q: v for q, v in exact.items() if q in _IVF_FILE_QUERY_IDS}
+    r = _recall(fexact, _topk(q_knn_ivf_file(spark, args.sf)))
+    release_caches(spark, force_checkpointed=True)
+    report["q_knn_ivf_file"] = {
+        "recall": round(r, 4), "asserted_floor": 0.80,
+        "vs": "q_knn_bruteforce top-k (serving batch)",
+        "pass": r >= 0.80}
 
     # MinHash-LSH vs exact n-gram Jaccard at the s>=0.8 threshold
     truth = {(r.doc_a, r.doc_b) for r in
