@@ -260,3 +260,196 @@ def _q_union_sources_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("sc"))
             .select("event_type", "n_events",
                     (F.col("sc") / 100.0).alias("sum_value")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup via a STATEFUL LSH band index (round-11 ask):
+# the production "dedup the incoming crawl against the corpus" shape,
+# with the accumulated band index living in the streaming STATE STORE
+# (RocksDB-backed on a real cluster) instead of a side parquet table
+# (q_streaming_near_dup's foreachBatch variant).
+
+LSH_OUT = "doc_a long, doc_b long, n_matches long, est_jaccard double"
+LSH_STATE = "doc_ids array<bigint>, sigs array<string>"
+
+
+def _lsh_sign_rows(pdfs):
+    """Stateless per-row signing (mapInPandas): 9-component md5
+    MinHash + 3 band hashes per document, REPLICATING the batch
+    q_dedup_minhash_lsh scheme bit-for-bit (same tokenizer regex,
+    same 3-word shingles, same md5('<seed>|'||shingle) string-min,
+    same md5(m3j||m3j+1||m3j+2) band hash) so the stream's emitted
+    pairs stay oracle-equal to the batch relation. Per-row pandas is
+    correct here — signing is embarrassingly row-parallel and the
+    stream API needs a stateless transform ahead of the stateful
+    operator (a streaming groupBy aggregation could not precede
+    applyInPandasWithState)."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    from my_mapreduce_spark.queries.dedup import _BANDS, _N_MINHASH
+
+    for pdf in pdfs:
+        out = {"doc_id": [], "band_idx": [], "band_hash": [], "sig": []}
+        for did, text in zip(pdf["doc_id"], pdf["text"]):
+            words = [w for w in _re.split(r"[^a-z0-9]+", text or "") if w]
+            if len(words) < 3:
+                continue
+            sh = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
+            ms = [min(hashlib.md5(f"{i}|{s}".encode()).hexdigest()
+                      for s in sh) for i in range(_N_MINHASH)]
+            sig = "|".join(ms)
+            for j, band in enumerate(_BANDS):
+                bh = hashlib.md5(
+                    "".join(ms[k] for k in band).encode()).hexdigest()
+                out["doc_id"].append(int(did))
+                out["band_idx"].append(j)
+                out["band_hash"].append(bh)
+                out["sig"].append(sig)
+        yield pd.DataFrame(out)
+
+
+def make_lsh_band_updater():
+    """applyInPandasWithState transition fn for one LSH band bucket:
+    state is the (doc_ids, signatures) of every document ever hashed
+    into this (band_idx, band_hash) key; each arriving document is
+    scored against the bucket's members (full 9-component agreement,
+    >= _MIN_MATCHES emits the pair) and appended. Idempotent under
+    micro-batch replay: a doc_id already in state is skipped, so a
+    replayed epoch re-emits the identical rows and grows nothing.
+
+    Module-level so tests/test_streaming_lsh_restart.py can drive the
+    SAME function through a kill/restart cycle."""
+    import pandas as pd
+
+    from my_mapreduce_spark.queries.dedup import _MIN_MATCHES, _N_MINHASH
+
+    def update(key, pdfs, state):
+        ids, sigs = state.get if state.exists else ((), ())
+        ids, sigs = list(ids), list(sigs)
+        known = set(ids)
+        new = []
+        for pdf in pdfs:
+            new.extend((int(d), s) for d, s in zip(pdf["doc_id"],
+                                                   pdf["sig"]))
+        new.sort()  # deterministic within-batch pair order
+        out_a, out_b, out_n = [], [], []
+        for did, sig in new:
+            if did in known:   # replayed epoch: exactly-once append
+                continue
+            comps = sig.split("|")
+            for oid, osig in zip(ids, sigs):
+                n = sum(1 for a, b in zip(comps, osig.split("|"))
+                        if a == b)
+                if n >= _MIN_MATCHES:
+                    out_a.append(min(oid, did))
+                    out_b.append(max(oid, did))
+                    out_n.append(n)
+            ids.append(did)
+            sigs.append(sig)
+            known.add(did)
+        state.update((ids, sigs))
+        yield pd.DataFrame({
+            "doc_a": out_a, "doc_b": out_b, "n_matches": out_n,
+            "est_jaccard": [round(n / float(_N_MINHASH), 6)
+                            for n in out_n]})
+
+    return update
+
+
+def run_lsh_state_stream(spark: SparkSession, sf_dir: str,
+                         _capture: list | None = None):
+    """Streaming MinHash-LSH near-dup with the band index IN THE
+    STATE STORE: documents arrive as file micro-batches, a stateless
+    mapInPandas signs each row and explodes it into its 3 (band_idx,
+    band_hash) keys, and applyInPandasWithState owns one state row
+    per band bucket — the accumulated (doc_ids, signatures) of that
+    inverted-index posting list. A new document is scored against
+    exactly its colliding bucket members (never the corpus) the
+    moment it arrives, so a pair is emitted in the micro-batch where
+    its LATER member lands — the online "dedup the new crawl against
+    everything seen so far" operator.
+
+    vs q_streaming_near_dup (foreachBatch + side parquet index): that
+    variant re-JOINS each batch against the full accumulated index
+    relation; this one touches only the state rows the batch's band
+    hashes address — per-batch work is O(batch x bucket occupancy),
+    state access is keyed, and recovery is the state store's own
+    checkpoint (RocksDB incremental on a cluster), not a rebuild.
+    State per bucket is its collision list — the same skew bound as
+    the batch LSH band join, and hot buckets page through RocksDB
+    instead of executor heap.
+
+    The union of emitted pairs across all batches, deduped across
+    bands, converges to EXACTLY the batch q_dedup_minhash_lsh
+    relation — the oracle. Returns (pairs_df, n_batches).
+    """
+    import glob as globmod
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    _ensure_runtime_confs(spark)
+    work = tempfile.mkdtemp(prefix="mmr_lsh_state_")
+    try:
+        src = os.path.join(work, "src")
+        (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .select("doc_id", "text")
+         .repartition(3).write.mode("overwrite").parquet(src))
+        n_batches = len(globmod.glob(os.path.join(src, "part-*.parquet")))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .option("maxFilesPerTrigger", 1).load(src))
+        banded = stream.mapInPandas(
+            _lsh_sign_rows,
+            schema="doc_id long, band_idx int, band_hash string, "
+                   "sig string")
+        out = banded.groupBy("band_idx", "band_hash") \
+            .applyInPandasWithState(
+                make_lsh_band_updater(),
+                outputStructType=LSH_OUT,
+                stateStructType=LSH_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout)
+        emitted = _run_to_memory(spark, out, "lsh_state", "append",
+                                 _capture=_capture)
+        # the same pair can surface from 2-3 bands: collapse
+        return emitted.distinct(), n_batches
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _lsh_state_oracle() -> str:
+    from my_mapreduce_spark.queries.dedup import _minhash_oracle
+
+    return _minhash_oracle()
+
+
+@register(
+    "q_streaming_lsh_state",
+    oracle=_lsh_state_oracle(),
+    tags=("streaming", "stateful", "dedup", "near-dup", "minhash",
+          "lsh", "applyInPandasWithState"),
+)
+def q_streaming_lsh_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming LSH near-dup: the band index lives in the
+    state store (one state row per (band, hash) bucket), candidates
+    are scored on arrival against their bucket only, and the
+    accumulated pair set is oracle-equal to the batch
+    q_dedup_minhash_lsh relation (see run_lsh_state_stream)."""
+    out, _ = run_lsh_state_stream(spark, sf_dir)
+    return out
+
+
+@register_audit_plan(
+    "q_streaming_lsh_state",
+    note="EXECUTED plan of the last micro-batch (lastExecution): "
+         "stateless mapInPandas signing -> (band, hash) exchange -> "
+         "state-store-backed FlatMapGroupsInPandasWithState — "
+         "streaming-only by API contract, the "
+         "q_streaming_stateful_counts capture pattern.")
+def _q_lsh_state_audit(spark: SparkSession, sf_dir: str):
+    cap: list = []
+    run_lsh_state_stream(spark, sf_dir, _capture=cap)
+    return cap[0]
