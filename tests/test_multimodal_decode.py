@@ -125,3 +125,77 @@ def test_real_decode_through_spark_plumbing(spark):
     got = {(r.width, r.height) for r in
            assets.mapInPandas(run, FEATURE_SCHEMA).collect()}
     assert got == {(w, h) for _, _, w, h, _ in IMAGE_FIXTURES}
+
+# ---------------------------------------------------------------------------
+# Property fuzz (round-10 verdict item 8): byte mutations over the
+# committed fixtures — truncation, flips, splices, arbitrary noise —
+# must NEVER raise out of parse_image_header (an executor-side throw
+# would fail the whole Arrow batch); they return None or a well-typed
+# header tuple.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_FIXTURE_PAYLOADS = None
+
+
+def _payloads():
+    global _FIXTURE_PAYLOADS
+    if _FIXTURE_PAYLOADS is None:
+        _FIXTURE_PAYLOADS = [_fixture_bytes(f) for f, *_ in IMAGE_FIXTURES]
+    return _FIXTURE_PAYLOADS
+
+
+def _assert_header_contract(p: bytes):
+    out = parse_image_header(p)
+    if out is not None:
+        mime, w, h, ch = out
+        assert mime in ("image/png", "image/jpeg", "image/gif", "image/bmp")
+        assert isinstance(w, int) and isinstance(h, int)
+        assert isinstance(ch, int)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_fuzz_truncated_fixture_headers(data):
+    """Every prefix-truncation of every committed fixture parses or
+    returns None — no IndexError/struct.error escapes the short-read
+    paths (all slices in the parser are bounds-checked)."""
+    p = data.draw(st.sampled_from(_payloads()))
+    cut = data.draw(st.integers(min_value=0, max_value=len(p)))
+    _assert_header_contract(p[:cut])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_fuzz_mutated_fixture_bytes(data):
+    """Random in-place byte flips over a fixture — corrupted length
+    fields, bogus markers, broken signatures — never raise. This is
+    the executor-safety contract: a malformed asset in a 100 TB media
+    lake must flag, not kill the task."""
+    p = bytearray(data.draw(st.sampled_from(_payloads())))
+    n_mut = data.draw(st.integers(min_value=1, max_value=8))
+    for _ in range(n_mut):
+        i = data.draw(st.integers(min_value=0, max_value=len(p) - 1))
+        p[i] = data.draw(st.integers(min_value=0, max_value=255))
+    _assert_header_contract(bytes(p))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256))
+def test_fuzz_arbitrary_bytes(p):
+    """Arbitrary payloads (including ones that happen to start with a
+    container signature) parse or return None, never raise."""
+    _assert_header_contract(p)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_fuzz_spliced_signatures(data):
+    """Adversarial splices: a real container signature glued onto a
+    random tail — the worst case for the JPEG marker walk (signature
+    passes, segment lengths are garbage)."""
+    sig = data.draw(st.sampled_from([
+        b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a", b"GIF87a", b"BM"]))
+    tail = data.draw(st.binary(max_size=128))
+    _assert_header_contract(sig + tail)
