@@ -140,6 +140,7 @@ def main() -> int:
         "q_lang_id", "q_bm25_search", "q_pagerank",
         "q_streaming_sessionize", "q_window_running_sum",
         "q_sql_cte_pipeline", "q_grouping_sets",
+        "q_curation_endgame",
     ]
     line = json.dumps({
         "metric": "total_query_wall_clock",

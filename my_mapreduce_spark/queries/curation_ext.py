@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.io import load_table
-from my_mapreduce_spark.registry import register
+from my_mapreduce_spark.registry import register, register_audit_plan
 
 _NOISE_SCALE = 1000          # coordinate -> floor(x*1000): exact bigints
 _MMR_LAMBDA = 0.7            # relevance weight; 1-lambda penalizes redundancy
@@ -415,3 +415,193 @@ def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distributed_row_number(
         r, [F.col("within_rank"), F.col("source"), F.col("doc_id")],
         out="global_pos")
+
+
+# ---------------------------------------------------------------------------
+# The curation ENDGAME: the full pre-training corpus funnel in one
+# oracle-gated query (round-10 verdict item 4)
+# ---------------------------------------------------------------------------
+
+_ENDGAME_ORACLE = """
+    WITH RECURSIVE
+    tok AS (
+        SELECT doc_id, lang, source, n_chars, text,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    f AS (
+        SELECT doc_id, lang, source, n_chars, text, w,
+               LEAST(n_chars, 400) AS nc, len(w) AS nw,
+               len(list_filter(w, x -> list_contains(
+                   ['the','a','of','to','and','in','is'], x))) AS ns,
+               len(list_distinct(w)) AS nd
+        FROM tok),
+    q AS (
+        SELECT doc_id, lang, source, n_chars, text, w FROM f
+        WHERE nw >= 3 AND 4*nc*nw + 1200*(ns+nd) >= 2000*nw),
+    d AS (
+        SELECT doc_id, lang, source, n_chars, w FROM q
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY md5(trim(regexp_replace(regexp_replace(
+                lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+            ORDER BY doc_id) = 1),
+    s AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM d, UNNEST(range(1, len(w) - 1)) AS u(i)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM s GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+    near AS (
+        SELECT doc_a, doc_b FROM pairs
+        JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+        WHERE n_common / (x.n + y.n - n_common) >= 0.6),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+              UNION SELECT doc_b, doc_a FROM near),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM nodes
+        UNION
+        SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.doc_id),
+    labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    memb AS (SELECT l.cluster_id, l.doc_id, d.n_chars
+             FROM labels l JOIN d USING (doc_id)),
+    removed AS (
+        SELECT doc_id FROM memb
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) > 1)
+    SELECT doc_id, lang, source, n_chars FROM d
+    WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+      AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+    """
+
+
+def _endgame_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-2 of the endgame: exact-integer quality filter
+    (composite >= 0.5, the q_quality_score rational with no float
+    anywhere: qual_p >= 2000*nw) then normalized-exact dedup keeping
+    the smallest doc_id per canonical hash. One scan, one
+    content-hash window shuffle; returned persisted because it feeds
+    BOTH the shingle pipeline and the final survivor join."""
+    from my_mapreduce_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    stops = F.array(*[F.lit(s) for s in
+                      ("the", "a", "of", "to", "and", "in", "is")])
+    feat = docs.select(
+        "doc_id", "lang", "source", "n_chars", "text",
+        F.least(F.col("n_chars"), F.lit(400)).alias("nc"),
+        F.size(w).alias("nw"),
+        F.size(F.filter(w, lambda x: F.array_contains(stops, x))).alias("ns"),
+        F.size(F.array_distinct(w)).alias("nd"))
+    q = feat.where((F.col("nw") >= 3)
+                   & (4 * F.col("nc") * F.col("nw")
+                      + 1200 * (F.col("ns") + F.col("nd"))
+                      >= 2000 * F.col("nw")))
+    norm = F.md5(F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")))
+    win = Window.partitionBy(norm).orderBy("doc_id")
+    return (q.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select("doc_id", "lang", "source", "n_chars", "text"))
+
+
+_ENDGAME_SAMPLE = ("0", "1", "2", "3")  # 25% deterministic hash sample
+
+
+def _endgame_tail(d: DataFrame, removed: DataFrame) -> DataFrame:
+    """Stages 4-5: drop cluster non-representatives, then the
+    deterministic per-doc hash sample (uniform rate, so every lang /
+    source stratum is sampled at the same 25% — the auditable
+    train-split contract of q_sample_stratified)."""
+    sampled = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) \
+        .isin(*_ENDGAME_SAMPLE)
+    return (d.join(removed, "doc_id", "left_anti")
+            .where(sampled)
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+def _endgame_removed(d: DataFrame, labels: DataFrame) -> DataFrame:
+    """Stage 4's removal set: inside each near-dup cluster keep the
+    longest doc (ties to smallest doc_id) — everything ranked below
+    the representative is removed. The window input is
+    clustered-docs-only (pairs-bounded, never corpus-bounded)."""
+    memb = labels.join(d.select("doc_id", "n_chars"), "doc_id")
+    wc = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    return (memb.withColumn("rn", F.row_number().over(wc))
+            .where(F.col("rn") > 1).select("doc_id"))
+
+
+@register(
+    "q_curation_endgame",
+    oracle=_ENDGAME_ORACLE,
+    tags=("curation", "pipeline", "e2e", "dedup", "quality",
+          "sampling", "funnel"),
+)
+def q_curation_endgame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus curation pipeline END-TO-END, emitting the
+    final training-set rows: quality filter (exact-integer composite
+    >= 0.5) -> normalized exact dedup (keep smallest doc_id) ->
+    near-dup collapse (exact Jaccard >= 0.6 clusters via the
+    LOSSLESS ppjoin generator + min-label CC, keep each cluster's
+    longest doc) -> deterministic 25% stratified hash sample. Every
+    stage is the production operator it names
+    (q_quality_score's rational, q_dedup_normalized_exact's hash,
+    exact_jaccard_pairs' prefix+positional+suffix funnel,
+    q_dedup_clusters' fixpoint, q_dedup_cluster_reps' window,
+    q_sample_stratified's hash predicate) — this query is the proof
+    they CHAIN: the DuckDB oracle recomputes the whole funnel
+    including the recursive-CTE fixpoint and must match the final
+    row set bit-for-bit, not just the counts.
+
+    Scale shape (100 TB): stages 1-2 are one scan + one content-hash
+    window shuffle; stage 3's pair join runs ONLY over stage-2
+    survivors through the lossless ppjoin funnel (never all-pairs,
+    never broadcast of array relations — merge-hinted, the 30x-tier
+    OOM lesson); the CC loop shuffles a pairs-graph-sized relation
+    with one scalar read per round; stages 4-5 are a
+    clusters-bounded window and a join-free filter. Sample-rate
+    changes touch ONE tuple (_ENDGAME_SAMPLE)."""
+    from my_mapreduce_spark.queries.dedup import (exact_jaccard_pairs,
+                                                  min_label_cc)
+
+    d = _endgame_survivors(spark, sf_dir).persist()
+    pairs, sets = exact_jaccard_pairs(spark, sf_dir, docs=d)
+    # min_label_cc materializes the pair relation into its edge
+    # checkpoint on the first round's count, after which the shingle
+    # cache is dead weight
+    labels = min_label_cc(spark, pairs.select("doc_a", "doc_b"))
+    sets.unpersist()
+    return _endgame_tail(d, _endgame_removed(d, labels))
+
+
+@register_audit_plan(
+    "q_curation_endgame",
+    note="the full funnel as ONE declarative DAG with the CC loop "
+         "replaced by its first propagation round (labels relation "
+         "identically shaped to the converged fixpoint — the loop "
+         "itself is audited via q_dedup_clusters' round-1 builder): "
+         "quality filter + dedup window + ppjoin pair generation + "
+         "representative window + anti-join + hash sample, so the "
+         "executed-AQE pass shows the stage-by-stage row collapse.")
+def _q_curation_endgame_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from my_mapreduce_spark.queries.dedup import exact_jaccard_pairs
+
+    d = _endgame_survivors(spark, sf_dir)
+    pairs, _sets = exact_jaccard_pairs(spark, sf_dir, docs=d)
+    near = pairs.select("doc_a", "doc_b")
+    edges = near.union(near.select("doc_b", "doc_a")).toDF("src", "dst")
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    prop = (edges.join(nodes.withColumn("cluster_id", F.col("doc_id")),
+                       edges.src == F.col("doc_id"))
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min")))
+    labels = (nodes.join(prop, "doc_id", "left")
+              .select("doc_id",
+                      F.least("doc_id", F.coalesce("nbr_min", "doc_id"))
+                      .alias("cluster_id")))
+    return _endgame_tail(d, _endgame_removed(d, labels))

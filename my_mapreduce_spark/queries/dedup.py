@@ -67,10 +67,14 @@ def _cw_params4(n: int, seed: int = _CW_SEED + 13) -> tuple[list, int]:
              for _ in range(n)], _CW_PRIME)
 
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_rows(spark: SparkSession, sf_dir: str,
+                  docs: DataFrame | None = None) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — the common input of every
-    shingle-based dedup query."""
-    docs = load_table(spark, sf_dir, "documents")
+    shingle-based dedup query. ``docs`` overrides the source relation
+    (the curation endgame shingles only its dedup SURVIVORS, so the
+    pair join never sees removed rows)."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     withw = docs.select("doc_id", tokens().alias("w")).where(F.size("w") >= 3)
     return (withw.select("doc_id", F.explode(shingles(F.col("w"))).alias("shingle"))
             .distinct())
@@ -795,6 +799,49 @@ def _scoped_shuffle(spark: SparkSession, n_default: int = 8):
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
     return scope()
+
+
+def min_label_cc(spark: SparkSession, near: DataFrame,
+                 max_rounds: int = 20) -> DataFrame:
+    """Connected components over a (doc_a, doc_b) pair relation by
+    min-label propagation — the q_dedup_clusters loop, reusable:
+    labels converge to each component's smallest doc_id. Per-round
+    eager ``localCheckpoint`` (labels is referenced twice per round;
+    a cache would still grow a doubling logical tree — the
+    q_kcore_peel finding), driver reads ONE changed-count scalar per
+    round, and non-convergence raises instead of emitting wrong
+    labels. Returns (doc_id, cluster_id) for CLUSTERED docs only."""
+    edges = (near.select("doc_a", "doc_b")
+             .union(near.select("doc_b", "doc_a"))
+             .toDF("src", "dst").localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id")))
+    changed = -1
+    try:
+        with _scoped_shuffle(spark):  # graph-sized rounds, not corpus
+            for _ in range(max_rounds):
+                prop = (edges.join(labels, edges.src == labels.doc_id)
+                        .groupBy(F.col("dst").alias("doc_id"))
+                        .agg(F.min("cluster_id").alias("nbr_min")))
+                new = (labels.join(prop, "doc_id", "left")
+                       .select("doc_id",
+                               F.least("cluster_id",
+                                       F.coalesce("nbr_min", "cluster_id"))
+                               .alias("cluster_id"),
+                               (F.coalesce("nbr_min", "cluster_id")
+                                < F.col("cluster_id")).alias("chg"))
+                       .localCheckpoint(eager=True))
+                changed = new.where("chg").count()
+                labels = new.drop("chg")
+                if changed == 0:
+                    break
+    finally:
+        edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"min_label_cc: not converged in {max_rounds} rounds "
+            f"({changed} labels still changing)")
+    return labels
 
 
 # Shared by q_dedup_clusters and q_dedup_clusters_pj: both state the
@@ -1524,8 +1571,9 @@ def _suffix_bound(side_a: str, side_b: str):
         for i in range(_SFX_LONGS))
 
 
-def exact_jaccard_pairs(spark: SparkSession,
-                        sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def exact_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                        docs: DataFrame | None = None
+                        ) -> tuple[DataFrame, DataFrame]:
     """The production exact-Jaccard pair generator, reusable: every
     word-3-gram shingle pair with Jaccard >= 3/5, computed through
     the LOSSLESS ppjoin funnel (prefix + positional + suffix
@@ -1541,8 +1589,10 @@ def exact_jaccard_pairs(spark: SparkSession,
     or leave it to the harness-level release_caches contract).
     Downstream graph/cluster/split operators consume this instead of
     q_dedup_ngram_jaccard's declared brute-force join (kept as the
-    fixture-scale verifier and the shared DuckDB oracle)."""
-    toks = _shingle_rows(spark, sf_dir).withColumnRenamed(
+    fixture-scale verifier and the shared DuckDB oracle). ``docs``
+    restricts the generator to a caller-supplied relation (the
+    curation endgame passes its exact-dedup survivors)."""
+    toks = _shingle_rows(spark, sf_dir, docs).withColumnRenamed(
         "shingle", "token")
     dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     sets = (toks.join(dfc, "token")

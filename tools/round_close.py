@@ -35,7 +35,17 @@ Exit code 0 iff all steps succeed AND the artifact counts match the
 registry (the same invariant tests/test_registry_hygiene.py asserts).
 Run this as the LAST commit of every round:
 
-    python tools/round_close.py && git add -A && git commit -m "round close"
+    python tools/round_close.py --commit
+
+With --commit the close SEALS itself: after the counts check passes
+it stages and commits every regenerated artifact, then verifies
+``git status --short`` is EMPTY — so the next judge/driver diff is
+pure signal (round-10 verdict item 5: three rounds running, an
+ambient driver bench rerun sat uncommitted in the tree; the
+``git show HEAD:`` gates made it benign but the noise is a hygiene
+failure). Without --commit it still FAILS (exit 3) if the tree is
+dirty after regeneration, printing the offending paths — a sealed
+round must never end with uncommitted artifact drift.
 """
 
 from __future__ import annotations
@@ -103,7 +113,43 @@ def _classify_bench_movers() -> None:
               f"({m['ratio']}x, spread bound {m['spread_bound']})")
 
 
+def _seal_tree(do_commit: bool) -> int:
+    """Leave the tree CLEAN at seal (round-10 verdict item 5): with
+    ``do_commit``, stage + commit everything the close regenerated;
+    either way, a dirty tree after sealing is a failure (exit 3) so
+    artifact drift can never ride silently into the next round."""
+    status = subprocess.run(["git", "status", "--porcelain"], cwd=ROOT,
+                            capture_output=True, text=True).stdout
+    dirty = [ln for ln in status.splitlines() if ln.strip()]
+    if dirty and do_commit:
+        subprocess.run(["git", "add", "-A"], cwd=ROOT, check=True)
+        subprocess.run(
+            ["git", "commit", "-m",
+             "Round close: regenerate correctness/bench/audit artifacts"],
+            cwd=ROOT, check=True)
+        status = subprocess.run(["git", "status", "--porcelain"], cwd=ROOT,
+                                capture_output=True, text=True).stdout
+        dirty = [ln for ln in status.splitlines() if ln.strip()]
+    if dirty:
+        print("round_close: tree NOT clean at seal:")
+        for ln in dirty:
+            print(f"  {ln}")
+        print("round_close: commit or restore the paths above "
+              "(or rerun with --commit)")
+        return 3
+    print("round_close: tree clean at seal (git status empty)")
+    return 0
+
+
 def main() -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--commit", action="store_true",
+                    help="stage + commit the regenerated artifacts so the "
+                         "seal leaves git status empty")
+    args = ap.parse_args()
+
     _run("inventory", ["tools/query_inventory.py"])
     _run("correctness sweep (sf0.01)", ["tools/check_correctness.py",
                                         "--out", "CORRECTNESS_LOCAL.json"])
@@ -150,7 +196,9 @@ def main() -> int:
                       "bench_entries": bench.get("n_queries"),
                       "audit_entries": len(aud),
                       "counts_match": ok}))
-    return 0 if ok else 1
+    if not ok:
+        return 1
+    return _seal_tree(args.commit)
 
 
 if __name__ == "__main__":
