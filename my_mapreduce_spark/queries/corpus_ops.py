@@ -1283,3 +1283,92 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         out="position")
     return ranked.select("doc_id", "stage",
                          F.col("position").cast("bigint").alias("position"))
+
+
+# Gopher repetition-filter thresholds (Rae et al. 2021, table A1
+# shape): docs above either fraction are flagged for removal. Kept
+# rational (x1000) so the filter predicate is exact integer compare.
+_REP_TOP2_MILLI = 200    # top 2-gram covers > 20% of tokens
+_REP_DUP3_MILLI = 180    # > 18% of 3-grams are repeats
+
+
+@register(
+    "q_intradoc_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    g2 AS (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        FROM t, UNNEST(range(1, len(w))) AS u(i)
+        WHERE len(w) >= 2),
+    top2 AS (
+        SELECT doc_id, MAX(c) AS top2_cnt FROM (
+            SELECT doc_id, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+        GROUP BY doc_id),
+    g3 AS (
+        SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+        FROM t, UNNEST(range(1, len(w) - 1)) AS u(i)
+        WHERE len(w) >= 3),
+    d3 AS (
+        SELECT doc_id, COUNT(*) AS n3,
+               COUNT(DISTINCT g) AS n3_distinct
+        FROM g3 GROUP BY doc_id)
+    SELECT t.doc_id, len(t.w) AS n_tokens,
+           ((2 * 2 * top2.top2_cnt * 1000000 + len(t.w))
+            // (2 * len(t.w))) / 1e6                  AS top2gram_frac,
+           ((2 * (d3.n3 - d3.n3_distinct) * 1000000 + d3.n3)
+            // (2 * d3.n3)) / 1e6                     AS dup3gram_frac,
+           (1000 * 2 * top2.top2_cnt > 200 * len(t.w)
+            OR 1000 * (d3.n3 - d3.n3_distinct) > 180 * d3.n3)
+                                                      AS would_filter
+    FROM t JOIN top2 USING (doc_id) JOIN d3 USING (doc_id)
+    """,
+    tags=("corpus", "repetition", "quality", "gopher"),
+)
+def q_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition screening — the Gopher/MassiveText
+    repetition filters (top n-gram coverage + duplicate n-gram
+    fraction) that q_dup_ngram_fraction's CROSS-document form does
+    not cover: a doc that endlessly repeats its own boilerplate is
+    low-quality even if no other doc shares it. Per doc: the token
+    share covered by its most frequent 2-gram (occurrences x 2 /
+    n_tokens), the fraction of its 3-grams that are repeats
+    (1 - distinct/total), and the filter verdict at the Gopher-shaped
+    thresholds (top2 > 20%, dup3 > 18%) — the verdict compares in
+    EXACT integer cross-multiplication, the fractions ship as the
+    module's standard half-up 6-dp bigint rationals, so no float
+    sits anywhere before the final /1e6 display division.
+
+    Engine shape: explode n-grams, one (doc_id, gram) count, one
+    per-doc max/sum — every shuffle is doc-keyed, and since explode
+    preserves the source row's partition, partial aggregation
+    collapses each doc's grams before the exchange. Corpus-linear at
+    100 TB; no joins except the final doc-keyed assembly of the two
+    gram relations (co-partitioned by the same key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens().alias("w"))
+    base = t.select("doc_id", F.size("w").alias("n_tokens"))
+    g2 = (t.where(F.size("w") >= 2)
+          .select("doc_id", F.explode(shingles(F.col("w"), 2)).alias("g")))
+    top2 = (g2.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id").agg(F.max("c").alias("top2_cnt")))
+    g3 = (t.where(F.size("w") >= 3)
+          .select("doc_id", F.explode(shingles(F.col("w"), 3)).alias("g")))
+    d3 = (g3.groupBy("doc_id")
+          .agg(F.count(F.lit(1)).alias("n3"),
+               F.count_distinct("g").alias("n3_distinct")))
+    return (base.join(top2, "doc_id").join(d3, "doc_id")
+            .select(
+                "doc_id", "n_tokens",
+                (F.expr("(2 * 2 * top2_cnt * 1000000 + n_tokens) "
+                        "DIV (2 * n_tokens)") / 1e6).alias("top2gram_frac"),
+                (F.expr("(2 * (n3 - n3_distinct) * 1000000 + n3) "
+                        "DIV (2 * n3)") / 1e6).alias("dup3gram_frac"),
+                ((1000 * 2 * F.col("top2_cnt")
+                  > _REP_TOP2_MILLI * F.col("n_tokens"))
+                 | (1000 * (F.col("n3") - F.col("n3_distinct"))
+                    > _REP_DUP3_MILLI * F.col("n3")))
+                .alias("would_filter")))

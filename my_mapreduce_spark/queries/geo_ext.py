@@ -533,8 +533,47 @@ _N_CITIES = 80        # zipf-ish city count; city 0 holds ~(1/80)^(1/2)
                       # the 20x tier infeasible: workload tuning, not
                       # plan tuning)
 _JITTER_MILLI = 500   # ±0.25° jitter around the city center
-_GEO_SALT = 8         # salt fan-out for HOT cells' pair join
 _HOT_CELL_ROWS = 1000  # a home cell above this row count gets salted
+# ADAPTIVE salt schedule (round-10 verdict #2): a hot cell's salt
+# fan-out grows with its occupancy — salt_n = ceil(n_cell /
+# _SALT_TARGET_ROWS), clamped to _GEO_SALT_MAX — so the per-salt
+# pair slice stays ~n_cell x _SALT_TARGET_ROWS however dense the
+# cell gets. The round-9 fixed fan-out of 8 was sized for sf0.1's
+# ~1.6k-row hot cell; at the 30x tier that cell holds ~50k rows and
+# 8 slices leave 24 of 32 cores idle through the quadratic kernel
+# (measured, BASELINE round-11). The schedule is value-invariant
+# (salting only splits join keys), so every oracle stays unsalted.
+_SALT_TARGET_ROWS = 250
+_GEO_SALT_MAX = 256
+
+
+def _hot_cells(cells):
+    """Broadcastable hot-cell relation: (cy, cx, is_hot, salt_n) for
+    cells above _HOT_CELL_ROWS, with the adaptive fan-out. Cell
+    counts are grid-bounded, so the broadcast is always tiny."""
+    return F.broadcast(
+        cells.groupBy("cy", "cx").agg(F.count(F.lit(1)).alias("n_cell"))
+        .where(F.col("n_cell") > _HOT_CELL_ROWS)
+        .select("cy", "cx", F.lit(True).alias("is_hot"),
+                F.least(F.ceil(F.col("n_cell") / _SALT_TARGET_ROWS),
+                        F.lit(_GEO_SALT_MAX)).cast("int").alias("salt_n")))
+
+
+def _salt_explode_col():
+    """Replicated-side salt values: every salt in [0, salt_n) for hot
+    target cells, the single salt 0 for cold ones."""
+    return F.explode(
+        F.when(F.col("is_hot"),
+               F.sequence(F.lit(0), F.col("salt_n") - F.lit(1)))
+        .otherwise(F.array(F.lit(0))))
+
+
+def _salt_home_col(key: str):
+    """Home-side salt assignment: hash-spread across the cell's
+    salt_n slices when hot, 0 when cold."""
+    return (F.when(F.col("is_hot"),
+                   F.pmod(F.xxhash64(key), F.col("salt_n")).cast("int"))
+            .otherwise(F.lit(0)))
 
 
 def _skew_u_sql(key: str) -> str:
@@ -648,11 +687,15 @@ def q_geo_radius_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path — CONDITIONAL SALTING, applied, not asserted (the
     q_skew_salted_join playbook specialized to a self-join): a cheap
     per-cell count + broadcast marks HOT home cells (> 1000 rows,
-    _HOT_CELL_ROWS), the home side salts its hot rows by
-    pmod(xxhash64(key), 8) while the replicated side explodes hot
-    target cells across all 8 salt values (_GEO_SALT) — so the hot
-    cell's quadratic pair generation runs as 8 parallel tasks
-    instead of one, and COLD cells pay nothing
+    _HOT_CELL_ROWS) and sizes each one's fan-out ADAPTIVELY —
+    salt_n = ceil(n_cell / _SALT_TARGET_ROWS) capped at
+    _GEO_SALT_MAX — the home side salting its hot rows by
+    pmod(xxhash64(key), salt_n) while the replicated side explodes
+    hot target cells across all salt_n values, so the hot cell's
+    quadratic pair generation splits into enough parallel tasks to
+    keep every core busy AT ANY DENSITY (the round-9 fixed fan-out
+    of 8 starved 24 of 32 cores on the 30x tier's 50k-row hot cell
+    — measured, BASELINE round-11), and COLD cells pay nothing
     (salt 0, no extra replication). AQE's skew join is NOT the
     guard here, measured twice: (a) its split points are map-output
     chunks, so a hot key fed by few mappers cannot split however
@@ -673,12 +716,8 @@ def q_geo_radius_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "lat", "lon",
         F.floor(F.col("lat") / _LAT_CELL).alias("cy"),
         F.floor(F.col("lon") / _LON_CELL).alias("cx"))
-    hot = F.broadcast(
-        cells.groupBy("cy", "cx").agg(F.count(F.lit(1)).alias("n_cell"))
-        .where(F.col("n_cell") > _HOT_CELL_ROWS)
-        .select("cy", "cx", F.lit(True).alias("is_hot")))
+    hot = _hot_cells(cells)
     off = F.array([F.lit(d) for d in (-1, 0, 1)])
-    all_salts = F.array(*[F.lit(s) for s in range(_GEO_SALT)])
     a = (cells
          .withColumn("dy", F.explode(off))
          .withColumn("dx", F.explode(off))
@@ -686,18 +725,13 @@ def q_geo_radius_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.col("cy") + F.col("dy")).alias("cy"),
                  (F.col("cx") + F.col("dx")).alias("cx")))
     a = (a.join(hot, ["cy", "cx"], "left")
-         .withColumn("salt", F.explode(
-             F.when(F.col("is_hot"), all_salts)
-             .otherwise(F.array(F.lit(0)))))
-         .drop("is_hot"))
+         .withColumn("salt", _salt_explode_col())
+         .drop("is_hot", "salt_n"))
     b = (cells.join(hot, ["cy", "cx"], "left")
          .select(F.col("c_custkey").alias("cust_b"),
                  F.col("lat").alias("lat_b"),
                  F.col("lon").alias("lon_b"), "cy", "cx",
-                 F.when(F.col("is_hot"),
-                        F.pmod(F.xxhash64("c_custkey"),
-                               F.lit(_GEO_SALT)).cast("int"))
-                 .otherwise(F.lit(0)).alias("salt")))
+                 _salt_home_col("c_custkey").alias("salt")))
     d = _haversine(F.col("lat"), F.col("lon"),
                    F.col("lat_b"), F.col("lon_b"))
     # shuffle_hash hint: BOTH sides are corpus-sized at scale, so the
@@ -791,73 +825,87 @@ def q_geo_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distance cuts compare ROUND(d, 6) on both engines (the module's
     threshold discipline); neighbor counts are exact integers.
 
-    At 100 TB: candidate volume is density-bounded per cell; the
-    city-hot cells are exactly the q_geo_radius_join_skewed workload,
-    where conditional salting parallelizes the hot cell (documented
-    there — this fixture's hottest cell holds ~11% of points).
+    At 100 TB — and measured at the 30x tier (round-11): the pair
+    relation is NEVER materialized. The round-10 shape persisted nbr
+    (p, q) for its two consumers; at 30x density (~50k-row hot cell,
+    ~2.4e9 candidate pairs) that persist died with
+    UNABLE_TO_ACQUIRE_MEMORY — a pair relation quadratic in local
+    density cannot be a cached intermediate at any fixed memory
+    budget. Instead: PASS 1 folds the grid join straight into the
+    per-point degree aggregate (partial agg inside the join task, so
+    only point-linear partial counts ever shuffle); PASS 2 re-runs
+    the grid kernel ONLY for non-core probes against core homes —
+    the border test needs nothing else, and since cities make their
+    members core, the non-core side is the sparse minority: pass 2
+    is a sliver of pass 1's volume. Both passes use the adaptive
+    per-cell salt schedule (_hot_cells), so the dense cells' kernel
+    splits into enough tasks to keep every core busy at any density.
     """
     pts = _skewed_points(spark, sf_dir)
-    # five consumers walk this narrow relation (hot-cell census, both
-    # join sides, the degree left side, the final labels): pin it once
-    # (MEMORY_AND_DISK — spills, never OOMs; caller releases via the
-    # caching.py contract) instead of five md5-deriving scans
+    # consumers: hot-cell census, pass-1 sides, pass-2 sides — pin
+    # the narrow relation once (MEMORY_AND_DISK; caller releases via
+    # the caching.py contract) instead of re-deriving md5 coords
     cells = pts.select(
         "c_custkey", "lat", "lon",
         F.floor(F.col("lat") / _LAT_CELL).alias("cy"),
         F.floor(F.col("lon") / _LON_CELL).alias("cx")).persist()
     # conditional salting of the hot city cells — the
-    # q_geo_radius_join_skewed playbook verbatim (value-invariant, so
-    # the oracle stays the unsalted algebra; AQE's skew rule provably
-    # cannot fire on this shape — SCALE.md round-9): took the degree
-    # join from 7.3s to ~3s at sf0.1 by splitting the ~11% hot cell
-    # _GEO_SALT ways
-    hot = F.broadcast(
-        cells.groupBy("cy", "cx").agg(F.count(F.lit(1)).alias("n_cell"))
-        .where(F.col("n_cell") > _HOT_CELL_ROWS)
-        .select("cy", "cx", F.lit(True).alias("is_hot")))
+    # q_geo_radius_join_skewed playbook (value-invariant, so the
+    # oracle stays the unsalted algebra; AQE's skew rule provably
+    # cannot fire on this shape — SCALE.md round-9), with the
+    # fan-out sized adaptively per cell (_hot_cells)
+    hot = _hot_cells(cells)
     off = F.array([F.lit(d) for d in (-1, 0, 1)])
-    all_salts = F.array(*[F.lit(s) for s in range(_GEO_SALT)])
-    reps = (cells
-            .withColumn("dy", F.explode(off))
-            .withColumn("dx", F.explode(off))
-            .select(F.col("c_custkey").alias("p"),
-                    F.col("lat").alias("lat_a"),
-                    F.col("lon").alias("lon_a"),
-                    (F.col("cy") + F.col("dy")).alias("cy"),
-                    (F.col("cx") + F.col("dx")).alias("cx")))
-    reps = (reps.join(hot, ["cy", "cx"], "left")
-            .withColumn("salt", F.explode(
-                F.when(F.col("is_hot"), all_salts)
-                .otherwise(F.array(F.lit(0)))))
-            .drop("is_hot"))
-    home = (cells.join(hot, ["cy", "cx"], "left")
-            .select(F.col("c_custkey").alias("q"),
-                    F.col("lat").alias("lat_b"),
-                    F.col("lon").alias("lon_b"), "cy", "cx",
-                    F.when(F.col("is_hot"),
-                           F.pmod(F.xxhash64("c_custkey"),
-                                  F.lit(_GEO_SALT)).cast("int"))
-                    .otherwise(F.lit(0)).alias("salt")))
     d = _haversine(F.col("lat_a"), F.col("lon_a"),
                    F.col("lat_b"), F.col("lon_b"))
-    # shuffle_hash hint: both sides corpus-sized at scale (the skewed
-    # join's rationale); the exchange partitions on (cy, cx, salt)
-    nbr = (reps.join(home.hint("shuffle_hash"), ["cy", "cx", "salt"])
-           .where(F.col("p") != F.col("q"))
-           .where(F.round(d, 6) <= _DBSCAN_EPS_KM)
-           .select("p", "q"))
-    # nbr feeds the degree count AND the border semi-join: pin it so
-    # the grid join runs once (pairs-sized blocks; caller releases)
-    nbr = nbr.persist()
-    cnt = (cells.select(F.col("c_custkey").alias("p"))
-           .join(nbr.groupBy("p").agg(F.count(F.lit(1)).alias("n_nbr")),
-                 "p", "left")
-           .select("p", F.coalesce("n_nbr", F.lit(0)).alias("n_nbr")))
-    flags = cnt.select(
-        "p", "n_nbr",
-        (F.col("n_nbr") + 1 >= _DBSCAN_MIN_PTS).alias("is_core"))
-    core_reach = (nbr.join(flags.where("is_core")
-                           .select(F.col("p").alias("q")), "q")
+
+    def grid_pairs(probe_side: DataFrame, home_side: DataFrame) -> DataFrame:
+        """Salted grid-cell eps-neighbor pairs (p, q) between two
+        point subsets — 3x3 replication on the probe side, home
+        cells + hash salt on the other; shuffle_hash pinned (both
+        sides corpus-sized at scale; the exchange partitions on
+        (cy, cx, salt), which is what makes the salt effective)."""
+        reps = (probe_side
+                .withColumn("dy", F.explode(off))
+                .withColumn("dx", F.explode(off))
+                .select(F.col("c_custkey").alias("p"),
+                        F.col("lat").alias("lat_a"),
+                        F.col("lon").alias("lon_a"),
+                        (F.col("cy") + F.col("dy")).alias("cy"),
+                        (F.col("cx") + F.col("dx")).alias("cx")))
+        reps = (reps.join(hot, ["cy", "cx"], "left")
+                .withColumn("salt", _salt_explode_col())
+                .drop("is_hot", "salt_n"))
+        home = (home_side.join(hot, ["cy", "cx"], "left")
+                .select(F.col("c_custkey").alias("q"),
+                        F.col("lat").alias("lat_b"),
+                        F.col("lon").alias("lon_b"), "cy", "cx",
+                        _salt_home_col("c_custkey").alias("salt")))
+        return (reps.join(home.hint("shuffle_hash"), ["cy", "cx", "salt"])
+                .where(F.col("p") != F.col("q"))
+                .where(F.round(d, 6) <= _DBSCAN_EPS_KM)
+                .select("p", "q"))
+
+    # PASS 1: per-point degree, aggregated INSIDE the kernel pass —
+    # the quadratic pair stream collapses to point-linear partial
+    # counts before anything shuffles or caches
+    deg = grid_pairs(cells, cells).groupBy("p") \
+        .agg(F.count(F.lit(1)).alias("n_nbr"))
+    flags = (cells.select(F.col("c_custkey").alias("p"))
+             .join(deg, "p", "left")
+             .select("p", F.coalesce("n_nbr", F.lit(0)).alias("n_nbr"))
+             .withColumn("is_core",
+                         F.col("n_nbr") + 1 >= _DBSCAN_MIN_PTS)
+             .persist())  # point-linear; feeds pass-2 filters + labels
+    # PASS 2: border reachability — rerun the kernel only where it
+    # can matter: non-core probes against core homes
+    noncore = cells.join(
+        flags.where(~F.col("is_core")).select(F.col("p").alias("c_custkey")),
+        "c_custkey", "leftsemi")
+    corepts = cells.join(
+        flags.where("is_core").select(F.col("p").alias("c_custkey")),
+        "c_custkey", "leftsemi")
+    core_reach = (grid_pairs(noncore, corepts)
                   .select("p").distinct()
                   .withColumn("reach", F.lit(True)))
     lab = (flags.join(core_reach, "p", "left")
