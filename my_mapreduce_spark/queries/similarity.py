@@ -2038,3 +2038,142 @@ def q_knn_ivf_file(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rnk") <= _K)
             .select("query_id", "neighbor_id",
                     F.round("cos_raw", 6).alias("cosine"), "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF refresh: append a delta batch into the existing
+# bucket-partitioned layout WITHOUT retraining — the production
+# "index the new crawl" path (round-11 frontier extension of
+# q_knn_ivf_file).
+
+_IVF_DELTA_MOD = 10   # vec_id % 10 == 9 plays the newly-crawled batch
+
+
+def ivf_file_index_incremental(spark: SparkSession, sf_dir: str):
+    """Build (once per source fingerprint) the REFRESHED inverted
+    file: centroids trained on the BASE 90% of the corpus only, the
+    base vectors written as the bucket-partitioned layout, then the
+    10% DELTA batch assigned with the FROZEN base centroids and
+    parquet-APPENDED into the same bucket directories (new files
+    beside the base files — base bytes are never rewritten). A
+    ``_DELTA_DONE`` marker makes the append idempotent across
+    sessions. Returns ``(index_path, centroid_matrix)``.
+
+    This is the refresh contract a production IVF runs on every
+    crawl: train once, then O(delta) assign+append per batch — never
+    O(corpus) rebuild, never a retrain that would invalidate every
+    existing list assignment. Re-training cadence (when drift makes
+    the frozen quantizer stale) is a quality decision measured by
+    recall against brute force, which tests/test_ivf_file.py pins
+    for this split exactly as for the one-shot index."""
+    import numpy as np
+
+    from my_mapreduce_spark.queries.bucketed import _fixture_tag
+
+    root = _os.path.join(_IVF_FILE_ROOT,
+                         _fixture_tag(sf_dir, "embeddings") + "-incr")
+    idx = _os.path.join(root, "index")
+    cent = _os.path.join(root, "centroids")
+    marker = _os.path.join(root, "_DELTA_DONE")
+
+    def load_cent():
+        rows = spark.read.parquet(cent).collect()   # O(k*d)
+        m = np.zeros((len(rows), _DIM))
+        for r in rows:
+            m[r.cid] = np.asarray(r.cv)
+        return m
+
+    if _os.path.exists(marker):
+        return idx, load_cent()
+
+    e = _normed(load_table(spark, sf_dir, "embeddings")).persist()
+    try:
+        base = e.where(F.col("vec_id") % _IVF_DELTA_MOD != _IVF_DELTA_MOD - 1)
+        delta = e.where(F.col("vec_id") % _IVF_DELTA_MOD == _IVF_DELTA_MOD - 1)
+        seed, n = _ivf_seed(base)
+        if n == 0:
+            return None, None
+        k = _ivf_k(n)
+        c_mat = _train_quantizer(base, seed, k, _DIM)
+        nassign = min(_IVF_ASSIGN, k)
+        schema = "vec_id long, v array<double>, nrm double, bucket long"
+        (base.mapInPandas(_ivf_assign_fn(c_mat, nassign), schema=schema)
+             .repartition("bucket")
+             .write.mode("overwrite").partitionBy("bucket").parquet(idx))
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(c_mat)],
+            "cid long, cv array<double>").coalesce(1) \
+            .write.mode("overwrite").parquet(cent)
+        # the refresh: delta assigned under the FROZEN quantizer,
+        # appended into the existing bucket dirs — O(delta) bytes
+        (delta.mapInPandas(_ivf_assign_fn(c_mat, nassign), schema=schema)
+              .repartition("bucket")
+              .write.mode("append").partitionBy("bucket").parquet(idx))
+        with open(marker, "w") as f:
+            f.write("ok\n")
+        return idx, c_mat
+    finally:
+        e.unpersist()
+
+
+@register(
+    "q_knn_ivf_file_refresh",
+    oracle=None,  # recall-bounded vs brute force on the batch over
+                  # the FULL (base + delta) corpus; floor + delta-
+                  # visibility pins in tests/test_ivf_file.py
+    tags=("similarity", "knn", "ivf", "ann", "incremental",
+          "partition-pruning", "inverted-file"),
+)
+def q_knn_ivf_file_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 served from the INCREMENTALLY refreshed
+    on-disk IVF (ivf_file_index_incremental): centroids trained on
+    the base 90%, the 10% delta batch assigned under the frozen
+    quantizer and parquet-appended into the same bucket partitions.
+    Serving is identical to q_knn_ivf_file — driver-side probe-set
+    computation, a literal ``bucket IN (...)`` planning-time
+    partition prune, exact JVM cosine rerank — and the result set now
+    contains delta vectors (tests pin at least one delta neighbor in
+    the batch's top-5s), proving appended lists serve without any
+    base rewrite.
+
+    At 100 TB this is the only sustainable index cadence: each crawl
+    batch costs O(delta) assign + append; the quantizer retrains
+    only when recall (measured continuously against a brute-forced
+    sample, the recall_report harness here) decays below floor."""
+    import numpy as np
+
+    idx, c_mat = ivf_file_index_incremental(spark, sf_dir)
+    empty = "query_id long, neighbor_id long, cosine double, rnk int"
+    if idx is None:
+        return spark.createDataFrame([], empty)
+    k = len(c_mat)
+    nprobe = _ivf_nprobe(k)
+
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    qrows = e.where(F.col("vec_id").isin(*_IVF_FILE_QUERY_IDS)).collect()
+    if not qrows:
+        return spark.createDataFrame([], empty)
+    qm = np.stack([np.asarray(r.v) / r.nrm for r in qrows])
+    probes = np.argsort(-(qm @ c_mat.T), axis=1)[:, :nprobe]
+    buckets = sorted({int(b) for row in probes for b in row})
+    q = spark.createDataFrame(
+        [(int(r.vec_id), r.v, float(r.nrm), int(b))
+         for r, row in zip(qrows, probes) for b in row],
+        "query_id long, qv array<double>, qnrm double, bucket long")
+
+    inv = (spark.read
+           .schema("vec_id long, v array<double>, nrm double, bucket long")
+           .parquet(idx)
+           .where(F.col("bucket").isin(*buckets)))
+    cos_raw = _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(),
+                                               "neighbor_id")
+    return (inv.join(F.broadcast(q), "bucket")
+            .where(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    cos_raw.alias("cos_raw"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _K)
+            .select("query_id", "neighbor_id",
+                    F.round("cos_raw", 6).alias("cosine"), "rnk"))

@@ -119,3 +119,62 @@ def test_index_reuse_is_stable(spark, served):
     key = lambda r: (r.query_id, r.rnk)  # noqa: E731
     assert sorted(map(tuple, again), key=lambda t: (t[0], t[3])) == \
         sorted(map(tuple, rows), key=lambda t: (t[0], t[3]))
+
+
+# ---------------------------------------------------------------------------
+# Incremental refresh (q_knn_ivf_file_refresh): the delta batch must
+# be SERVED from appended files without rewriting a single base byte.
+
+@pytest.fixture(scope="module")
+def refreshed(spark):
+    from my_mapreduce_spark.queries.similarity import q_knn_ivf_file_refresh
+    df = q_knn_ivf_file_refresh(spark, SF_DIR)
+    return df, df.collect()
+
+
+def test_refresh_recall_floor(spark, refreshed):
+    """Recall vs brute force over the FULL corpus (base + delta) —
+    the frozen-quantizer index still meets the family floor."""
+    _df, rows = refreshed
+    exact: dict[int, set[int]] = {}
+    for r in q_knn_bruteforce(spark, SF_DIR).collect():
+        if r.query_id in _IVF_FILE_QUERY_IDS:
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(exact) == set(_IVF_FILE_QUERY_IDS)
+    hits = sum(len(exact[q] & got[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.80, (hits, total)
+
+
+def test_refresh_serves_delta_vectors(spark, refreshed):
+    """At least one top-5 neighbor comes from the appended delta
+    subset (vec_id % 10 == 9) AND matches the brute-force truth for
+    its query — appended lists are live, not just present on disk."""
+    from my_mapreduce_spark.queries.similarity import _IVF_DELTA_MOD
+    _df, rows = refreshed
+    delta_hits = [r for r in rows
+                  if r.neighbor_id % _IVF_DELTA_MOD == _IVF_DELTA_MOD - 1]
+    assert delta_hits, "no delta vector served from the refreshed index"
+    exact = {(r.query_id, r.neighbor_id)
+             for r in q_knn_bruteforce(spark, SF_DIR).collect()}
+    assert any((r.query_id, r.neighbor_id) in exact for r in delta_hits)
+
+
+def test_refresh_appends_without_rewriting_base(spark, refreshed):
+    """Bucket dirs contain >1 file generation where delta rows landed,
+    and a re-serve is byte-stable (idempotent marker: no second
+    append, no rebuild)."""
+    import glob as g
+    from my_mapreduce_spark.queries.similarity import (
+        ivf_file_index_incremental, q_knn_ivf_file_refresh)
+    idx, _c = ivf_file_index_incremental(spark, SF_DIR)
+    files_before = sorted(g.glob(os.path.join(idx, "bucket=*", "*.parquet")))
+    assert files_before
+    _df, rows = refreshed
+    again = q_knn_ivf_file_refresh(spark, SF_DIR).collect()
+    files_after = sorted(g.glob(os.path.join(idx, "bucket=*", "*.parquet")))
+    assert files_after == files_before  # idempotent: nothing rewritten
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))

@@ -358,6 +358,7 @@ _REQUIRE_PUSHDOWN = {
 _REQUIRE_PARTITION_PRUNE = {
     "q_partitioned_write_prune": "event_type",  # Hive date/type layout
     "q_knn_ivf_file": "bucket",  # on-disk IVF: probed inverted lists
+    "q_knn_ivf_file_refresh": "bucket",  # refreshed IVF: same prune
 }
 
 # Queries that genuinely consume (nearly) every column of a wide

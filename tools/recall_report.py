@@ -81,6 +81,16 @@ def main() -> int:
         "vs": "q_knn_bruteforce top-k (serving batch)",
         "pass": r >= 0.80}
 
+    # incrementally refreshed on-disk IVF (frozen base quantizer +
+    # appended delta lists), same batch and floor
+    from my_mapreduce_spark.queries.similarity import q_knn_ivf_file_refresh
+    r = _recall(fexact, _topk(q_knn_ivf_file_refresh(spark, args.sf)))
+    release_caches(spark, force_checkpointed=True)
+    report["q_knn_ivf_file_refresh"] = {
+        "recall": round(r, 4), "asserted_floor": 0.80,
+        "vs": "q_knn_bruteforce top-k (serving batch, base+delta)",
+        "pass": r >= 0.80}
+
     # MinHash-LSH vs exact n-gram Jaccard at the s>=0.8 threshold
     truth = {(r.doc_a, r.doc_b) for r in
              q_dedup_ngram_jaccard(spark, args.sf).collect() if r.jaccard >= 0.8}
