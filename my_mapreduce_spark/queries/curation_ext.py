@@ -477,16 +477,14 @@ _ENDGAME_ORACLE = """
     """
 
 
-def _endgame_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stages 1-2 of the endgame: exact-integer quality filter
-    (composite >= 0.5, the q_quality_score rational with no float
-    anywhere: qual_p >= 2000*nw) then normalized-exact dedup keeping
-    the smallest doc_id per canonical hash. One scan, one
-    content-hash window shuffle; returned persisted because it feeds
-    BOTH the shingle pipeline and the final survivor join."""
+def quality_pass(docs: DataFrame) -> DataFrame:
+    """Stage 1 of the endgame, reusable (the streaming ingest twin
+    applies it per micro-batch): the exact-integer quality filter —
+    composite >= 0.5, the q_quality_score rational with no float
+    anywhere (qual_p >= 2000*nw) — plus the nw >= 3 shingle floor.
+    Returns (doc_id, lang, source, n_chars, text)."""
     from my_mapreduce_spark.functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
     w = tokens()
     stops = F.array(*[F.lit(s) for s in
                       ("the", "a", "of", "to", "and", "in", "is")])
@@ -496,13 +494,26 @@ def _endgame_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(w).alias("nw"),
         F.size(F.filter(w, lambda x: F.array_contains(stops, x))).alias("ns"),
         F.size(F.array_distinct(w)).alias("nd"))
-    q = feat.where((F.col("nw") >= 3)
-                   & (4 * F.col("nc") * F.col("nw")
-                      + 1200 * (F.col("ns") + F.col("nd"))
-                      >= 2000 * F.col("nw")))
-    norm = F.md5(F.trim(F.regexp_replace(
+    return (feat.where((F.col("nw") >= 3)
+                       & (4 * F.col("nc") * F.col("nw")
+                          + 1200 * (F.col("ns") + F.col("nd"))
+                          >= 2000 * F.col("nw")))
+            .select("doc_id", "lang", "source", "n_chars", "text"))
+
+
+def norm_hash_col():
+    """The canonical content hash stage 2 dedups on (shared with
+    q_dedup_normalized_exact and the streaming ingest)."""
+    return F.md5(F.trim(F.regexp_replace(
         F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " +", " ")))
-    win = Window.partitionBy(norm).orderBy("doc_id")
+
+
+def _endgame_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-2 of the endgame: quality_pass then normalized-exact
+    dedup keeping the smallest doc_id per canonical hash. One scan,
+    one content-hash window shuffle."""
+    q = quality_pass(load_table(spark, sf_dir, "documents"))
+    win = Window.partitionBy(norm_hash_col()).orderBy("doc_id")
     return (q.withColumn("rn", F.row_number().over(win))
             .where(F.col("rn") == 1)
             .select("doc_id", "lang", "source", "n_chars", "text"))

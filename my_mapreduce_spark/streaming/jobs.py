@@ -1833,3 +1833,158 @@ def _q_near_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_sig = (_neardup_sign(docs.where(F.expr("doc_id % 2 = 0")))
                  .localCheckpoint(eager=True))  # the persisted index
     return _neardup_scored(bsig, index_sig.unionByName(bsig))
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation ingest: the endgame's quality + exact-dedup
+# stages as a stream (round-11 — the batch twin is
+# queries/curation_ext._endgame_survivors)
+
+def _curation_partial(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's contribution: quality-filter the batch, key
+    by the canonical content hash, keep the per-hash MINIMUM
+    (doc_id, lang, n_chars) struct — min over a struct ordered by
+    doc_id first, so the surviving attributes are the winner's."""
+    from my_mapreduce_spark.queries.curation_ext import (norm_hash_col,
+                                                         quality_pass)
+
+    q = quality_pass(batch_df)
+    return (q.select(norm_hash_col().alias("nh"),
+                     F.struct("doc_id", "lang", "n_chars").alias("s"))
+            .groupBy("nh").agg(F.min("s").alias("s")))
+
+
+def _curation_merged(partial: DataFrame, prev: DataFrame) -> DataFrame:
+    """Min-merge of a batch partial into the survivor state: the same
+    per-hash struct-min, which is ASSOCIATIVE, COMMUTATIVE and
+    IDEMPOTENT — a replayed epoch re-merging its own partial cannot
+    change the state, so the job is exactly-once without a
+    transaction log, and arrival order cannot change which doc_id
+    survives (unlike dropDuplicates' keep-first)."""
+    return (prev.unionByName(partial)
+            .groupBy("nh").agg(F.min("s").alias("s")))
+
+
+def run_curation_ingest_stream(spark: SparkSession, sf_dir: str):
+    """Stream the documents table through the curation endgame's
+    first two stages — exact-integer quality filter + normalized
+    exact dedup keeping the SMALLEST doc_id — maintaining the
+    survivor set as a content-hash-keyed state table merged once per
+    micro-batch (foreachBatch + struct-min, the
+    run_sketch_maintenance_stream landing pattern).
+
+    Because the merge is a per-key MIN, the final state equals the
+    batch twin's result for EVERY arrival order — which is what
+    makes this oracle-gatable: the DuckDB oracle recomputes the
+    batch stages, and the stream must match bit-for-bit however the
+    file source happened to batch the input.
+
+    Scale note, stated not hidden: this state table is one row per
+    distinct content hash (corpus-keyed, unlike the sketch job's
+    O(types) state), and the foreachBatch read-merge-rewrite costs
+    O(|state|) per batch. At 100 TB the same min-merge runs as a
+    storage-side keyed MERGE INTO (Delta/Iceberg upsert) or the
+    RocksDB per-key state of q_streaming_lsh_state — the dedup
+    ALGEBRA (idempotent struct-min per content hash) is the
+    engine-portable part this job pins. Returns (survivors_df,
+    n_batches)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    _ensure_runtime_confs(spark)
+    work = tempfile.mkdtemp(prefix="mmr_curation_stream_")
+    src = os.path.join(work, "src")
+    state = os.path.join(work, "state")
+    try:
+        (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .repartition(4).write.mode("overwrite").parquet(src))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema).format("parquet")
+                  .option("maxFilesPerTrigger", 1).load(src))
+
+        n_batches = []
+
+        def merge_batch(batch_df, epoch_id):
+            sess = batch_df.sparkSession
+            partial = _curation_partial(batch_df)
+            if glob.glob(os.path.join(state, "*.parquet")):
+                merged = _curation_merged(partial, sess.read.parquet(state))
+            else:
+                merged = partial
+            chk = merged.localCheckpoint(eager=True)  # materialize first
+            try:
+                chk.write.mode("overwrite").parquet(state)
+            finally:
+                chk.unpersist()
+            n_batches.append(epoch_id)
+
+        q = (stream.writeStream.foreachBatch(merge_batch)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        out = (spark.read.parquet(state)
+               .select(F.col("s.doc_id").alias("doc_id"),
+                       F.col("s.lang").alias("lang"),
+                       F.col("s.n_chars").alias("n_chars"))
+               .localCheckpoint(eager=True))
+        return out, len(n_batches)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "q_streaming_curation_ingest",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, n_chars, text,
+               list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents),
+    f AS (
+        SELECT doc_id, lang, n_chars, text,
+               LEAST(n_chars, 400) AS nc, len(w) AS nw,
+               len(list_filter(w, x -> list_contains(
+                   ['the','a','of','to','and','in','is'], x))) AS ns,
+               len(list_distinct(w)) AS nd
+        FROM tok),
+    q AS (
+        SELECT doc_id, lang, n_chars, text FROM f
+        WHERE nw >= 3 AND 4*nc*nw + 1200*(ns+nd) >= 2000*nw)
+    SELECT doc_id, lang, n_chars FROM q
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(trim(regexp_replace(regexp_replace(
+            lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        ORDER BY doc_id) = 1
+    """,
+    tags=("streaming", "curation", "dedup", "quality", "incremental"),
+)
+def q_streaming_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation ingest (run_curation_ingest_stream):
+    quality filter + normalized exact dedup maintained incrementally
+    over a document stream, FULL equality oracle against the batch
+    stages — the struct-min merge makes the stream's survivor set
+    arrival-order-invariant, so the DuckDB recomputation must match
+    bit-for-bit."""
+    out, _ = run_curation_ingest_stream(spark, sf_dir)
+    return out
+
+
+@register_audit_plan(
+    "q_streaming_curation_ingest",
+    note="epoch 2's merge plan (_curation_partial + _curation_merged, "
+         "the factored foreachBatch body — no duplicated logic): one "
+         "half of the corpus quality-filtered + hash-min-reduced and "
+         "merged into an epoch-1 state built the same way")
+def _q_curation_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from my_mapreduce_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev = (_curation_partial(docs.where(F.expr("doc_id % 2 = 0")))
+            .localCheckpoint(eager=True))  # epoch-1 state, materialized
+    merged = _curation_merged(
+        _curation_partial(docs.where(F.expr("doc_id % 2 = 1"))), prev)
+    return merged.select(F.col("s.doc_id").alias("doc_id"),
+                         F.col("s.lang").alias("lang"),
+                         F.col("s.n_chars").alias("n_chars"))

@@ -109,3 +109,35 @@ def test_near_dup_merge_replay_idempotent(spark, tmp_path):
     assert snap(pairs) == pairs_before
     assert snap(index) == index_before
     spark.catalog.clearCache()
+
+
+def test_curation_ingest_stream_equals_batch_twin(spark):
+    """The streamed quality+dedup survivor set equals the batch
+    stages (curation_ext._endgame_survivors) exactly — the struct-
+    min merge is arrival-order-invariant."""
+    from my_mapreduce_spark.queries.curation_ext import _endgame_survivors
+    from my_mapreduce_spark.streaming.jobs import run_curation_ingest_stream
+
+    out, n_batches = run_curation_ingest_stream(spark, SF_DIR)
+    assert n_batches >= 2  # genuinely incremental, not one big batch
+    got = {(r.doc_id, r.lang, r.n_chars) for r in out.collect()}
+    want = {(r.doc_id, r.lang, r.n_chars)
+            for r in _endgame_survivors(spark, SF_DIR).collect()}
+    assert got == want
+
+
+def test_curation_merge_replay_idempotent(spark):
+    """Re-merging a batch's own partial into the state is a no-op —
+    the exactly-once-without-a-log property of the struct-min."""
+    from my_mapreduce_spark.io import load_table
+    from my_mapreduce_spark.streaming.jobs import (_curation_merged,
+                                                   _curation_partial)
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p1 = _curation_partial(docs.where(F.expr("doc_id % 2 = 0")))
+    p2 = _curation_partial(docs.where(F.expr("doc_id % 2 = 1")))
+    state = _curation_merged(p2, p1).localCheckpoint(eager=True)
+    replayed = _curation_merged(p2, state)  # epoch 2 replays
+    snap = lambda df: sorted((r.nh, tuple(r.s)) for r in df.collect())  # noqa: E731
+    assert snap(replayed) == snap(state)
