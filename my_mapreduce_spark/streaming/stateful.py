@@ -273,42 +273,54 @@ LSH_OUT = "doc_a long, doc_b long, n_matches long, est_jaccard double"
 LSH_STATE = "doc_ids array<bigint>, sigs array<string>"
 
 
-def _lsh_sign_rows(pdfs):
-    """Stateless per-row signing (mapInPandas): 9-component md5
-    MinHash + 3 band hashes per document, REPLICATING the batch
+def lsh_band_rows(stream: DataFrame) -> DataFrame:
+    """Stateless per-row signing as pure JVM expressions: 9-component
+    md5 MinHash + 3 band hashes per document, REPLICATING the batch
     q_dedup_minhash_lsh scheme bit-for-bit (same tokenizer regex,
     same 3-word shingles, same md5('<seed>|'||shingle) string-min,
     same md5(m3j||m3j+1||m3j+2) band hash) so the stream's emitted
-    pairs stay oracle-equal to the batch relation. Per-row pandas is
-    correct here — signing is embarrassingly row-parallel and the
-    stream API needs a stateless transform ahead of the stateful
-    operator (a streaming groupBy aggregation could not precede
-    applyInPandasWithState)."""
-    import hashlib
-    import re as _re
+    pairs stay oracle-equal to the batch relation.
 
-    import pandas as pd
-
+    The first cut was a mapInPandas loop calling hashlib.md5 once per
+    (seed, shingle) — ~1.9M Python md5 calls + f-string builds at
+    sf0.1, the dominant wall of the whole stream (optimization guide
+    §4.1: prefer built-ins; the plan audit showed the signing stage
+    as the one MapInPandas node in the pipeline). Signing needs no
+    aggregation — each MinHash component is ``array_min`` over the
+    row's own shingle array (min over the duplicated shingle LIST
+    equals min over the distinct set, so no distinct is needed) —
+    which keeps the transform STATELESS, the API precondition for
+    feeding applyInPandasWithState (a streaming groupBy aggregation
+    could not precede it; that is why the batch explode+agg shape
+    cannot be reused here)."""
+    from my_mapreduce_spark.functions.text import shingles, tokens
     from my_mapreduce_spark.queries.dedup import _BANDS, _N_MINHASH
 
-    for pdf in pdfs:
-        out = {"doc_id": [], "band_idx": [], "band_hash": [], "sig": []}
-        for did, text in zip(pdf["doc_id"], pdf["text"]):
-            words = [w for w in _re.split(r"[^a-z0-9]+", text or "") if w]
-            if len(words) < 3:
-                continue
-            sh = {" ".join(words[i:i + 3]) for i in range(len(words) - 2)}
-            ms = [min(hashlib.md5(f"{i}|{s}".encode()).hexdigest()
-                      for s in sh) for i in range(_N_MINHASH)]
-            sig = "|".join(ms)
-            for j, band in enumerate(_BANDS):
-                bh = hashlib.md5(
-                    "".join(ms[k] for k in band).encode()).hexdigest()
-                out["doc_id"].append(int(did))
-                out["band_idx"].append(j)
-                out["band_hash"].append(bh)
-                out["sig"].append(sig)
-        yield pd.DataFrame(out)
+    base = (stream.select("doc_id", tokens().alias("w"))
+            .where(F.size("w") >= 3)
+            .select("doc_id", shingles(F.col("w")).alias("sh")))
+
+    def _component(seed: int):
+        # single-arg lambda: a 2-arg lambda would make transform()
+        # pass (element, index) and silently shadow the seed
+        pre = F.lit(f"{seed}|")
+        return F.array_min(F.transform(
+            F.col("sh"), lambda s: F.md5(F.concat(pre, s))))
+
+    sig = base.select(
+        "doc_id",
+        *[_component(i).alias(f"m{i}") for i in range(_N_MINHASH)])
+    bands = F.array(*[
+        F.struct(F.lit(j).cast("int").alias("band_idx"),
+                 F.md5(F.concat(*[F.col(f"m{k}") for k in band]))
+                 .alias("band_hash"))
+        for j, band in enumerate(_BANDS)])
+    return (sig.select(
+                "doc_id",
+                F.concat_ws("|", *[f"m{i}" for i in range(_N_MINHASH)])
+                .alias("sig"),
+                F.explode(bands).alias("bh"))
+            .select("doc_id", "bh.band_idx", "bh.band_hash", "sig"))
 
 
 def make_lsh_band_updater():
@@ -363,8 +375,8 @@ def run_lsh_state_stream(spark: SparkSession, sf_dir: str,
                          _capture: list | None = None):
     """Streaming MinHash-LSH near-dup with the band index IN THE
     STATE STORE: documents arrive as file micro-batches, a stateless
-    mapInPandas signs each row and explodes it into its 3 (band_idx,
-    band_hash) keys, and applyInPandasWithState owns one state row
+    JVM expression transform signs each row and explodes it into its
+    3 (band_idx, band_hash) keys, and applyInPandasWithState owns one state row
     per band bucket — the accumulated (doc_ids, signatures) of that
     inverted-index posting list. A new document is scored against
     exactly its colliding bucket members (never the corpus) the
@@ -401,10 +413,7 @@ def run_lsh_state_stream(spark: SparkSession, sf_dir: str,
         schema = spark.read.parquet(src).schema
         stream = (spark.readStream.schema(schema).format("parquet")
                   .option("maxFilesPerTrigger", 1).load(src))
-        banded = stream.mapInPandas(
-            _lsh_sign_rows,
-            schema="doc_id long, band_idx int, band_hash string, "
-                   "sig string")
+        banded = lsh_band_rows(stream)
         out = banded.groupBy("band_idx", "band_hash") \
             .applyInPandasWithState(
                 make_lsh_band_updater(),
@@ -445,7 +454,8 @@ def q_streaming_lsh_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register_audit_plan(
     "q_streaming_lsh_state",
     note="EXECUTED plan of the last micro-batch (lastExecution): "
-         "stateless mapInPandas signing -> (band, hash) exchange -> "
+         "stateless JVM-expression signing (no Python eval node "
+         "before the state op) -> (band, hash) exchange -> "
          "state-store-backed FlatMapGroupsInPandasWithState — "
          "streaming-only by API contract, the "
          "q_streaming_stateful_counts capture pattern.")

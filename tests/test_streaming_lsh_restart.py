@@ -23,14 +23,12 @@ def _write(src, name, rows):
 
 def _run(spark, src, ckpt, out):
     from my_mapreduce_spark.streaming.stateful import (LSH_OUT, LSH_STATE,
-                                                       _lsh_sign_rows,
+                                                       lsh_band_rows,
                                                        make_lsh_band_updater)
 
     stream = (spark.readStream.schema("doc_id long, text string")
               .parquet(str(src)))
-    banded = stream.mapInPandas(
-        _lsh_sign_rows,
-        schema="doc_id long, band_idx int, band_hash string, sig string")
+    banded = lsh_band_rows(stream)
     pairs = banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
         make_lsh_band_updater(),
         outputStructType=LSH_OUT,
