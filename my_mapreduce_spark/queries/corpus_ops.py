@@ -117,7 +117,9 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise comparisons anywhere, so the cost stays linear in total
     shingle volume at 100 TB.
     """
-    s = _shingle_rows(spark, sf_dir)  # distinct (doc_id, shingle)
+    # persisted: df aggregate + join-back both consume the distinct
+    # (doc_id, shingle) relation (caller releases, caching.py)
+    s = _shingle_rows(spark, sf_dir).persist()
     df_counts = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (s.join(df_counts, "shingle")
             .groupBy("doc_id")
@@ -156,7 +158,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     side. This is the industry-standard n-gram decontamination from
     the GPT-3/PaLM data cards, as a relational plan.
     """
-    s = _shingle_rows(spark, sf_dir)
+    # persisted: the benchmark side, the candidate total, and the
+    # overlap join all consume s (caller releases, caching.py)
+    s = _shingle_rows(spark, sf_dir).persist()
     bench = (s.where(F.col("doc_id") % 97 == 0)
              .select("shingle").distinct())
     cand = s.where(F.col("doc_id") % 97 != 0)
@@ -779,7 +783,9 @@ def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from my_mapreduce_spark.queries.dedup import _shingle_rows
 
-    s = _shingle_rows(spark, sf_dir)
+    # persisted: the first-seen aggregate and the per-bucket total
+    # both consume s (caller releases, caching.py contract)
+    s = _shingle_rows(spark, sf_dir).persist()
     first = s.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     nov = (first.groupBy((F.col("first_doc") / _NOVELTY_BUCKET)
                          .cast("bigint").alias("bucket"))

@@ -166,7 +166,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you run q_dedup_minhash_lsh first and reserve this as
     the verifier on its candidates.
     """
-    s = _shingle_rows(spark, sf_dir)
+    # persisted: s feeds three consumers (sz and both join sides)
+    # whose aggregate shapes differ, so no exchange is reusable and
+    # an unpersisted s re-runs the scan+explode+distinct pipeline
+    # per consumer (guide §5 cache test: reused AND expensive;
+    # caller releases via release_caches, caching.py contract)
+    s = _shingle_rows(spark, sf_dir).persist()
     sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = s.alias("a")
     b = s.alias("b")
@@ -233,7 +238,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_prefix_filter). Oracle: the brute-force all-shared-
     shingle join, value-identical by the losslessness argument.
     """
-    s = _shingle_rows(spark, sf_dir)
+    # s persisted: consumed by the df aggregate AND the weight
+    # join-back before the sets cache exists — one shingle pipeline
+    # instead of two (caller releases, caching.py contract)
+    s = _shingle_rows(spark, sf_dir).persist()
     dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sets = (s.join(dfc, "shingle")
             .groupBy("doc_id")
@@ -1448,7 +1456,9 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals compared identically on both engines after the shared
     ``n_common/(na+nb-n_common)`` double arithmetic.
     """
-    s = _shingle_rows(spark, sf_dir)
+    # persisted: three consumers, no reusable exchange across their
+    # differing aggregate shapes (caller releases, caching.py)
+    s = _shingle_rows(spark, sf_dir).persist()
     sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = s.alias("a"), s.alias("b")
     pairs = (
@@ -1592,8 +1602,13 @@ def exact_jaccard_pairs(spark: SparkSession, sf_dir: str,
     fixture-scale verifier and the shared DuckDB oracle). ``docs``
     restricts the generator to a caller-supplied relation (the
     curation endgame passes its exact-dedup survivors)."""
+    # toks persisted: the shingle pipeline feeds the df aggregate AND
+    # the join-back BEFORE the sets cache below exists — without it
+    # the scan+explode+distinct runs twice per generator invocation
+    # (and this generator backs 7 registered queries); caller
+    # releases via release_caches (caching.py contract)
     toks = _shingle_rows(spark, sf_dir, docs).withColumnRenamed(
-        "shingle", "token")
+        "shingle", "token").persist()
     dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     sets = (toks.join(dfc, "token")
             .groupBy("doc_id")
@@ -1851,7 +1866,11 @@ def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle equality is pinned at sf0.001 by
     tests/test_weighted_minhash.py::test_weighted_jaccard_verifier_matches_oracle.
     """
-    s = _shingle_rows(spark, sf_dir)
+    # s persisted: df aggregate, doc-count scalar, and the weight
+    # join-back all consume it with differing shapes (no reusable
+    # exchange); sw persisted: per-doc weight sum + both pair-join
+    # sides (caller releases both, caching.py contract)
+    s = _shingle_rows(spark, sf_dir).persist()
     # s is already (doc, shingle)-distinct, so per-shingle COUNT is df
     df_rel = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     nd = s.agg(F.count_distinct("doc_id").alias("n"))
@@ -1865,7 +1884,7 @@ def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # attach weights BEFORE the pair join (shingle-co-partitioned with
     # it); a first cut joined weights onto the pair-EXPANDED rows and
     # cached the shingle relation — 32 s at sf0.1 vs ~4 s this way
-    sw = s.join(w, "shingle")
+    sw = s.join(w, "shingle").persist()
     dw = sw.groupBy("doc_id").agg(F.sum("w").alias("wt"))
     a, b = sw.alias("a"), sw.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -2002,7 +2021,11 @@ def q_dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12.89x baseline. The md5 halves are derived once per occurrence
     # after the join; replicas are pure integer arithmetic (never the
     # old per-replica shingle#r string build + md5).
-    s = _shingle_rows(spark, sf_dir)
+    # s persisted: df aggregate, doc-count scalar, and the weight
+    # join-back each re-ran the scan+explode+distinct pipeline
+    # unpersisted — measured 6.9-7.6 s -> 4.7-5.3 s at sf0.1 from
+    # this one cache (caller releases, caching.py contract)
+    s = _shingle_rows(spark, sf_dir).persist()
     dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     nd = s.agg(F.count_distinct("doc_id").alias("n"))
     w = (dfc.crossJoin(F.broadcast(nd))
@@ -2237,9 +2260,12 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     withw = survivors.select("doc_id", tokens().alias("w")) \
         .where(F.size("w") >= 3)
+    # persisted: the df aggregate and the sets join-back both consume
+    # the survivor shingles (released below with the other funnel
+    # caches once the edge skeleton is checkpointed)
     sh = (withw.select("doc_id",
                        F.explode(shingles(F.col("w"))).alias("shingle"))
-          .distinct())
+          .distinct().persist())
     # ppjoin prefix-filter candidate generation (lossless at 3/5;
     # same integer prefix length (3n+4) DIV 5 as q_dedup_prefix_filter)
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -2330,6 +2356,7 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (near.union(near.select(F.col("doc_b"), F.col("doc_a")))
              .toDF("src", "dst").localCheckpoint(eager=True))
     sets.unpersist()
+    sh.unpersist()
     survivors.unpersist()
     groups.unpersist()
     try:
@@ -2433,7 +2460,10 @@ def q_dedup_icws(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sampler only ever needed the hash (its uniforms derive from
     # xxhash64(f)), so signatures and pairs are unchanged.
     s = _shingle_rows(spark, sf_dir)
-    sf_ = s.select("doc_id", _tok60("shingle").alias("f"))
+    # sf_ persisted (narrow: doc_id + 8-byte hash): the df aggregate,
+    # the doc-count scalar, and the weight join-back each re-ran the
+    # full shingle pipeline unpersisted (caller releases, caching.py)
+    sf_ = s.select("doc_id", _tok60("shingle").alias("f")).persist()
     df_rel = sf_.groupBy("f").agg(F.count(F.lit(1)).alias("df"))
     nd = sf_.agg(F.count_distinct("doc_id").alias("n"))
     # join-back ships (f, df-as-int): w = ln(N/df) > 0 is exactly
@@ -2630,7 +2660,9 @@ def q_canopy_rare_shingle_pairs(spark: SparkSession,
     PER-DOC window (partitioned, never global), then an equi-join on
     the canopy key whose per-key fan-out is capped by construction.
     """
-    s = _shingle_rows(spark, sf_dir)
+    # persisted: the df aggregate and the rare-key join-back both
+    # consume s (caller releases, caching.py contract)
+    s = _shingle_rows(spark, sf_dir).persist()
     d = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = (s.join(d.where(F.col("df") <= _CANOPY_MAX_DF), "shingle")
             .withColumn("rk", F.row_number().over(
@@ -2749,8 +2781,10 @@ def q_dedup_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle relation, same joins) plus three O(1)-row aggregates;
     counts reach the driver as four integers.
     """
+    # toks persisted: df aggregate + join-back (one shingle pipeline
+    # instead of two; caller releases, caching.py contract)
     toks = _shingle_rows(spark, sf_dir).withColumnRenamed(
-        "shingle", "token")
+        "shingle", "token").persist()
     dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     sets = (toks.join(dfc, "token")
             .groupBy("doc_id")
@@ -2869,7 +2903,9 @@ def q_dedup_overlap_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     final distinct. Oracle: the brute-force join — equality proves
     the filter lossless per run.
     """
-    s = _shingle_rows(spark, sf_dir)
+    # s persisted: df aggregate + join-back (one shingle pipeline
+    # instead of two; caller releases, caching.py contract)
+    s = _shingle_rows(spark, sf_dir).persist()
     dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sets = (s.join(dfc, "shingle")
             .groupBy("doc_id")
