@@ -99,6 +99,34 @@ def register_views(spark: SparkSession, sf_dir: str,
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def widen_unsplittable_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Restore scan parallelism lost to unsplittable input files.
+
+    The fixture tables are single-row-group parquet, so every scan
+    plans as ONE task — and any CPU-dense work fused into the scan
+    stage (shingle explodes, per-char windows, md5 chains, entropy /
+    comparator UDFs) runs serially on one core while the other 31
+    idle (optimization guide §2.5: "one huge unsplittable file ...
+    repartition immediately after the read"). This repartitions the
+    relation to ``defaultParallelism`` BY THE GIVEN KEY (hash, no
+    sort-before-repartition cost, deterministic under retries) with
+    an EXPLICIT partition count so AQE cannot re-coalesce the
+    CPU-dense stage back to one partition on byte-size grounds.
+
+    Scale posture: a guarded no-op. When the input is properly split
+    (multi-row-group files, many files — the 100 TB case) the scan
+    already has >= defaultParallelism partitions and NO shuffle is
+    added; the repartition only fires for inputs whose file layout
+    defeats splitting, where one narrow shuffle of the source rows
+    buys back the whole cluster for the expensive map stage.
+    """
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= dp:
+        return df
+    return df.repartition(dp, F.col(key))
+
+
 def compact_parquet(spark: SparkSession, src: str, dst: str,
                     target_file_bytes: int = 128 << 20) -> int:
     """Compact a small-files parquet dataset into ~target-sized files.

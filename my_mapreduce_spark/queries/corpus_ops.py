@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.functions.text import shingles, tokens
-from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.io import load_table, widen_unsplittable_scan
 from my_mapreduce_spark.queries.dedup import _SHINGLES_CTE, _shingle_rows
 from my_mapreduce_spark.registry import register
 
@@ -391,16 +391,20 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F  # noqa: F811
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_unsplittable_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     w = tokens()
     n1 = F.greatest(F.size(w) - 1, F.lit(0))
+    # bg persisted: the two frequency aggregates and the join-back
+    # all consume the exploded bigram relation with differing keys —
+    # no reusable exchange (caller releases, caching.py contract)
     bg = (docs.select(
             "doc_id",
             F.explode(F.zip_with(F.slice(w, 1, n1), F.slice(w, 2, n1),
                                  lambda x, y: F.struct(x.alias("w1"),
                                                        y.alias("w2"))))
             .alias("b"))
-          .select("doc_id", "b.w1", "b.w2"))
+          .select("doc_id", "b.w1", "b.w2").persist())
     cnt_ab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     cnt_a = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
     logp = F.log10(F.col("c_ab") / F.col("c_a"))
@@ -1107,12 +1111,16 @@ def q_substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     index" that incremental runs reuse). Reference parity: none;
     north-star §2D dedup depth.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_unsplittable_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     withw = (docs.select("doc_id", tokens().alias("w"))
              .where(F.size("w") >= _SPAN_N))
+    # p persisted: the df aggregate and the duplicated-position join
+    # both consume the position explode (caller releases, caching.py)
     p = withw.select(
         "doc_id", F.size("w").alias("n_tokens"),
-        F.posexplode(shingles(F.col("w"), _SPAN_N)).alias("i0", "sh"))
+        F.posexplode(shingles(F.col("w"), _SPAN_N)).alias("i0", "sh")) \
+        .persist()
     dfrel = (p.select("doc_id", "sh").distinct()
              .groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
              .where(F.col("df") >= 2))
@@ -1205,6 +1213,10 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "text",
                     F.length("text").cast("bigint").alias("n"))
             .where(F.col("n") > 0))
+    # the per-character window explode + md5 is the query's whole
+    # cost and fuses into the scan stage — widen the unsplittable
+    # single-row-group scan so it parallelizes (no-op on split input)
+    docs = widen_unsplittable_scan(docs)
     wins = (docs.select(
                 "doc_id", "n",
                 F.explode(F.expr(
@@ -1354,8 +1366,11 @@ def q_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses each doc's grams before the exchange. Corpus-linear at
     100 TB; no joins except the final doc-keyed assembly of the two
     gram relations (co-partitioned by the same key)."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens().alias("w"))
+    docs = widen_unsplittable_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    # t persisted: the token-count base and both gram explodes
+    # consume it (caller releases, caching.py contract)
+    t = docs.select("doc_id", tokens().alias("w")).persist()
     base = t.select("doc_id", F.size("w").alias("n_tokens"))
     g2 = (t.where(F.size("w") >= 2)
           .select("doc_id", F.explode(shingles(F.col("w"), 2)).alias("g")))

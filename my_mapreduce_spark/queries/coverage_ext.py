@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.functions.text import shingles, tokens
-from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.io import load_table, widen_unsplittable_scan
 from my_mapreduce_spark.registry import register, register_audit_plan
 
 
@@ -394,6 +394,15 @@ def q_editdist1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     names = (load_table(spark, sf_dir, "customer")
              .select("c_name").distinct())
+    # the deletion-variant explode + collect_set grouping is the
+    # query's cost and AQE coalesces the tiny distinct output to one
+    # partition on BYTE grounds (the advisory size cannot see CPU
+    # density) — pin the stage's parallelism with an explicit
+    # partition count AQE may not re-coalesce; scales with the
+    # master via defaultParallelism, and the extra exchange carries
+    # only the name column
+    names = names.repartition(
+        spark.sparkContext.defaultParallelism, F.col("c_name"))
     var = names.select(
         "c_name",
         F.explode(F.array_distinct(F.concat(
@@ -861,6 +870,12 @@ def q_jaro_winkler_blocked(spark: SparkSession,
     part = load_table(spark, sf_dir, "part")
     r = part.select("p_partkey", "p_name", "p_brand", "p_size")
     pairs = blocked_pairs(r, ["p_brand", "p_size"], "p_partkey")
+    # the O(L^2) comparator is the query's whole cost and AQE
+    # coalesces the tiny blocked-pair bytes to one partition — pin
+    # the UDF stage's parallelism (explicit count, CPU-dense
+    # candidate relations stay byte-small at any scale)
+    pairs = pairs.repartition(spark.sparkContext.defaultParallelism,
+                              F.col("a.p_partkey"))
     out = pairs.select(
         F.col("a.p_partkey").alias("key_a"),
         F.col("b.p_partkey").alias("key_b"),

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from my_mapreduce_spark.functions.text import minhash_expr, shingles, tokens
-from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.io import load_table, widen_unsplittable_scan
 from my_mapreduce_spark.registry import register, register_audit_plan
 
 _N_MINHASH = 9          # 3 bands x 3 rows
@@ -72,9 +72,15 @@ def _shingle_rows(spark: SparkSession, sf_dir: str,
     """Distinct (doc_id, shingle) pairs — the common input of every
     shingle-based dedup query. ``docs`` overrides the source relation
     (the curation endgame shingles only its dedup SURVIVORS, so the
-    pair join never sees removed rows)."""
+    pair join never sees removed rows — those relations arrive
+    already shuffle-parallel, so only the self-loaded scan is
+    widened)."""
     if docs is None:
-        docs = load_table(spark, sf_dir, "documents")
+        # single-row-group fixture parquet plans the scan as ONE task,
+        # serializing the tokenize+shingle explode for every consumer
+        # of this helper; widen is a guarded no-op on split inputs
+        docs = widen_unsplittable_scan(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     withw = docs.select("doc_id", tokens().alias("w")).where(F.size("w") >= 3)
     return (withw.select("doc_id", F.explode(shingles(F.col("w"))).alias("shingle"))
             .distinct())

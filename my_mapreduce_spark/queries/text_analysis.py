@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 import pandas as pd
 
-from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.io import load_table, widen_unsplittable_scan
 from my_mapreduce_spark.registry import register
 
 _TOKEN_SPLIT = r"[^a-z0-9]+"
@@ -677,6 +677,10 @@ def q_byte_entropy_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-quality depth.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # the entropy UDF fuses into the unsplittable scan's one task —
+    # widen so the Arrow batches spread across cores (no-op on
+    # properly split input)
+    docs = widen_unsplittable_scan(docs.select("doc_id", "source", "text"))
     ent = _byte_entropy_udf()(F.col("text")).alias("h")
     per_doc = docs.select("source", ent)
     out = (per_doc.groupBy("source")
@@ -757,6 +761,11 @@ def q_sentence_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_tfidf_top_terms).
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # widen the unsplittable scan (the posexplode fuses into it) and
+    # persist tok: the segment self-join consumes it twice and its
+    # aggregate shapes differ, so no exchange is reusable (caller
+    # releases, caching.py contract)
+    docs = widen_unsplittable_scan(docs)
     tok = (docs.select(
                "doc_id",
                F.posexplode(F.filter(
@@ -765,7 +774,7 @@ def q_sentence_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("doc_id",
                    (F.floor(F.col("pos") / 8) + 1).cast("bigint")
                    .alias("sid"), "t")
-           .distinct())
+           .distinct().persist())
     a, b = tok.alias("a"), tok.alias("b")
     edge = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
                    & (F.col("a.t") == F.col("b.t"))
