@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_mapreduce_spark.io import load_table
+from my_mapreduce_spark.io import load_table, widen_unsplittable_scan
 from my_mapreduce_spark.registry import register, register_audit_plan
 
 _K = 5
@@ -44,6 +44,14 @@ def _normed(emb: DataFrame, *extra: str) -> DataFrame:
     # matrix) — drop them here, the single entry point. ``extra``
     # carries metadata columns (e.g. "label") through the SAME scan
     # instead of a self-join back onto the table.
+    # NOT widened (round-11 measurement): the embeddings fixture is
+    # 2000 rows, so splitting the scan into defaultParallelism tiny
+    # mapInPandas tasks costs more in per-task Arrow/worker overhead
+    # than the serial numpy pass saves — the family A/B regressed
+    # 1.7x with a widen here (vs the text corpus, where exploded
+    # shingle work is 100x bigger per row and widening won 2-6x).
+    # At 100 TB real embedding tables arrive multi-file/multi-row-
+    # group and the scan parallelizes by itself.
     v = _as_double("embedding")
     return (emb.where(F.col("embedding").isNotNull()
                       & (F.size("embedding") == _DIM))
