@@ -38,6 +38,51 @@ from my_mapreduce_spark.caching import pinned_rdd_count, release_caches
 from my_mapreduce_spark.registry import REGISTRY, _ensure_loaded
 from my_mapreduce_spark.session import get_spark
 
+# Queries that key an on-disk artifact by fixture fingerprint (the
+# IVF inverted file, similarity.py): without a clear, their bench
+# number means "warm serve" or "cold build+serve" depending on what
+# a PREVIOUS process left in the tempdir (round-11 verdict item 7).
+# Clearing before EVERY timed run pins one meaning: cold build+serve.
+_COLD_BUILD_DIRS = {
+    "q_knn_ivf_file": "mmr_ivf_file",
+    "q_knn_ivf_file_refresh": "mmr_ivf_file",
+}
+
+
+def _clear_cold_build(name: str) -> None:
+    import shutil
+    import tempfile
+
+    sub = _COLD_BUILD_DIRS.get(name)
+    if sub:
+        shutil.rmtree(os.path.join(tempfile.gettempdir(), sub),
+                      ignore_errors=True)
+
+
+def _cpu_jiffies() -> tuple[int, int]:
+    """(total, steal) jiffies from /proc/stat — cumulative across all
+    CPUs. Steal is the one host-contention signal a Firecracker guest
+    CAN see (loadavg stays near 0 while wall-clocks swing — the
+    round-11 contamination); zero-safe off Linux."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _sentinel_sec(spark) -> float:
+    """Fixed pure-JVM calibration job (no Python workers, no I/O,
+    scales with the master's cores): timed before pass 1, between
+    passes, and at the end, so a round-over-round 'mover' whose delta
+    tracks the sentinel's swing is machine-flagged as host noise
+    (round-11 verdict item 2)."""
+    t0 = time.time()
+    spark.range(64_000_000, numPartitions=64) \
+        .selectExpr("count(xxhash64(id)) AS c").collect()
+    return round(time.time() - t0, 3)
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -64,11 +109,20 @@ def main() -> int:
         REGISTRY["q_streaming_hourly"].fn(spark, sf_dir).count()
         release_caches(spark, force_checkpointed=True)
 
+    steals: dict[str, float] = {}
+
     def run_once(spec) -> float | None:
+        _clear_cold_build(spec.name)
+        j0, s0 = _cpu_jiffies()
         t0 = time.time()
         try:
             spec.fn(spark, sf_dir).count()
-            return time.time() - t0
+            dt = time.time() - t0
+            j1, s1 = _cpu_jiffies()
+            if j1 > j0:  # % of machine capacity stolen by the host
+                pct = round(100.0 * (s1 - s0) / (j1 - j0), 2)
+                steals[spec.name] = max(steals.get(spec.name, 0.0), pct)
+            return dt
         except Exception as exc:  # failures become a negative sentinel
             print(f"bench: {spec.name} FAILED: {exc}", file=sys.stderr)
             return None
@@ -87,6 +141,7 @@ def main() -> int:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     samples_by_q: dict[str, list] = {}
+    sentinel = [_sentinel_sec(spark)]
     for name, spec in REGISTRY.items():
         dt = run_once(spec)
         if dt is None:
@@ -107,6 +162,7 @@ def main() -> int:
     # BENCH_r03/r04 parsed:null failure class) — cheapest queries
     # first, so whatever budget exists de-noises the noisiest band.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_RETIME_S", "240"))
+    sentinel.append(_sentinel_sec(spark))
     t_pass2 = time.time()
     for name in sorted(samples_by_q, key=lambda k: samples_by_q[k][0]):
         samples = samples_by_q[name]
@@ -126,6 +182,7 @@ def main() -> int:
         timings[name] = round(med, 3)
         if len(samples) > 1:
             spreads[name] = round(samples[-1] - samples[0], 3)
+    sentinel.append(_sentinel_sec(spark))
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Headline subset kept on stdout: reference-parity apps, TPC-H, and
     # one representative per major family.  Everything else lives in
@@ -150,6 +207,12 @@ def main() -> int:
         "n_queries": len(timings),
         "n_failed": sum(1 for t in timings.values() if t < 0),
         "sf": sf,
+        # contention telemetry (additive, round-11 verdict item 2):
+        # sentinel_sec = the fixed JVM calibration job timed at
+        # [start, between passes, end]; steal_pct_max = worst
+        # per-query host-steal share observed this run
+        "sentinel_sec": sentinel,
+        "steal_pct_max": max(steals.values(), default=0.0),
     })
     print(line)
     full = json.dumps({
@@ -161,6 +224,10 @@ def main() -> int:
         # a round-over-round "mover" whose delta sits inside its own
         # spread is noise, not an effect
         "spread": spreads,
+        # worst host-steal share (%) seen during any sample of each
+        # query — a mover whose window shows steal is host noise
+        "steal": steals,
+        "sentinel_sec": sentinel,
         "n_queries": len(timings),
         "sf": sf,
     })

@@ -118,8 +118,9 @@ def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle volume at 100 TB.
     """
     # persisted: df aggregate + join-back both consume the distinct
-    # (doc_id, shingle) relation (caller releases, caching.py)
-    s = _shingle_rows(spark, sf_dir).persist()
+    # (doc_id, shingle) relation (caller releases, caching.py);
+    # hashed: equality-only consumption, no string in the output
+    s = _shingle_rows(spark, sf_dir, hashed=True).persist()
     df_counts = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (s.join(df_counts, "shingle")
             .groupBy("doc_id")
@@ -159,8 +160,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the GPT-3/PaLM data cards, as a relational plan.
     """
     # persisted: the benchmark side, the candidate total, and the
-    # overlap join all consume s (caller releases, caching.py)
-    s = _shingle_rows(spark, sf_dir).persist()
+    # overlap join all consume s (caller releases, caching.py);
+    # hashed: the contamination probe is an equality join, and the
+    # broadcast benchmark set is 8 bytes/shingle instead of a string
+    s = _shingle_rows(spark, sf_dir, hashed=True).persist()
     bench = (s.where(F.col("doc_id") % 97 == 0)
              .select("shingle").distinct())
     cand = s.where(F.col("doc_id") % 97 != 0)
@@ -788,8 +791,9 @@ def q_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from my_mapreduce_spark.queries.dedup import _shingle_rows
 
     # persisted: the first-seen aggregate and the per-bucket total
-    # both consume s (caller releases, caching.py contract)
-    s = _shingle_rows(spark, sf_dir).persist()
+    # both consume s (caller releases, caching.py contract); hashed:
+    # first-occurrence is a hash-keyed MIN, no string in the output
+    s = _shingle_rows(spark, sf_dir, hashed=True).persist()
     first = s.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     nov = (first.groupBy((F.col("first_doc") / _NOVELTY_BUCKET)
                          .cast("bigint").alias("bucket"))

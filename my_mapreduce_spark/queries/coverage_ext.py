@@ -398,11 +398,15 @@ def q_editdist1_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query's cost and AQE coalesces the tiny distinct output to one
     # partition on BYTE grounds (the advisory size cannot see CPU
     # density) — pin the stage's parallelism with an explicit
-    # partition count AQE may not re-coalesce; scales with the
-    # master via defaultParallelism, and the extra exchange carries
-    # only the name column
+    # partition count AQE may not re-coalesce; the count is a FLOOR
+    # at the configured shuffle width (round-11 advice: a bare
+    # repartition(dp) is an exact count and would REDUCE a cluster's
+    # wider post-shuffle parallelism), and the extra exchange
+    # carries only the name column
     names = names.repartition(
-        spark.sparkContext.defaultParallelism, F.col("c_name"))
+        max(spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions"))),
+        F.col("c_name"))
     var = names.select(
         "c_name",
         F.explode(F.array_distinct(F.concat(
@@ -873,9 +877,13 @@ def q_jaro_winkler_blocked(spark: SparkSession,
     # the O(L^2) comparator is the query's whole cost and AQE
     # coalesces the tiny blocked-pair bytes to one partition — pin
     # the UDF stage's parallelism (explicit count, CPU-dense
-    # candidate relations stay byte-small at any scale)
-    pairs = pairs.repartition(spark.sparkContext.defaultParallelism,
-                              F.col("a.p_partkey"))
+    # candidate relations stay byte-small at any scale); floored at
+    # the configured shuffle width so a cluster's wider post-shuffle
+    # parallelism is never REDUCED (round-11 advice item 2)
+    pairs = pairs.repartition(
+        max(spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions"))),
+        F.col("a.p_partkey"))
     out = pairs.select(
         F.col("a.p_partkey").alias("key_a"),
         F.col("b.p_partkey").alias("key_b"),

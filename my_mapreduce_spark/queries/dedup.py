@@ -68,13 +68,29 @@ def _cw_params4(n: int, seed: int = _CW_SEED + 13) -> tuple[list, int]:
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str,
-                  docs: DataFrame | None = None) -> DataFrame:
+                  docs: DataFrame | None = None,
+                  hashed: bool = False) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — the common input of every
     shingle-based dedup query. ``docs`` overrides the source relation
     (the curation endgame shingles only its dedup SURVIVORS, so the
     pair join never sees removed rows — those relations arrive
     already shuffle-parallel, so only the self-loaded scan is
-    widened)."""
+    widened).
+
+    ``hashed=True`` replaces the shingle STRING with its xxhash64
+    BIGINT **before** the distinct, for consumers that only ever test
+    shingle equality and never emit the string (round-11 verdict
+    item 6, the q_dedup_icws precedent at the _ICWS sampler): the
+    distinct exchange, every df aggregate, every join-back, and any
+    persist() of this relation then carry 8 bytes per shingle instead
+    of a ~20-byte string — at 100 TB the difference between spilling
+    the tokenized corpus per query and holding a hash column. Two
+    distinct shingles of one doc colliding would merge (changing a
+    set size) with odds ~n_shingles^2/2^64 ~ 1e-15 per doc — the same
+    odds bound the pre-existing 60-bit _tok60 verification arrays
+    carry, now strictly better at 64 bits. Consumers whose ORACLE
+    pins a (df, shingle-string) ordering or md5(shingle) arithmetic
+    (minhash/canopy/funnel_stages/source_minhash) must keep strings."""
     if docs is None:
         # single-row-group fixture parquet plans the scan as ONE task,
         # serializing the tokenize+shingle explode for every consumer
@@ -82,8 +98,11 @@ def _shingle_rows(spark: SparkSession, sf_dir: str,
         docs = widen_unsplittable_scan(
             load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     withw = docs.select("doc_id", tokens().alias("w")).where(F.size("w") >= 3)
-    return (withw.select("doc_id", F.explode(shingles(F.col("w"))).alias("shingle"))
-            .distinct())
+    rows = withw.select("doc_id",
+                        F.explode(shingles(F.col("w"))).alias("shingle"))
+    if hashed:
+        rows = rows.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    return rows.distinct()
 
 
 # SQL twin of _shingle_rows, embedded by every oracle below.
@@ -176,8 +195,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose aggregate shapes differ, so no exchange is reusable and
     # an unpersisted s re-runs the scan+explode+distinct pipeline
     # per consumer (guide §5 cache test: reused AND expensive;
-    # caller releases via release_caches, caching.py contract)
-    s = _shingle_rows(spark, sf_dir).persist()
+    # caller releases via release_caches, caching.py contract);
+    # hashed: only equality is tested, no string reaches the output
+    s = _shingle_rows(spark, sf_dir, hashed=True).persist()
     sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = s.alias("a")
     b = s.alias("b")
@@ -246,15 +266,20 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # s persisted: consumed by the df aggregate AND the weight
     # join-back before the sets cache exists — one shingle pipeline
-    # instead of two (caller releases, caching.py contract)
-    s = _shingle_rows(spark, sf_dir).persist()
+    # instead of two (caller releases, caching.py contract); hashed:
+    # the containment argument ("A's designated-rarest element is in
+    # B") is lossless under ANY consistent total order, so ordering
+    # by (df, hash64) instead of (df, string) changes which element
+    # probes but never the verified pair set, and no string reaches
+    # the output — the verification arrays were already hashed
+    s = _shingle_rows(spark, sf_dir, hashed=True).persist()
     dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sets = (s.join(dfc, "shingle")
             .groupBy("doc_id")
             .agg(F.array_sort(
                 F.collect_list(F.struct("df", "shingle"))).alias("st"))
             .withColumn("n", F.size("st"))
-            .withColumn("toks", F.transform(F.col("st.shingle"), _tok60))
+            .withColumn("toks", F.col("st.shingle"))
             .select("doc_id", "n", "toks")
             .persist())  # caller releases (caching.py contract)
     probe = sets.select(F.col("doc_id").alias("sd"),
@@ -1463,8 +1488,9 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_common/(na+nb-n_common)`` double arithmetic.
     """
     # persisted: three consumers, no reusable exchange across their
-    # differing aggregate shapes (caller releases, caching.py)
-    s = _shingle_rows(spark, sf_dir).persist()
+    # differing aggregate shapes (caller releases, caching.py);
+    # hashed: equality-only consumption, no string in the output
+    s = _shingle_rows(spark, sf_dir, hashed=True).persist()
     sz = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = s.alias("a"), s.alias("b")
     pairs = (
@@ -1612,23 +1638,28 @@ def exact_jaccard_pairs(spark: SparkSession, sf_dir: str,
     # the join-back BEFORE the sets cache below exists — without it
     # the scan+explode+distinct runs twice per generator invocation
     # (and this generator backs 7 registered queries); caller
-    # releases via release_caches (caching.py contract)
-    toks = _shingle_rows(spark, sf_dir, docs).withColumnRenamed(
-        "shingle", "token").persist()
+    # releases via release_caches (caching.py contract).
+    # HASHED end to end (round-11 verdict item 6): every downstream
+    # consumer — df aggregate, join-back, prefix equi-join,
+    # intersection counting — only tests token EQUALITY under a
+    # consistent global (df, token) total order, and the prefix /
+    # positional / suffix filters are lossless under ANY total order
+    # (the pigeonhole and max-pos arguments never reference string
+    # content), so ordering by (df, hash64) instead of (df, string)
+    # can shift which pairs become CANDIDATES but never the verified
+    # pair set. The persisted relations, both big exchanges, and the
+    # pair-expanded verification arrays all drop from ~20-byte
+    # strings to 8-byte longs (collision odds ~1e-15, the same bound
+    # the previous 60-bit _tok60 arrays carried).
+    toks = _shingle_rows(spark, sf_dir, docs, hashed=True) \
+        .withColumnRenamed("shingle", "token").persist()
     dfc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     sets = (toks.join(dfc, "token")
             .groupBy("doc_id")
             .agg(F.array_sort(
                 F.collect_list(F.struct("df", "token"))).alias("st"))
             .withColumn("n", F.size("st"))
-            # verification arrays carry 60-bit md5-prefix hashes, not
-            # strings: intersection counting only needs equality, and
-            # array<bigint> shuffles ~3x fewer bytes than the shingle
-            # strings (within-pair collision odds ~n^2/2^60 ~ 1e-15 —
-            # candidate GENERATION stays on strings so the positional
-            # filter's order argument is untouched)
-            .withColumn("toks", F.transform(
-                F.col("st.token"), _tok60))
+            .withColumn("toks", F.col("st.token"))
             .withColumn("prefix", F.slice(
                 F.col("st.token"), 1,
                 F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1))
@@ -1875,8 +1906,9 @@ def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # s persisted: df aggregate, doc-count scalar, and the weight
     # join-back all consume it with differing shapes (no reusable
     # exchange); sw persisted: per-doc weight sum + both pair-join
-    # sides (caller releases both, caching.py contract)
-    s = _shingle_rows(spark, sf_dir).persist()
+    # sides (caller releases both, caching.py contract); hashed:
+    # weights key on equality only, no string reaches the output
+    s = _shingle_rows(spark, sf_dir, hashed=True).persist()
     # s is already (doc, shingle)-distinct, so per-shingle COUNT is df
     df_rel = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     nd = s.agg(F.count_distinct("doc_id").alias("n"))
@@ -2268,9 +2300,14 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("w") >= 3)
     # persisted: the df aggregate and the sets join-back both consume
     # the survivor shingles (released below with the other funnel
-    # caches once the edge skeleton is checkpointed)
+    # caches once the edge skeleton is checkpointed); hashed to
+    # xxhash64 before the distinct — every consumer is equality-only
+    # and the ppjoin filters are order-agnostic (see
+    # exact_jaccard_pairs), so the persisted relation and both big
+    # exchanges carry 8-byte longs instead of shingle strings
     sh = (withw.select("doc_id",
                        F.explode(shingles(F.col("w"))).alias("shingle"))
+          .select("doc_id", F.xxhash64("shingle").alias("shingle"))
           .distinct().persist())
     # ppjoin prefix-filter candidate generation (lossless at 3/5;
     # same integer prefix length (3n+4) DIV 5 as q_dedup_prefix_filter)
@@ -2280,10 +2317,7 @@ def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.array_sort(
                 F.collect_list(F.struct("df", "shingle"))).alias("st"))
             .withColumn("n", F.size("st"))
-            # 60-bit hashed verification arrays — see
-            # q_dedup_prefix_filter (same rationale and bound)
-            .withColumn("toks", F.transform(
-                F.col("st.shingle"), _tok60))
+            .withColumn("toks", F.col("st.shingle"))
             .withColumn("prefix", F.slice(
                 F.col("st.shingle"), 1,
                 F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1))
@@ -2910,15 +2944,18 @@ def q_dedup_overlap_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter lossless per run.
     """
     # s persisted: df aggregate + join-back (one shingle pipeline
-    # instead of two; caller releases, caching.py contract)
-    s = _shingle_rows(spark, sf_dir).persist()
+    # instead of two; caller releases, caching.py contract); hashed:
+    # the probe-prefix losslessness holds under ANY consistent total
+    # order (see exact_jaccard_pairs), and no string reaches the
+    # output — the verification arrays were already hashed
+    s = _shingle_rows(spark, sf_dir, hashed=True).persist()
     dfc = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sets = (s.join(dfc, "shingle")
             .groupBy("doc_id")
             .agg(F.array_sort(
                 F.collect_list(F.struct("df", "shingle"))).alias("st"))
             .withColumn("n", F.size("st"))
-            .withColumn("toks", F.transform(F.col("st.shingle"), _tok60))
+            .withColumn("toks", F.col("st.shingle"))
             .withColumn("ptoks", F.slice(
                 F.col("toks"), 1,
                 F.col("n")

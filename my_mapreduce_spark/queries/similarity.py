@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from my_mapreduce_spark.io import load_table, widen_unsplittable_scan
+from my_mapreduce_spark.io import load_table
 from my_mapreduce_spark.registry import register, register_audit_plan
 
 _K = 5
